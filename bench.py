@@ -1,0 +1,56 @@
+"""Headline benchmark: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line.
+
+Execution is measured with a JVM-side noop sink (full plan runs, nothing
+crosses Py4J), after a warmup that touches every input file once so OS page
+cache and JVM JIT state are comparable across queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import get_spark
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.tables import TABLE_NAMES, load_table
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    registry = load_all()
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: pull every table through the page cache + JIT the scan path
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, spec in registry.items():
+        start = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,278 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Engine extensions for LLM training-data pipelines (no reference counterpart;
+SURVEY.md §2.9).  All hot-path logic is JVM-side built-ins — hashing, array
+ops, aggregations — no Python UDFs.
+
+Scale ladder (100 TB of documents):
+- ``dedup_exact``: hash-groupBy on a fingerprint of normalized text.  One
+  shuffle keyed by a 128-bit hash → perfectly uniform partitioning.
+- ``neardup_jaccard_pairs``: exact shingle-set Jaccard via a shingle-keyed
+  self-join.  Quadratic in documents-per-shingle — correct but only viable
+  below ~10^6 docs; it is the *oracle-checkable ground truth* for the LSH
+  path.
+- ``neardup_minhash_lsh``: MinHash signatures (xxhash64 per permutation) +
+  banded LSH bucketing; candidate pairs are verified with exact Jaccard.
+  Near-linear: cost ∝ docs × bands + collisions.  This is the one you run at
+  100 TB (not SQL-expressible → rows-only driver check; pytest verifies it
+  against the exact-Jaccard ground truth).
+- ``dedup_simhash``: 64-bit SimHash + 4×16-bit chunk bucketing (pigeonhole:
+  hamming ≤ 3 ⟹ ≥1 identical chunk), hamming verified with
+  ``bit_count(xor)``.  Also rows-only + pytest-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, shingles_col, tokens_col
+from ..registry import register
+from ..sources import load_table
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_PERMS = 32
+LSH_BANDS = 8  # 8 bands × 4 rows; P(candidate | j=0.8) ≈ 1-(1-0.8^4)^8 ≈ 0.986
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+
+
+# --- exact ------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS rep_doc_id,
+       COUNT(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, tags=("datapipe", "dedup"))
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text → representative id +
+    duplicate count.  Downstream keeps ``rep_doc_id`` rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", F.md5(normalize_text("text")))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+# --- exact n-gram Jaccard (ground truth) ------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM t WHERE len(toks) >= 3
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) AS jaccard
+FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs; documents shorter than k tokens drop
+    out (mirrored by ``WHERE len(toks) >= 3`` in the oracle)."""
+    return (
+        docs.select("doc_id", F.explode(shingles_col("text", k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact pairwise Jaccard over (doc_id, shingle) sets via self-join."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sx), "doc_a")
+        .join(F.broadcast(sy), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("neardup_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("datapipe", "dedup"))
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(shingle_sets(docs), JACCARD_THRESHOLD)
+
+
+# --- MinHash + LSH (scale path) ---------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """Per-doc MinHash signature: for permutation i, min over shingles of
+    ``xxhash64(i-salted shingle)``.  One aggregation, ``perms`` columns."""
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(perms)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, perms: int = MINHASH_PERMS, bands: int = LSH_BANDS) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band are
+    candidates.  Dedups pairs that collide in multiple bands."""
+    rows_per_band = perms // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(LSH_BANDS)])
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register("neardup_minhash_lsh", oracle=None, tags=("datapipe", "dedup", "lsh"))
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup detection, candidates verified with exact
+    Jaccard.  Same output contract as ``neardup_jaccard_pairs`` (minus pairs
+    LSH misses below ~0.9 recall); pytest cross-checks the two."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs)
+    candidates = lsh_candidate_pairs(minhash_signatures(sh))
+    # verify candidates exactly: join candidate pairs back to shingle sets
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sx), "doc_a")
+        .join(F.broadcast(sy), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """64-bit SimHash over the *shingle* set: bit b is the sign of the sum
+    over features of ±1 according to bit b of ``xxhash64(shingle)``.  All
+    JVM-side: explode → 64 conditional sums → bit reassembly.
+
+    Shingles, not unigrams: with a small vocabulary every document shares
+    nearly the same token set and unigram SimHash collapses (everything
+    looks like a near-dup); 3-token shingles restore discrimination."""
+    toks = docs.select("doc_id", F.explode(F.array_distinct(shingles_col("text"))).alias("tok"))
+    h = F.xxhash64("tok")
+
+    def bitmask(b: int):
+        # bit 63 is the sign bit of a signed long
+        return F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(h.bitwiseAND(bitmask(b)) != 0, 1).otherwise(-1)).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, bitmask(b)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+@register("dedup_simhash", oracle=None, tags=("datapipe", "dedup"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ 3, found via 4×16-bit chunk
+    bucketing (pigeonhole guarantee), verified with ``bit_count(xor)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash(docs)
+    n_chunks = 4
+    chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
+    stacked = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * chunk_bits).bitwiseAND(F.lit(mask).cast("long")).alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

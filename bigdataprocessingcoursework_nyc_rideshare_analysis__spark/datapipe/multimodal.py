@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas``.
+
+Design (the piece that must be real even where codecs are stubbed):
+- media rows are ``(id, payload: binary, media_type: string, meta: struct)``;
+  payloads are opaque bytes — Spark shuffles/stores them without
+  interpretation, so the same plumbing carries images, audio, or video.
+- feature extraction runs as ``mapInPandas``: Arrow delivers each partition
+  as pandas batches, Python touches bytes only inside the batch loop, and
+  the output schema is declared up front (required for Catalyst to plan
+  downstream ops).
+- actual codec work (JPEG decode, resampling, frame sampling) needs
+  libraries not present in this container → ``decode_image`` and friends
+  raise ``NotImplementedError`` with the intended contract; the deterministic
+  byte-level features (size, digest) are real and oracle-checked, proving the
+  schema/partitioning/UDF-signature path end-to-end.
+
+Scale: payload bytes dominate — partition count must track *bytes* not rows
+(``spark.sql.files.maxPartitionBytes``); never collect payloads; features
+detach from payloads as early as possible so downstream shuffles move only
+scalars.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import register
+from ..sources import load_table
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("media_type", StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload to HxWxC uint8.  STUB: the container has no
+    image codec; a deployment wires Pillow/libvips here."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload.  STUB (see ``decode_image``)."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
+    """Sample frames from a video payload.  STUB (see ``decode_image``)."""
+    raise NotImplementedError("video codecs not available in this environment")
+
+
+def byte_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: size + sha-free
+    md5 digest (deterministic, codec-free).  The pattern — mapInPandas with a
+    declared schema, batch-local Python — is exactly what a real decode
+    would use."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "digest": pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "media_type": pdf["media_type"],
+                }
+            )
+
+    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque payloads (the container
+    has no binary fixture table; utf-8 bytes are real binary as far as the
+    engine is concerned)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
+_MEDIA_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       'text/plain' AS media_type
+FROM documents
+"""
+
+
+@register("media_byte_features", oracle=_MEDIA_ORACLE, tags=("datapipe", "multimodal"))
+def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing: binary column → mapInPandas feature
+    extraction, oracle-checked via the deterministic byte features."""
+    docs = load_table(spark, sf_dir, "documents")
+    return byte_features(documents_as_media(docs))

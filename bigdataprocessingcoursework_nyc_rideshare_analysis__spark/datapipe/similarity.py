@@ -1,0 +1,170 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Two paths:
+- ``ann_cosine_topk``: brute-force cosine top-k — broadcast the (small) query
+  set against the full corpus, rank per query.  The correctness baseline;
+  cost ∝ |queries| × |corpus|.  Quantized integer math (``functions.vector``)
+  keeps Spark and the DuckDB oracle bit-identical.
+- ``ann_lsh_topk``: random-hyperplane LSH — 16-bit signatures, bucket join,
+  rank within bucket.  The 100 TB path: cost ∝ corpus (signatures) +
+  intra-bucket candidates.  Recall is approximate → rows-only driver check;
+  pytest measures recall against the brute-force truth.
+
+Hyperplanes are deterministic (seeded NumPy), embedded as literal arrays so
+the plan is pure JVM — no Python in the row path for either operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.vector import cosine_q, quantize_vec
+from ..registry import register
+from ..sources import load_table
+
+N_QUERIES = 10  # vec_id < 10 form the query set
+TOP_K = 5
+LSH_TABLES = 8  # independent hash tables (OR-amplification for recall)
+LSH_BITS = 6  # bits per table: 64 buckets/table → ~corpus/64 candidates each
+LSH_SEED = 42
+
+
+_BRUTE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE)))
+           AS cos_sim
+  FROM q, c
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × corpus, window-rank.
+
+    Per-partition the cross join is a tight JVM loop over Tungsten rows; the
+    final rank shuffles only |queries| × |corpus-partition-topk| rows under
+    AQE.  Deterministic tiebreak on neighbor id.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), quantize_vec(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize_vec(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register("ann_cosine_topk", oracle=_BRUTE_ORACLE, tags=("datapipe", "similarity"))
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return cosine_topk(emb, queries, TOP_K)
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(planes, dim).tolist()
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit p = sign(v · h_p), packed into an int."""
+    sig = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_buckets(df: DataFrame, vec_col: str, tables: int, bits: int, seed: int, dim: int = 64) -> DataFrame:
+    """(id..., table, bucket) rows: one signature per hash table.  Multiple
+    independent tables OR-amplify recall — a true neighbor is a candidate if
+    it collides in *any* table."""
+    planes = _hyperplanes(dim, tables * bits, seed)
+    sigs = [
+        lsh_signature(F.col(vec_col), planes[t * bits : (t + 1) * bits]).alias(f"sig{t}")
+        for t in range(tables)
+    ]
+    signed = df.select("*", *sigs)
+    return signed.select(
+        *df.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table"), F.col(f"sig{t}").alias("bucket"))
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(*df.columns, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+@register("ann_lsh_topk", oracle=None, tags=("datapipe", "similarity", "lsh"))
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates = union over hash tables of the query's
+    bucket, then exact cosine rank over candidates only.  Trades recall
+    (pytest measures it vs brute force) for corpus-linear cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = lsh_buckets(emb, "embedding", LSH_TABLES, LSH_BITS, LSH_SEED)
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("table").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+    )
+    candidates = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("table") == F.col("qtable")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"), quantize_vec("embedding").alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), quantize_vec("embedding").alias("cv"))
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_q(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )

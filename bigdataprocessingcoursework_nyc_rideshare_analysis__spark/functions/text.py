@@ -1,0 +1,44 @@
+"""Text column expressions used by the datapipe (dedup / quality / lang-id).
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` — no Python
+UDFs — so the hot path stays inside whole-stage codegen and the same logic is
+expressible as the DuckDB oracle SQL (see ``datapipe``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, trim, collapse internal whitespace — the canonical form
+    hashed for exact dedup (mirrors ``regexp_replace(lower(trim(x)),'\\s+',' ')``
+    in the oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens_col(col: Column | str) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def shingles_col(col: Column | str, k: int = 3) -> Column:
+    """k-token shingles (``k``-grams over words) → array<string>.
+
+    Built declaratively: ``transform(sequence(1, n-k+1), i -> concat_ws(' ',
+    tokens[i..i+k-1]))`` with 1-based ``element_at`` — the exact construction
+    the DuckDB oracle uses (``list_transform(range(1, n-k+2), ...)``; Spark's
+    ``sequence`` is end-inclusive, DuckDB's ``range`` end-exclusive), so
+    shingle sets agree between engines.  Documents shorter than ``k`` tokens
+    yield an empty array (guarded: ``sequence(1, 0)`` would *descend*).
+    """
+    toks = tokens_col(col)
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )

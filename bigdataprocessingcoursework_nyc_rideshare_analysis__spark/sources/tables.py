@@ -1,0 +1,56 @@
+"""Readers for the driver's synthetic star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under ``{sf_dir}/``.
+
+Scale notes (100 TB design point):
+- parquet scans stay fully declarative (``spark.read.parquet``) so Catalyst
+  keeps predicate pushdown / column pruning / partition pruning; at scale the
+  fact tables would be written partitioned by date and these readers pick
+  partition pruning up for free.
+- ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4 cannot
+  map natively; we read it as epoch-nanos long (``nanosAsLong``) and convert
+  with integer division to microseconds — identical to DuckDB's nanos→micros
+  truncation, so oracle comparisons agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: columns stored as nanosecond timestamps that arrive as epoch-nanos longs
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table, normalizing nano-timestamp columns."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # floor-truncate nanos → micros with integer `div` (no double
+            # round-trip: epoch-nanos exceeds double's 53-bit mantissa).
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; defaults to all of them."""
+    use = names or TABLE_NAMES
+    return {name: load_table(spark, sf_dir, name) for name in use}

@@ -1,0 +1,63 @@
+"""Structured Streaming counterparts of the batch event operators.
+
+The reference has no streaming surface; this module gives the engine one
+(SURVEY.md §2.9 extension).  The same aggregation logic as
+``operators.events`` expressed over an unbounded source:
+
+- ``hourly_rollup_stream``: tumbling 1-hour windows with a watermark for late
+  data; in append mode a window emits once the watermark passes its end.
+- ``session_window_stream``: gap-based sessions via ``F.session_window`` —
+  the streaming-native equivalent of the batch lag/running-sum sessionizer
+  (state store managed, per-key timeout semantics built in).
+
+Tests drive these with ``trigger(availableNow=True)`` over a file source fed
+from the events fixture and assert batch/stream parity — the core guarantee
+that lets one logical definition serve both deployment modes.
+
+Scale: streaming state is keyed by (window/session × key); watermarks bound
+state size.  At 100 TB/day you shard by source partition and the state store
+scales with *active* windows, not history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Windowed count/avg per (1-hour tumbling window, event_type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"))
+            .alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session aggregation per user (streaming-native sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )

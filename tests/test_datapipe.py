@@ -1,0 +1,89 @@
+"""Semantic tests for the dedup / similarity extensions: the approximate
+(scale-path) operators are validated against their exact ground truths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+    JACCARD_THRESHOLD,
+    jaccard_pairs,
+    q_dedup_simhash,
+    q_neardup_jaccard,
+    q_neardup_minhash,
+    shingle_sets,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+    TOP_K,
+    q_ann_cosine_topk,
+    q_ann_lsh_topk,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_vs_exact_jaccard(spark):
+    """LSH candidates are verified exactly, so: no false positives, and
+    high-similarity pairs (j≥0.95) must all be found."""
+    exact = q_neardup_jaccard(spark, SF_SMOKE)
+    lsh = q_neardup_minhash(spark, SF_SMOKE)
+    exact_pairs = _pairs(exact)
+    lsh_pairs = _pairs(lsh)
+    assert lsh_pairs <= exact_pairs  # exact verification kills false positives
+    strong = _pairs(exact.filter(F.col("jaccard") >= 0.95))
+    assert strong <= lsh_pairs  # identical/near-identical docs never missed
+    if exact_pairs:
+        recall = len(lsh_pairs) / len(exact_pairs)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
+
+
+def test_exact_duplicates_have_identical_simhash(spark):
+    """Documents with jaccard 1.0 shingle sets must collide in simhash
+    (hamming 0) and therefore be reported."""
+    exact = q_neardup_jaccard(spark, SF_SMOKE)
+    identical = _pairs(exact.filter(F.col("jaccard") >= 1.0))
+    sim = q_dedup_simhash(spark, SF_SMOKE)
+    sim_pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in sim.collect()}
+    for pair in identical:
+        assert pair in sim_pairs and sim_pairs[pair] == 0
+
+
+def test_jaccard_pairs_small_known_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),  # identical → j=1.0
+            (3, "a b c d x"),  # shingles {abc,bcd,cdx} vs {abc,bcd,cde}: j=0.5
+            (4, "zz yy xx ww vv"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = jaccard_pairs(shingle_sets(docs), 0.99)
+    assert _pairs(out) == {(1, 2)}
+    out_low = jaccard_pairs(shingle_sets(docs), 0.5)
+    assert _pairs(out_low) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_lsh_topk_results_are_true_cosine_order(spark):
+    """Within returned candidates the ranking must agree with brute force:
+    every LSH hit at rank r has cosine ≤ the brute-force rank-r hit."""
+    brute = {
+        (r["query_id"], r["rank"]): r["cos_sim"]
+        for r in q_ann_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    lsh_rows = q_ann_lsh_topk(spark, SF_SMOKE).collect()
+    assert lsh_rows, "LSH returned nothing"
+    for r in lsh_rows:
+        key = (r["query_id"], r["rank"])
+        if key in brute:
+            assert r["cos_sim"] <= brute[key] + 1e-12
+    # and each query returns at most TOP_K rows
+    per_q = {}
+    for r in lsh_rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert max(per_q.values()) <= TOP_K

@@ -1,0 +1,68 @@
+"""Batch/stream parity: the streaming hourly rollup over a file source must
+produce exactly the batch result once the stream drains (availableNow)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events import q_events_hourly
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+    hourly_rollup_stream,
+    session_window_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark):
+    """Events fixture rewritten as a normal (micro-second) parquet dir that a
+    file-source stream can read."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, SF_SMOKE, "events").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_hourly_matches_batch(spark, event_stream_dir):
+    batch_schema = load_table(spark, SF_SMOKE, "events").schema
+    stream_src = spark.readStream.schema(batch_schema).parquet(event_stream_dir)
+    result = _drain(spark, hourly_rollup_stream(stream_src), "hourly_stream")
+
+    batch = q_events_hourly(spark, SF_SMOKE)
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["avg_value"]) for r in result.collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["avg_value"]) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_session_window_runs(spark, event_stream_dir):
+    batch_schema = load_table(spark, SF_SMOKE, "events").schema
+    stream_src = spark.readStream.schema(batch_schema).parquet(event_stream_dir)
+    result = _drain(spark, session_window_stream(stream_src), "session_stream")
+    rows = result.collect()
+    assert rows
+    # sessions are per-user and well-formed
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1

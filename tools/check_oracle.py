@@ -1,0 +1,93 @@
+"""Local replica of the driver's DuckDB differential check.
+
+Runs every registered query on Spark and (where present) its oracle SQL on
+DuckDB over the same parquet tables, then compares row count, column names,
+and an order-insensitive value comparison.  Run before every commit:
+
+    python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import get_spark
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.tables import TABLE_NAMES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    """Sort columns by name, then rows; stringify values the way a hash
+    would see them."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return repr(v)  # full precision — we target bit-identical doubles
+        return str(v)
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def compare(name: str, spark, con, sf_dir: str, spec) -> str:
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if spec.oracle is None:
+        return f"ROWS-ONLY rows={len(srows)}"
+    orel = con.execute(spec.oracle)
+    ocols = [d[0] for d in orel.description]
+    orows = orel.fetchall()
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+        problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+    if not problems:
+        ns, no = normalize(srows, scols), normalize(orows, ocols)
+        if ns != no:
+            diffs = [(a, b) for a, b in zip(ns, no) if a != b][:3]
+            problems.append(f"values differ; first diffs={diffs}")
+    return "OK" if not problems else "FAIL " + "; ".join(problems)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    registry = load_all()
+    spark = get_spark("oracle-check")
+    con = duck_connection(sf_dir)
+    failed = []
+    for name, spec in registry.items():
+        if only and name not in only:
+            continue
+        try:
+            status = compare(name, spark, con, sf_dir, spec)
+        except Exception as e:  # noqa: BLE001
+            status = f"ERROR {type(e).__name__}: {str(e)[:300]}"
+        print(f"{name:40s} {status}")
+        if status.startswith(("FAIL", "ERROR")):
+            failed.append(name)
+    print(f"\n{len(registry) - len(failed)}/{len(registry)} ok; failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
