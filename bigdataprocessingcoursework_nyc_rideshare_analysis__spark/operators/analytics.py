@@ -1,0 +1,115 @@
+"""OLAP analytics beyond the reference surface: multi-dimensional grouping
+(CUBE), exact and approximate distinct counts, order statistics.
+
+The reference has none of these (SURVEY.md §2.4: "no distinct-agg, grouping
+sets / cube / rollup, or approximate aggregates"); Spark provides them
+natively and an analytics engine should expose them.
+
+Scale strategy:
+- CUBE over (business, month) multiplies shuffle rows by the number of
+  grouping sets (4 here) — fine for low-cardinality dimensions; at high
+  cardinality you enumerate the needed grouping sets instead.
+- ``approx_count_distinct`` (HyperLogLog++) is the 100 TB path for distinct
+  users: constant memory per group vs the exact version's shuffle of every
+  distinct key.  Approximate → rows-only driver check; pytest bounds its
+  error against the exact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag AS business,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       COUNT(*) AS trip_count
+FROM lineitem
+GROUP BY CUBE (1, 2)
+"""
+
+
+@register("cube_trip_counts", oracle=_CUBE_ORACLE, tags=("agg", "cube"))
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: counts at every aggregation level of (business, month) —
+    detail, per-business, per-month, grand total (nulls mark rolled-up
+    dimensions in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("business"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+    )
+    return li.cube("business", "ship_month").agg(F.count(F.lit(1)).alias("trip_count"))
+
+
+_ROLLUP_ORACLE = """
+SELECT sn.n_name AS Pickup_Borough,
+       s.s_name AS Pickup_Zone,
+       COUNT(*) AS trip_count
+FROM lineitem l
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+LEFT JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY ROLLUP (1, 2)
+"""
+
+
+@register("rollup_borough_zone_counts", oracle=_ROLLUP_ORACLE, tags=("agg", "rollup"))
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP along the natural hierarchy borough → zone: subtotals per
+    borough and a grand total."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "supplier", "nation")}
+    sup, nat = t["supplier"], t["nation"]
+    dim = sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"], "left").select(
+        "s_suppkey", F.col("n_name").alias("Pickup_Borough"), F.col("s_name").alias("Pickup_Zone")
+    )
+    li = t["lineitem"].select("l_suppkey")
+    return (
+        li.join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"], "left")
+        .rollup("Pickup_Borough", "Pickup_Zone")
+        .agg(F.count(F.lit(1)).alias("trip_count"))
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+@register("distinct_users_by_event_type", oracle=_DISTINCT_ORACLE, tags=("agg", "distinct"))
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (expands to a two-phase aggregate in Spark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+
+
+@register("approx_distinct_users_by_event_type", oracle=None, tags=("agg", "approx"))
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the constant-memory scale path
+    (rows-only check; pytest bounds the error vs the exact count)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+_MINMAX_ORACLE = """
+SELECT event_type,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+@register("value_extremes_by_event_type", oracle=_MINMAX_ORACLE, tags=("agg",))
+def q_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

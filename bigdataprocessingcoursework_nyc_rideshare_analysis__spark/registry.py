@@ -50,6 +50,8 @@ def load_all() -> dict[str, QuerySpec]:
         filters,
         pivot,
         events,
+        setops,
+        analytics,
     )
     from .datapipe import dedup, similarity, textstats, multimodal  # noqa: F401
 

@@ -1,0 +1,46 @@
+"""Sinks: single-file CSV for small aggregates, partitioned parquet for
+fact-scale outputs.
+
+The reference writes every result as ``coalesce(1)`` CSV to S3
+(``codes/task2.py:109-111``, ``codes/task5.py:88`` — task2 actually crashes
+on an undefined ``s3_bucket``; SURVEY.md §2.1 S3).  ``coalesce(1)`` funnels
+the entire write through ONE task — acceptable for a 10-row aggregate, a
+catastrophe for anything fact-scale.  The two sinks here encode that
+discipline:
+
+- ``write_single_csv`` refuses (by default) to write more than
+  ``max_rows`` — it exists for *small aggregate* exports only;
+- ``write_partitioned_parquet`` is the scale path: partition columns (e.g.
+  event date) give downstream readers partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class SinkSafetyError(RuntimeError):
+    pass
+
+
+def write_single_csv(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
+    """Single headered CSV file (reference-style ``coalesce(1)`` sink) with
+    a guard against accidentally funneling fact-scale data into one task."""
+    n = df.count()
+    if n > max_rows:
+        raise SinkSafetyError(
+            f"refusing single-file CSV for {n} rows (> {max_rows}); "
+            "use write_partitioned_parquet for fact-scale outputs"
+        )
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink — the 100 TB path.  Callers pick partition
+    columns with bounded cardinality (date, not user_id)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,32 @@
+"""Semantic checks for the analytics extensions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+    q_approx_distinct_users,
+    q_cube,
+    q_distinct_users,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_approx_distinct_within_rsd(spark):
+    exact = {r["event_type"]: r["n_users"] for r in q_distinct_users(spark, SF_SMOKE).collect()}
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in q_approx_distinct_users(spark, SF_SMOKE).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, n, approx[k])
+
+
+def test_cube_grand_total_matches_detail_sum(spark):
+    rows = q_cube(spark, SF_SMOKE).collect()
+    grand = [r for r in rows if r["business"] is None and r["ship_month"] is None]
+    detail = [r for r in rows if r["business"] is not None and r["ship_month"] is not None]
+    assert len(grand) == 1
+    assert grand[0]["trip_count"] == sum(r["trip_count"] for r in detail)

@@ -1,0 +1,52 @@
+"""Sink discipline: single-file CSV only for small aggregates; partitioned
+parquet round-trips with partition pruning available to readers."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.sinks import (
+    SinkSafetyError,
+    write_partitioned_parquet,
+    write_single_csv,
+)
+
+
+@pytest.fixture()
+def outdir():
+    d = tempfile.mkdtemp(prefix="sink_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_single_csv_one_file_with_header(spark, outdir):
+    df = spark.createDataFrame([("Uber", 1, 10), ("Lyft", 1, 2)], ["business", "month", "n"])
+    write_single_csv(df, f"{outdir}/agg")
+    parts = glob.glob(f"{outdir}/agg/part-*.csv")
+    assert len(parts) == 1  # coalesce(1): exactly one data file
+    with open(parts[0]) as f:
+        header = f.readline().strip()
+    assert header == "business,month,n"
+
+
+def test_single_csv_refuses_fact_scale(spark, outdir):
+    big = spark.range(1000)
+    with pytest.raises(SinkSafetyError):
+        write_single_csv(big, f"{outdir}/big", max_rows=100)
+
+
+def test_partitioned_parquet_roundtrip(spark, outdir):
+    df = spark.createDataFrame(
+        [("Uber", 1, 10.0), ("Lyft", 2, 2.0), ("Uber", 2, 5.0)], ["business", "month", "v"]
+    )
+    write_partitioned_parquet(df, f"{outdir}/pq", partition_by=["month"])
+    assert glob.glob(f"{outdir}/pq/month=1")  # hive-style layout → partition pruning
+    back = spark.read.parquet(f"{outdir}/pq")
+    assert back.count() == 3
+    pruned = back.filter(F.col("month") == 1)
+    assert pruned.count() == 1
