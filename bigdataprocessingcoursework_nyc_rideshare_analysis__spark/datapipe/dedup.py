@@ -86,9 +86,14 @@ WHERE CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) >= {JACCARD_THRESHOL
 
 def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs; documents shorter than k tokens drop
-    out (mirrored by ``WHERE len(toks) >= 3`` in the oracle)."""
+    out (mirrored by ``WHERE len(toks) >= 3`` in the oracle).
+
+    Two-step select: tokens are materialized as a column *before* shingling
+    so the regex tokenization runs once per document, not once per
+    ``element_at`` (see ``functions.text.shingles_col``)."""
+    toked = docs.select("doc_id", tokens_col("text").alias("toks"))
     return (
-        docs.select("doc_id", F.explode(shingles_col("text", k)).alias("shingle"))
+        toked.select("doc_id", F.explode(shingles_col("toks", k)).alias("shingle"))
         .distinct()
     )
 
@@ -120,7 +125,10 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 @register("neardup_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("datapipe", "dedup"))
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(shingle_sets(docs), JACCARD_THRESHOLD)
+    # the shingle set feeds both join sides and the size table — persist so
+    # the tokenize/shingle/distinct runs once (at 100 TB: materialize to
+    # parquet instead)
+    return jaccard_pairs(shingle_sets(docs).persist(), JACCARD_THRESHOLD)
 
 
 # --- MinHash + LSH (scale path) ---------------------------------------------
@@ -173,7 +181,7 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard.  Same output contract as ``neardup_jaccard_pairs`` (minus pairs
     LSH misses below ~0.9 recall); pytest cross-checks the two."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs)
+    sh = shingle_sets(docs).persist()  # feeds signatures, both verify sides, sizes
     candidates = lsh_candidate_pairs(minhash_signatures(sh))
     # verify candidates exactly: join candidate pairs back to shingle sets
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -210,7 +218,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     Shingles, not unigrams: with a small vocabulary every document shares
     nearly the same token set and unigram SimHash collapses (everything
     looks like a near-dup); 3-token shingles restore discrimination."""
-    toks = docs.select("doc_id", F.explode(F.array_distinct(shingles_col("text"))).alias("tok"))
+    toks = shingle_sets(docs).withColumnRenamed("shingle", "tok")
     h = F.xxhash64("tok")
 
     def bitmask(b: int):

@@ -98,18 +98,26 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     return rng.randn(planes, dim).tolist()
 
 
-def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit p = sign(v · h_p), packed into an int."""
-    sig = F.lit(0)
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sig
+def lsh_bit_vector(vec_col: Column, planes: list[list[float]]) -> Column:
+    """All hyperplane sign bits in ONE expression: ``transform`` over a 2D
+    plane literal with the dot product inside the lambda.
+
+    (The naive form — one unrolled aggregate per plane — produces a codegen
+    tree ~tables×bits larger for identical work; keeping the loop in *data*
+    keeps compile time flat as plane count grows.)"""
+    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    return F.transform(
+        planes_lit,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
 
 
 def lsh_buckets(df: DataFrame, vec_col: str, tables: int, bits: int, seed: int, dim: int = 64) -> DataFrame:
@@ -117,19 +125,21 @@ def lsh_buckets(df: DataFrame, vec_col: str, tables: int, bits: int, seed: int, 
     independent tables OR-amplify recall — a true neighbor is a candidate if
     it collides in *any* table."""
     planes = _hyperplanes(dim, tables * bits, seed)
-    sigs = [
-        lsh_signature(F.col(vec_col), planes[t * bits : (t + 1) * bits]).alias(f"sig{t}")
-        for t in range(tables)
-    ]
-    signed = df.select("*", *sigs)
+    # materialize the bit vector as a column so dots are computed once
+    signed = df.select("*", lsh_bit_vector(F.col(vec_col), planes).alias("_bits"))
+    powers = F.array(*[F.lit(1 << r) for r in range(bits)])
+
+    def bucket(t: int) -> Column:
+        chunk = F.slice(F.col("_bits"), t * bits + 1, bits)
+        return F.aggregate(
+            F.zip_with(chunk, powers, lambda b, p: b * p), F.lit(0), lambda acc, x: acc + x
+        )
+
     return signed.select(
         *df.columns,
         F.explode(
             F.array(
-                *[
-                    F.struct(F.lit(t).alias("table"), F.col(f"sig{t}").alias("bucket"))
-                    for t in range(tables)
-                ]
+                *[F.struct(F.lit(t).alias("table"), bucket(t).alias("bucket")) for t in range(tables)]
             )
         ).alias("tb"),
     ).select(*df.columns, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
@@ -141,7 +151,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, then exact cosine rank over candidates only.  Trades recall
     (pytest measures it vs brute force) for corpus-linear cost."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = lsh_buckets(emb, "embedding", LSH_TABLES, LSH_BITS, LSH_SEED)
+    # bucket table feeds both the query and corpus sides — compute once
+    bucketed = lsh_buckets(emb, "embedding", LSH_TABLES, LSH_BITS, LSH_SEED).persist()
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("table").alias("qtable"),

@@ -33,8 +33,15 @@ def shingles_col(col: Column | str, k: int = 3) -> Column:
     ``sequence`` is end-inclusive, DuckDB's ``range`` end-exclusive), so
     shingle sets agree between engines.  Documents shorter than ``k`` tokens
     yield an empty array (guarded: ``sequence(1, 0)`` would *descend*).
+
+    PERFORMANCE: pass an already-materialized ``array<string>`` *column* of
+    tokens, not raw text.  Referencing ``tokens_col(text)`` here inlines the
+    regex+split into every ``element_at`` — Catalyst does not CSE across the
+    lambda, so a k=3 shingle recomputes the tokenization 3× per index (a
+    measured ~7× slowdown on 500-char docs).  ``shingles_from_text`` below
+    is the safe two-step helper.
     """
-    toks = tokens_col(col)
+    toks = F.col(col) if isinstance(col, str) else col
     idx = F.when(
         F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
