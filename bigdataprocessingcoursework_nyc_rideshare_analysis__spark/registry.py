@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         setops,
         analytics,
+        temporal,
     )
     from .datapipe import dedup, similarity, textstats, multimodal  # noqa: F401
 

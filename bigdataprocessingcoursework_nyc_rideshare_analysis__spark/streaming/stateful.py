@@ -1,0 +1,90 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Built-in windowed/session aggregations (``streaming.windows``) cover
+time-bucketed state; this module shows the escape hatch for state machines
+they can't express: an arbitrary per-key accumulator maintained across
+micro-batches with explicit update semantics.
+
+``running_totals_stream`` keeps, per event_type, a running (count, sum,
+max) over the whole stream and emits the updated totals every micro-batch —
+the streaming analog of ``groupBy().agg()`` over history, without
+re-scanning history.
+
+Scale notes: state is one tiny tuple per key in the state store, so memory
+is O(|keys|), not O(events).  For unbounded key domains pair this with a
+timeout (``GroupStateTimeout.ProcessingTimeTimeout``) and evict; here the
+key domain (event types) is bounded so ``NoTimeout`` is correct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-event_type running (count, sum, max) maintained in the state
+    store and re-emitted each micro-batch (update output mode).
+
+    The update function is a *closure*, deliberately: cloudpickle serializes
+    closures by value, so Spark's Python workers never need this package on
+    their import path.  A module-level function is pickled by reference and
+    fails with ModuleNotFoundError whenever the driver process imported the
+    engine from a path the workers don't share.  Every Python-worker
+    callable in this repo follows this rule (cf. ``datapipe.multimodal``).
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx if mx != float("-inf") else None],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

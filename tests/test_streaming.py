@@ -56,6 +56,40 @@ def test_streaming_hourly_matches_batch(spark, event_stream_dir):
     assert got == want
 
 
+def test_stateful_running_totals_match_batch(spark, event_stream_dir):
+    """After the stream drains, the last emitted totals per event_type must
+    equal the batch aggregate over the same data."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    batch_schema = load_table(spark, SF_SMOKE, "events").schema
+    stream_src = spark.readStream.schema(batch_schema).parquet(event_stream_dir)
+    q = (
+        running_totals_stream(stream_src)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit once per micro-batch; keep the last row per key
+    emitted = spark.table("running_totals").toPandas()
+    last = {r.event_type: r for r in emitted.itertuples()}
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"), F.max("value").alias("m"))
+    )
+    for r in batch.collect():
+        got = last[r["event_type"]]
+        assert got.n_events == r["n"]
+        assert abs(got.total_value - r["s"]) < 1e-6 * max(1.0, abs(r["s"]))
+        assert got.max_value == r["m"]
+
+
 def test_streaming_session_window_runs(spark, event_stream_dir):
     batch_schema = load_table(spark, SF_SMOKE, "events").schema
     stream_src = spark.readStream.schema(batch_schema).parquet(event_stream_dir)
