@@ -207,6 +207,50 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- embedding-cosine near-dup ----------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.45  # synthetic corpus max pairwise cosine ≈ 0.6; 0.45 keeps a small nonempty pair set
+
+_EMB_DUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])) AS DOUBLE)))
+           AS cos_sim
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+) WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register("neardup_embedding_cosine", oracle=_EMB_DUP_ORACLE, tags=("datapipe", "dedup", "similarity"))
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force, quantized-exact).
+
+    All-pairs is the oracle-checkable ground truth; at corpus scale you run
+    the hyperplane-LSH bucketing from ``datapipe.similarity`` first and
+    verify only candidates — the same exact/approximate ladder as the
+    Jaccard/MinHash pair above.  (Threshold 0.5 reflects this synthetic
+    corpus: random vectors, max pairwise cosine ≈ 0.6.)"""
+    from ..functions.vector import cosine_q, quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), quantize_vec("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), quantize_vec("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_q(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -93,6 +93,28 @@ def q_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_earnings_by_business_month",
+    oracle="""
+SELECT l_returnflag AS business,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       COUNT(*) AS trip_count,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM lineitem GROUP BY 1, 2
+""",
+    tags=("agg", "skew"),
+)
+def q_salted_earnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase rollup (``functions.skew.salted_sum_count``).
+    The oracle is the *plain* GROUP BY — the salted plan must be
+    bit-identical to the unsalted result, which is the whole point."""
+    from ..functions.skew import salted_sum_count
+
+    return salted_sum_count(
+        _fact(spark, sf_dir), ["business", "ship_month"], "l_extendedprice"
+    )
+
+
+@register(
     "earnings_by_business_month",
     oracle="""
 SELECT l_returnflag AS business,

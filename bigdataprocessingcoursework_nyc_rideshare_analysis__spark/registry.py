@@ -53,7 +53,8 @@ def load_all() -> dict[str, QuerySpec]:
         setops,
         analytics,
         temporal,
+        windows,
     )
-    from .datapipe import dedup, similarity, textstats, multimodal  # noqa: F401
+    from .datapipe import dedup, similarity, textstats, multimodal, normalize  # noqa: F401
 
     return REGISTRY
