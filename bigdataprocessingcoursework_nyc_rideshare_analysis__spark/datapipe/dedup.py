@@ -231,24 +231,90 @@ SELECT * FROM (
 
 @register("neardup_embedding_cosine", oracle=_EMB_DUP_ORACLE, tags=("datapipe", "dedup", "similarity"))
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force, quantized-exact).
+    """Embedding-cosine near-duplicate pairs via *block matrix multiply*.
 
-    All-pairs is the oracle-checkable ground truth; at corpus scale you run
-    the hyperplane-LSH bucketing from ``datapipe.similarity`` first and
-    verify only candidates — the same exact/approximate ladder as the
-    Jaccard/MinHash pair above.  (Threshold 0.5 reflects this synthetic
-    corpus: random vectors, max pairwise cosine ≈ 0.6.)"""
-    from ..functions.vector import cosine_q, quantize_vec
+    All-pairs cosine is the oracle-checkable ground truth for embedding
+    dedup, but evaluating it pair-at-a-time in Catalyst higher-order
+    functions interprets ~|pairs|×dim lambda steps (measured 38 s for 2M
+    pairs).  Instead: partition vectors into blocks, cross-join the upper
+    triangle of block pairs, and compute each block-pair's cosine matrix
+    with one NumPy int64 matmul inside Arrow-batched ``mapInPandas`` —
+    exact integer arithmetic on the same quantized vectors, so results stay
+    bit-identical to the SQL oracle.  This IS the 100 TB shape: blocks
+    shard across executors and no side is ever collected or broadcast.
+
+    (Threshold 0.45: synthetic random corpus, max pairwise cosine ≈ 0.6.)"""
+    from ..functions.vector import quantize_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), quantize_vec("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), quantize_vec("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine_q(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    return cosine_block_pairs(
+        emb.select("vec_id", quantize_vec("embedding").alias("qv")),
+        threshold=COSINE_DUP_THRESHOLD,
     )
+
+
+def cosine_block_pairs(
+    qvecs: DataFrame, threshold: float, block_size: int = 1024
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold over quantized vectors, blocked.
+
+    ``qvecs``: (vec_id, qv array<bigint>).  Blocks of ``block_size`` vectors
+    are packed with ``collect_list``; the upper-triangle block cross-join
+    yields O((n/B)²) rows each carrying two dense blocks; NumPy does the
+    exact int64 matmul.  The UDF is a closure (pickle-by-value rule)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    blocks = (
+        qvecs.withColumn("bid", F.floor(F.col("vec_id") / block_size))
+        .groupBy("bid")
+        .agg(F.collect_list(F.struct("vec_id", "qv")).alias("vecs"))
+    )
+    a = blocks.select(F.col("bid").alias("bid_a"), F.col("vecs").alias("vecs_a"))
+    b = blocks.select(F.col("bid").alias("bid_b"), F.col("vecs").alias("vecs_b"))
+    block_pairs = a.join(b, F.col("bid_a") <= F.col("bid_b"))
+
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ia = np.array([r["vec_id"] for r in row["vecs_a"]], dtype=np.int64)
+                ib = np.array([r["vec_id"] for r in row["vecs_b"]], dtype=np.int64)
+                ma = np.array([r["qv"] for r in row["vecs_a"]], dtype=np.int64)
+                mb = np.array([r["qv"] for r in row["vecs_b"]], dtype=np.int64)
+                dots = ma @ mb.T  # exact int64
+                na = np.sqrt((ma * ma).sum(axis=1).astype(np.float64))
+                nb = np.sqrt((mb * mb).sum(axis=1).astype(np.float64))
+                cos = dots.astype(np.float64) / np.outer(na, nb)
+                ai, bi = np.nonzero(cos >= threshold)
+                keep = ia[ai] < ib[bi]  # upper triangle incl. cross-block
+                out_a.append(ia[ai][keep])
+                out_b.append(ib[bi][keep])
+                out_c.append(cos[ai[keep], bi[keep]])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "cos_sim": np.concatenate(out_c),
+                    }
+                )
+
+    return block_pairs.mapInPandas(score, schema=out_schema)
 
 
 # --- SimHash ----------------------------------------------------------------
