@@ -1,8 +1,10 @@
 """Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
 Engine extensions for LLM training-data pipelines (no reference counterpart;
-SURVEY.md §2.9).  All hot-path logic is JVM-side built-ins — hashing, array
-ops, aggregations — no Python UDFs.
+SURVEY.md §2.9).  Hot-path logic is JVM-side built-ins — hashing, array ops,
+aggregations — except where a vectorized Arrow batch demonstrably beats the
+SQL formulation (SimHash bit-majority, blocked cosine GEMM), in which case
+the NumPy kernel is bit-identical to the SQL it replaces.
 
 Scale ladder (100 TB of documents):
 - ``dedup_exact``: hash-groupBy on a fingerprint of normalized text.  One
@@ -135,13 +137,14 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """Per-doc MinHash signature: for permutation i, min over shingles of
-    ``xxhash64(i-salted shingle)``.  One aggregation, ``perms`` columns."""
-    aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"p{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(perms)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """Per-doc MinHash signature: hash each shingle *string* once, then
+    derive permutation i as ``xxhash64(base_hash, i)`` — rehashing a fixed
+    8-byte long per permutation instead of re-reading the variable-length
+    string ``perms`` times (the string form measured ~2× slower at 32
+    permutations).  One aggregation, ``perms`` min columns."""
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}") for i in range(perms)]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, perms: int = MINHASH_PERMS, bands: int = LSH_BANDS) -> DataFrame:
@@ -322,30 +325,50 @@ def cosine_block_pairs(
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """64-bit SimHash over the *shingle* set: bit b is the sign of the sum
-    over features of ±1 according to bit b of ``xxhash64(shingle)``.  All
-    JVM-side: explode → 64 conditional sums → bit reassembly.
+    over features of ±1 according to bit b of ``xxhash64(shingle)``.
+
+    Hybrid plan: shingling + ``xxhash64`` stay JVM-side (whole-stage
+    codegen), ``collect_list`` gathers each doc's feature hashes (one
+    shuffle of longs), and the 64 per-bit majority votes run as one
+    Arrow-batched NumPy pass (``unpackbits`` → ``add.reduceat`` →
+    ``packbits``).  This replaced a pure-SQL 64-conditional-sum aggregate
+    that was 3× slower: 64 ``CASE WHEN`` sums over every (doc, shingle) row
+    blow up the codegen method past JIT limits, while the bit-plane matrix
+    is exactly the vectorized shape NumPy crunches in microseconds.  The
+    result is bit-identical to the SQL formulation (majority vote
+    ``2·ones_b > n`` ⟺ ``Σ±1 > 0``).
 
     Shingles, not unigrams: with a small vocabulary every document shares
     nearly the same token set and unigram SimHash collapses (everything
     looks like a near-dup); 3-token shingles restore discrimination."""
-    toks = shingle_sets(docs).withColumnRenamed("shingle", "tok")
-    h = F.xxhash64("tok")
+    import numpy as np
+    import pandas as pd
 
-    def bitmask(b: int):
-        # bit 63 is the sign bit of a signed long
-        return F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
-
-    sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(h.bitwiseAND(bitmask(b)) != 0, 1).otherwise(-1)).alias(f"s{b}")
-            for b in range(bits)
-        ]
+    assert bits == 64, "bit-plane packing below is 64-bit (one int64 per doc)"
+    hashes = (
+        shingle_sets(docs)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs"))
     )
-    sim = None
-    for b in range(bits):
-        bit = F.when(F.col(f"s{b}") > 0, bitmask(b)).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    return sums.select("doc_id", sim.alias("simhash"))
+
+    # closure, not module-level: cloudpickle must serialize by value
+    # (workers may not have this package importable — see streaming.stateful)
+    def sig(batches):
+        for pdf in batches:
+            lens = pdf["hs"].map(len).to_numpy(dtype=np.int64)
+            flat = np.concatenate(pdf["hs"].to_numpy()).astype(np.int64)
+            bit_planes = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            ones = np.add.reduceat(bit_planes, offsets, axis=0)
+            majority = (2 * ones > lens[:, None]).astype(np.uint8)
+            sims = np.packbits(majority, axis=1, bitorder="little").view(np.int64).ravel()
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sims})
+
+    return hashes.mapInPandas(sig, schema="doc_id long, simhash long")
 
 
 @register("dedup_simhash", oracle=None, tags=("datapipe", "dedup"))
