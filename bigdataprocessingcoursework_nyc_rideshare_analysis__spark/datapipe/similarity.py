@@ -134,6 +134,23 @@ def lsh_buckets(
     )
 
 
+def exact_rank_candidates(emb: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+    """Exact cosine scoring + per-query rank over (query_id, neighbor_id)
+    candidate pairs — the shared verify tail of every ANN index."""
+    qv = emb.select(F.col("vec_id").alias("query_id"), quantize_vec("embedding").alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), quantize_vec("embedding").alias("cv"))
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_q(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 @register("ann_lsh_topk", oracle=None, tags=("datapipe", "similarity", "lsh"))
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates = union over hash tables of the query's
@@ -156,15 +173,82 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qv = emb.select(F.col("vec_id").alias("query_id"), quantize_vec("embedding").alias("qv"))
-    cv = emb.select(F.col("vec_id").alias("neighbor_id"), quantize_vec("embedding").alias("cv"))
-    scored = (
-        candidates.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine_q(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    return exact_rank_candidates(emb, candidates, TOP_K)
+
+
+# --- IVF (inverted-file index) ----------------------------------------------
+
+IVF_LISTS = 16  # centroids
+IVF_NPROBE = 4  # centroid lists searched per query
+IVF_SEED = 7
+IVF_KMEANS_ITERS = 8
+
+
+def train_ivf_centroids(
+    emb: DataFrame, k: int = IVF_LISTS, iters: int = IVF_KMEANS_ITERS, seed: int = IVF_SEED, vec_col: str = "embedding"
+) -> "np.ndarray":
+    """Spherical k-means on a deterministic corpus sample, trained driver-
+    side (IVF training is O(sample); only *assignment* must scale).  Returns
+    unit-norm centroids (k × dim)."""
+    sample = np.stack(
+        emb.filter((F.col("vec_id") % 4) == 0).select(vec_col).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, centroids: "np.ndarray", nprobe: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, list_id) rows: each vector's ``nprobe`` nearest centroid lists,
+    via one GEMM per Arrow batch (same shape as ``lsh_buckets``)."""
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            emb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = emb @ centroids.T  # (n, k); norms don't change argmax order per row
+            top = np.argsort(-sims, axis=1)[:, :nprobe]  # (n, nprobe)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    "list_id": top.ravel().astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=f"{id_col} long, list_id long")
+
+
+@register("ann_ivf_topk", oracle=None, tags=("datapipe", "similarity", "ivf"))
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted into their nearest
+    centroid's list; each query probes its ``IVF_NPROBE`` nearest lists and
+    exact-ranks only those candidates.
+
+    The 100 TB shape: training touches a sample, the inverted lists are a
+    corpus-linear shuffle keyed by list_id, and each query's cost is
+    |corpus|·nprobe/k instead of |corpus|.  Recall is approximate → rows-only
+    driver check; pytest measures recall against the brute-force truth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb)
+    corpus_lists = ivf_assign(emb, centroids, nprobe=1)
+    query_lists = ivf_assign(emb.filter(F.col("vec_id") < N_QUERIES), centroids, nprobe=IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), "list_id"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
+    candidates = (
+        corpus_lists.join(F.broadcast(query_lists), "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
     )
+    return exact_rank_candidates(emb, candidates, TOP_K)

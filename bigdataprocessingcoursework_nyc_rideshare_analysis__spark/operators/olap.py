@@ -1,0 +1,107 @@
+"""Multi-way star joins — the OLAP spine beyond the reference's 2-table joins.
+
+The reference never joins more than fact×dim (SURVEY.md §2.3: "no
+semi/anti/theta/range/as-of joins", ≤2-table joins); a complete analytics
+engine must handle the star-schema shape: one fact table joined through a
+chain of dimensions with selective filters, grouped, and ranked.  These
+queries exercise exactly what Catalyst must get right at 100 TB —
+join *reordering* (filter the 1500-row customer dim before it meets the
+60M-row lineitem), *broadcast* selection for every dimension, filter
+*pushdown* into the parquet scans, and partial aggregation above the join.
+
+SQL-first surface: ``revenue_by_nation`` is expressed as ONE SQL string
+executed verbatim by both Spark (over temp views, see ``register_views``)
+and the DuckDB oracle — demonstrating the engine's ``spark.sql`` API and
+making the differential test definitionally fair.  The broadcast hint rides
+in a ``/*+ ... */`` comment: Spark reads it, DuckDB ignores it as a comment.
+
+Money math is decimal-exact end-to-end (``functions.scalar``), so the
+revenue doubles are bit-identical across engines and partition orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from ..sources.tables import register_views
+
+# One SQL text, two engines: Spark executes it over the registered temp
+# views; DuckDB runs it as the oracle.  Keep it ANSI — no engine-specific
+# functions — and keep hints inside comments.
+_REVENUE_BY_NATION_SQL = """
+SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+       n.n_name AS nation,
+       r.r_name AS region,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+"""
+
+
+@register("revenue_by_nation", oracle=_REVENUE_BY_NATION_SQL, tags=("olap", "join", "sql"))
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join through the customer→nation→region chain, revenue
+    per nation.  Runs the *same SQL text as the oracle* via ``spark.sql``
+    over temp views — the engine's SQL API surface.
+
+    Plan shape to preserve at scale: lineitem⋈orders shuffles on orderkey
+    (both fact-sized — at 100 TB, bucket both by orderkey to skip it);
+    customer/nation/region all broadcast; aggregation is partial above the
+    join, final on the 25-nation key space."""
+    register_views(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return spark.sql(_REVENUE_BY_NATION_SQL)
+
+
+_TOP_ORDERS_ORACLE = """
+SELECT o.o_orderkey,
+       o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("top_building_orders_by_revenue", oracle=_TOP_ORDERS_ORACLE, tags=("olap", "join", "topk"))
+def q_top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dimension star join + global top-K: orders of BUILDING-
+    segment customers ranked by revenue.
+
+    The segment filter lands on the 1500-row customer dim *before* any
+    fact-table contact — Catalyst pushes it into the parquet scan and the
+    surviving ~⅕ of customers broadcast; the top-10 plans as
+    TakeOrderedAndProject (no global sort materialized).  Deterministic
+    tiebreak on o_orderkey keeps the LIMIT stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    revenue = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )

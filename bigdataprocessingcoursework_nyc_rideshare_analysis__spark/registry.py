@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics,
         temporal,
         windows,
+        olap,
     )
     from .datapipe import dedup, similarity, textstats, multimodal, normalize  # noqa: F401
 

@@ -54,3 +54,11 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Load several tables at once; defaults to all of them."""
     use = names or TABLE_NAMES
     return {name: load_table(spark, sf_dir, name) for name in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Expose tables as temp views (named after the table) so queries can be
+    written in plain ``spark.sql`` — the engine's SQL API surface.  Views are
+    lazy: registering is metadata-only, scans still prune and push down."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

@@ -9,6 +9,9 @@ The reference has no streaming surface; this module gives the engine one
 - ``session_window_stream``: gap-based sessions via ``F.session_window`` —
   the streaming-native equivalent of the batch lag/running-sum sessionizer
   (state store managed, per-key timeout semantics built in).
+- ``dedup_stream``: watermark-bounded exact dedup
+  (``dropDuplicatesWithinWatermark``) — the ingestion-side guard for
+  at-least-once sources.
 
 Tests drive these with ``trigger(availableNow=True)`` over a file source fed
 from the events fixture and assert batch/stream parity — the core guarantee
@@ -41,6 +44,20 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
             "n_events",
             "avg_value",
         )
+    )
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup: first occurrence of each key wins, duplicate
+    arrivals within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — bounded state, unlike ``dropDuplicates`` on a stream,
+    which retains every key forever.  This is the standard ingestion guard
+    (at-least-once sources → effectively-once downstream); at 100 TB/day the
+    state store holds ~horizon×rate keys, sharded by the dedup key."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
     )
 
 

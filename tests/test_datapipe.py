@@ -17,6 +17,7 @@ from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup im
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
     TOP_K,
     q_ann_cosine_topk,
+    q_ann_ivf_topk,
     q_ann_lsh_topk,
 )
 
@@ -85,5 +86,23 @@ def test_lsh_topk_results_are_true_cosine_order(spark):
     # and each query returns at most TOP_K rows
     per_q = {}
     for r in lsh_rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert max(per_q.values()) <= TOP_K
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """Probing IVF_NPROBE of IVF_LISTS centroid lists must recover a usable
+    fraction of the true top-k (random synthetic vectors cluster weakly, so
+    the bar is recall ≥ nprobe/lists with margin, not ≥ 0.9)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in q_ann_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    ivf_rows = q_ann_ivf_topk(spark, SF_SMOKE).collect()
+    assert ivf_rows, "IVF returned nothing"
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+    per_q = {}
+    for r in ivf_rows:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert max(per_q.values()) <= TOP_K

@@ -90,6 +90,34 @@ def test_stateful_running_totals_match_batch(spark, event_stream_dir):
         assert got.max_value == r["m"]
 
 
+def test_streaming_dedup_drops_duplicates(spark):
+    """A doubled fixture (every event written twice) must drain to exactly
+    the batch-distinct row set."""
+    import tempfile
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import dedup_stream
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tempfile.mkdtemp(prefix="events_dup_")
+    try:
+        ev.union(ev).write.mode("overwrite").parquet(d)
+        stream_src = spark.readStream.schema(ev.schema).parquet(d)
+        q = (
+            dedup_stream(stream_src)
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("dedup_stream")
+        assert got.count() == ev.count()
+        assert got.select("event_id").distinct().count() == ev.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_session_window_runs(spark, event_stream_dir):
     batch_schema = load_table(spark, SF_SMOKE, "events").schema
     stream_src = spark.readStream.schema(batch_schema).parquet(event_stream_dir)
