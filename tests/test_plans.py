@@ -58,3 +58,23 @@ def test_month_filter_pushed_to_scan(spark):
 def test_whole_stage_codegen_on_hot_path(spark):
     plan = plan_string(q_trip_count(spark, SF_SMOKE), mode="codegen")
     assert "WholeStageCodegen" in plan
+
+
+def test_star_join_broadcasts_every_dimension(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.olap import q_revenue_by_nation
+
+    plan = plan_string(q_revenue_by_nation(spark, SF_SMOKE))
+    # customer, nation, region all ride the broadcast hint; only the
+    # fact×fact lineitem⋈orders edge may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_filter_pushed_into_customer_scan(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.olap import q_top_building_orders
+
+    plan = plan_string(q_top_building_orders(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    # the BUILDING predicate must reach the parquet scan
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line and "BUILDING" in line]
+    assert pushed, plan
