@@ -96,6 +96,57 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIAN_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, value AS median_value
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+@register("median_value_by_event_type", oracle=_MEDIAN_ORACLE, tags=("agg", "quantile"))
+def q_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact *discrete* (lower) median per group: the element at rank
+    ⌈n/2⌉ in value order.  Discrete selection — no interpolation — so the
+    result is an actual data value and the cross-engine comparison is exact
+    (continuous medians interpolate, and two engines' float arithmetic can
+    disagree in the last ulp).
+
+    One shuffle on the group key; the sort is per-group within partitions.
+    At extreme per-group cardinality you switch to ``approx_percentile``
+    below — same key, constant memory."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("value").alias("median_value"))
+    )
+
+
+@register("approx_percentiles_by_event_type", oracle=None, tags=("agg", "quantile", "approx"))
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-sketch percentiles (p50/p95/p99) — the constant-memory scale
+    path for order statistics (rows-only check; pytest bounds p50 against
+    the exact discrete median)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("pcts")
+    ).select(
+        "event_type",
+        F.col("pcts")[0].alias("p50"),
+        F.col("pcts")[1].alias("p95"),
+        F.col("pcts")[2].alias("p99"),
+    )
+
+
 _MINMAX_ORACLE = """
 SELECT event_type,
        MIN(value) AS min_value,

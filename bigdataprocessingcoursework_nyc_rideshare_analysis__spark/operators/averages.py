@@ -83,8 +83,11 @@ def q_fare_per_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = _fact(spark, sf_dir)
     pay = fact.groupBy("time_of_day").agg(money_avg("l_extendedprice", "avg_fare"))
     length = fact.groupBy("time_of_day").agg(money_avg("l_quantity", "avg_trip_length"))
+    # both sides are |time_of_day|-row aggregates, but Catalyst can't see
+    # that statically (post-agg size estimates stay fact-sized) — hint the
+    # broadcast so the plan never sort-merge-joins two 5-row tables
     return (
-        pay.join(length, "time_of_day")
+        pay.join(F.broadcast(length), "time_of_day")
         .withColumn("fare_per_unit", F.col("avg_fare") / F.col("avg_trip_length"))
     )
 

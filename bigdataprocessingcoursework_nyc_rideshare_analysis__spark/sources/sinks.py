@@ -44,3 +44,23 @@ def write_partitioned_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, bucket_by: str, n_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Bucketed managed table: pre-shuffles rows into ``n_buckets`` files by
+    hash of ``bucket_by`` at WRITE time, so every later equi-join or
+    aggregation on that key is exchange-free (Catalyst reads the bucketing
+    metadata and skips the shuffle — pinned in ``tests/test_bucketing.py``).
+
+    This is how the fact×fact edges (lineitem⋈orders on orderkey) drop
+    their shuffle at 100 TB: pay the partition once at ingest, amortize it
+    over every downstream query.  Also sorts within buckets by the key so
+    merge joins skip their sort."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_by)
+        .sortBy(bucket_by)
+        .saveAsTable(table)
+    )

@@ -24,6 +24,23 @@ def test_approx_distinct_within_rsd(spark):
         assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, n, approx[k])
 
 
+def test_approx_p50_tracks_exact_median(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+        q_approx_percentiles,
+        q_median_value,
+    )
+
+    exact = {r["event_type"]: r["median_value"] for r in q_median_value(spark, SF_SMOKE).collect()}
+    approx = {r["event_type"]: r["p50"] for r in q_approx_percentiles(spark, SF_SMOKE).collect()}
+    assert exact.keys() == approx.keys()
+    for k, m in exact.items():
+        spread = abs(m) if m else 1.0
+        assert abs(approx[k] - m) <= 0.1 * spread + 1e-9, (k, m, approx[k])
+    # percentiles are ordered
+    for r in q_approx_percentiles(spark, SF_SMOKE).collect():
+        assert r["p50"] <= r["p95"] <= r["p99"]
+
+
 def test_cube_grand_total_matches_detail_sum(spark):
     rows = q_cube(spark, SF_SMOKE).collect()
     grand = [r for r in rows if r["business"] is None and r["ship_month"] is None]

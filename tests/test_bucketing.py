@@ -1,0 +1,70 @@
+"""Bucketed-table co-located join: the write-time shuffle must make the
+read-time join exchange-free on the fact×fact edge.
+
+This pins the engine's 100 TB answer for lineitem⋈orders (SCALE.md): both
+sides bucketed by the join key at ingest ⇒ no Exchange in the join plan,
+and with sorted buckets no Sort either.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.plans import plan_string
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.sinks import write_bucketed_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed_table(li, "li_bucketed", "l_orderkey", n_buckets=8)
+    write_bucketed_table(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "orders_bucketed", "l_orderkey", n_buckets=8
+    )
+    yield "li_bucketed", "orders_bucketed"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
+
+
+def test_bucketed_join_is_exchange_free(spark, bucketed_tables):
+    li_t, ord_t = bucketed_tables
+    joined = spark.table(li_t).join(spark.table(ord_t), "l_orderkey")
+    assert _exchanges(plan_string(joined)) == 0, plan_string(joined)
+    # same join over the raw (unbucketed) parquet DOES shuffle — the write
+    # paid for exactly the exchanges the read saves
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        raw_plan = plan_string(li.join(orders, "l_orderkey"))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert _exchanges(raw_plan) >= 2
+
+
+def test_bucketed_aggregation_is_exchange_free(spark, bucketed_tables):
+    li_t, _ = bucketed_tables
+    agg = spark.table(li_t).groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("s"))
+    assert _exchanges(plan_string(agg)) == 0
+
+
+def test_bucketed_join_result_matches_raw(spark, bucketed_tables):
+    li_t, ord_t = bucketed_tables
+    bucketed_n = spark.table(li_t).join(spark.table(ord_t), "l_orderkey").count()
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    raw_n = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+    assert bucketed_n == raw_n
