@@ -31,6 +31,16 @@ def main() -> None:
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
 
+    # warmup: spin up the Python worker pool (reused across queries via
+    # spark.python.worker.reuse) so the first Arrow-batched query isn't
+    # charged ~cpus × interpreter-start
+    def _noop(batches):
+        yield from batches
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        _noop, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, spec in registry.items():
         start = time.perf_counter()

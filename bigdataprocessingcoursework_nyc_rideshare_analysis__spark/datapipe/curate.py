@@ -1,0 +1,121 @@
+"""End-to-end training-corpus curation: the composition the individual
+datapipe operators exist for.
+
+``prepare_training_corpus`` chains the standard LLM-data stages over the
+documents table, entirely as one declarative plan (Catalyst fuses the
+stages; nothing materializes between them):
+
+1. **exact dedup** — md5 fingerprint of normalized text, keep the lowest
+   doc_id per fingerprint (window min, one shuffle);
+2. **language gate** — marker-word argmax (``textstats.LANG_MARKERS``),
+   keep the target language;
+3. **quality gate** — token-count band (synthetic fixture has no
+   punctuation, so the punctuation/stopword gates from ``doc_quality``
+   would be vacuous here; the band is the structural stand-in);
+4. **token accounting** — whitespace + BPE-ish counts for the training
+   manifest.
+
+The output is the "train-ready manifest": one row per surviving document
+with its accounting columns.  At 100 TB every stage is one scan + one
+shuffle (the dedup window); the near-dup stages (`MinHash LSH
+<dedup.py>`_) slot in after stage 1 as a candidate-pair join against the
+manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.text import normalize_text, tokens_col
+from ..registry import register
+from ..sources import load_table
+from .textstats import BPE_PATTERN, LANG_MARKERS
+
+TARGET_LANG = "en"
+MIN_TOKENS = 20
+MAX_TOKENS = 95
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    target_lang: str = TARGET_LANG,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+) -> DataFrame:
+    """Dedup → language gate → quality band → token accounting (see module
+    docstring).  Returns the train-ready manifest."""
+    langs = sorted(LANG_MARKERS)
+    toks = tokens_col("text")
+    with_features = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.md5(normalize_text("text")).alias("fingerprint"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).cast("int").alias("n_bpe_tokens"),
+        *[
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(toks), F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+                )
+            )
+            .cast("int")
+            .alias(f"s_{lang}")
+            for lang in langs
+        ],
+    )
+    # stage 1: exact dedup — representative = lowest doc_id per fingerprint
+    rep = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    deduped = with_features.withColumn("rep", rep).filter(F.col("doc_id") == F.col("rep"))
+    # stage 2: language argmax with alphabetical tiebreak
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.when(F.col(f"s_{langs[0]}") >= best, langs[0])
+    for lang in langs[1:]:
+        pred = pred.when(F.col(f"s_{lang}") >= best, lang)
+    gated = deduped.withColumn("predicted_lang", pred).filter(
+        F.col("predicted_lang") == target_lang
+    )
+    # stage 3 + 4: quality band, manifest projection
+    return gated.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    ).select("doc_id", "lang", "predicted_lang", "fingerprint", "n_tokens", "n_bpe_tokens")
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = list(LANG_MARKERS[lang])
+    return f"CAST(len(list_intersect(list_distinct(toks), {markers!r})) AS INTEGER)"
+
+
+_CURATE_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, lang, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+         CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, fingerprint,
+         CAST(len(toks) AS INTEGER) AS n_tokens, n_bpe_tokens,
+         {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in sorted(LANG_MARKERS))},
+         MIN(doc_id) OVER (PARTITION BY fingerprint) AS rep
+  FROM feat
+), gated AS (
+  SELECT *,
+         CASE
+           {" ".join(f"WHEN s_{lang} >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN '{lang}'" for lang in sorted(LANG_MARKERS))}
+         END AS predicted_lang
+  FROM scored WHERE doc_id = rep
+)
+SELECT doc_id, lang, predicted_lang, fingerprint, n_tokens, n_bpe_tokens
+FROM gated
+WHERE predicted_lang = '{TARGET_LANG}'
+  AND n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+"""
+
+
+@register("curate_training_corpus", oracle=_CURATE_ORACLE, tags=("datapipe", "pipeline"))
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_training_corpus(docs)

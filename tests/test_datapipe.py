@@ -90,6 +90,24 @@ def test_lsh_topk_results_are_true_cosine_order(spark):
     assert max(per_q.values()) <= TOP_K
 
 
+def test_curate_pipeline_invariants(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.curate import (
+        MAX_TOKENS,
+        MIN_TOKENS,
+        TARGET_LANG,
+        q_curate,
+    )
+
+    rows = q_curate(spark, SF_SMOKE).collect()
+    assert rows, "curation emptied the corpus"
+    fingerprints = [r["fingerprint"] for r in rows]
+    assert len(fingerprints) == len(set(fingerprints)), "dedup stage leaked duplicates"
+    for r in rows:
+        assert r["predicted_lang"] == TARGET_LANG
+        assert MIN_TOKENS <= r["n_tokens"] <= MAX_TOKENS
+        assert r["n_bpe_tokens"] >= r["n_tokens"] >= 1
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     """Probing IVF_NPROBE of IVF_LISTS centroid lists must recover a usable
     fraction of the true top-k (random synthetic vectors cluster weakly, so
