@@ -182,31 +182,33 @@ def lsh_candidate_pairs(sig: DataFrame, perms: int = MINHASH_PERMS, bands: int =
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup detection, candidates verified with exact
     Jaccard.  Same output contract as ``neardup_jaccard_pairs`` (minus pairs
-    LSH misses below ~0.9 recall); pytest cross-checks the two."""
+    LSH misses below ~0.9 recall); pytest cross-checks the two.
+
+    Verification joins each candidate pair to per-doc *hashed shingle sets*
+    and intersects them JVM-side (``array_intersect`` on long arrays) — two
+    joins against a |docs|-row table instead of the ground-truth path's two
+    shingle-level fact joins.  Collision risk of hashing shingles to 64-bit
+    is ~|shingles|²/2⁶⁵ (≈10⁻⁹ here) — fine for the approximate path, kept
+    out of the exact oracle-checked one."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs).persist()  # feeds signatures, both verify sides, sizes
+    sh = shingle_sets(docs).persist()  # feeds signatures + the verify sets
     candidates = lsh_candidate_pairs(minhash_signatures(sh))
-    # verify candidates exactly: join candidate pairs back to shingle sets
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sets = sh.select("doc_id", F.xxhash64("shingle").alias("h")).groupBy("doc_id").agg(
+        F.collect_set("h").alias("hs")
     )
-    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    n_common = F.size(F.array_intersect("ha", "hb")).cast("long")
+    na, nb = F.size("ha").cast("long"), F.size("hb").cast("long")
     return (
-        inter.join(F.broadcast(sx), "doc_a")
-        .join(F.broadcast(sy), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_common.cast("double") / (na + nb - n_common)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
