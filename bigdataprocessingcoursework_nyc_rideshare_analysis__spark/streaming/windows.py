@@ -12,6 +12,10 @@ The reference has no streaming surface; this module gives the engine one
 - ``dedup_stream``: watermark-bounded exact dedup
   (``dropDuplicatesWithinWatermark``) — the ingestion-side guard for
   at-least-once sources.
+- ``enrich_stream``: stream-static broadcast join (the streaming twin of the
+  batch dimension enrichment).
+- ``sink_partitioned_parquet``: ``foreachBatch`` partitioned-parquet sink
+  with checkpointed exactly-once batch ids.
 
 Tests drive these with ``trigger(availableNow=True)`` over a file source fed
 from the events fixture and assert batch/stream parity — the core guarantee
@@ -58,6 +62,39 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None, watermark: st
     state store holds ~horizon×rate keys, sharded by the dedup key."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
+    )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id", dim_key: str = "c_custkey") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch left-joins the static
+    dimension (re-read per batch, so slowly-changing dims pick up updates).
+    The dim side broadcasts — the streaming fact never shuffles for
+    enrichment, the same invariant as the batch zone-lookup join."""
+    return events.join(
+        F.broadcast(dim), events[key] == dim[dim_key], "left"
+    ).drop(dim_key)
+
+
+def sink_partitioned_parquet(
+    stream: DataFrame, path: str, checkpoint: str, partition_by: str = "event_type"
+):
+    """``foreachBatch`` sink: append each micro-batch as partitioned parquet.
+
+    foreachBatch hands the micro-batch over as a *batch* DataFrame, so the
+    full batch writer API applies (partitioning, bucketing, merges).
+    Exactly-once comes from the checkpoint: a replayed batch id is skipped.
+    Returns the started query handle (caller awaits)."""
+
+    # closure over `path`: cloudpickle-by-value, same rule as every
+    # function this package ships to workers
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy(partition_by).parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

@@ -50,3 +50,19 @@ def test_partitioned_parquet_roundtrip(spark, outdir):
     assert back.count() == 3
     pruned = back.filter(F.col("month") == 1)
     assert pruned.count() == 1
+
+
+def test_partition_filter_prunes_at_plan_level(spark, outdir):
+    """A filter on the partition column must become a PartitionFilters entry
+    on the scan (directories skipped at planning) — not a post-scan Filter
+    over all files."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.plans import plan_string
+
+    df = spark.createDataFrame(
+        [("Uber", m, float(m)) for m in range(1, 6)], ["business", "month", "v"]
+    )
+    write_partitioned_parquet(df, f"{outdir}/pruned", partition_by=["month"])
+    pruned = spark.read.parquet(f"{outdir}/pruned").filter(F.col("month") == 3)
+    plan = plan_string(pruned)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "month" in pf[0], plan

@@ -118,6 +118,56 @@ def test_streaming_dedup_drops_duplicates(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_static_enrichment_matches_batch(spark, event_stream_dir):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import enrich_stream
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    stream_src = spark.readStream.schema(ev.schema).parquet(event_stream_dir)
+    result = _drain_append(spark, enrich_stream(stream_src, cust), "enriched_stream")
+    batch = ev.join(cust, ev["user_id"] == cust["c_custkey"], "left").drop("c_custkey")
+    got = {(r["event_id"], r["c_mktsegment"]) for r in result.collect()}
+    want = {(r["event_id"], r["c_mktsegment"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_foreachbatch_parquet_sink_roundtrip(spark, event_stream_dir):
+    import tempfile
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        sink_partitioned_parquet,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = tempfile.mkdtemp(prefix="stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        stream_src = spark.readStream.schema(ev.schema).parquet(event_stream_dir)
+        q = sink_partitioned_parquet(stream_src, out, ckpt)
+        q.awaitTermination(120)
+        written = spark.read.parquet(out)
+        assert written.count() == ev.count()
+        # partition column survives round-trip (hive-style directory layout)
+        assert set(written.select("event_type").distinct().toPandas()["event_type"]) == set(
+            ev.select("event_type").distinct().toPandas()["event_type"]
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _drain_append(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 def test_streaming_session_window_runs(spark, event_stream_dir):
     batch_schema = load_table(spark, SF_SMOKE, "events").schema
     stream_src = spark.readStream.schema(batch_schema).parquet(event_stream_dir)
