@@ -147,6 +147,42 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag AS business,
+         CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         CAST(COUNT(*) AS DOUBLE) AS n_trips,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT business, ship_month, 'n_trips' AS metric, n_trips AS metric_value FROM m
+UNION ALL
+SELECT business, ship_month, 'revenue', revenue FROM m
+"""
+
+
+@register("unpivot_monthly_metrics", oracle=_UNPIVOT_ORACLE, tags=("agg", "unpivot"))
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via ``DataFrame.unpivot`` (A10's pivot in
+    reverse): the (business, month) metric matrix melts into one
+    (metric, value) row per cell — the shape metric stores and chart
+    layers ingest.  Pure map-side after the aggregate; no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy(
+        F.col("l_returnflag").alias("business"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_trips"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+    return wide.unpivot(
+        ids=["business", "ship_month"],
+        values=["n_trips", "revenue"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
 _MINMAX_ORACLE = """
 SELECT event_type,
        MIN(value) AS min_value,

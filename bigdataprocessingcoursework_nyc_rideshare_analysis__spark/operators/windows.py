@@ -54,6 +54,119 @@ def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUNNING_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag AS business,
+         CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue_dec
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT business, ship_month,
+       CAST(revenue_dec AS DOUBLE) AS revenue,
+       CAST(SUM(revenue_dec) OVER (PARTITION BY business ORDER BY ship_month) AS DOUBLE)
+         AS running_revenue
+FROM m
+"""
+
+
+@register("monthly_revenue_running_total", oracle=_RUNNING_ORACLE, tags=("window", "frame", "agg"))
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per business across months: window-over-aggregate
+    (the aggregation shrinks the data to |business×month| rows first, so the
+    window is nearly free).  Decimal running sum keeps both engines
+    bit-identical regardless of frame evaluation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            F.col("l_returnflag").alias("business"),
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue_dec"))
+    )
+    w = Window.partitionBy("business").orderBy("ship_month")
+    return monthly.select(
+        "business",
+        "ship_month",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.sum("revenue_dec").over(w).cast("double").alias("running_revenue"),
+    )
+
+
+_SHARE_ORACLE = """
+WITH m AS (
+  SELECT n.n_name AS borough, s.s_name AS zone,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue_dec
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT borough, zone,
+       CAST(revenue_dec AS DOUBLE) AS revenue,
+       CAST(revenue_dec AS DOUBLE) / CAST(SUM(revenue_dec) OVER (PARTITION BY borough) AS DOUBLE)
+         AS share_of_borough
+FROM m
+"""
+
+
+@register("zone_share_of_borough_revenue", oracle=_SHARE_ORACLE, tags=("window", "agg", "join"))
+def q_zone_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent: each zone's share of its borough's revenue via an
+    unordered partition window over the aggregate (no second shuffle — the
+    window reuses the groupBy's hash partitioning on the prefix key)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "supplier", "nation")}
+    dim = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), t["supplier"]["s_nationkey"] == t["nation"]["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("borough"), F.col("s_name").alias("zone"))
+    )
+    monthly = (
+        t["lineitem"]
+        .join(F.broadcast(dim), t["lineitem"]["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("borough", "zone")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue_dec"))
+    )
+    w = Window.partitionBy("borough")
+    return monthly.select(
+        "borough",
+        "zone",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        (F.col("revenue_dec").cast("double") / F.sum("revenue_dec").over(w).cast("double")).alias(
+            "share_of_borough"
+        ),
+    )
+
+
+_NTILE_ORACLE = """
+WITH u AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total_dec
+  FROM events GROUP BY 1
+)
+SELECT user_id,
+       CAST(total_dec AS DOUBLE) AS total_value,
+       CAST(ntile(4) OVER (ORDER BY total_dec DESC, user_id ASC) AS INTEGER) AS quartile
+FROM u
+"""
+
+
+@register("user_value_quartiles", oracle=_NTILE_ORACLE, tags=("window", "ntile"))
+def q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) cohorting of users by total event value (deterministic
+    tiebreak on user_id).  The unpartitioned window funnels |users| rows —
+    aggregated, so small — through one task; at extreme user counts you'd
+    range-partition on the sort key instead."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec")
+    )
+    w = Window.orderBy(F.desc("total_dec"), F.asc("user_id"))
+    return totals.select(
+        "user_id",
+        F.col("total_dec").cast("double").alias("total_value"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
 _GAP_ORACLE = """
 SELECT event_id, user_id, ts,
        datediff('microsecond', lag(ts) OVER w, ts) AS gap_us,
