@@ -149,6 +149,46 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
 
 
+_BIGRAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id, toks[i] || ' ' || toks[i+1] AS ngram, CAST(i AS INTEGER) AS pos
+FROM t, UNNEST(range(1, len(toks))) AS u(i)
+"""
+
+
+@register("bigram_expansion_udtf", oracle=_BIGRAM_ORACLE, tags=("datapipe", "text", "udtf"))
+def q_bigram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: one input row → N output rows via a user-defined
+    table function in a SQL ``LATERAL`` join.
+
+    This exists to prove the UDTF API end-to-end (registration, lateral
+    invocation, schema declaration) — for *production* n-gram expansion use
+    the declarative ``shingles_col`` + ``explode`` (whole-stage codegen);
+    row-at-a-time Python is the documented slow path.  The UDTF class is
+    defined inside this function so cloudpickle ships it by value (workers
+    never import this package)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram: string, pos: int")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1], i + 1)
+
+    spark.udtf.register("bigrams", Bigrams)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", normalize_text("text").alias("norm_text")).createOrReplaceTempView(
+        "_bigram_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, b.ngram, b.pos FROM _bigram_docs d, LATERAL bigrams(d.norm_text) b"
+    )
+
+
 _FINGERPRINT_ORACLE = """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
