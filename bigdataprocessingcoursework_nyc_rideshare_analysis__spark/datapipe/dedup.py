@@ -63,8 +63,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact n-gram Jaccard (ground truth) ------------------------------------
 
-_JACCARD_ORACLE = f"""
-WITH t AS (
+# CTE chain shared with datapipe.cluster's recursive connected-components
+# oracle (which needs the pair set as a named CTE, not a standalone query)
+_JACCARD_CTES = f"""t AS (
   SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
   FROM documents
 ), sh AS (
@@ -78,11 +79,16 @@ WITH t AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT i.doc_a, i.doc_b,
-       CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) AS jaccard
-FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
-WHERE CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) >= {JACCARD_THRESHOLD}
+), jpairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) AS jaccard
+  FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) >= {JACCARD_THRESHOLD}
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, jaccard FROM jpairs
 """
 
 

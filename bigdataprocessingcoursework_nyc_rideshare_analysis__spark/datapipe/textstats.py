@@ -189,6 +189,132 @@ def q_bigram_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TF-IDF / inverted index -------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+#: shared CTE chain: whitespace term frequencies + document frequencies.
+_TF_CTES = """t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM t, UNNEST(toks) AS u(tok)
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+)"""
+
+_TFIDF_ORACLE = f"""
+WITH {_TF_CTES}, n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (df.df + 1) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_TOP_K}
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("datapipe", "text"))
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by TF-IDF.
+
+    The IDF is the *ratio* form ``(N+1)/(df+1)`` (add-one smoothed), not
+    ``ln`` of it — monotonic in the same ranking, but built purely from
+    exact-integer multiply + one IEEE divide, so scores are bit-identical
+    across engines (a ``ln``-based score would be at the mercy of libm ulp
+    differences between the JVM and DuckDB; SURVEY.md §7.4 numeric-fidelity
+    risk).  Plan shape: explode → two hash aggregations (term-frequency,
+    doc-frequency) → broadcast-joinable df table → per-doc window top-k.
+    At 100 TB the df table is |vocab|-sized (≪ corpus) and broadcasts."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar dimension of the corpus; driver-side by design
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "tfidf", F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + F.lit(1))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+_INVERTED_INDEX_ORACLE = f"""
+WITH {_TF_CTES}
+SELECT term, CAST(df.df AS BIGINT) AS df, p.postings
+FROM df JOIN (
+  SELECT term, list_sort(list(doc_id)) AS postings FROM tf GROUP BY term
+) p USING (term)
+"""
+
+
+@register("inverted_index", oracle=_INVERTED_INDEX_ORACLE, tags=("datapipe", "text"))
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → sorted posting list (doc_ids) + document frequency: the
+    retrieval-side index build.  One explode + one aggregation keyed by term
+    — postings shard by term hash, so hot terms are the skew risk; at 100 TB
+    stopword-class terms get posting lists capped/split by a salt on
+    (term, doc_id range) before the final merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens_col("text")).alias("term")).distinct()
+    return terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+# --- deterministic sampling --------------------------------------------------
+
+#: per-source keep-rate in sixteenths (first hex digit of md5 < threshold);
+#: unlisted sources keep everything.  (Testdata sources are src0..src19.)
+SAMPLE_STRATA = {"src0": 4, "src1": 8}
+
+_STRATA_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {t}" for s, t in sorted(SAMPLE_STRATA.items())
+) + " ELSE 16 END"
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+      < {_STRATA_CASE}
+"""
+
+
+@register("stratified_hash_sample", oracle=_SAMPLE_ORACLE, tags=("datapipe", "sampling"))
+def q_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a document iff the first hex
+    digit of ``md5(doc_id)`` falls under its source's threshold
+    (``SAMPLE_STRATA``, in sixteenths; unlisted sources keep everything).
+
+    Content-hash gating — not ``sample()``/RNG — so the subset is stable
+    across runs, engines, partitionings, and retries: the property a
+    training-data pipeline needs for reproducible corpus snapshots and
+    leave-out evaluation splits.  Pure stateless filter: no shuffle, fully
+    pushed into the scan's codegen stage.  (Spark's native ``sampleBy`` is
+    the non-reproducible-across-engines alternative; this form is also how
+    you do consistent sampling across *joined* tables — hash the join key.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    digit = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+        - 1
+    )
+    threshold = F.lit(16)
+    for s, t in sorted(SAMPLE_STRATA.items(), reverse=True):
+        threshold = F.when(F.col("source") == s, t).otherwise(threshold)
+    return docs.filter(digit < threshold).select("doc_id", "source")
+
+
 _FINGERPRINT_ORACLE = """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint

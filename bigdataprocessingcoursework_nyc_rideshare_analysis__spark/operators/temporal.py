@@ -147,3 +147,45 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# --- date-spine gap-fill -----------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), b AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+)
+SELECT s.day, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN d ON s.day = d.day
+"""
+
+
+@register("daily_event_counts_gapfill", oracle=_GAPFILL_ORACLE, tags=("temporal", "gapfill"))
+def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts over a *dense* date spine: days with no events
+    appear with an explicit 0 instead of silently missing — the gap-fill
+    shape every downstream time-series consumer (rolling windows, anomaly
+    baselines, charting) assumes.
+
+    The spine is generated from the aggregate's own min/max via
+    ``sequence(lo, hi)`` + ``explode`` — a one-row driver-free pipeline, so
+    no collect and no hand-written date range.  Both join sides are |days|-sized
+    after aggregation; the *daily counts* side is broadcast (the spine is
+    the preserved side of the left join, which can't be the build side).  At 100 TB the only large stage is the initial day-keyed
+    count, whose partial aggregation reduces each scan partition to
+    |days| rows before the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n_events"))
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        spine.join(F.broadcast(daily), "day", "left")
+        .select("day", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"))
+    )

@@ -56,6 +56,6 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
         olap,
     )
-    from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate  # noqa: F401
+    from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster  # noqa: F401
 
     return REGISTRY

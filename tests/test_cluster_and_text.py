@@ -1,0 +1,95 @@
+"""Semantics tests for connected-components dedup clustering, TF-IDF,
+inverted index, deterministic sampling, and date-spine gap-fill."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.cluster import (
+    connected_components,
+    q_neardup_cc,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+    JACCARD_THRESHOLD,
+    jaccard_pairs,
+    shingle_sets,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+    SAMPLE_STRATA,
+    TFIDF_TOP_K,
+    q_inverted_index,
+    q_stratified_hash_sample,
+    q_tfidf_top_terms,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+    q_daily_gapfill,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # chain 1-2-3 plus isolated 4: one 3-cluster rooted at 1, one singleton
+    edges = spark.createDataFrame([(2, 1), (2, 3)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    got = {r["id"]: r["label"] for r in connected_components(edges, verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_neardup_pairs_land_in_same_cluster(spark):
+    assign = {r["doc_id"]: r["cluster_id"] for r in q_neardup_cc(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = jaccard_pairs(shingle_sets(docs), JACCARD_THRESHOLD).collect()
+    assert pairs, "smoke corpus should contain near-dup pairs"
+    for p in pairs:
+        assert assign[p["doc_a"]] == assign[p["doc_b"]]
+    # cluster_id is a member of its own cluster (the min doc_id)
+    assert all(assign[cid] == cid for cid in set(assign.values()))
+
+
+def test_tfidf_topk_and_score_ordering(spark):
+    rows = q_tfidf_top_terms(spark, SF_SMOKE).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in per_doc.values():
+        assert len(doc_rows) <= TFIDF_TOP_K
+        scores = sorted((r["tfidf"] for r in doc_rows), reverse=True)
+        assert scores[0] == max(r["tfidf"] for r in doc_rows)
+
+
+def test_inverted_index_postings_sorted_and_df_consistent(spark):
+    rows = q_inverted_index(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["df"] == len(r["postings"])
+        assert r["postings"] == sorted(set(r["postings"]))
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept_rows = q_stratified_hash_sample(spark, SF_SMOKE).collect()
+    kept: dict[str, int] = {}
+    for r in kept_rows:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    for src, thresh in SAMPLE_STRATA.items():
+        if totals.get(src, 0) >= 20:
+            rate = kept.get(src, 0) / totals[src]
+            assert abs(rate - thresh / 16) < 0.25
+    for src in totals:
+        if src not in SAMPLE_STRATA:
+            assert kept.get(src, 0) == totals[src]  # unlisted: kept whole
+    again = q_stratified_hash_sample(spark, SF_SMOKE).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept_rows)
+
+
+def test_gapfill_spine_is_dense(spark):
+    rows = sorted(q_daily_gapfill(spark, SF_SMOKE).collect(), key=lambda r: r["day"])
+    days = [r["day"] for r in rows]
+    assert days[-1] - days[0] == datetime.timedelta(days=len(days) - 1)
+    assert all(r["n_events"] >= 0 for r in rows)
+    assert sum(r["n_events"] for r in rows) == load_table(spark, SF_SMOKE, "events").count()
