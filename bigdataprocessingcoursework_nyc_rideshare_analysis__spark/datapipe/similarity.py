@@ -252,3 +252,39 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return exact_rank_candidates(emb, candidates, TOP_K)
+
+
+# --- per-label centroids -----------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT label, CAST(i AS INTEGER) AS pos,
+       CAST(SUM(v[i + 1]) AS DOUBLE) / COUNT(*) AS centroid
+FROM e, UNNEST(range(len(v))) AS u(i)
+GROUP BY 1, 2
+"""
+
+
+@register("label_centroids", oracle=_CENTROID_ORACLE, tags=("datapipe", "similarity"))
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean embedding, one row per (label, dimension) — the class
+    prototypes used for nearest-centroid classification and as IVF seeding.
+
+    ``posexplode`` flattens vectors to (label, pos, component); the mean is
+    computed as exact integer sum over quantized components divided by the
+    count — one IEEE division of two exact values, so bit-identical across
+    engines and partition orders (a double sum would depend on reduction
+    order).  One shuffle keyed by (label, pos): |labels|×dim groups spread
+    evenly regardless of class skew, because the dimension index is part of
+    the key — a free salt."""
+    from ..functions.vector import quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select("label", F.posexplode(quantize_vec("embedding")).alias("pos", "qval"))
+    return flat.groupBy("label", "pos").agg(
+        (F.sum("qval").cast("double") / F.count(F.lit(1))).alias("centroid")
+    )

@@ -273,6 +273,51 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- heavy hitters -----------------------------------------------------------
+
+HEAVY_HITTER_K = 20
+
+_HEAVY_ORACLE = f"""
+WITH {_TF_CTES}
+SELECT term, CAST(SUM(tf) AS BIGINT) AS n
+FROM tf GROUP BY term
+ORDER BY n DESC, term LIMIT {HEAVY_HITTER_K}
+"""
+
+
+@register("heavy_hitter_terms", oracle=_HEAVY_ORACLE, tags=("datapipe", "text"))
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-{k} most frequent terms (vocabulary heavy hitters —
+    the stopword/boilerplate detector feeding corpus-filter lists).  Partial
+    aggregation reduces each partition to |vocab| rows before the single
+    term-keyed exchange; the final top-k is TakeOrderedAndProject (per-
+    partition heap + driver merge), never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens_col("text")).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(HEAVY_HITTER_K)
+    )
+
+
+@register("approx_heavy_hitter_terms", oracle=None, tags=("datapipe", "text", "approx"))
+def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via ``DataFrame.freqItems`` (Karp-style
+    single-pass frequent-items sketch): every term with frequency above the
+    support threshold is guaranteed present (possibly with false positives —
+    the one-sided error the exact pass above prunes).  Rows-only driver
+    check; pytest asserts the exact top terms are a subset.  At 100 TB this
+    is the first pass that shrinks the candidate set before an exact count
+    confirms — sketch memory is O(1/support), independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens_col("text")).alias("term"))
+    row = terms.freqItems(["term"], support=0.02).collect()[0]
+    items = sorted(row["term_freqItems"])
+    return spark.createDataFrame([(t,) for t in items], "term string")
+
+
 # --- deterministic sampling --------------------------------------------------
 
 #: per-source keep-rate in sixteenths (first hex digit of md5 < threshold);

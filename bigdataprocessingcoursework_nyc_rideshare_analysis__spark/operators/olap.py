@@ -105,3 +105,31 @@ def q_top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+# --- grouping sets -----------------------------------------------------------
+
+# One SQL text, two engines (same contract as revenue_by_nation): explicit
+# GROUPING SETS — finer control than CUBE/ROLLUP (operators.analytics) when
+# only specific marginal combinations are wanted.  The per-set aggregation
+# is one shuffle whose width is the union of requested group keys; Spark
+# plans an Expand (one input row → one row per set) feeding a single
+# hash aggregate, so cost scales with |sets|, not with separate passes.
+_GROUPING_SETS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+)
+SELECT event_type, day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM e
+GROUP BY GROUPING SETS ((event_type), (day), (event_type, day), ())
+"""
+
+
+@register("event_grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("olap", "agg", "sql"))
+def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over (event_type), (day), both, and the grand
+    total — four marginal aggregates in one pass over the fact table."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_GROUPING_SETS_SQL)

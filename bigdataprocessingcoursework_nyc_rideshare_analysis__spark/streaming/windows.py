@@ -115,3 +115,38 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark:
             "n_events",
         )
     )
+
+
+def interval_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding ``horizon`` (attribution join).
+
+    Both sides carry watermarks and the join predicate bounds event-time
+    distance — together these let the state store evict a buffered row once
+    the other stream's watermark passes its joinable range, so state is
+    O(rate × horizon) instead of unbounded.  State shards by the equi-key
+    (user_id); the range predicate is evaluated within each key's buffer.
+    The batch twin (same predicate on static frames) is asserted equal in
+    tests — one logical definition, both deployment modes."""
+    c = clicks.select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = F.expr(
+        f"user_id = p_user_id AND purchase_ts >= click_ts "
+        f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )

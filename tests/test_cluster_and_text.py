@@ -93,3 +93,20 @@ def test_gapfill_spine_is_dense(spark):
     assert days[-1] - days[0] == datetime.timedelta(days=len(days) - 1)
     assert all(r["n_events"] >= 0 for r in rows)
     assert sum(r["n_events"] for r in rows) == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_freqitems_contains_all_true_heavy_hitters(spark):
+    """freqItems' one-sided guarantee: any term with frequency above the
+    support threshold must appear in the sketch output."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        q_approx_heavy_hitters,
+        q_heavy_hitter_terms,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.text import tokens_col
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total = docs.select(F.explode(tokens_col("text")).alias("t")).count()
+    approx = {r["term"] for r in q_approx_heavy_hitters(spark, SF_SMOKE).collect()}
+    for r in q_heavy_hitter_terms(spark, SF_SMOKE).collect():
+        if r["n"] > 0.02 * total:
+            assert r["term"] in approx

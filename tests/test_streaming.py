@@ -178,3 +178,37 @@ def test_streaming_session_window_runs(spark, event_stream_dir):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir):
+    """Click→purchase attribution join: streaming result with availableNow
+    must equal the same predicate applied to static frames."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        interval_join_stream,
+    )
+
+    batch_schema = load_table(spark, SF_SMOKE, "events").schema
+    src = spark.readStream.schema(batch_schema).parquet(event_stream_dir)
+    clicks_s = src.filter(F.col("event_type") == "click")
+    purchases_s = src.filter(F.col("event_type") == "purchase")
+    q = (
+        interval_join_stream(clicks_s, purchases_s)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"]) for r in spark.table("ss_join").collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purchases_b = ev.filter(F.col("event_type") == "purchase")
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join_stream(clicks_b, purchases_b).collect()
+    }
+    assert got == want and got
