@@ -200,3 +200,52 @@ def q_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- correlation from exact sufficient statistics ----------------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(hour(ts)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * hour(ts)) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(hour(ts) * hour(ts)) AS DOUBLE) AS syy
+  FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       ((n * sxy) - (sx * sy))
+         / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr_value_hour
+FROM s
+"""
+
+
+@register("corr_value_hour_by_event_type", oracle=_CORR_ORACLE, tags=("agg", "stats"))
+def q_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (value vs hour-of-day) per event type, computed
+    from *exact sufficient statistics*: all six sums accumulate in
+    decimal/integer (order-independent, overflow-checked), and only the
+    final closed-form expression runs in double with a pinned evaluation
+    order — so results are bit-identical across engines AND across partition
+    counts.  The built-in ``corr()`` is the one-liner alternative, but its
+    streaming-covariance accumulation is reduction-order-sensitive, which
+    breaks differential testing; same single-shuffle plan either way."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,2)")
+    y = F.hour("ts")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    den = F.sqrt((n * F.col("sxx")) - (F.col("sx") * F.col("sx"))) * F.sqrt(
+        (n * F.col("syy")) - (F.col("sy") * F.col("sy"))
+    )
+    return s.select("event_type", "n", (num / den).alias("corr_value_hour"))

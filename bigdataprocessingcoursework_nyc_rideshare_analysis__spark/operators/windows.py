@@ -188,3 +188,46 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
         F.lead("event_id").over(w).alias("next_event_id"),
     )
+
+
+# --- distribution-position analytics (percent_rank / cume_dist / first / last)
+
+_POSITION_ORACLE = """
+SELECT event_id, user_id,
+       percent_rank() OVER v AS pr,
+       cume_dist() OVER v AS cd,
+       first_value(value) OVER t AS first_val,
+       last_value(value) OVER t AS last_val
+FROM events
+WINDOW v AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC),
+       t AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("user_value_position_stats", oracle=_POSITION_ORACLE, tags=("window", "analytic"))
+def q_user_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: its position in the user's value distribution
+    (``percent_rank``, ``cume_dist``) plus the user's chronologically first
+    and last values (full-partition ROWS frame).
+
+    Both rank ratios are integer-over-integer divisions ((rank-1)/(n-1),
+    rows≤current/n), so the doubles are bit-identical across engines.  Two
+    window specs share one shuffle on user_id — Catalyst plans a single
+    Exchange and two sorts; the deterministic ``event_id`` tiebreak makes
+    ties reproducible (SURVEY §7.4 determinism discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    t = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.percent_rank().over(v).alias("pr"),
+        F.cume_dist().over(v).alias("cd"),
+        F.first("value").over(t).alias("first_val"),
+        F.last("value").over(t).alias("last_val"),
+    )

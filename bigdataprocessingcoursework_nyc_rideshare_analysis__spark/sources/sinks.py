@@ -64,3 +64,32 @@ def write_bucketed_table(
         .sortBy(bucket_by)
         .saveAsTable(table)
     )
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line) — the interchange format for
+    downstream non-Spark consumers (tokenizer training, labeling tools).
+    Keeps Spark's per-partition parallel write; no coalesce."""
+    df.write.mode(mode).json(path)
+
+
+def read_json_lines(spark, path: str, schema=None) -> DataFrame:
+    """JSON-lines source.  ALWAYS pass the schema in production: schema
+    inference is a full extra pass over the data, and at 100 TB that is a
+    second scan before the first real job starts."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar alternative to parquet (predicate pushdown,
+    column pruning, and min/max stripe skipping all apply, same as
+    parquet); for pipelines whose readers are Hive/Trino-first."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC source (self-describing schema, like parquet)."""
+    return spark.read.orc(path)

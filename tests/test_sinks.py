@@ -10,11 +10,14 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.sinks import (
     SinkSafetyError,
     write_partitioned_parquet,
     write_single_csv,
 )
+
+from .conftest import SF_SMOKE
 
 
 @pytest.fixture()
@@ -66,3 +69,34 @@ def test_partition_filter_prunes_at_plan_level(spark, outdir):
     plan = plan_string(pruned)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "month" in pf[0], plan
+
+
+def test_json_lines_roundtrip_with_schema(spark, outdir):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.sinks import (
+        read_json_lines,
+        write_json_lines,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = f"{outdir}/docs_jsonl"
+    write_json_lines(docs, path)
+    back = read_json_lines(spark, path, schema=docs.schema)
+    assert back.schema == docs.schema
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+
+
+def test_orc_roundtrip_and_filter_pushdown(spark, outdir):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.sinks import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = f"{outdir}/docs_orc"
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    plan = back.filter(back.doc_id > 100).select("doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)" in plan
