@@ -123,3 +123,58 @@ def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction, oracle-checked via the deterministic byte features."""
     docs = load_table(spark, sf_dir, "documents")
     return byte_features(documents_as_media(docs))
+
+
+# --- frame manifest (1 → N expansion over binary payloads) -------------------
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 2  # keep every 2nd frame (sample_frames semantics)
+
+_FRAME_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * {FRAME_BYTES} AS BIGINT) AS byte_offset,
+       CAST(least({FRAME_BYTES}, octet_length(encode(text)) - i * {FRAME_BYTES}) AS BIGINT)
+         AS frame_bytes
+FROM documents,
+     UNNEST(range(CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT))) AS u(i)
+WHERE i % {FRAME_STRIDE} = 0
+"""
+
+
+@register("media_frame_manifest", oracle=_FRAME_ORACLE, tags=("datapipe", "multimodal"))
+def q_media_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: each payload is cut into
+    fixed-size frames inside an Arrow-batched ``mapInPandas`` (1 row → N
+    rows over a binary column), keeping every ``FRAME_STRIDE``-th frame.
+
+    The Python stage slices the *actual bytes* (so the batch shape, binary
+    Arrow transfer, and expansion semantics are real); the emitted manifest
+    (offset/length per kept frame) is deterministic from payload size, which
+    is what the oracle checks.  A real video decoder drops into the same
+    seam (``sample_frames`` above) with codec output replacing byte slices.
+    Scale: stateless per-row expansion — no shuffle; output partitioning
+    inherits the scan."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+
+    def frames(batches):
+        for pdf in batches:
+            ids, idxs, offs, lens = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for i in range(0, -(-len(buf) // FRAME_BYTES), FRAME_STRIDE):
+                    chunk = buf[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(i * FRAME_BYTES)
+                    lens.append(len(chunk))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "byte_offset": offs, "frame_bytes": lens}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        frames, schema="media_id long, frame_idx int, byte_offset long, frame_bytes long"
+    )

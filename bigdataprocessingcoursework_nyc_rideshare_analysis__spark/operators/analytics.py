@@ -249,3 +249,88 @@ def q_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.col("syy")) - (F.col("sy") * F.col("sy"))
     )
     return s.select("event_type", "n", (num / den).alias("corr_value_hour"))
+
+
+# --- exact quartiles + IQR outliers ------------------------------------------
+
+_QUARTILE_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = greatest(((n + 1) * 1) // 4, 1) THEN value END) AS q1,
+       MAX(CASE WHEN rn = greatest(((n + 1) * 2) // 4, 1) THEN value END) AS q2,
+       MAX(CASE WHEN rn = greatest(((n + 1) * 3) // 4, 1) THEN value END) AS q3
+FROM ranked GROUP BY event_type
+"""
+
+
+def _exact_quartiles(ev: DataFrame) -> DataFrame:
+    """Exact discrete quartiles per event_type via rank selection (same
+    no-interpolation discipline as the median above: results are actual
+    data values, so cross-engine comparison is exact)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        ev.select("event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    )
+    qs = [
+        F.max(
+            F.when(F.col("rn") == F.expr(f"greatest(((n + 1) * {k}) div 4, 1)"), F.col("value"))
+        ).alias(f"q{k}")
+        for k in (1, 2, 3)
+    ]
+    return ranked.groupBy("event_type").agg(*qs)
+
+
+@register("quartiles_by_event_type", oracle=_QUARTILE_ORACLE, tags=("agg", "quantile"))
+def q_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact q1/q2/q3 per group — one shuffle, rank selection, pivot by
+    CASE.  Generalizes the discrete median to arbitrary rank positions."""
+    return _exact_quartiles(load_table(spark, sf_dir, "events"))
+
+
+_IQR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), q AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = greatest(((n + 1) * 1) // 4, 1) THEN value END) AS q1,
+         MAX(CASE WHEN rn = greatest(((n + 1) * 3) // 4, 1) THEN value END) AS q3
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN q ON e.event_type = q.event_type
+WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+   OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
+@register("iqr_outlier_events", oracle=_IQR_ORACLE, tags=("agg", "quantile", "anomaly"))
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection: events outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] of their type's value distribution — the
+    distribution-aware upgrade of the reference's fixed-threshold anomaly
+    check (task5's ``> 300 s``; SURVEY.md §2.2 F6).  The fence arithmetic is
+    a fixed chain of IEEE ops on values both engines hold bit-identically,
+    so the flag set matches exactly.  Per-type quartiles are a |types|-row
+    table → broadcast join back against the fact; the only big stage is the
+    one rank shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    q = _exact_quartiles(ev).select("event_type", "q1", "q3")
+    fence_lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    fence_hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .filter((F.col("value") < fence_lo) | (F.col("value") > fence_hi))
+        .select("event_id", "event_type", "value")
+    )

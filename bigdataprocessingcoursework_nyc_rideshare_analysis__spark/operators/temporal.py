@@ -179,7 +179,12 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the preserved side of the left join, which can't be the build side).  At 100 TB the only large stage is the initial day-keyed
     count, whose partial aggregation reduces each scan partition to
     |days| rows before the exchange."""
-    ev = load_table(spark, sf_dir, "events")
+    return daily_gapfilled(load_table(spark, sf_dir, "events"))
+
+
+def daily_gapfilled(ev: DataFrame) -> DataFrame:
+    """(day, n_events) over the dense min..max date spine (see the query
+    docstring above); reused by the rolling-window query below."""
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n_events"))
     spine = (
         daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
@@ -188,4 +193,72 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spine.join(F.broadcast(daily), "day", "left")
         .select("day", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"))
+    )
+
+
+_ROLLING7_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), b AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+), dense AS (
+  SELECT s.day, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+  FROM spine s LEFT JOIN d ON s.day = d.day
+)
+SELECT day, n_events,
+       CAST(SUM(n_events) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling_7d
+FROM dense
+"""
+
+
+@register("rolling_7day_event_counts", oracle=_ROLLING7_ORACLE, tags=("temporal", "window", "gapfill"))
+def q_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day event volume per day.  Composes the gap-fill with a
+    ROWS frame: on the *dense* spine, ROWS 6 PRECEDING is exactly the
+    trailing week (on raw, gappy daily aggregates it silently isn't — the
+    reason gap-fill is a first-class operator here, and why the RANGE-frame
+    alternative is only needed when you can't densify).  The window is
+    unpartitioned, but it runs over |days| rows post-aggregation — tiny by
+    construction; never put an unpartitioned window over fact-scale rows."""
+    dense = daily_gapfilled(load_table(spark, sf_dir, "events"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return dense.select(
+        "day", "n_events", F.sum("n_events").over(w).cast("long").alias("rolling_7d")
+    )
+
+
+_RETENTION_ORACLE = """
+WITH fd AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT fd.cohort_day, datediff('day', fd.cohort_day, act.day) AS day_offset,
+       COUNT(*) AS n_active
+FROM act JOIN fd ON act.user_id = fd.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("user_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("temporal", "cohort"))
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each later active day as an offset from their cohort day.
+
+    Two aggregations share the user_id shuffle key (first-seen min and the
+    distinct activity set), then a user-keyed equi-join and a final small
+    aggregation on (cohort_day, offset).  At 100 TB the first-seen table is
+    |users|-sized and the join co-partitions on user_id with AQE sizing the
+    exchanges; nothing driver-side."""
+    ev = load_table(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(fd, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
