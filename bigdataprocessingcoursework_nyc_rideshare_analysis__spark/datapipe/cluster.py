@@ -53,8 +53,15 @@ def connected_components(
     # the edge set is re-joined every iteration — materialize it once and cut
     # its lineage (at 100 TB: write to parquet bucketed by src instead)
     sym = sym.localCheckpoint(eager=True)
-    labels = vertices.select(F.col("id"), F.col("id").alias("label"))
+    # iterate ONLY over nodes that touch an edge: in a dedup workload the
+    # duplicate-pair graph covers a small fraction of the corpus, so the
+    # per-iteration join/agg runs on |edge-nodes| rows, not |corpus| rows —
+    # isolated vertices are attached as singletons in one pass at the end
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
 
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
@@ -70,8 +77,13 @@ def connected_components(
             .alias("label"),
         )
         if changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    return vertices.join(labels, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
 
 
 _CC_ORACLE = f"""
