@@ -122,3 +122,90 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.count("k").alias("n_with_k"),
     )
+
+
+# --- funnel conversion -------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH c AS (
+  SELECT user_id, MIN(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY 1
+)
+SELECT c.user_id, c.first_click, p.first_purchase,
+       p.first_purchase IS NOT NULL AS converted
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+"""
+
+
+@register("click_purchase_funnel", oracle=_FUNNEL_ORACLE, tags=("temporal", "funnel"))
+def q_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: per clicking user, the first click and the first
+    purchase at-or-after it (ordered sequence matching — a purchase before
+    any click does NOT convert).
+
+    Plan: two user-keyed aggregations and two user-keyed joins — all four
+    stages share the same shuffle key, so Exchange reuse keeps it at one
+    effective repartition of each input branch.  The conversion *rate*
+    is one ``avg(converted::int)`` away; row-level output is kept so the
+    differential check pins every user's funnel state, not one ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return clicks.join(purchases, "user_id", "left").select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        F.col("first_purchase").isNotNull().alias("converted"),
+    )
+
+
+# --- single-aggregation argmax (top-1 per group without a window) ------------
+
+_ARGMAX_ORACLE = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, MAX({'n': n, 'neg': -user_id}) AS s FROM c GROUP BY 1
+)
+SELECT event_type, CAST(s.n AS BIGINT) AS n_events, CAST(-s.neg AS BIGINT) AS top_user
+FROM m
+"""
+
+
+@register("top_user_per_event_type", oracle=_ARGMAX_ORACLE, tags=("agg", "argmax"))
+def q_top_user_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-active user per event type via the max-of-struct argmax idiom:
+    ``max(struct(n, -user_id))`` picks the lexicographic max in ONE
+    aggregation — no window, no sort, no join-back.  For top-1-per-group
+    this beats the dense_rank pattern (operators/topk.py) at scale: partial
+    aggregation reduces map-side to one struct per (group) instead of
+    shuffling every row into a sorted window.  The negated id is the
+    deterministic tiebreak (smallest user wins ties), mirrored exactly in
+    the oracle's struct field order."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    s = F.max(F.struct(F.col("n"), (-F.col("user_id")).alias("neg"))).alias("s")
+    return (
+        c.groupBy("event_type")
+        .agg(s)
+        .select(
+            "event_type",
+            F.col("s.n").alias("n_events"),
+            (-F.col("s.neg")).alias("top_user"),
+        )
+    )

@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         temporal,
         windows,
         olap,
+        merge,
     )
     from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster  # noqa: F401
 

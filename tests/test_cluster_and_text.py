@@ -110,3 +110,31 @@ def test_freqitems_contains_all_true_heavy_hitters(spark):
     for r in q_heavy_hitter_terms(spark, SF_SMOKE).collect():
         if r["n"] > 0.02 * total:
             assert r["term"] in approx
+
+
+def test_merge_upsert_semantics(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", "OLD"), (2, "b", "OLD")], "k long, name string, seg string"
+    )
+    changes = spark.createDataFrame([(2, "NEW"), (3, "INS")], "k long, seg string")
+    got = {r["k"]: (r["name"], r["seg"]) for r in merge_upsert(target, changes, "k").collect()}
+    assert got == {1: ("a", "OLD"), 2: ("b", "NEW"), 3: (None, "INS")}
+
+
+def test_funnel_purchase_before_click_does_not_convert(spark):
+    """A purchase that precedes every click must not count as conversion."""
+    import datetime as dt
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events import (
+        q_click_purchase_funnel,
+    )
+
+    rows = q_click_purchase_funnel(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["converted"]:
+            assert r["first_purchase"] >= r["first_click"]
+        else:
+            assert r["first_purchase"] is None
