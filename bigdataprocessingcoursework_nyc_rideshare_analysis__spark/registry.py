@@ -58,5 +58,6 @@ def load_all() -> dict[str, QuerySpec]:
         merge,
     )
     from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster  # noqa: F401
+    from .sources import pydatasource  # noqa: F401
 
     return REGISTRY

@@ -138,3 +138,34 @@ def test_funnel_purchase_before_click_does_not_convert(spark):
             assert r["first_purchase"] >= r["first_click"]
         else:
             assert r["first_purchase"] is None
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.pydatasource import (
+        q_synthetic_source,
+    )
+
+    df = q_synthetic_source(spark, "")
+    assert df.rdd.getNumPartitions() == 8  # partition planning, not one task
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert len(rows) == 1000
+    assert rows[9] == "synthetic document 9 body w w "
+    assert rows == {r["doc_id"]: r["text"] for r in q_synthetic_source(spark, "").collect()}
+
+
+def test_observe_collects_metrics_without_extra_action(spark):
+    """df.observe: aggregate metrics piggyback on the SAME action (no second
+    job over the data) — the scale-correct way to emit row-count/quality
+    metrics from a 100 TB pipeline write."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    obs = Observation("ingest_gate")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    n = observed.count()  # the one action
+    assert obs.get["n_rows"] == n
+    assert obs.get["total_chars"] == docs.agg(F.sum(F.length("text"))).collect()[0][0]
