@@ -133,3 +133,29 @@ def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — four marginal aggregates in one pass over the fact table."""
     register_views(spark, sf_dir, "events")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --- scalar subqueries -------------------------------------------------------
+
+# Predicate rewritten to exact arithmetic: `price > avg(price)` ⟺
+# `price * count > sum(price)` with decimal/int on both sides, so row
+# membership can't flip on engine-specific float division of the average.
+_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+FROM orders
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+"""
+
+
+@register("orders_above_avg_price", oracle=_ABOVE_AVG_SQL, tags=("olap", "subquery", "sql"))
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery SQL surface: orders priced above the global average,
+    one SQL text on both engines.  Catalyst plans each uncorrelated scalar
+    subquery as its own tiny aggregation job whose single-row result is
+    broadcast into the main scan's filter — at 100 TB that is one extra
+    cheap pass, not a join.  (The exact-arithmetic predicate rewrite is the
+    SURVEY §7.4 numeric-fidelity discipline applied to a threshold.)"""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_ABOVE_AVG_SQL)

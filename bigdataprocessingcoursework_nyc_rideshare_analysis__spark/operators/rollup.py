@@ -129,3 +129,28 @@ def q_earnings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_money_sum(
         _fact(spark, sf_dir), ["business", "ship_month"], "l_extendedprice", "total_earnings"
     )
+
+
+_PANDAS_API_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("pandas_api_event_counts", oracle=_PANDAS_API_ORACLE, tags=("agg", "pandas-api"))
+def q_pandas_api_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-API-on-Spark surface (``pyspark.pandas``): a groupby-size
+    written as pandas idiom, executed distributed, converted back to a
+    plain DataFrame.  Exists to prove the third query API (DataFrame, SQL,
+    pandas-API) stays on the same engine and oracle contract — the plan
+    underneath is the identical partial/final hash aggregate; use it for
+    pandas-fluent users, not for new hot paths."""
+    import pyspark.pandas as ps
+
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    psdf = ev.select("event_type").pandas_api()
+    counts = psdf.groupby("event_type").size().rename("n_events")
+    out = counts.to_frame().reset_index().to_spark()
+    return out.select("event_type", F.col("n_events").cast("long"))
