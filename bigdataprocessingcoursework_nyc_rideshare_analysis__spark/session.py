@@ -29,6 +29,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # runtime bloom-filter pruning on shuffle joins: the probe side drops
+    # rows that can't match before the exchange — the big lever for the
+    # fact×fact joins (lineitem⋈orders) at 100 TB.  Default-on in Spark 4;
+    # pinned so a deployment override can't silently regress it.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 
