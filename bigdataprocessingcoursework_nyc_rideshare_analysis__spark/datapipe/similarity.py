@@ -182,16 +182,33 @@ IVF_LISTS = 16  # centroids
 IVF_NPROBE = 4  # centroid lists searched per query
 IVF_SEED = 7
 IVF_KMEANS_ITERS = 8
+IVF_TRAIN_CAP = 262_144  # absolute bound on vectors collected for training
 
 
 def train_ivf_centroids(
-    emb: DataFrame, k: int = IVF_LISTS, iters: int = IVF_KMEANS_ITERS, seed: int = IVF_SEED, vec_col: str = "embedding"
+    emb: DataFrame,
+    k: int = IVF_LISTS,
+    iters: int = IVF_KMEANS_ITERS,
+    seed: int = IVF_SEED,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cap: int = IVF_TRAIN_CAP,
 ) -> "np.ndarray":
     """Spherical k-means on a deterministic corpus sample, trained driver-
-    side (IVF training is O(sample); only *assignment* must scale).  Returns
-    unit-norm centroids (k × dim)."""
+    side.  Training quality needs O(k·dim) data, not O(corpus), so the
+    sample is *absolutely* bounded: a strided id filter picks ~``cap`` rows
+    whatever the corpus size, with ``limit(cap)`` as the hard ceiling, and
+    driver memory stays constant at 100 TB (cap × dim floats ≈ 128 MB at
+    dim 64).  Only *assignment* (``ivf_assign``) touches the full corpus,
+    and that stays distributed.  Returns unit-norm centroids (k × dim)."""
+    n = emb.count()  # parquet count: metadata-cheap, no wide columns read
+    stride = max(1, -(-n // cap))  # ceil(n / cap): every stride-th id
     sample = np.stack(
-        emb.filter((F.col("vec_id") % 4) == 0).select(vec_col).toPandas()[vec_col].to_numpy()
+        emb.filter((F.col(id_col) % stride) == 0)
+        .select(vec_col)
+        .limit(cap)
+        .toPandas()[vec_col]
+        .to_numpy()
     ).astype(np.float64)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
