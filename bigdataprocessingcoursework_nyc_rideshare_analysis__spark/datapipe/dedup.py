@@ -167,7 +167,7 @@ def lsh_candidate_pairs(sig: DataFrame, perms: int = MINHASH_PERMS, bands: int =
     stacked = banded.select(
         "doc_id",
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(LSH_BANDS)])
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = stacked.alias("a")

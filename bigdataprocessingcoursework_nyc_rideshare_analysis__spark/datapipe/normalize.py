@@ -46,7 +46,15 @@ def minmax_normalize(df: DataFrame, key: str = "user_id", value: str = "value") 
 
     def scale(pdf: pd.DataFrame) -> pd.DataFrame:
         lo, hi = pdf[value].min(), pdf[value].max()
-        norm = (pdf[value] - lo) / (hi - lo) if hi > lo else pd.Series([None] * len(pdf), dtype="float64")
+        # constant groups must be true NULLs, not NaN: a float64 Series of
+        # None is NaN, which Arrow ships to Spark as NaN — the SQL CASE
+        # oracle yields NULL, and NaN vs NULL hash-mismatches.  The masked
+        # nullable Float64 dtype round-trips through Arrow as real nulls.
+        norm = (
+            (pdf[value] - lo) / (hi - lo)
+            if hi > lo
+            else pd.array([pd.NA] * len(pdf), dtype="Float64")
+        )
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],

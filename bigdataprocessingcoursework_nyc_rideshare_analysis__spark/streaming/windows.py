@@ -78,17 +78,24 @@ def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id", dim_k
 def sink_partitioned_parquet(
     stream: DataFrame, path: str, checkpoint: str, partition_by: str = "event_type"
 ):
-    """``foreachBatch`` sink: append each micro-batch as partitioned parquet.
+    """``foreachBatch`` sink: write each micro-batch as partitioned parquet.
 
     foreachBatch hands the micro-batch over as a *batch* DataFrame, so the
     full batch writer API applies (partitioning, bucketing, merges).
-    Exactly-once comes from the checkpoint: a replayed batch id is skipped.
-    Returns the started query handle (caller awaits)."""
+    foreachBatch itself is only at-least-once — a failed micro-batch is
+    replayed from the checkpoint — so end-to-end exactly-once output needs
+    the write to be IDEMPOTENT: each batch overwrites its own
+    ``batch_id=<n>`` directory, making a replay a byte-identical re-write
+    rather than a duplicate append.  Readers see ``batch_id`` as an extra
+    hive-partition column.  Returns the started query handle (caller
+    awaits)."""
 
     # closure over `path`: cloudpickle-by-value, same rule as every
     # function this package ships to workers
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy(partition_by).parquet(path)
+        batch_df.write.mode("overwrite").partitionBy(partition_by).parquet(
+            f"{path}/batch_id={batch_id}"
+        )
 
     return (
         stream.writeStream.foreachBatch(write_batch)
