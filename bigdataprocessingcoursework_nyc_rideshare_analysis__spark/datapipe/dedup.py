@@ -251,8 +251,12 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle of block pairs, and compute each block-pair's cosine matrix
     with one NumPy int64 matmul inside Arrow-batched ``mapInPandas`` —
     exact integer arithmetic on the same quantized vectors, so results stay
-    bit-identical to the SQL oracle.  This IS the 100 TB shape: blocks
-    shard across executors and no side is ever collected or broadcast.
+    bit-identical to the SQL oracle.  Blocking shards the work across
+    executors with nothing collected or broadcast, but the COMPUTE is still
+    quadratic — O((n/B)²) block pairs — so this is the oracle-checked
+    ground truth (like ``neardup_jaccard_pairs``), NOT the scale path.  At
+    100 TB use ``neardup_embedding_lsh``: LSH-bucketed candidate generation
+    + exact cosine verify, corpus-linear like the MinHash text path.
 
     (Threshold 0.45: synthetic random corpus, max pairwise cosine ≈ 0.6.)"""
     from ..functions.vector import quantize_vec
@@ -302,11 +306,11 @@ def cosine_block_pairs(
     def score(batches):
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
-            for _, row in pdf.iterrows():
-                ia = np.array([r["vec_id"] for r in row["vecs_a"]], dtype=np.int64)
-                ib = np.array([r["vec_id"] for r in row["vecs_b"]], dtype=np.int64)
-                ma = np.array([r["qv"] for r in row["vecs_a"]], dtype=np.int64)
-                mb = np.array([r["qv"] for r in row["vecs_b"]], dtype=np.int64)
+            for row in pdf.itertuples(index=False):  # rows are block-pairs; itertuples skips per-row Series construction
+                ia = np.array([r["vec_id"] for r in row.vecs_a], dtype=np.int64)
+                ib = np.array([r["vec_id"] for r in row.vecs_b], dtype=np.int64)
+                ma = np.array([r["qv"] for r in row.vecs_a], dtype=np.int64)
+                mb = np.array([r["qv"] for r in row.vecs_b], dtype=np.int64)
                 dots = ma @ mb.T  # exact int64
                 na = np.sqrt((ma * ma).sum(axis=1).astype(np.float64))
                 nb = np.sqrt((mb * mb).sum(axis=1).astype(np.float64))
@@ -326,6 +330,52 @@ def cosine_block_pairs(
                 )
 
     return block_pairs.mapInPandas(score, schema=out_schema)
+
+
+#: LSH geometry for embedding near-dup: a cos-0.45 pair agrees with a random
+#: hyperplane with p = 1 − acos(0.45)/π ≈ 0.65, so 4-bit tables collide with
+#: p⁴ ≈ 0.18 and 12 OR-ed tables reach recall 1 − (1 − 0.18)¹² ≈ 0.9.
+#: Fewer bits than the ANN index (6) because the dup threshold is a *lower*
+#: cosine than top-k neighbors — looser buckets buy recall.
+EMB_LSH_TABLES = 12
+EMB_LSH_BITS = 4
+EMB_LSH_SEED = 911
+
+
+@register("neardup_embedding_lsh", oracle=None, tags=("datapipe", "dedup", "similarity", "lsh"))
+def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, the 100 TB path: random-hyperplane LSH
+    buckets generate candidate pairs (corpus-linear — cost ∝ corpus
+    signatures + intra-bucket pairs), then EXACT quantized cosine verifies
+    each candidate, keeping only cos ≥ threshold.  Same output contract as
+    ``neardup_embedding_cosine`` minus pairs LSH misses; recall is
+    approximate → rows-only driver check, pytest measures recall against
+    the all-pairs ground truth.  Mirrors the text-dedup pairing of
+    ``neardup_jaccard_pairs`` (truth) / ``neardup_minhash_lsh`` (scale)."""
+    from ..functions.vector import cosine_q, quantize_vec
+    from .similarity import lsh_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = lsh_buckets(emb, "embedding", EMB_LSH_TABLES, EMB_LSH_BITS, EMB_LSH_SEED)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    qa = emb.select(F.col("vec_id").alias("vec_a"), quantize_vec("embedding").alias("qa"))
+    qb = emb.select(F.col("vec_id").alias("vec_b"), quantize_vec("embedding").alias("qb"))
+    return (
+        candidates.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select("vec_a", "vec_b", cosine_q(F.col("qa"), F.col("qb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -103,10 +103,29 @@ VALUE_BANDS = (
 
 def range_band_join(fact: DataFrame, value_col: str) -> DataFrame:
     """Non-equi join against the broadcast bands dimension:
-    ``lo <= value < hi`` (half-open so bands don't double-count edges)."""
+    ``lo <= value < hi`` (half-open so bands don't double-count edges).
+
+    This is the *generic* range-join operator — it handles bands supplied
+    at runtime, overlapping bands (row multiplication), and band attributes
+    beyond the label.  For STATIC non-overlapping bands prefer
+    ``band_case_expr``: the BroadcastNestedLoopJoin here evaluates
+    |bands| predicates per fact row through join machinery, while the CASE
+    chain compiles into the scan's whole-stage-codegen with zero join."""
     bands = fact.sparkSession.createDataFrame(list(VALUE_BANDS), ["band", "lo", "hi"])
     v = F.col(value_col)
     return fact.join(F.broadcast(bands), (v >= F.col("lo")) & (v < F.col("hi")), "left")
+
+
+def band_case_expr(value_col: str, bands=VALUE_BANDS) -> Column:
+    """Map-side banding for static non-overlapping bands: a CASE WHEN chain
+    — no join at all, evaluated inside the scan stage's generated code.
+    Values outside every band yield NULL, matching the left range-join."""
+    v = F.col(value_col)
+    expr = None
+    for band, lo, hi in bands:
+        cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+        expr = F.when(cond, band) if expr is None else expr.when(cond, band)
+    return expr
 
 
 _RANGE_ORACLE = """
@@ -121,9 +140,14 @@ GROUP BY 1, 2
 
 @register("value_band_counts", oracle=_RANGE_ORACLE, tags=("join", "range"))
 def q_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded counts via the map-side CASE expression (bands are static and
+    non-overlapping, so no join is needed — the SQL range-join oracle stays
+    the semantic spec, the plan is scan → partial agg → one shuffle)."""
     ev = load_table(spark, sf_dir, "events")
-    return range_band_join(ev, "value").groupBy("band", "event_type").agg(
-        F.count(F.lit(1)).alias("n_events")
+    return (
+        ev.withColumn("band", band_case_expr("value"))
+        .groupBy("band", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )
 
 

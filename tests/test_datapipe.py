@@ -124,3 +124,29 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     for r in ivf_rows:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert max(per_q.values()) <= TOP_K
+
+
+def test_embedding_lsh_vs_exact_cosine(spark):
+    """The LSH-bucketed embedding near-dup path verifies candidates with the
+    same exact quantized cosine as the all-pairs truth, so: no false
+    positives, and recall against the ground truth clears the OR-amplified
+    design bar (12 tables × 4 bits ≈ 0.9 at the 0.45 threshold)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        q_neardup_embedding,
+        q_neardup_embedding_lsh,
+    )
+
+    truth = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in q_neardup_embedding(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in q_neardup_embedding_lsh(spark, SF_SMOKE).collect()
+    }
+    assert truth, "ground truth empty — threshold/fixture drifted"
+    assert set(approx) <= set(truth)  # exact verify kills false positives
+    for pair, sim in approx.items():
+        assert sim == truth[pair]  # identical quantized-cosine arithmetic
+    recall = len(approx) / len(truth)
+    assert recall >= 0.7, f"embedding LSH recall {recall:.2f} too low"
