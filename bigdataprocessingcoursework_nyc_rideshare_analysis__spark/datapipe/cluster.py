@@ -7,17 +7,23 @@ canonical representative before dropping rows.  No reference counterpart
 (the reference has no iterative algorithms at all; SURVEY.md §2.9) — this is
 the engine-extension tier for LLM training-data curation.
 
-Algorithm: iterative min-label propagation, the DataFrame-native form of
-connected components (the same fixpoint GraphFrames/GraphX converge to).
-Each iteration is one join + one min-aggregation — both shuffle on ``id``,
-so at 100 TB consecutive iterations reuse the same hash partitioning and AQE
-coalesces the tiny label-frontier exchanges.  ``localCheckpoint`` truncates
-the lineage each round (without it the plan doubles per iteration and the
-driver re-optimizes an exponentially growing tree).  Iterations are bounded
-by the cluster diameter — near-dup clusters are shallow (a handful of hops),
-not web-graph-deep; the alternating large-star/small-star variant (Kiveris
-et al., "Connected Components in MapReduce") drops the bound to
-O(log diameter) and is the documented upgrade path if clusters ever get deep.
+Two algorithms behind one signature (the same fixpoint GraphFrames/GraphX
+converge to):
+
+- ``algorithm="star"`` (default): alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+  O(log diameter) rounds, each one edge-keyed groupBy/join pair; the shape
+  that survives web-graph-deep components at 100 TB.
+- ``algorithm="label_prop"``: one-hop min-label propagation — one join +
+  one min-aggregation per round, O(diameter) rounds; fine for shallow
+  near-dup clusters and kept as the readable baseline the deep-chain
+  pytest compares against.
+
+Both shuffle on node id every round, so consecutive iterations reuse the
+same hash partitioning and AQE coalesces the tiny frontier exchanges.
+``localCheckpoint`` truncates lineage each round (without it the plan
+doubles per iteration and the driver re-optimizes an exponentially growing
+tree).
 
 The driver loop is *control flow only* (one scalar count per iteration —
 the convergence test); all data stays distributed.
@@ -40,13 +46,30 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
     max_iter: int = 25,
+    algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, label) with label = min vertex id reachable in the undirected
     graph; singletons keep their own id.
 
     ``edges``: (src, dst) one row per undirected edge (either orientation).
     ``vertices``: (id) — every node, including isolated ones.
+    ``algorithm``: ``"star"`` (default) = alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log diameter) rounds, the 100 TB choice; ``"label_prop"``
+    = one-hop min-label propagation — O(diameter) rounds, kept as the
+    simple/readable baseline the deep-chain pytest compares against.
+    ``stats``: optional dict; on return ``stats["iterations"]`` holds the
+    executed round count (observability for the convergence tests).
     """
+    if algorithm == "star":
+        return _cc_two_phase(edges, vertices, max_iter, stats)
+    return _cc_label_prop(edges, vertices, max_iter, stats)
+
+
+def _cc_label_prop(
+    edges: DataFrame, vertices: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -62,7 +85,7 @@ def connected_components(
     )
 
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -78,9 +101,106 @@ def connected_components(
         )
         if changed == 0:
             converged = True
+            if stats is not None:
+                stats["iterations"] = it + 1
             break
     if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    return vertices.join(labels, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
+
+
+def _cc_two_phase(
+    edges: DataFrame, vertices: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Each round rewires edges toward per-neighborhood minima:
+
+    - **large-star**: for every node u with m = min(N(u) ∪ {u}), replace
+      each edge to a LARGER neighbor v > u with (v, m) — big nodes shortcut
+      to their neighborhood's min.
+    - **small-star**: orient edges (u > v); with m = min(N(u) ∪ {u}),
+      point every smaller neighbor AND u itself at m — flattens local
+      chains into stars.
+
+    The composition strictly shrinks a potential function until the graph
+    is a forest of depth-1 stars rooted at each component's min id —
+    provably O(log diameter) rounds, vs O(diameter) for one-hop label
+    propagation.  Every step is edge-keyed groupBy/join (shuffle on node
+    id, same key every round), nothing driver-side but the convergence
+    fingerprint: (count, xor-of-hashes) of the canonical edge set — one
+    tiny aggregate per round, robust to row order.
+    """
+    canon = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and can't overflow under ANSI mode
+            # (a 64-bit SUM of hashes can)
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))  # only larger neighbors re-point
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is (hi, lo)-oriented from large_star's construction
+        mins = e.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+        joined = e.join(mins, "src")
+        re_pointed = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        self_edge = mins.select("src", F.col("m").alias("dst"))
+        return (
+            re_pointed.union(self_edge)
+            .filter(F.col("src") != F.col("dst"))
+            .select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+            .distinct()
+        )
+
+    cur, fp = canon, fingerprint(canon)
+    converged = False
+    for it in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        nfp = fingerprint(nxt)
+        cur = nxt
+        if nfp == fp:
+            converged = True
+            if stats is not None:
+                stats["iterations"] = it + 1
+            break
+        fp = nfp
+    if not converged:
+        raise RuntimeError(f"connected_components(star) did not converge in {max_iter} iterations")
+
+    # fixpoint edges are (node, root) stars; roots label themselves
+    labels = (
+        cur.select(F.col("src").alias("id"), F.col("dst").alias("label"))
+        .union(cur.select(F.col("dst").alias("id"), F.col("dst").alias("label")))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
     return vertices.join(labels, "id", "left").select(
         "id", F.coalesce("label", F.col("id")).alias("label")
     )

@@ -169,3 +169,33 @@ def test_observe_collects_metrics_without_extra_action(spark):
     n = observed.count()  # the one action
     assert obs.get["n_rows"] == n
     assert obs.get["total_chars"] == docs.agg(F.sum(F.length("text"))).collect()[0][0]
+
+
+def test_star_cc_converges_in_fewer_rounds_on_deep_chain(spark):
+    """A 64-node path graph (diameter 63): label propagation needs O(diameter)
+    one-hop rounds, large-star/small-star O(log diameter).  Both must agree
+    (everything labeled 0) — the star variant just gets there much faster."""
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+
+    star_stats: dict = {}
+    star = {
+        r["id"]: r["label"]
+        for r in connected_components(
+            edges, verts, max_iter=20, algorithm="star", stats=star_stats
+        ).collect()
+    }
+    assert star == {i: 0 for i in range(n)}
+
+    prop_stats: dict = {}
+    prop = {
+        r["id"]: r["label"]
+        for r in connected_components(
+            edges, verts, max_iter=100, algorithm="label_prop", stats=prop_stats
+        ).collect()
+    }
+    assert prop == star
+    assert star_stats["iterations"] <= 10 < prop_stats["iterations"], (
+        f"star {star_stats['iterations']} rounds vs label_prop {prop_stats['iterations']}"
+    )
