@@ -105,10 +105,24 @@ ENRICHED_COLUMNS = (
 )
 
 
-def enriched_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+def enriched_trips(spark: SparkSession, sf_dir: str, use_warehouse: bool = False) -> DataFrame:
     """The engine's central enriched view (reference's 21-column substrate,
-    ``Images/task1_op1.2.png``), realized on the star schema."""
+    ``Images/task1_op1.2.png``), realized on the star schema.
+
+    ``use_warehouse=True`` swaps the lineitem/orders parquet scans for the
+    bucketed managed tables written by
+    ``sources.warehouse.build_trip_warehouse`` — both sides arrive
+    hash-distributed on orderkey, so the fact×fact join below plans with NO
+    Exchange (the bucketing metadata replaces the runtime shuffle; pinned
+    in ``tests/test_bucketing.py``).  The default stays on raw parquet:
+    the driver's oracle harness owns no warehouse."""
     t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier", "customer", "nation")
+    if use_warehouse:
+        from ..sources.warehouse import build_trip_warehouse
+
+        names = build_trip_warehouse(spark, sf_dir)  # idempotent
+        t["lineitem"] = spark.table(names["lineitem"])
+        t["orders"] = spark.table(names["orders"])
     li, orders = t["lineitem"], t["orders"]
 
     fact = li.select(

@@ -1,0 +1,65 @@
+"""Bucketed trip warehouse — the amortized answer to the fact×fact shuffle.
+
+``enriched_trips`` joins lineitem⋈orders on orderkey: at 100 TB that is the
+single heaviest exchange in the rideshare tier, and it is paid by EVERY
+query built on the enriched view.  The warehouse pays that shuffle once at
+ingest instead: ``build_trip_warehouse`` writes lineitem and orders as
+bucketed+sorted managed tables keyed by orderkey, after which the join is
+exchange-free — Catalyst reads the bucketing metadata, sees both sides
+already hash-distributed on the join key, and plans a sort-merge join with
+no Exchange and no Sort (pinned in ``tests/test_bucketing.py``).
+
+This is deliberately NOT wired into the registered queries: the driver's
+correctness harness runs against the raw parquet directories, and a
+registered query that writes managed tables into an arbitrary cwd-relative
+warehouse would be a side effect, not a query.  Pipelines opt in via
+``enriched_trips(..., use_warehouse=True)`` after a one-time build.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import SparkSession
+
+from .tables import load_table
+from .sinks import write_bucketed_table
+
+#: (table, bucket key) — the two sides of the fact×fact edge
+_WAREHOUSE_SPEC = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
+DEFAULT_BUCKETS = 32
+
+
+def _suffix(sf_dir: str) -> str:
+    """Scale-factor-specific table suffix so warehouses for different test
+    dirs coexist (sf0.001 → ``sf0_001``)."""
+    return re.sub(r"[^0-9A-Za-z]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+
+
+def warehouse_table_names(sf_dir: str) -> dict[str, str]:
+    sfx = _suffix(sf_dir)
+    return {tbl: f"wh_{tbl}_{sfx}" for tbl, _ in _WAREHOUSE_SPEC}
+
+
+def warehouse_exists(spark: SparkSession, sf_dir: str) -> bool:
+    return all(
+        spark.catalog.tableExists(name) for name in warehouse_table_names(sf_dir).values()
+    )
+
+
+def build_trip_warehouse(
+    spark: SparkSession, sf_dir: str, n_buckets: int = DEFAULT_BUCKETS, force: bool = False
+) -> dict[str, str]:
+    """One-time ingest: write lineitem and orders bucketed by orderkey.
+
+    Idempotent (skips existing tables unless ``force``).  Bucket count must
+    match on both sides for the exchange-free join; at a real 100 TB ingest
+    pick ``n_buckets`` so each bucket file lands in the 128 MB–1 GB range.
+    Returns ``{source_table: warehouse_table_name}``.
+    """
+    names = warehouse_table_names(sf_dir)
+    for tbl, key in _WAREHOUSE_SPEC:
+        if force or not spark.catalog.tableExists(names[tbl]):
+            write_bucketed_table(load_table(spark, sf_dir, tbl), names[tbl], key, n_buckets)
+    return names

@@ -68,3 +68,36 @@ def test_bucketed_join_result_matches_raw(spark, bucketed_tables):
     orders = load_table(spark, SF_SMOKE, "orders")
     raw_n = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
     assert bucketed_n == raw_n
+
+
+def test_enriched_trips_warehouse_path_is_exchange_free(spark):
+    """The opt-in warehouse path: after the one-time bucketed ingest, the
+    enriched view's lineitem⋈orders edge plans with zero shuffle Exchanges
+    (dims broadcast; bucket metadata covers the fact×fact key), and the
+    result is row-identical to the raw-parquet path."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.enrich import (
+        enriched_trips,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.warehouse import (
+        build_trip_warehouse,
+    )
+
+    names = build_trip_warehouse(spark, SF_SMOKE, n_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            wh_plan = plan_string(enriched_trips(spark, SF_SMOKE, use_warehouse=True))
+            raw_plan = plan_string(enriched_trips(spark, SF_SMOKE))
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # dims still BroadcastExchange (not counted); the orderkey edge: none
+        assert _exchanges(wh_plan) == 0, wh_plan
+        assert _exchanges(raw_plan) >= 2, raw_plan
+
+        raw = enriched_trips(spark, SF_SMOKE).collect()
+        wh = enriched_trips(spark, SF_SMOKE, use_warehouse=True).collect()
+        key = lambda r: (r["l_orderkey"], r["l_linenumber"])
+        assert sorted(raw, key=key) == sorted(wh, key=key)
+    finally:
+        for name in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
