@@ -100,3 +100,69 @@ def test_orc_roundtrip_and_filter_pushdown(spark, outdir):
     assert back.count() == docs.count()
     plan = back.filter(back.doc_id > 100).select("doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)" in plan
+
+
+# --- reference vis-notebook CSV contract ------------------------------------
+
+_REF_CSV = "/root/reference/CSV"
+_MONEY_RE = r"^-?\d{1,3}(,\d{3})*\.\d{2}$"
+
+
+def test_task2_task5_csv_contract_matches_reference(spark, outdir):
+    """Golden-schema parity with the reference's exported CSVs (consumed by
+    codes/task2_vis.ipynb cell 0-2 and task5_vis.ipynb cell 0 via pandas
+    read_csv): same headers, money columns in the same format_number
+    thousands form the notebooks re-parse, counts as plain integers, task-5
+    averages as raw doubles."""
+    import csv
+    import re
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.pipelines.rideshare import (
+        present_money,
+    )
+
+    def read_csv(path):
+        with open(path, newline="") as f:
+            rows = list(csv.reader(f))
+        return rows[0], rows[1:]
+
+    def engine_csv(df, name):
+        write_single_csv(df, f"{outdir}/{name}")
+        return read_csv(glob.glob(f"{outdir}/{name}/part-*.csv")[0])
+
+    trip_count = spark.createDataFrame(
+        [("Uber", 5, 14276372), ("Lyft", 4, 8173)], ["business", "month", "trip_count"]
+    )
+    profit = spark.createDataFrame(
+        [("Uber", 5, 163133615.50), ("Lyft", 4, -90197.13)], ["business", "month", "total_profit"]
+    )
+    earnings = spark.createDataFrame(
+        [("Uber", 5, 313005114.53), ("Lyft", 4, 297815.38)], ["business", "month", "total_earnings"]
+    )
+    daily = spark.createDataFrame(
+        [(1, 396.5318744409635), (2, 246.05148716456986)], ["day", "average_waiting_time"]
+    )
+
+    cases = {
+        "trip_count_task2.csv": engine_csv(trip_count, "trip_count"),
+        "total_profit_task2.csv": engine_csv(present_money(profit, ["total_profit"]), "profit"),
+        "total_earnings_task2.csv": engine_csv(
+            present_money(earnings, ["total_earnings"]), "earnings"
+        ),
+        "avgwaitingtime_task5.csv": engine_csv(daily, "daily"),
+    }
+    for ref_name, (header, rows) in cases.items():
+        ref_header, ref_rows = read_csv(f"{_REF_CSV}/{ref_name}")
+        assert header == ref_header, f"{ref_name}: {header} != {ref_header}"
+        if ref_name.startswith("total_"):
+            # money column: format_number thousands strings on both sides
+            assert all(re.match(_MONEY_RE, r[2]) for r in ref_rows[:5])
+            assert all(re.match(_MONEY_RE, r[2]) for r in rows)
+            # exact string parity on the shared golden values
+            assert {tuple(r) for r in rows} <= {tuple(r) for r in ref_rows}
+        elif ref_name.startswith("trip_count"):
+            assert all(re.match(r"^\d+$", r[2]) for r in rows)
+            assert {tuple(r) for r in rows} <= {tuple(r) for r in ref_rows}
+        else:  # avgwaitingtime: day int + raw double, notebook plots directly
+            assert all(re.match(r"^\d+$", r[0]) and float(r[1]) for r in rows)
+            assert {tuple(r) for r in rows} <= {tuple(r) for r in ref_rows}
