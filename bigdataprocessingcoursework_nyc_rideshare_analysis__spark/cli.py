@@ -1,0 +1,82 @@
+"""Per-task CLI — the ``spark-submit codes/taskN.py`` surface of the
+reference, as one entry point.
+
+A reference user runs each coursework task as a standalone script
+(``codes/task1.py:16-19`` builds a session, reads the CSVs, runs the task,
+writes/prints results).  Here the same workflow is::
+
+    python -m bigdataprocessingcoursework_nyc_rideshare_analysis__spark \
+        task2 --trips rideshare.csv --zones taxi_zone_lookup.csv --out ./out
+
+One process, one task, same outputs: console ``show()`` for every task and
+reference-named CSV exports where the vis notebooks consume them
+(task2 → ``trip_count.csv`` / ``total_profit.csv`` / ``total_earnings.csv``,
+task5 → ``avgwaitingtime_task5.csv`` — the contract pinned by
+``tests/test_sinks.py::test_task2_task5_csv_contract_matches_reference``).
+
+The enriched view is built once per invocation and cached (the reference
+recomputes the two-join prelude per action; SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import argparse
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+from .pipelines import rideshare as tasks
+from .session import get_spark
+from .sources.rideshare import read_rideshare_csv
+from .sources.sinks import write_single_csv
+
+SHOW_ROWS = 20
+
+
+def _show(name: str, df: DataFrame) -> None:
+    print(f"== {name}")
+    df.show(SHOW_ROWS, truncate=False)
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="bigdataprocessingcoursework_nyc_rideshare_analysis__spark",
+        description="Run one coursework task end-to-end on rideshare CSVs.",
+    )
+    parser.add_argument("task", choices=[f"task{i}" for i in range(1, 8)])
+    parser.add_argument("--trips", required=True, help="rideshare fact CSV path")
+    parser.add_argument("--zones", required=True, help="taxi zone lookup CSV path")
+    parser.add_argument("--out", default=None, help="directory for CSV exports (task2/task5)")
+    args = parser.parse_args(argv)
+
+    spark = get_spark(app_name=f"bdpc-{args.task}")
+    trips, zones = read_rideshare_csv(spark, args.trips, args.zones)
+    enriched = tasks.build_enriched_view(trips, zones, cache=True)
+
+    if args.task == "task1":
+        enriched.printSchema()
+        print(f"rows: {enriched.count()}")
+    elif args.task == "task2":
+        rollups = tasks.task2_monthly_rollups(enriched)
+        for name, df in rollups.items():
+            out_df = df if name == "trip_count" else tasks.present_money(df, [name])
+            _show(name, out_df)
+            if args.out:
+                write_single_csv(out_df, f"{args.out}/{name}")
+    elif args.task == "task3":
+        for name, df in tasks.task3_topk(enriched).items():
+            _show(name, df)
+    elif args.task == "task4":
+        _show("ratio_of_averages", tasks.task4_ratio_of_averages(enriched))
+    elif args.task == "task5":
+        results = tasks.task5_daily_anomaly(enriched)
+        _show("daily", results["daily"])
+        _show("anomalous_days", results["anomalous_days"])
+        if args.out:
+            write_single_csv(results["daily"], f"{args.out}/avgwaitingtime_task5")
+    elif args.task == "task6":
+        for name, df in tasks.task6_filters(enriched).items():
+            _show(name, df)
+    elif args.task == "task7":
+        _show("route_pivot_top10", tasks.task7_route_pivot(enriched))
+    return 0

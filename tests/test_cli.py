@@ -1,0 +1,83 @@
+"""The per-task CLI surface: ``python -m <pkg> taskN --trips … --zones …``
+must run a task end-to-end from CSVs on disk and export the reference-named
+CSV files the vis notebooks consume."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import shutil
+import tempfile
+
+import pytest
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.cli import main
+
+TRIPS_HEADER = (
+    "business,pickup_location,dropoff_location,trip_length,request_to_pickup,"
+    "total_ride_time,on_scene_to_pickup,on_scene_to_dropoff,time_of_day,date,"
+    "passenger_fare,driver_total_pay,rideshare_profit,hourly_rate,dollars_per_mile"
+)
+ZONES_HEADER = "LocationID,Borough,Zone,service_zone"
+
+# epoch 1672531200 = 2023-01-01 UTC
+TRIPS_ROWS = [
+    "Uber,1,2,2.0,400.0,600.0,10.0,610.0,morning,1672531200,10.0,6.0,4.0,30.0,5.0",
+    "Uber,1,2,2.0,450.0,600.0,10.0,610.0,evening,1672531200,10.0,6.0,4.0,30.0,5.0",
+    "Lyft,2,1,2.0,100.0,600.0,10.0,610.0,night,1672617600,5.0,7.0,-2.0,30.0,2.5",
+]
+ZONES_ROWS = [
+    "1,Manhattan,Midtown,Yellow Zone",
+    "2,Brooklyn,Bay Ridge,Boro Zone",
+]
+
+
+@pytest.fixture()
+def csv_inputs(spark):
+    d = tempfile.mkdtemp(prefix="cli_test_")
+    with open(f"{d}/trips.csv", "w") as f:
+        f.write("\n".join([TRIPS_HEADER, *TRIPS_ROWS]) + "\n")
+    with open(f"{d}/zones.csv", "w") as f:
+        f.write("\n".join([ZONES_HEADER, *ZONES_ROWS]) + "\n")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _read_csv(pattern):
+    [path] = glob.glob(pattern)
+    with open(path, newline="") as f:
+        rows = list(csv.reader(f))
+    return rows[0], rows[1:]
+
+
+def test_cli_task2_exports_reference_csvs(spark, csv_inputs):
+    rc = main(
+        ["task2", "--trips", f"{csv_inputs}/trips.csv", "--zones", f"{csv_inputs}/zones.csv",
+         "--out", f"{csv_inputs}/out"]
+    )
+    assert rc == 0
+    header, rows = _read_csv(f"{csv_inputs}/out/trip_count/part-*.csv")
+    assert header == ["business", "month", "trip_count"]
+    assert {tuple(r) for r in rows} == {("Uber", "1", "2"), ("Lyft", "1", "1")}
+    header, rows = _read_csv(f"{csv_inputs}/out/total_profit/part-*.csv")
+    assert header == ["business", "month", "total_profit"]
+    # money exported as format_number strings (vis-notebook contract)
+    assert {tuple(r) for r in rows} == {("Uber", "1", "8.00"), ("Lyft", "1", "-2.00")}
+
+
+def test_cli_task5_exports_avgwaitingtime(spark, csv_inputs):
+    rc = main(
+        ["task5", "--trips", f"{csv_inputs}/trips.csv", "--zones", f"{csv_inputs}/zones.csv",
+         "--out", f"{csv_inputs}/out5"]
+    )
+    assert rc == 0
+    header, rows = _read_csv(f"{csv_inputs}/out5/avgwaitingtime_task5/part-*.csv")
+    assert header == ["day", "average_waiting_time"]
+    assert [r[0] for r in rows] == ["1", "2"]
+    assert float(rows[0][1]) == 425.0  # (400+450)/2
+
+
+def test_cli_task1_runs(spark, csv_inputs, capsys):
+    rc = main(["task1", "--trips", f"{csv_inputs}/trips.csv", "--zones", f"{csv_inputs}/zones.csv"])
+    assert rc == 0
+    assert "rows: 3" in capsys.readouterr().out
