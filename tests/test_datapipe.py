@@ -150,3 +150,40 @@ def test_embedding_lsh_vs_exact_cosine(spark):
         assert sim == truth[pair]  # identical quantized-cosine arithmetic
     recall = len(approx) / len(truth)
     assert recall >= 0.7, f"embedding LSH recall {recall:.2f} too low"
+
+
+def test_minmax_constant_group_yields_true_nulls(spark):
+    """A constant group must produce NULL norm_value (SQL CASE semantics),
+    not NaN — NaN vs NULL is a latent cross-engine hash mismatch (the Arrow
+    float64 path silently turns None into NaN; the nullable Float64 path
+    does not)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.normalize import (
+        minmax_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 5.0), (3, 20, 1.0), (4, 20, 3.0)],
+        "event_id long, user_id long, value double",
+    )
+    rows = {r["event_id"]: r["norm_value"] for r in minmax_normalize(df).collect()}
+    assert rows[1] is None and rows[2] is None  # constant group: true NULLs
+    assert rows[3] == 0.0 and rows[4] == 1.0
+
+
+def test_lsh_candidate_pairs_respects_bands_param(spark):
+    """bands != default must band the signature consistently (regression:
+    the stacked explode iterated the module constant, so bands<8 raised on
+    missing columns and bands>8 silently ignored the extra bands)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig = minhash_signatures(shingle_sets(docs))
+    for bands in (4, 16):
+        pairs = lsh_candidate_pairs(sig, bands=bands)
+        assert pairs.columns == ["doc_a", "doc_b"]
+        pairs.limit(1).collect()  # executes the banded plan
