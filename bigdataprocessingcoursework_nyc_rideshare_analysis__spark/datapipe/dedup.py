@@ -336,46 +336,85 @@ def cosine_block_pairs(
 #: hyperplane with p = 1 − acos(0.45)/π ≈ 0.65, so 4-bit tables collide with
 #: p⁴ ≈ 0.18 and 12 OR-ed tables reach recall 1 − (1 − 0.18)¹² ≈ 0.9.
 #: Fewer bits than the ANN index (6) because the dup threshold is a *lower*
-#: cosine than top-k neighbors — looser buckets buy recall.
+#: cosine than top-k neighbors — looser buckets buy recall.  Bits scale up
+#: with the corpus (see ``q_neardup_embedding_lsh``) so bucket population —
+#: and with it per-bucket verify cost — stays bounded as n grows.
 EMB_LSH_TABLES = 12
 EMB_LSH_BITS = 4
+EMB_LSH_MAX_BITS = 12
+EMB_LSH_BUCKET_TARGET = 512  # aim ≈ this many vectors per bucket
 EMB_LSH_SEED = 911
 
 
 @register("neardup_embedding_lsh", oracle=None, tags=("datapipe", "dedup", "similarity", "lsh"))
 def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, the 100 TB path: random-hyperplane LSH
-    buckets generate candidate pairs (corpus-linear — cost ∝ corpus
-    signatures + intra-bucket pairs), then EXACT quantized cosine verifies
-    each candidate, keeping only cos ≥ threshold.  Same output contract as
-    ``neardup_embedding_cosine`` minus pairs LSH misses; recall is
-    approximate → rows-only driver check, pytest measures recall against
-    the all-pairs ground truth.  Mirrors the text-dedup pairing of
-    ``neardup_jaccard_pairs`` (truth) / ``neardup_minhash_lsh`` (scale)."""
-    from ..functions.vector import cosine_q, quantize_vec
+    buckets the corpus, then each bucket is verified with ONE exact int64
+    GEMM — identical quantized arithmetic to the all-pairs ground truth, so
+    every emitted ``cos_sim`` is bit-identical to
+    ``neardup_embedding_cosine``'s (asserted in ``test_datapipe.py``).
+
+    Scale shape: cost ∝ corpus (signatures) + Σ_buckets |bucket|² where
+    |bucket| ≈ ``EMB_LSH_BUCKET_TARGET`` by construction — bits grow with
+    log₂(n), keeping per-bucket verify constant, so total work is
+    corpus-linear.  The candidate *pairs* are never materialized as rows:
+    the only shuffle is corpus × tables bucket assignments (an earlier
+    form joined 1M+ candidate pairs and scored them with interpreted
+    higher-order-function cosine — per-pair HOF evaluation was the whole
+    cost).  Recall is approximate → rows-only driver check; pytest
+    measures recall against the all-pairs truth.  Mirrors the text-dedup
+    pairing of ``neardup_jaccard_pairs`` / ``neardup_minhash_lsh``."""
+    import math
+
+    import numpy as np
+
+    from ..functions.vector import quantize_vec
     from .similarity import lsh_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = lsh_buckets(emb, "embedding", EMB_LSH_TABLES, EMB_LSH_BITS, EMB_LSH_SEED)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    n = emb.count()  # parquet metadata count — no data read
+    bits = min(
+        EMB_LSH_MAX_BITS, max(EMB_LSH_BITS, math.ceil(math.log2(max(1, n / EMB_LSH_BUCKET_TARGET))))
     )
-    qa = emb.select(F.col("vec_id").alias("vec_a"), quantize_vec("embedding").alias("qa"))
-    qb = emb.select(F.col("vec_id").alias("vec_b"), quantize_vec("embedding").alias("qb"))
-    return (
-        candidates.join(qa, "vec_a")
-        .join(qb, "vec_b")
-        .select("vec_a", "vec_b", cosine_q(F.col("qa"), F.col("qb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    bucketed = lsh_buckets(emb, "embedding", EMB_LSH_TABLES, bits, EMB_LSH_SEED)
+    qv = emb.select("vec_id", quantize_vec("embedding").alias("qv"))
+    grouped = (
+        bucketed.join(qv, "vec_id")
+        .groupBy("table", "bucket")
+        .agg(F.collect_list(F.struct("vec_id", "qv")).alias("vecs"))
     )
+    threshold = COSINE_DUP_THRESHOLD
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids = np.array([r["vec_id"] for r in row.vecs], dtype=np.int64)
+                m = np.array([r["qv"] for r in row.vecs], dtype=np.int64)
+                dots = m @ m.T  # exact int64, |bucket|² small by construction
+                norms = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+                cos = dots.astype(np.float64) / np.outer(norms, norms)
+                ai, bi = np.nonzero(np.triu(cos >= threshold, k=1))
+                lo = np.minimum(ids[ai], ids[bi])
+                hi = np.maximum(ids[ai], ids[bi])
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(cos[ai, bi])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "cos_sim": np.concatenate(out_c),
+                    }
+                )
+
+    pairs = grouped.mapInPandas(score, schema="vec_a long, vec_b long, cos_sim double")
+    # cos_sim is bit-identical across tables (same exact int64 arithmetic),
+    # so distinct() collapses multi-table collisions without a tolerance
+    return pairs.distinct()
 
 
 # --- SimHash ----------------------------------------------------------------
