@@ -1,0 +1,245 @@
+"""Corpus hygiene operators for LLM training-data pipelines: PII scrubbing,
+intra-document repetition scoring, benchmark-contamination detection, and
+token-budget sequence packing.
+
+No reference counterpart (SURVEY.md §2.9 extension tier).  Everything here
+is JVM-side ``pyspark.sql.functions`` — regexes, array ops, window sums —
+inside whole-stage codegen, with each query's exact semantics mirrored in a
+DuckDB oracle.  All four are per-row or single-shuffle shapes that hold at
+100 TB:
+
+- ``pii_scrub_docs``: per-row regexp chain, zero shuffles.
+- ``doc_repetition_score``: per-row array stats (Gopher-style repetition
+  quality gate), zero shuffles.
+- ``contamination_overlap``: shingle-keyed join where the benchmark side is
+  orders of magnitude smaller than the training corpus → broadcast; cost is
+  one pass over training shingles.
+- ``pack_training_sequences``: concat-and-chunk packing as a running token
+  sum windowed PER SOURCE SHARD — each partition's window is independent,
+  so the plan is one hash exchange on ``source``, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.text import normalize_text, shingles_col, tokens_col
+from ..registry import register
+from ..sources import load_table
+
+# --- PII scrubbing ----------------------------------------------------------
+
+#: RE2-and-Java-compatible patterns (both engines must match identically)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d{3}[- ]\d{2,4}[- ]\d{2,4}"
+
+
+def scrub_pii(col, email_token: str = "<EMAIL>", phone_token: str = "<PHONE>"):
+    """Redact emails then phone-shaped digit runs (order matters: emails can
+    contain digits).  Pure expression — usable on any string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(c, EMAIL_RE, email_token), PHONE_RE, phone_token)
+
+
+_PII_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +555-01' || CAST(doc_id % 100 AS VARCHAR)
+              || '-9876 today' AS raw_text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(raw_text,
+                                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\\+?\\d{3}[- ]\\d{2,4}[- ]\\d{2,4}', '<PHONE>', 'g') AS clean_text,
+       regexp_matches(raw_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS had_email,
+       regexp_matches(raw_text, '\\+?\\d{3}[- ]\\d{2,4}[- ]\\d{2,4}') AS had_phone
+FROM raw
+"""
+
+
+@register("pii_scrub_docs", oracle=_PII_ORACLE, tags=("datapipe", "scrub"))
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus.  The synthetic corpus carries no real
+    PII, so the query first appends deterministic doc-derived email/phone
+    strings — proving (differentially, against the oracle) that the redaction
+    actually fires — then scrubs them.  Per-row regexp chain: zero shuffles,
+    scales embarrassingly."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("-9876 today"),
+        ).alias("raw_text"),
+    )
+    return raw.select(
+        "doc_id",
+        scrub_pii("raw_text").alias("clean_text"),
+        F.col("raw_text").rlike(EMAIL_RE).alias("had_email"),
+        F.col("raw_text").rlike(PHONE_RE).alias("had_phone"),
+    )
+
+
+# --- intra-document repetition (quality gate) -------------------------------
+
+REPETITION_MAX_DUP_FRAC = 0.2  # Gopher-style gate: >20% duplicate bigrams → drop
+
+
+_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks), 1)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_bigrams,
+       CAST(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS DOUBLE) AS dup_frac,
+       (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) <= {REPETITION_MAX_DUP_FRAC} AS keep
+FROM g
+"""
+
+
+@register("doc_repetition_score", oracle=_REPETITION_ORACLE, tags=("datapipe", "scrub", "quality"))
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram fraction per document — the repetition quality gate
+    (heavily repeated n-grams mark low-quality/generated text; cf. the
+    repetition filters in Gopher/MassiveText-style curation).  Entirely
+    per-row array math (no explode, no shuffle): ``1 −
+    |distinct bigrams| / |bigrams|``, plus the keep/drop verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens_col("text").alias("toks")).filter(F.size("toks") >= 2)
+    grams = toked.select("doc_id", shingles_col("toks", 2).alias("grams"))
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+    )
+    return grams.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_bigrams"),
+        dup_frac.cast("double").alias("dup_frac"),
+        (dup_frac <= REPETITION_MAX_DUP_FRAC).alias("keep"),
+    )
+
+
+# --- benchmark contamination ------------------------------------------------
+
+CONTAMINATION_MIN_COMMON = 3  # shared 3-gram shingles to flag an overlap
+_EVAL_MOD = 97  # deterministic stand-in eval split: doc_id % 97 == 0
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM t WHERE len(toks) >= 3
+)
+SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
+       COUNT(*) AS n_common
+FROM (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} <> 0) tr
+JOIN (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} = 0) ev ON tr.shingle = ev.shingle
+GROUP BY 1, 2
+HAVING COUNT(*) >= {CONTAMINATION_MIN_COMMON}
+"""
+
+
+def contamination_pairs(
+    train_sh: DataFrame, eval_sh: DataFrame, min_common: int = CONTAMINATION_MIN_COMMON
+) -> DataFrame:
+    """(train_doc_id, eval_doc_id, n_common) for doc pairs sharing ≥
+    ``min_common`` shingles.  The eval side (benchmarks) is tiny next to a
+    training corpus → broadcast; the train side streams through in one pass
+    keyed by shingle.  This is the train/test-overlap decontamination sweep
+    every serious pretraining pipeline runs before training."""
+    ev = F.broadcast(eval_sh.select(F.col("doc_id").alias("eval_doc_id"), "shingle"))
+    return (
+        train_sh.select(F.col("doc_id").alias("train_doc_id"), "shingle")
+        .join(ev, "shingle")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+@register("contamination_overlap", oracle=_CONTAMINATION_ORACLE, tags=("datapipe", "scrub"))
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs).persist()  # one tokenize/shingle pass feeds both splits
+    return contamination_pairs(
+        sh.filter(F.col("doc_id") % _EVAL_MOD != 0),
+        sh.filter(F.col("doc_id") % _EVAL_MOD == 0),
+    )
+
+
+# --- sequence packing -------------------------------------------------------
+
+PACK_TOKEN_BUDGET = 256  # tokens per packed training sequence
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((cum - n_tokens) / {PACK_TOKEN_BUDGET}) AS BIGINT) AS first_seq,
+       CAST(floor((cum - 1) / {PACK_TOKEN_BUDGET}) AS BIGINT) AS last_seq,
+       CAST((cum - n_tokens) % {PACK_TOKEN_BUDGET} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+@register("pack_training_sequences", oracle=_PACK_ORACLE, tags=("datapipe", "scrub", "packing"))
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    deterministic (source, doc_id) order and cut every ``PACK_TOKEN_BUDGET``
+    tokens — exactly how pretraining batches are formed (documents may
+    straddle a cut; ``first_seq``/``last_seq`` delimit the span, and
+    ``seq_offset`` is the document's start position inside its first
+    sequence).
+
+    Scale shape: the running sum windows PER SOURCE SHARD, so the plan is
+    one exchange on ``source`` and an in-partition sort — no global
+    ordering.  At 100 TB with few huge sources you would pre-split sources
+    into bounded shard keys at ingest; the window form is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    budget = PACK_TOKEN_BUDGET
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget).cast("long").alias("first_seq"),
+        F.floor((F.col("cum") - 1) / budget).cast("long").alias("last_seq"),
+        ((F.col("cum") - F.col("n_tokens")) % budget).cast("long").alias("seq_offset"),
+    )

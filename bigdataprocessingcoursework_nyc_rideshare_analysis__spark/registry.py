@@ -50,7 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
     round 1 (CORRECTNESS_r01.json), so fresh verification budget goes to
     the queries without a green row yet.
     """
-    from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster  # noqa: F401
+    from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster, scrub  # noqa: F401
     from .sources import pydatasource  # noqa: F401
     from .operators import (  # noqa: F401
         olap,
