@@ -41,6 +41,26 @@ def main() -> None:
         _noop, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # warmup: the Python DataSource read path runs in its own worker/runner
+    # type (plan_data_source_read), not the mapInPandas pool — touch it once
+    # so the first custom-source query isn't charged its spin-up either
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.pydatasource import (
+        SOURCE_NAME,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    spark.read.format(SOURCE_NAME).option("n_docs", 32).option("partitions", int(cpus)).load().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # warmup: one tiny shuffle so exchange/agg machinery (shuffle writers,
+    # codegen of the HashAggregate+Exchange shape) is initialized before the
+    # first timed query instead of being charged to it
+    load_table(spark, sf_dir, "region").groupBy("r_name").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name, spec in registry.items():
         start = time.perf_counter()
