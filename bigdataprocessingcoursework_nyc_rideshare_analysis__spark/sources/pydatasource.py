@@ -30,7 +30,28 @@ DEFAULT_PARTITIONS = 8
 
 
 def _build_datasource():
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    # closure, not module-level: everything the executor-side readers touch
+    # must pickle BY VALUE (workers don't import this package)
+    def _gen_batch(start: int, end: int):
+        """One Arrow RecordBatch of synthetic docs for [start, end) — shared
+        by the batch and streaming readers so both surfaces emit identical
+        rows."""
+        import pyarrow as pa
+
+        ids = list(range(start, end))
+        suffixes = ["w " * r for r in range(7)]
+        texts = [f"synthetic document {i} body {suffixes[i % 7]}" for i in ids]
+        return pa.RecordBatch.from_arrays(
+            [pa.array(ids, type=pa.int64()), pa.array(texts, type=pa.string())],
+            names=["doc_id", "text"],
+        )
 
     class RangePartition(InputPartition):
         def __init__(self, start: int, end: int):
@@ -55,15 +76,41 @@ def _build_datasource():
             # the per-row Python tax).  Spark 4's DataSource API accepts
             # pyarrow.RecordBatch directly, so the whole partition crosses
             # the boundary as one columnar buffer.
-            import pyarrow as pa
+            yield _gen_batch(partition.start, partition.end)
 
-            ids = list(range(partition.start, partition.end))
-            suffixes = ["w " * r for r in range(7)]
-            texts = [f"synthetic document {i} body {suffixes[i % 7]}" for i in ids]
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64()), pa.array(texts, type=pa.string())],
-                names=["doc_id", "text"],
-            )
+    class SyntheticDocsStreamReader(DataSourceStreamReader):
+        """Micro-batch reader over the same generator: the offset is simply
+        how many docs have been emitted.  Each trigger advances by
+        ``batch_docs`` (admission control), ``partitions(start, end)``
+        splits the batch range so executors read slices in parallel, and
+        ``readBetweenOffsets`` replay (after failure) regenerates exactly
+        the same rows — the determinism that makes end-to-end exactly-once
+        possible downstream."""
+
+        def __init__(self, options):
+            self.n_docs = int(options.get("n_docs", DEFAULT_N_DOCS))
+            self.n_partitions = int(options.get("partitions", DEFAULT_PARTITIONS))
+            self.batch_docs = int(options.get("batch_docs", max(1, self.n_docs // 4)))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            # grow by one micro-batch per trigger, capped at the corpus end
+            self._latest = getattr(self, "_latest", 0)
+            self._latest = min(self.n_docs, self._latest + self.batch_docs)
+            return {"pos": self._latest}
+
+        def partitions(self, start, end):
+            lo, hi = start["pos"], end["pos"]
+            step = max(1, -(-(hi - lo) // self.n_partitions))
+            return [RangePartition(i, min(i + step, hi)) for i in range(lo, hi, step)]
+
+        def read(self, partition):
+            yield _gen_batch(partition.start, partition.end)
+
+        def commit(self, end):
+            pass  # nothing external to clean up: the generator is pure
 
     class SyntheticDocsSource(DataSource):
         @classmethod
@@ -75,6 +122,9 @@ def _build_datasource():
 
         def reader(self, schema):
             return SyntheticDocsReader(self.options)
+
+        def streamReader(self, schema):
+            return SyntheticDocsStreamReader(self.options)
 
     return SyntheticDocsSource
 

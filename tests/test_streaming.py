@@ -212,3 +212,82 @@ def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir):
         for r in interval_join_stream(clicks_b, purchases_b).collect()
     }
     assert got == want and got
+
+
+def test_custom_streaming_source_matches_batch(spark):
+    """The custom Python DataSource's stream reader must emit, across
+    micro-batches (offset advance → partition planning → Arrow reads →
+    commit), exactly the rows its batch reader produces in one shot."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.pydatasource import (
+        SOURCE_NAME,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    n_docs = 100
+    batch = (
+        spark.read.format(SOURCE_NAME).option("n_docs", n_docs).option("partitions", 4).load()
+    )
+    stream = (
+        spark.readStream.format(SOURCE_NAME)
+        .option("n_docs", n_docs)
+        .option("partitions", 4)
+        .option("batch_docs", 30)  # forces ≥4 micro-batches
+        .load()
+    )
+    ckpt = tempfile.mkdtemp(prefix="pyds_stream_ckpt_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("pyds_stream")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["doc_id"], r["text"]) for r in spark.table("pyds_stream").collect()
+        }
+        want = {(r["doc_id"], r["text"]) for r in batch.collect()}
+        assert got == want and len(got) == n_docs
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sink_checkpoint_restart_no_duplicates(spark):
+    """Restarting the foreachBatch parquet sink from its checkpoint after new
+    data arrives must append ONLY the new micro-batches: already-committed
+    batch ids are skipped on replay, and each batch overwrites its own
+    batch_id directory (the idempotence that upgrades at-least-once replay
+    to exactly-once output)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        sink_partitioned_parquet,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(200).cache()
+    first = ev.limit(120)
+    second = ev.subtract(first)
+    src = tempfile.mkdtemp(prefix="restart_src_")
+    out = tempfile.mkdtemp(prefix="restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+    try:
+        first.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = sink_partitioned_parquet(stream, out, ckpt)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == first.count()
+
+        second.write.mode("append").parquet(src)  # new files, same checkpoint
+        stream2 = spark.readStream.schema(ev.schema).parquet(src)
+        q2 = sink_partitioned_parquet(stream2, out, ckpt)
+        q2.awaitTermination(120)
+        written = spark.read.parquet(out)
+        assert written.count() == ev.count()  # no re-appended first batch
+        assert written.select("event_id").distinct().count() == ev.count()
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
