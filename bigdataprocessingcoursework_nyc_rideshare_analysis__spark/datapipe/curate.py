@@ -119,3 +119,132 @@ WHERE predicted_lang = '{TARGET_LANG}'
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return prepare_training_corpus(docs)
+
+
+# --- full pipeline: curation + hygiene + packing ----------------------------
+
+_CURATE_PACK_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, lang, source, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, source, fingerprint, toks,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in sorted(LANG_MARKERS))},
+         MIN(doc_id) OVER (PARTITION BY fingerprint) AS rep
+  FROM feat
+), manifest AS (
+  SELECT doc_id, source, n_tokens,
+         CASE
+           {" ".join(f"WHEN s_{lang} >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN '{lang}'" for lang in sorted(LANG_MARKERS))}
+         END AS predicted_lang
+  FROM scored WHERE doc_id = rep
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks), 1)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+  FROM feat WHERE len(toks) >= 2
+), repkeep AS (
+  SELECT doc_id FROM grams
+  WHERE (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) <= 0.2
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM feat WHERE len(toks) >= 3
+), contaminated AS (
+  SELECT DISTINCT train_doc_id AS doc_id FROM (
+    SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id, COUNT(*) AS n_common
+    FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) tr
+    JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) ev ON tr.shingle = ev.shingle
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+  )
+), surv AS (
+  SELECT m.doc_id, m.source, CAST(m.n_tokens AS BIGINT) AS n_tokens
+  FROM manifest m
+  JOIN repkeep r ON m.doc_id = r.doc_id
+  WHERE m.predicted_lang = '{TARGET_LANG}'
+    AND m.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+    AND m.doc_id % 97 <> 0
+    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = m.doc_id)
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM surv
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS first_seq,
+       CAST(floor((cum - 1) / 256) AS BIGINT) AS last_seq,
+       CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+@register("curate_pack_corpus", oracle=_CURATE_PACK_ORACLE, tags=("datapipe", "pipeline", "scrub"))
+def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-data pipeline, one declarative plan:
+
+    exact dedup → language gate → token-count band (``prepare_training_
+    corpus``) → repetition gate (``scrub``) → eval-split exclusion +
+    contamination anti-join → concat-and-chunk sequence packing of the
+    survivors.  Output is the packed training manifest: where each
+    surviving document lands in the fixed-token-budget sequence stream.
+
+    Every stage is the already-tested operator, composed via doc_id-keyed
+    joins; Catalyst fuses the per-row stages and the only exchanges are the
+    dedup window, the gate joins, and the per-source packing window — the
+    same shapes at 100 TB, just wider."""
+    from .dedup import shingle_sets
+    from .scrub import (
+        _EVAL_MOD,
+        PACK_TOKEN_BUDGET,
+        REPETITION_MAX_DUP_FRAC,
+        contamination_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = prepare_training_corpus(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    toked = docs.select("doc_id", tokens_col("text").alias("toks"))
+    from ..functions.text import shingles_col
+
+    grams = toked.filter(F.size("toks") >= 2).select(
+        "doc_id", shingles_col("toks", 2).alias("grams")
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+    repkeep = grams.filter(dup_frac <= REPETITION_MAX_DUP_FRAC).select("doc_id")
+
+    sh = shingle_sets(docs).persist()
+    contaminated = (
+        contamination_pairs(
+            sh.filter(F.col("doc_id") % _EVAL_MOD != 0),
+            sh.filter(F.col("doc_id") % _EVAL_MOD == 0),
+        )
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+    surv = (
+        manifest.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(repkeep, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = surv.withColumn("cum", F.sum("n_tokens").over(w))
+    budget = PACK_TOKEN_BUDGET
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget).cast("long").alias("first_seq"),
+        F.floor((F.col("cum") - 1) / budget).cast("long").alias("last_seq"),
+        ((F.col("cum") - F.col("n_tokens")) % budget).cast("long").alias("seq_offset"),
+    )

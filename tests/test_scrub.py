@@ -96,3 +96,24 @@ def test_pack_sequences_invariants(spark):
             assert r["seq_offset"] == cum % PACK_TOKEN_BUDGET
             cum += r["n_tokens"]
             assert r["last_seq"] == (cum - 1) // PACK_TOKEN_BUDGET
+
+
+def test_curate_pack_composes_all_gates(spark):
+    """curate_pack survivors = curated manifest ∩ repetition-keep −
+    eval-split − contaminated, and the packed spans tile per source."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.curate import (
+        q_curate,
+        q_curate_pack,
+    )
+
+    packed = q_curate_pack(spark, SF_SMOKE).collect()
+    assert packed
+    manifest_ids = {r["doc_id"] for r in q_curate(spark, SF_SMOKE).collect()}
+    contaminated = {r["train_doc_id"] for r in q_contamination(spark, SF_SMOKE).collect()}
+    kept = {r["doc_id"] for r in q_doc_repetition(spark, SF_SMOKE).collect() if r["keep"]}
+    for r in packed:
+        assert r["doc_id"] in manifest_ids
+        assert r["doc_id"] % 97 != 0
+        assert r["doc_id"] not in contaminated
+        assert r["doc_id"] in kept
+        assert 0 <= r["seq_offset"] < PACK_TOKEN_BUDGET
