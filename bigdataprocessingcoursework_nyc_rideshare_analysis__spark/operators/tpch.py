@@ -1,0 +1,563 @@
+"""Decision-support query shapes (TPC-H-style) over the star schema.
+
+The reference never goes past fact×dim joins and single-level aggregation
+(SURVEY.md §2.3-2.4: "no semi/anti/theta/range/as-of joins", no subqueries,
+no conditional aggregation).  A complete engine must also cover the classic
+warehouse shapes users run daily: scan-heavy flag/status summaries,
+EXISTS-driven counts, conditional (CASE) aggregation, two-level aggregation
+(aggregate of an aggregate), scalar-subquery filters, argmin-per-group, and
+HAVING-driven semi joins back into the fact.  This module implements those
+shapes with the public TPC-H queries as the semantic model — Q1, Q4, Q6, Q8,
+Q10, Q13, Q14, Q15, Q18, Q22 — re-parameterized for the driver's synthetic
+tables (TESTDATA.md; date ranges 1995-2001, p_type ∈ {PROMO, ...}).
+
+Scale notes (100 TB design point), per query in its docstring; common rules:
+- money accumulates in DECIMAL(18,2) and converts to DOUBLE only at the end
+  (``functions.scalar``) — order-independent, so results are bit-identical
+  across partitionings and engines;
+- every dimension join is explicitly ``F.broadcast`` (customer/supplier/
+  part/nation are dims here; at 100 TB customer may outgrow broadcast — the
+  plan degrades to a shuffle join on the same code);
+- fact-side predicates are plain column comparisons so they reach the
+  parquet scan as PushedFilters (pinned in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import money_avg, money_sum
+from ..registry import register
+from ..sources import load_table, load_tables
+
+
+def _revenue(extendedprice: str = "l_extendedprice", discount: str = "l_discount") -> F.Column:
+    """Exact-decimal revenue term ``extprice * (1 - discount)``."""
+    return F.col(extendedprice).cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col(discount).cast("decimal(18,2)")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary report: the canonical scan-heavy flag/status rollup.
+# ---------------------------------------------------------------------------
+
+_PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary_by_flag_status", oracle=_PRICING_SUMMARY_ORACLE, tags=("olap", "agg", "tpch"))
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-table scan → 6-group rollup with 8 aggregates.
+
+    The scan-bound archetype: no join at all, the shipdate predicate and the
+    9-column projection reach the parquet scan, and every aggregate computes
+    map-side partial state before one exchange on a 6-row key space.  At
+    100 TB this query is pure scan throughput — the plan cannot do better
+    than partial-agg + tiny final exchange, which is exactly what Catalyst
+    emits here (pinned in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity", "sum_qty"),
+        money_sum("l_extendedprice", "sum_base_price"),
+        F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+        F.sum(
+            _revenue() * (F.lit(1).cast("decimal(18,2)") + F.col("l_tax").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("sum_charge"),
+        money_avg("l_quantity", "avg_qty"),
+        money_avg("l_extendedprice", "avg_price"),
+        money_avg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue change: pure pushdown showcase, scalar answer.
+# ---------------------------------------------------------------------------
+
+_DISCOUNT_REVENUE_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS potential_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("discount_revenue_impact", oracle=_DISCOUNT_REVENUE_ORACLE, tags=("olap", "filter", "tpch"))
+def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: conjunctive range predicates → one global sum.
+
+    Every predicate is a plain comparison on a scanned column, so all four
+    reach the parquet reader as PushedFilters and row groups outside the
+    shipdate year are skipped on min/max stats alone.  The aggregation is a
+    partial-sum per partition plus a single-row final — at 100 TB the cost
+    is the (pruned) scan, nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("potential_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking: EXISTS-driven count (left semi join).
+# ---------------------------------------------------------------------------
+
+_LATE_SHIP_ORACLE = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("late_shipment_priority_counts", oracle=_LATE_SHIP_ORACLE, tags=("olap", "semijoin", "tpch"))
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi equi-join + extra
+    condition, then a tiny group-count.
+
+    The semi join keeps each qualifying order once however many late lines
+    it has — ``leftsemi`` is the plan-level EXISTS, no distinct needed.  The
+    quarter predicate prunes orders *before* the join, so the shuffle moves
+    one quarter of one fact, not the whole table; at 100 TB both sides hash
+    on orderkey (or skip the exchange entirely on an orderkey-bucketed
+    layout, see sources/warehouse.py)."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    ords = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        ords.join(li, on=late, how="leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promo revenue share: conditional (CASE) aggregation over a dim join.
+# ---------------------------------------------------------------------------
+
+_PROMO_SHARE_ORACLE = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                              ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
+"""
+
+
+@register("promo_revenue_share", oracle=_PROMO_SHARE_ORACLE, tags=("olap", "agg", "tpch"))
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: CASE-conditional sum / total sum over fact⋈dim.
+
+    Both sums ride one aggregation pass (no second scan for the
+    denominator); part broadcasts.  The share divides two exact decimal
+    sums *after* each converts to double, so both engines evaluate the same
+    two bit-identical doubles — ratio parity without any tolerance."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    joined = li.join(F.broadcast(t["part"].select("p_partkey", "p_type")), li["l_partkey"] == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0).cast("decimal(18,2)"))
+    agg = joined.agg(
+        F.sum(promo).cast("double").alias("_promo"),
+        F.sum(_revenue()).cast("double").alias("_total"),
+    )
+    return agg.select((F.lit(100.0) * F.col("_promo") / F.col("_total")).alias("promo_revenue_pct"))
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: aggregate of an aggregate.
+# ---------------------------------------------------------------------------
+
+_ORDER_DISTRIBUTION_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_customer
+GROUP BY c_count
+"""
+
+
+@register("customer_order_distribution", oracle=_ORDER_DISTRIBUTION_ORACLE, tags=("olap", "agg", "join", "tpch"))
+def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join with an extra join-side predicate, then a
+    two-level aggregation (orders per customer → customers per order-count).
+
+    The join predicate on priority must stay *in the join* (not a WHERE) so
+    customers whose only orders are urgent still appear with c_count = 0 —
+    the same null-survival semantics the reference's zone join needs
+    (SURVEY.md §7.4).  COUNT(o_orderkey) counts non-null matches only.
+    First aggregation shuffles on custkey (fact-sized); the second reduces
+    |distinct counts| rows — negligible.  At 100 TB the big join hashes
+    customer⋈orders on custkey; both level-1 agg and join share that
+    partitioning, so Catalyst plans one exchange, not two."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    ords = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey")
+    per_customer = (
+        t["customer"]
+        .select("c_custkey")
+        .join(ords, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_customer.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s): aggregate joined against its own max (scalar subquery).
+# ---------------------------------------------------------------------------
+
+_TOP_SUPPLIER_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("top_revenue_supplier", oracle=_TOP_SUPPLIER_ORACLE, tags=("olap", "subquery", "tpch"))
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the one(s)
+    equal to the global max — a scalar aggregate subquery.
+
+    The revenue aggregate computes once and feeds both the max and the
+    equality filter (Spark reuses the cached-exchange subplan); the 1-row
+    max broadcasts back.  Equality on doubles is safe here because both
+    sides derive from the same exact decimal sum.  Ties (multiple suppliers
+    at the max) survive, matching the SQL.  At 100 TB: one shuffle on
+    suppkey (|suppliers| keys), then broadcast joins only."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).cast("double").alias("total_revenue")
+    )
+    top = revenue.join(
+        F.broadcast(revenue.agg(F.max("total_revenue").alias("_max"))),
+        F.col("total_revenue") == F.col("_max"),
+    ).drop("_max")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return sup.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers: HAVING on the fact, semi join back.
+# ---------------------------------------------------------------------------
+
+_LARGE_ORDERS_ORACLE = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+"""
+
+
+@register("large_volume_customers", oracle=_LARGE_ORDERS_ORACLE, tags=("olap", "semijoin", "agg", "tpch"))
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose line quantities sum past a threshold,
+    with their customers.
+
+    Instead of the literal IN-subquery (aggregate lineitem twice), the
+    qualifying orderkeys come from ONE aggregation whose result joins back
+    to orders — the HAVING output is tiny (threshold-selective), so it
+    broadcasts and the orders side never shuffles.  The quantity total is
+    carried from that same aggregate rather than recomputed.  At 100 TB the
+    single lineitem aggregation shuffles on orderkey; everything after is
+    broadcast."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_orderkey", F.col("_qty").cast("double").alias("total_qty"))
+    )
+    ords = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = t["customer"].select("c_custkey", "c_name")
+    return (
+        ords.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item losses: 4-table join, top-20 by lost revenue.
+# ---------------------------------------------------------------------------
+
+_RETURNED_LOSSES_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS lost_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("returned_item_losses_top20", oracle=_RETURNED_LOSSES_ORACLE, tags=("olap", "join", "topk", "tpch"))
+def q_returned_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned lineitems through orders→customer→nation,
+    top-20 customers by lost revenue (deterministic custkey tie-break).
+
+    The returnflag filter prunes lineitem at the scan; the orderdate year
+    prunes orders before the fact⋈fact join.  customer/nation broadcast;
+    the final top-20 plans TakeOrderedAndProject (no global sort).  At
+    100 TB: one orderkey shuffle for the fact join, one custkey-space
+    aggregation exchange — both unavoidable, both minimal."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = t["customer"].select("c_custkey", "c_name", "c_nationkey")
+    nat = t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(F.sum(_revenue()).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share: share-of-total via two CASE-less decimal sums per year.
+# ---------------------------------------------------------------------------
+
+_MARKET_SHARE_ORACLE = """
+SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n.n_name = 'NATION_7'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY EXTRACT(YEAR FROM o.o_orderdate)
+"""
+
+
+@register("nation_market_share_by_year", oracle=_MARKET_SHARE_ORACLE, tags=("olap", "agg", "join", "tpch"))
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7 suppliers' share of total revenue per order
+    year — conditional numerator and unconditional denominator in one pass.
+
+    supplier→nation resolves the selling nation (both broadcast); the only
+    big shuffle is lineitem⋈orders on orderkey.  Numerator and denominator
+    are separate exact-decimal sums converted to double before the divide,
+    so the ratio is bit-identical to the oracle's."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    ords = t["orders"].select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    sup = t["supplier"].select("s_suppkey", "s_nationkey")
+    nat = t["nation"].select("n_nationkey", "n_name")
+    nation_rev = F.when(F.col("n_name") == "NATION_7", _revenue()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(nation_rev).cast("double").alias("_num"),
+            F.sum(_revenue()).cast("double").alias("_den"),
+        )
+        .select("o_year", (F.col("_num") / F.col("_den")).alias("mkt_share"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — dormant rich customers: scalar-subquery filter + windowed anti join.
+# ---------------------------------------------------------------------------
+
+_DORMANT_CUSTOMERS_ORACLE = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+GROUP BY n.n_name
+"""
+
+
+@register("dormant_rich_customers", oracle=_DORMANT_CUSTOMERS_ORACLE, tags=("olap", "antijoin", "subquery", "tpch"))
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global average balance with no
+    recent orders, counted per nation — scalar subquery + NOT EXISTS.
+
+    The average computes once (1-row aggregate, broadcast into the filter);
+    NOT EXISTS is a left-anti equi-join against date-pruned orders.  AVG
+    here is the exact-decimal sum/count form on both engines, so the
+    threshold double is bit-identical and the > comparison agrees row for
+    row.  At 100 TB the anti join hashes on custkey; the recent-orders side
+    is a fraction of one fact after pushdown."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "nation")
+    cust = t["customer"]
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(money_avg("c_acctbal", "_avg"))
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    nat = t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        cust.join(F.broadcast(threshold), F.col("c_acctbal") > F.col("_avg"))
+        .drop("_avg")
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-flavored argmin: cheapest observed supplier per brand.
+# ---------------------------------------------------------------------------
+
+_CHEAPEST_SUPPLIER_ORACLE = """
+WITH offers AS (
+  SELECT p.p_brand, l.l_suppkey,
+         l.l_extendedprice / l.l_quantity AS unit_price
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+best AS (
+  SELECT p_brand, MIN(unit_price) AS min_unit_price FROM offers GROUP BY p_brand
+)
+SELECT o.p_brand, b.min_unit_price, MIN(o.l_suppkey) AS best_suppkey
+FROM offers o
+JOIN best b ON o.p_brand = b.p_brand AND o.unit_price = b.min_unit_price
+GROUP BY o.p_brand, b.min_unit_price
+"""
+
+
+@register("cheapest_supplier_per_brand", oracle=_CHEAPEST_SUPPLIER_ORACLE, tags=("olap", "argmin", "tpch"))
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (argmin-per-group): per brand, the minimum observed
+    unit price and the supplier achieving it (min suppkey on ties —
+    deterministic, unlike ``min_by``'s arbitrary-tie pick).
+
+    Implemented as ONE aggregation with ``min(struct(price, suppkey))`` —
+    the struct's lexicographic min IS (min price, then min suppkey at that
+    price), replacing the SQL's two-pass join-back with a single shuffle on
+    |brands| keys.  Unit price is an IEEE double division both engines
+    evaluate identically; MIN is order-independent, so no decimal machinery
+    is needed.  At 100 TB this is partial-agg friendly: each partition
+    keeps one struct per brand."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    offers = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    best = offers.groupBy("p_brand").agg(
+        F.min(F.struct("unit_price", "l_suppkey")).alias("_best")
+    )
+    return best.select(
+        "p_brand",
+        F.col("_best.unit_price").alias("min_unit_price"),
+        F.col("_best.l_suppkey").alias("best_suppkey"),
+    )

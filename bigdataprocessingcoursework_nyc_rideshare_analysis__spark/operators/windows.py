@@ -23,6 +23,77 @@ from ..sources import load_table
 ROLLING_N = 5
 
 
+# Registration order note: the lag/lead and position-stats queries register
+# FIRST because they lack a driver-verified CORRECTNESS row (round 1 covered
+# the other four); external harnesses that verify the registry head-first
+# should spend fresh budget on them (see registry.load_all).
+
+_GAP_ORACLE = """
+SELECT event_id, user_id, ts,
+       datediff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+       lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+@register("event_gaps_per_user", oracle=_GAP_ORACLE, tags=("window", "lag"))
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (lag) and next event id (lead)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+# --- distribution-position analytics (percent_rank / cume_dist / first / last)
+
+_POSITION_ORACLE = """
+SELECT event_id, user_id,
+       percent_rank() OVER v AS pr,
+       cume_dist() OVER v AS cd,
+       first_value(value) OVER t AS first_val,
+       last_value(value) OVER t AS last_val
+FROM events
+WINDOW v AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC),
+       t AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("user_value_position_stats", oracle=_POSITION_ORACLE, tags=("window", "analytic"))
+def q_user_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: its position in the user's value distribution
+    (``percent_rank``, ``cume_dist``) plus the user's chronologically first
+    and last values (full-partition ROWS frame).
+
+    Both rank ratios are integer-over-integer divisions ((rank-1)/(n-1),
+    rows≤current/n), so the doubles are bit-identical across engines.  Two
+    window specs share one shuffle on user_id — Catalyst plans a single
+    Exchange and two sorts; the deterministic ``event_id`` tiebreak makes
+    ties reproducible (SURVEY §7.4 determinism discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    t = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.percent_rank().over(v).alias("pr"),
+        F.cume_dist().over(v).alias("cd"),
+        F.first("value").over(t).alias("first_val"),
+        F.last("value").over(t).alias("last_val"),
+    )
+
+
 _ROLLING_ORACLE = f"""
 SELECT event_id, user_id, ts, value,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(value) OVER w
@@ -164,70 +235,4 @@ def q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("total_dec").cast("double").alias("total_value"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
-    )
-
-
-_GAP_ORACLE = """
-SELECT event_id, user_id, ts,
-       datediff('microsecond', lag(ts) OVER w, ts) AS gap_us,
-       lead(event_id) OVER w AS next_event_id
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-"""
-
-
-@register("event_gaps_per_user", oracle=_GAP_ORACLE, tags=("window", "lag"))
-def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user inter-event gap (lag) and next event id (lead)."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
-        F.lead("event_id").over(w).alias("next_event_id"),
-    )
-
-
-# --- distribution-position analytics (percent_rank / cume_dist / first / last)
-
-_POSITION_ORACLE = """
-SELECT event_id, user_id,
-       percent_rank() OVER v AS pr,
-       cume_dist() OVER v AS cd,
-       first_value(value) OVER t AS first_val,
-       last_value(value) OVER t AS last_val
-FROM events
-WINDOW v AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC),
-       t AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-"""
-
-
-@register("user_value_position_stats", oracle=_POSITION_ORACLE, tags=("window", "analytic"))
-def q_user_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per event: its position in the user's value distribution
-    (``percent_rank``, ``cume_dist``) plus the user's chronologically first
-    and last values (full-partition ROWS frame).
-
-    Both rank ratios are integer-over-integer divisions ((rank-1)/(n-1),
-    rows≤current/n), so the doubles are bit-identical across engines.  Two
-    window specs share one shuffle on user_id — Catalyst plans a single
-    Exchange and two sorts; the deterministic ``event_id`` tiebreak makes
-    ties reproducible (SURVEY §7.4 determinism discipline)."""
-    ev = load_table(spark, sf_dir, "events")
-    v = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
-    t = (
-        Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.asc("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.percent_rank().over(v).alias("pr"),
-        F.cume_dist().over(v).alias("cd"),
-        F.first("value").over(t).alias("first_val"),
-        F.last("value").over(t).alias("last_val"),
     )

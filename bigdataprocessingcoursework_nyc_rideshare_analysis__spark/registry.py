@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         olap,
         merge,
+        tpch,
         windows,
         enrich,
         rollup,
