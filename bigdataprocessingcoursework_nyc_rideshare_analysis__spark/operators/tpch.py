@@ -286,12 +286,15 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: quarterly revenue per supplier, keep the one(s)
     equal to the global max — a scalar aggregate subquery.
 
-    The revenue aggregate computes once and feeds both the max and the
-    equality filter (Spark reuses the cached-exchange subplan); the 1-row
-    max broadcasts back.  Equality on doubles is safe here because both
-    sides derive from the same exact decimal sum.  Ties (multiple suppliers
-    at the max) survive, matching the SQL.  At 100 TB: one shuffle on
-    suppkey (|suppliers| keys), then broadcast joins only."""
+    The SQL's literal shape (join the aggregate against its own MAX) makes
+    Spark build the revenue aggregate TWICE — exchange reuse does not fire
+    across the broadcast boundary, so lineitem scans twice.  Instead the
+    max-filter is ``rank() == 1`` over the *aggregated* rows: rank keeps
+    every tie (identical semantics to equality-with-max on these exact
+    decimal-derived doubles) and the fact scans once.  The unpartitioned
+    window funnels only |suppliers-with-sales-this-quarter| rows — a
+    dimension-sized input, same caveat as ``user_value_quartiles`` — while
+    the heavy lifting stays in the partial-agg + one suppkey shuffle."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
@@ -299,10 +302,12 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_revenue()).cast("double").alias("total_revenue")
     )
-    top = revenue.join(
-        F.broadcast(revenue.agg(F.max("total_revenue").alias("_max"))),
-        F.col("total_revenue") == F.col("_max"),
-    ).drop("_max")
+    w = Window.orderBy(F.desc("total_revenue"))
+    top = (
+        revenue.withColumn("_rk", F.rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return sup.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")).select(
         "s_suppkey", "s_name", "total_revenue"
@@ -545,8 +550,10 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price), replacing the SQL's two-pass join-back with a single shuffle on
     |brands| keys.  Unit price is an IEEE double division both engines
     evaluate identically; MIN is order-independent, so no decimal machinery
-    is needed.  At 100 TB this is partial-agg friendly: each partition
-    keeps one struct per brand."""
+    is needed.  At 100 TB this stays one-pass: struct ordering is not
+    hash-aggregable so Catalyst plans SortAggregate, but it is still a
+    map-side partial (one struct per brand per partition) feeding a single
+    exchange."""
     t = load_tables(spark, sf_dir, "lineitem", "part")
     offers = (
         t["lineitem"]

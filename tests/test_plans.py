@@ -78,3 +78,82 @@ def test_segment_filter_pushed_into_customer_scan(spark):
     # the BUILDING predicate must reach the parquet scan
     pushed = [line for line in plan.splitlines() if "PushedFilters" in line and "BUILDING" in line]
     assert pushed, plan
+
+
+# --- TPC-H tier plan pins ---------------------------------------------------
+
+
+def test_pricing_summary_is_pure_scan_plus_partial_agg(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tpch import q_pricing_summary
+
+    plan = plan_string(q_pricing_summary(spark, SF_SMOKE))
+    # scan-bound archetype: no join, partial+final agg, shipdate pushed
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
+    assert pushed, plan
+
+
+def test_discount_revenue_pushes_all_predicates(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tpch import q_discount_revenue
+
+    plan = plan_string(q_discount_revenue(spark, SF_SMOKE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any(
+        "l_shipdate" in l and "l_discount" in l and "l_quantity" in l for l in pushed
+    ), plan
+
+
+def test_late_shipments_plans_semi_join(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tpch import q_late_shipments
+
+    plan = plan_string(q_late_shipments(spark, SF_SMOKE))
+    # EXISTS must become a semi join (one output row per order), never a
+    # distinct-after-inner-join
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_losses_broadcasts_dims_and_takes_ordered(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tpch import q_returned_losses
+
+    plan = plan_string(q_returned_losses(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # returnflag reaches the lineitem scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_returnflag" in l]
+    assert pushed, plan
+
+
+def test_top_supplier_scans_lineitem_once(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tpch import q_top_supplier
+
+    df = q_top_supplier(spark, SF_SMOKE)
+    plan = plan_string(df)
+    # the rank()-over-aggregate form must not duplicate the fact scan the
+    # way the literal join-against-own-MAX does (exchange reuse does not
+    # fire across the broadcast boundary)
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 2, plan
+
+
+def test_dormant_customers_plans_anti_join(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tpch import q_dormant_customers
+
+    plan = plan_string(q_dormant_customers(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    # orderdate window reaches the orders scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
+    assert pushed, plan
+
+
+def test_cheapest_supplier_single_aggregation(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tpch import q_cheapest_supplier
+
+    plan = plan_string(q_cheapest_supplier(spark, SF_SMOKE))
+    # struct-min argmin: ONE aggregation pass (partial+final — struct
+    # ordering is not hash-aggregable, so Catalyst plans SortAggregate,
+    # still map-side partial + one exchange), no join-back of offers
+    # against a per-group minimum, no window
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 4  # one real exchange (double-printed)
+    assert "Window" not in plan
