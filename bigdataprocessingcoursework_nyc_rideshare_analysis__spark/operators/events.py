@@ -209,3 +209,39 @@ def q_top_user_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("s.neg")).alias("top_user"),
         )
     )
+
+
+# --- Spark 4 VariantType path (semi-structured without schema-on-write) -----
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       COUNT(json_extract_string(props, '$.k')) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_variant_extract", oracle=_VARIANT_ORACLE, tags=("semi-structured", "variant", "agg"))
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rollup as ``events_json_extract`` through Spark 4's VariantType:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` paths.
+
+    Versus per-path ``get_json_object`` (which re-parses the JSON string
+    for every extracted path), the variant parse happens once per row and
+    each path access is a cheap binary probe — the right shape when many
+    paths are pulled from the same document at 100 TB.  The oracle is the
+    plain JSON-path SQL: the encoding is an implementation detail, the
+    extracted values must be identical."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )

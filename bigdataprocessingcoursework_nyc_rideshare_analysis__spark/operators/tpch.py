@@ -568,3 +568,156 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_best.unit_price").alias("min_unit_price"),
         F.col("_best.l_suppkey").alias("best_suppkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity orders: correlated per-group scalar subquery.
+# ---------------------------------------------------------------------------
+
+_SMALL_QTY_ORACLE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly_loss,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN (
+  SELECT l_partkey, 0.3 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(l_quantity)) AS qty_limit
+  FROM lineitem GROUP BY l_partkey
+) pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.qty_limit
+"""
+
+
+@register("small_quantity_order_revenue", oracle=_SMALL_QTY_ORACLE, tags=("olap", "subquery", "tpch"))
+def q_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems whose quantity is below 30% of their
+    part's average quantity — a *correlated* scalar subquery (one threshold
+    per part), decorrelated into aggregate-then-join.
+
+    The literal correlated form would re-aggregate lineitem per outer row;
+    the decorrelated form aggregates once on partkey and joins back — the
+    same single-fact-scan-twice shape every optimizer rewrites Q17 into.
+    Here the per-part averages are |parts|-sized, so the join-back
+    broadcasts; at 100 TB it degrades to a partkey-hash join, co-located
+    with the aggregation's own partitioning (one exchange serves both).
+    The average is exact-decimal SUM/COUNT so the 0.3× threshold double is
+    bit-identical across engines — the < comparison agrees row for row."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    limits = li.groupBy("l_partkey").agg(
+        (F.lit(0.3) * money_avg("l_quantity", "_avg")).alias("qty_limit")
+    ).select("l_partkey", "qty_limit")
+    return (
+        li.join(F.broadcast(limits), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (money_sum("l_extendedprice", "_s") / F.lit(7.0)).alias("avg_yearly_loss"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive predicate join: OR-of-ANDs across both join sides.
+# ---------------------------------------------------------------------------
+
+_DISJUNCTIVE_ORACLE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+"""
+
+
+@register("disjunctive_brand_revenue", oracle=_DISJUNCTIVE_ORACLE, tags=("olap", "filter", "tpch"))
+def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of conjunctive brand/size/
+    quantity bands spanning both join sides.
+
+    The disjunction cannot be pushed below the join whole, but Catalyst
+    derives the *per-side implied* predicates (brand IN (...) ∧ size ∈
+    [1,30] on part; quantity ∈ [1,35] on lineitem) and pushes those to the
+    scans, so the join sees pre-filtered inputs and the full OR evaluates
+    only on surviving rows.  part broadcasts; one aggregation, no shuffle
+    beyond the final 1-row agg."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    pt = t["part"].select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+    band1 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    return joined.filter(band1 | band2).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 flavor — EXISTS and NOT EXISTS against the same fact, per supplier.
+# ---------------------------------------------------------------------------
+
+_SOLE_LATE_ORACLE = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+GROUP BY s.s_name
+"""
+
+
+@register("sole_late_supplier_waits", oracle=_SOLE_LATE_ORACLE, tags=("olap", "semijoin", "antijoin", "tpch"))
+def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on
+    multi-supplier finished orders — an EXISTS and a NOT EXISTS correlated
+    against the same fact.
+
+    Instead of two more fact joins (the literal plan), both quantifiers
+    collapse into ONE per-(order, supplier) aggregation joined back:
+    `n_supp` (distinct suppliers on the order) answers the EXISTS, and
+    `n_late_supp` (distinct suppliers with a late line) answers the NOT
+    EXISTS — l1 is late, so "no OTHER supplier late" ≡ n_late_supp = 1.
+    One orderkey-keyed aggregation + one join replaces two semi/anti fact
+    joins; all three fact passes share the orderkey partitioning at
+    100 TB (bucket-able, see sources/warehouse.py)."""
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ords = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waits = (
+        lines.filter(late)
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)).select("l_orderkey"), "l_orderkey")
+    )
+    sup = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        waits.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

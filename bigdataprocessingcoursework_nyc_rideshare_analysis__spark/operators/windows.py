@@ -236,3 +236,44 @@ def q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_dec").cast("double").alias("total_value"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+# --- time-RANGE frame (interval window, no gap-fill spine needed) -----------
+
+RANGE_WINDOW_US = 3_600_000_000  # one hour in microseconds
+
+_RANGE_FRAME_ORACLE = f"""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RANGE_WINDOW_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("user_events_last_hour", oracle=_RANGE_FRAME_ORACLE, tags=("window", "frame", "range"))
+def q_user_events_last_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many events (and how much value) the same user
+    produced in the preceding hour — a true RANGE frame over event *time*,
+    not a ROWS frame over event *count*.
+
+    This is the frame `rolling_7day_event_counts` avoids by densifying onto
+    a date spine; here the spine-free form: order by epoch microseconds and
+    bound the frame by an interval.  RANGE includes all ORDER-BY peers
+    (identical tie semantics both engines).  One shuffle on user_id + an
+    in-partition sort; frame state is O(events-in-window) per row — bounded
+    by user activity rate, not corpus size, so it holds at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-RANGE_WINDOW_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_last_hour"),
+    )

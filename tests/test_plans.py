@@ -157,3 +157,27 @@ def test_cheapest_supplier_single_aggregation(spark):
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") <= 4  # one real exchange (double-printed)
     assert "Window" not in plan
+
+
+def test_disjunctive_join_pushes_implied_predicates(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tpch import (
+        q_disjunctive_brand_revenue,
+    )
+
+    plan = plan_string(q_disjunctive_brand_revenue(spark, SF_SMOKE))
+    # Catalyst must derive the per-side implications of the OR-of-ANDs:
+    # quantity bounds reach the lineitem scan, brand/size reach part
+    assert any("PushedFilters" in l and "l_quantity" in l for l in plan.splitlines()), plan
+    assert any("PushedFilters" in l and "p_brand" in l for l in plan.splitlines()), plan
+
+
+def test_sole_late_suppliers_one_fact_aggregation(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tpch import (
+        q_sole_late_suppliers,
+    )
+
+    plan = plan_string(q_sole_late_suppliers(spark, SF_SMOKE))
+    # EXISTS + NOT EXISTS collapsed into one per-order aggregation joined
+    # back: no semi/anti join nodes, no third/fourth lineitem pass
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "CartesianProduct" not in plan
