@@ -286,3 +286,108 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# --- time-series resample + linear interpolation -----------------------------
+
+INTERP_STEP_US = 6 * 3_600_000_000  # 6-hour grid, in epoch microseconds
+
+_INTERP_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, value, event_id FROM events
+), bounds AS (
+  SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM ev GROUP BY user_id
+), grid AS (
+  SELECT user_id, t0 + k * {INTERP_STEP_US} AS g
+  FROM bounds, unnest(generate_series(0, CAST(floor((t1 - t0) / {INTERP_STEP_US}) AS BIGINT))) u(k)
+), tagged AS (
+  SELECT user_id, t AS pos, 0 AS is_grid, t, value, event_id FROM ev
+  UNION ALL
+  SELECT user_id, g AS pos, 1 AS is_grid, NULL, NULL, NULL FROM grid
+), walked AS (
+  SELECT user_id, pos, is_grid,
+         last_value(t IGNORE NULLS) OVER w_prev AS prev_t,
+         last_value(value IGNORE NULLS) OVER w_prev AS prev_v,
+         first_value(t IGNORE NULLS) OVER w_next AS next_t,
+         first_value(value IGNORE NULLS) OVER w_next AS next_v
+  FROM tagged
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY pos ASC, is_grid ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY user_id ORDER BY pos ASC, is_grid ASC, event_id ASC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       make_timestamp(pos) AS grid_ts,
+       CASE WHEN pos = prev_t THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(pos - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+       END AS value_interp
+FROM walked
+WHERE is_grid = 1
+"""
+
+
+@register("interpolated_user_series", oracle=_INTERP_ORACLE, tags=("temporal", "resample", "interpolation"))
+def q_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular event series onto a 6-hour grid with
+    linear interpolation — the feature-pipeline primitive that turns event
+    logs into fixed-step model inputs.
+
+    Shape: (1) per-user [min, max] bounds — one aggregation; (2) grid rows
+    via ``sequence`` + ``explode`` (integer epoch arithmetic, no Python);
+    (3) union grid with events and walk ONE user-keyed window both ways —
+    ``last(ignorenulls)`` up to the row gives the preceding observation,
+    ``first(ignorenulls)`` from the row gives the following one;
+    (4) map-side interpolation arithmetic.  Sort ties break (pos, is_grid,
+    event_id): an event at exactly a grid timestamp sorts before the grid
+    row, so the grid row reads it as "previous" and the CASE emits the
+    exact value (also covering the k=0 grid point = first event).  Both
+    windows share one shuffle on user_id; grid size is |span/step| per
+    user — bounded by time, not corpus, so the plan holds at 100 TB.  The
+    interpolation expression is written identically in the oracle so the
+    IEEE doubles match bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "value", "event_id"
+    )
+    step = F.lit(INTERP_STEP_US).cast("long")
+    bounds = ev.groupBy("user_id").agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.floor((F.col("t1") - F.col("t0")) / step).cast("long"))).alias("k"),
+        "t0",
+    ).select("user_id", (F.col("t0") + F.col("k") * step).alias("pos"))
+    tagged = ev.select(
+        "user_id", F.col("t").alias("pos"), F.lit(0).alias("is_grid"), "t", "value", "event_id"
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "pos",
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("t"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    order = [F.asc("pos"), F.asc("is_grid"), F.asc("event_id")]
+    w_prev = Window.partitionBy("user_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = Window.partitionBy("user_id").orderBy(*order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    walked = tagged.select(
+        "user_id",
+        "pos",
+        "is_grid",
+        F.last("t", ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.last("value", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.first("t", ignorenulls=True).over(w_next).alias("next_t"),
+        F.first("value", ignorenulls=True).over(w_next).alias("next_v"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.col("pos") - F.col("prev_t")).cast("double") / (F.col("next_t") - F.col("prev_t")).cast("double")
+    )
+    return (
+        walked.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.timestamp_micros("pos").alias("grid_ts"),
+            F.when(F.col("pos") == F.col("prev_t"), F.col("prev_v")).otherwise(interp).alias("value_interp"),
+        )
+    )

@@ -78,6 +78,7 @@ DEFER_WITHIN_UNVERIFIED: tuple[str, ...] = (
     "sole_late_supplier_waits",
     "user_events_last_hour",
     "events_variant_extract",
+    "interpolated_user_series",
 )
 
 

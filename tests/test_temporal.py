@@ -12,6 +12,8 @@ from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tempora
     range_band_join,
 )
 
+from .conftest import SF_SMOKE
+
 T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
 
@@ -49,3 +51,49 @@ def test_range_band_half_open_edges(spark):
     out = range_band_join(fact, "value").groupBy("band").count().collect()
     got = {r["band"]: r["count"] for r in out}
     assert got == {"low": 2, "mid": 2, "high": 2}  # boundaries land in the upper band
+
+
+def test_interpolation_semantics(spark):
+    """Grid points coinciding with events emit the exact value; points
+    between two events emit the linear blend; the walk never extrapolates
+    past the last observation."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        INTERP_STEP_US,
+        q_interpolated_series,
+    )
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.tables import load_table
+
+    out = q_interpolated_series(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    # pick one user deterministically
+    uid = ev.selectExpr("min(user_id) AS u").collect()[0]["u"]
+    rows = sorted(
+        out.filter(F.col("user_id") == uid).collect(), key=lambda r: r["grid_ts"]
+    )
+    assert rows, "grid must be non-empty for an active user"
+    # first grid point == user's first event timestamp -> exact value
+    first_ev = (
+        ev.filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .select("ts", "value")
+        .collect()[0]
+    )
+    assert abs(rows[0]["grid_ts"].timestamp() - first_ev["ts"].timestamp()) < 1e-6
+    assert rows[0]["value_interp"] == first_ev["value"]
+    # grid spacing is exactly the configured step
+    for a, b in zip(rows, rows[1:]):
+        assert round((b["grid_ts"] - a["grid_ts"]).total_seconds() * 1e6) == INTERP_STEP_US
+    # every interpolated value lies within the user's observed value range
+    lo, hi = (
+        ev.filter(F.col("user_id") == uid)
+        .agg(F.min("value"), F.max("value"))
+        .collect()[0]
+    )
+    for r in rows:
+        assert r["value_interp"] is not None
+        assert lo - 1e-9 <= r["value_interp"] <= hi + 1e-9
