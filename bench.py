@@ -66,6 +66,10 @@ def main() -> None:
         start = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        # some queries persist() reused subplans (documented per-query);
+        # drop those blocks between measurements so no query's timing
+        # inherits the previous queries' executor-memory pressure
+        spark.catalog.clearCache()
 
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
 
