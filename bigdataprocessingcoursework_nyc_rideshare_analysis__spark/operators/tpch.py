@@ -721,3 +721,289 @@ def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between a nation pair, by year: the two-role dim join.
+# ---------------------------------------------------------------------------
+
+_VOLUME_SHIPPING_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12')
+      OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("volume_shipping_by_year", oracle=_VOLUME_SHIPPING_ORACLE, tags=("olap", "join", "tpch"))
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — the same dimension (nation) joined in TWO ROLES (supplier's and
+    customer's), with a disjunctive cross-role predicate.
+
+    The nation filter is applied INSIDE each role's dim subtree (supplier→
+    nation, customer→nation, each pre-filtered to the pair and broadcast),
+    so the fact join fans in only matching suppliers/customers and the OR
+    collapses to the residual ``supp_nation <> cust_nation``.  The only
+    big-data exchange is lineitem⋈orders on orderkey — the same bucketable
+    fact×fact join every order-grain query here shares.  Ship-date range
+    reaches the parquet scan as PushedFilters."""
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    pair = t["nation"].filter(F.col("n_name").isin("NATION_11", "NATION_12"))
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"].select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-line profit by supplier nation and order year.
+# ---------------------------------------------------------------------------
+
+_PRODUCT_PROFIT_ORACLE = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+              - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+@register("product_profit_by_nation_year", oracle=_PRODUCT_PROFIT_ORACLE, tags=("olap", "join", "agg", "tpch"))
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year profit on a product line
+    selected by part-name substring.  (The reference schema has no partsupp
+    table, so supply cost is re-parameterized as the part's retail price —
+    the plan shape is unchanged: 4 dims + both facts.)
+
+    part is filtered by the LIKE *before* broadcasting, so the fact join
+    fans in only the product line (substring predicates can't prune parquet
+    row groups, but the dim-side filter prunes the JOIN, which is what
+    matters — lineitem rows drop at the first broadcast probe).  The one
+    big exchange is again lineitem⋈orders on orderkey.  Profit accumulates
+    in exact decimal; the two decimal products stay well inside precision
+    38, so SUM is order-independent and the final double is bit-identical
+    to the oracle's."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    pt = t["part"].filter(F.col("p_name").like("%gear%")).select("p_partkey", "p_retailprice")
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    profit = _revenue() - F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important part values: share-of-global-total HAVING.
+# ---------------------------------------------------------------------------
+
+_IMPORTANT_PARTS_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_4')
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(val AS DOUBLE) AS part_value
+FROM pv, (SELECT SUM(val) AS total FROM pv) t
+WHERE CAST(val AS DOUBLE) > 0.002 * CAST(total AS DOUBLE)
+"""
+
+
+@register("important_part_values", oracle=_IMPORTANT_PARTS_ORACLE, tags=("olap", "subquery", "agg", "tpch"))
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value within a supplier-nation
+    group exceeds a FRACTION OF THE GLOBAL TOTAL — a HAVING against an
+    uncorrelated scalar aggregate of the same subquery.  (No partsupp table
+    in this schema; "value" is re-parameterized as discounted revenue from
+    the selected nations' suppliers.)
+
+    The per-part aggregate computes once and feeds BOTH sides: its 1-row
+    re-aggregation becomes the scalar threshold, cross-joined back
+    (broadcast of one row — free).  Spark evaluates the tiny total branch
+    first; the big branch is one partkey-keyed shuffle.  Both branches sit
+    on exact decimal; only the final share comparison drops to double, and
+    both engines derive it from the same exact sums."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name").isin("NATION_3", "NATION_4"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        t["lineitem"]
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_revenue()).alias("val"))
+    )
+    total = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.lit(0.002) * F.col("total").cast("double"))
+        .select("partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier diversity per part class, excluding flagged suppliers.
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_DIVERSITY_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("supplier_diversity_by_part_class", oracle=_SUPPLIER_DIVERSITY_ORACLE, tags=("olap", "antijoin", "agg", "tpch"))
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each (brand,
+    type, size) part class, excluding a NOT-IN supplier set (here: negative
+    account balance, the schema's stand-in for the complaints predicate).
+
+    The NOT IN is a broadcast ANTI join against the (tiny) flagged-supplier
+    list — null-safe here because s_suppkey is a key.  part is filtered on
+    brand/type/size before broadcasting.  COUNT(DISTINCT) over
+    (class, suppkey) is the only real exchange; Spark plans it as the
+    standard two-phase distinct-aggregate expand, partial on the map side."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    pt = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 flavor — suppliers dominating a part's shipped volume in a year.
+# ---------------------------------------------------------------------------
+
+_DOMINANT_SUPPLIER_ORACLE = """
+WITH pq AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+), w AS (
+  SELECT l_suppkey, supp_qty,
+         SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+  FROM pq
+)
+SELECT DISTINCT s_suppkey AS suppkey, s_name
+FROM w JOIN supplier ON s_suppkey = l_suppkey
+WHERE CAST(supp_qty AS DOUBLE) > 0.3 * CAST(part_qty AS DOUBLE)
+"""
+
+
+@register("dominant_part_suppliers", oracle=_DOMINANT_SUPPLIER_ORACLE, tags=("olap", "window", "semijoin", "tpch"))
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 30% of a selected
+    product line's volume in one year.  (No partsupp availqty in this
+    schema, so the correlated "more than half the stock" threshold is
+    re-parameterized as a share of the part's own shipped total.)
+
+    The correlated per-part threshold is a WINDOW SUM over the per-
+    (supplier, part) aggregate — no join-back at all: the aggregation
+    already shuffled on (suppkey, partkey), and the window re-partitions
+    the *aggregate* (|suppliers×parts| rows, orders of magnitude smaller
+    than the fact).  Quantities stay exact-decimal through both the
+    aggregate and the window; the 0.3× share test drops to double at the
+    end.  DISTINCT dedups suppliers dominating several parts; the supplier
+    name lookup broadcasts."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    pt = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pq = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("supp_qty"))
+    )
+    w = pq.withColumn("part_qty", F.sum("supp_qty").over(Window.partitionBy("l_partkey")))
+    dominant = w.filter(
+        F.col("supp_qty").cast("double") > F.lit(0.3) * F.col("part_qty").cast("double")
+    ).select("l_suppkey").distinct()
+    sup = t["supplier"].select(F.col("s_suppkey").alias("suppkey"), "s_name")
+    return dominant.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("suppkey")
+    ).select("suppkey", "s_name")

@@ -79,6 +79,11 @@ DEFER_WITHIN_UNVERIFIED: tuple[str, ...] = (
     "user_events_last_hour",
     "events_variant_extract",
     "interpolated_user_series",
+    "volume_shipping_by_year",
+    "product_profit_by_nation_year",
+    "important_part_values",
+    "supplier_diversity_by_part_class",
+    "dominant_part_suppliers",
 )
 
 
