@@ -38,27 +38,48 @@ MIN_TOKENS = 20
 MAX_TOKENS = 95
 
 
-def prepare_training_corpus(
-    docs: DataFrame,
+def featurize_documents(docs: DataFrame) -> DataFrame:
+    """Per-document feature frame: ONE parquet scan and ONE tokenization
+    pass feeding every curation stage.
+
+    The multi-stage pipeline (dedup / lang-id / quality / repetition /
+    contamination / packing) consumes tokens in several independent
+    subtrees; Catalyst CSEs expressions *within* a projection but not
+    *across* branches, so deriving each branch from raw ``docs`` would
+    re-scan the table and re-run the regex tokenization once per branch.
+    At 100 TB the repeated scan is the dominant cost — this frame is the
+    thing to ``persist()`` (or checkpoint to a columnar staging table)
+    before fanning out."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(normalize_text("text")).alias("fingerprint"),
+        tokens_col("text").alias("toks"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+def manifest_from_features(
+    feat: DataFrame,
     target_lang: str = TARGET_LANG,
     min_tokens: int = MIN_TOKENS,
     max_tokens: int = MAX_TOKENS,
 ) -> DataFrame:
-    """Dedup → language gate → quality band → token accounting (see module
-    docstring).  Returns the train-ready manifest."""
+    """Dedup → language gate → quality band over a ``featurize_documents``
+    frame.  Returns the train-ready manifest (token-array column dropped)."""
     langs = sorted(LANG_MARKERS)
-    toks = tokens_col("text")
-    with_features = docs.select(
+    scored = feat.select(
         "doc_id",
         "lang",
-        "text",
-        F.md5(normalize_text("text")).alias("fingerprint"),
-        F.size(toks).cast("int").alias("n_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).cast("int").alias("n_bpe_tokens"),
+        "source",
+        "fingerprint",
+        "n_bpe_tokens",
+        F.size("toks").cast("int").alias("n_tokens"),
         *[
             F.size(
                 F.array_intersect(
-                    F.array_distinct(toks), F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+                    F.array_distinct("toks"), F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
                 )
             )
             .cast("int")
@@ -68,7 +89,7 @@ def prepare_training_corpus(
     )
     # stage 1: exact dedup — representative = lowest doc_id per fingerprint
     rep = F.min("doc_id").over(Window.partitionBy("fingerprint"))
-    deduped = with_features.withColumn("rep", rep).filter(F.col("doc_id") == F.col("rep"))
+    deduped = scored.withColumn("rep", rep).filter(F.col("doc_id") == F.col("rep"))
     # stage 2: language argmax with alphabetical tiebreak
     best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
     pred = F.when(F.col(f"s_{langs[0]}") >= best, langs[0])
@@ -80,6 +101,21 @@ def prepare_training_corpus(
     # stage 3 + 4: quality band, manifest projection
     return gated.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    ).select(
+        "doc_id", "lang", "source", "predicted_lang", "fingerprint", "n_tokens", "n_bpe_tokens"
+    )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    target_lang: str = TARGET_LANG,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+) -> DataFrame:
+    """Dedup → language gate → quality band → token accounting (see module
+    docstring).  Returns the train-ready manifest."""
+    return manifest_from_features(
+        featurize_documents(docs), target_lang, min_tokens, max_tokens
     ).select("doc_id", "lang", "predicted_lang", "fingerprint", "n_tokens", "n_bpe_tokens")
 
 
@@ -195,8 +231,15 @@ def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is the already-tested operator, composed via doc_id-keyed
     joins; Catalyst fuses the per-row stages and the only exchanges are the
     dedup window, the gate joins, and the per-source packing window — the
-    same shapes at 100 TB, just wider."""
-    from .dedup import shingle_sets
+    same shapes at 100 TB, just wider.
+
+    The whole fan-out derives from ONE persisted ``featurize_documents``
+    frame: the manifest, the repetition gate, and both contamination
+    shingle sides all read the same tokenized projection, so the text is
+    scanned and tokenized exactly once no matter how many stages consume
+    it (previously each branch re-scanned the parquet and re-ran the
+    regex — the per-branch tax is what kills a 100 TB run)."""
+    from ..functions.text import shingles_col
     from .scrub import (
         _EVAL_MOD,
         PACK_TOKEN_BUDGET,
@@ -205,19 +248,20 @@ def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    manifest = prepare_training_corpus(docs).select(
-        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    feat = featurize_documents(docs).persist()
+    manifest = manifest_from_features(feat).select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
     )
-    toked = docs.select("doc_id", tokens_col("text").alias("toks"))
-    from ..functions.text import shingles_col
 
-    grams = toked.filter(F.size("toks") >= 2).select(
+    grams = feat.filter(F.size("toks") >= 2).select(
         "doc_id", shingles_col("toks", 2).alias("grams")
     )
     dup_frac = F.lit(1.0) - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
     repkeep = grams.filter(dup_frac <= REPETITION_MAX_DUP_FRAC).select("doc_id")
 
-    sh = shingle_sets(docs).persist()
+    # explode of an empty shingle array drops <3-token docs, mirroring the
+    # oracle's WHERE len(toks) >= 3
+    sh = feat.select("doc_id", F.explode(shingles_col("toks", 3)).alias("shingle")).distinct()
     contaminated = (
         contamination_pairs(
             sh.filter(F.col("doc_id") % _EVAL_MOD != 0),
@@ -231,7 +275,6 @@ def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest.filter(F.col("doc_id") % _EVAL_MOD != 0)
         .join(repkeep, "doc_id")
         .join(contaminated, "doc_id", "left_anti")
-        .join(docs.select("doc_id", "source"), "doc_id")
     )
     w = (
         Window.partitionBy("source")
