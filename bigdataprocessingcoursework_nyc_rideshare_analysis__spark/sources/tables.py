@@ -8,10 +8,11 @@ Scale notes (100 TB design point):
   keeps predicate pushdown / column pruning / partition pruning; at scale the
   fact tables would be written partitioned by date and these readers pick
   partition pruning up for free.
-- ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4 cannot
-  map natively; we read it as epoch-nanos long (``nanosAsLong``) and convert
-  with integer division to microseconds — identical to DuckDB's nanos→micros
-  truncation, so oracle comparisons agree exactly.
+- ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (read as
+  epoch-nanos long via ``nanosAsLong``, floor-divided to micros) and
+  TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ, re-tagged
+  to the UTC session zone); both normalizations yield the same epoch-micros
+  DuckDB sees, so oracle comparisons agree exactly either way.
 """
 
 from __future__ import annotations
@@ -34,19 +35,30 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-#: columns stored as nanosecond timestamps that arrive as epoch-nanos longs
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+#: timestamp columns whose physical parquet encoding varies by generator
+#: version: nanosecond timestamps arrive as epoch-nanos longs (via
+#: ``nanosAsLong``), microsecond timestamps without UTC adjustment arrive as
+#: TIMESTAMP_NTZ.  Both are normalized to plain TimestampType so every
+#: downstream expression (``unix_micros``, window ranges, date funcs) sees
+#: one type regardless of how the data was written.
+_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table, normalizing nano-timestamp columns."""
+    """Load one star-schema table, normalizing timestamp encodings."""
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    for col in _TS_COLS.get(name, ()):
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             # floor-truncate nanos → micros with integer `div` (no double
             # round-trip: epoch-nanos exceeds double's 53-bit mantissa).
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # session tz is pinned to UTC (session.RUNTIME_CONFS), so this
+            # cast is a pure re-tag: the same wall-clock micros DuckDB sees
+            # in its naive TIMESTAMP, byte-identical epoch values.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
