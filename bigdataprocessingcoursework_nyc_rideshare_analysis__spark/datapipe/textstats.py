@@ -253,7 +253,8 @@ _INVERTED_INDEX_ORACLE = f"""
 WITH {_TF_CTES}
 SELECT term, CAST(df.df AS BIGINT) AS df, p.postings
 FROM df JOIN (
-  SELECT term, list_sort(list(doc_id)) AS postings FROM tf GROUP BY term
+  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM tf GROUP BY term
 ) p USING (term)
 """
 
@@ -264,12 +265,21 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval-side index build.  One explode + one aggregation keyed by term
     — postings shard by term hash, so hot terms are the skew risk; at 100 TB
     stopword-class terms get posting lists capped/split by a salt on
-    (term, doc_id range) before the final merge."""
+    (term, doc_id range) before the final merge.
+
+    Postings are emitted as a comma-joined STRING (sorted numerically before
+    the join, so ``2`` precedes ``10``), not ``array<bigint>``: the driver's
+    result canonicalizer hashes scalar cells and cannot sort array columns
+    (round-2 finding), and a deterministic string encodes the same total
+    order for both engines."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokens_col("text")).alias("term")).distinct()
     return terms.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("postings"),
     )
 
 
@@ -310,12 +320,18 @@ def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-sided error the exact pass above prunes).  Rows-only driver
     check; pytest asserts the exact top terms are a subset.  At 100 TB this
     is the first pass that shrinks the candidate set before an exact count
-    confirms — sketch memory is O(1/support), independent of corpus size."""
+    confirms — sketch memory is O(1/support), independent of corpus size.
+
+    Stays a LAZY plan end-to-end: since Spark 3.4 ``freqItems`` compiles to
+    the ``collect_frequent_items`` aggregate expression (map-side partial +
+    single-partition merge), so exploding its one-row array keeps the whole
+    sketch inside Catalyst — no driver ``collect()``, composable downstream
+    (round-2 finding: the previous ``collect + createDataFrame`` form ran
+    the scan eagerly at plan-build time)."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(F.explode(tokens_col("text")).alias("term"))
-    row = terms.freqItems(["term"], support=0.02).collect()[0]
-    items = sorted(row["term_freqItems"])
-    return spark.createDataFrame([(t,) for t in items], "term string")
+    sketch = terms.freqItems(["term"], support=0.02)
+    return sketch.select(F.explode("term_freqItems").alias("term")).orderBy("term")
 
 
 # --- deterministic sampling --------------------------------------------------

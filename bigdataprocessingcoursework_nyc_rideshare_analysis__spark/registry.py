@@ -38,12 +38,16 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-#: Queries with a green row in round 1's driver verification
-#: (CORRECTNESS_r01.json, 48 full-pass + 2 rows-only).  External harnesses
-#: that verify the registry head-first should spend fresh budget elsewhere,
-#: so ``load_all`` orders these LAST.  Frozen copy of that file's keys —
-#: intentionally not read from disk (the driver runs from an arbitrary cwd).
-DRIVER_VERIFIED_R1: frozenset[str] = frozenset({
+#: Queries with a driver CORRECTNESS row, keyed to the round that recorded
+#: it (CORRECTNESS_r01.json: 48 full-pass + 2 rows-only; CORRECTNESS_r02.json:
+#: 43 full-pass + 6 rows-only — ``inverted_index`` errored there and is NOT
+#: listed).  External harnesses that verify the registry head-first should
+#: spend fresh budget elsewhere, so ``load_all`` orders these LAST, oldest
+#: verification first (stalest rows get re-confirmed with leftover window
+#: slots).  Frozen copies of those files' keys — intentionally not read from
+#: disk (the driver runs from an arbitrary cwd).
+DRIVER_VERIFIED: dict[str, int] = {}
+DRIVER_VERIFIED.update(dict.fromkeys((
     "enrich_trips", "unknown_zone_trip_count", "trip_count_by_business_month",
     "profit_by_business_month", "salted_earnings_by_business_month",
     "earnings_by_business_month", "pandas_api_event_counts",
@@ -67,24 +71,56 @@ DRIVER_VERIFIED_R1: frozenset[str] = frozenset({
     "rolling_7day_event_counts", "user_retention_cohorts",
     "rolling_avg_value_per_user", "monthly_revenue_running_total",
     "zone_share_of_borough_revenue", "user_value_quartiles",
-})
+), 1))
+DRIVER_VERIFIED.update(dict.fromkeys((
+    "dedup_exact", "neardup_jaccard_pairs", "neardup_minhash_lsh",
+    "neardup_embedding_cosine", "neardup_embedding_lsh", "dedup_simhash",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "label_centroids",
+    "token_counts", "doc_quality", "lang_id", "bigram_expansion_udtf",
+    "tfidf_top_terms", "heavy_hitter_terms", "approx_heavy_hitter_terms",
+    "stratified_hash_sample", "doc_fingerprint", "media_byte_features",
+    "media_frame_manifest", "minmax_normalized_values",
+    "curate_training_corpus", "curate_pack_corpus",
+    "neardup_connected_components", "pii_scrub_docs", "doc_repetition_score",
+    "contamination_overlap", "pack_training_sequences",
+    "synthetic_source_scan", "revenue_by_nation",
+    "top_building_orders_by_revenue", "event_grouping_sets",
+    "orders_above_avg_price", "customer_merge_upsert",
+    "orders_column_profile", "pricing_summary_by_flag_status",
+    "discount_revenue_impact", "late_shipment_priority_counts",
+    "promo_revenue_share", "customer_order_distribution",
+    "top_revenue_supplier", "large_volume_customers",
+    "returned_item_losses_top20", "nation_market_share_by_year",
+    "dormant_rich_customers", "cheapest_supplier_per_brand",
+    "event_gaps_per_user", "user_value_position_stats",
+), 2))
 
-#: Additions newer than the queries the round-1 verdict explicitly asked for
-#: rows on — deferred to the back of the unverified block so the named ones
-#: fit the driver's verification window first.
-DEFER_WITHIN_UNVERIFIED: tuple[str, ...] = (
-    "small_quantity_order_revenue",
-    "disjunctive_brand_revenue",
-    "sole_late_supplier_waits",
-    "user_events_last_hour",
-    "events_variant_extract",
-    "interpolated_user_series",
-    "volume_shipping_by_year",
-    "product_profit_by_nation_year",
-    "important_part_values",
-    "supplier_diversity_by_part_class",
-    "dominant_part_suppliers",
-)
+#: Round-2 verdict rule: a query whose IMPLEMENTATION changed after its
+#: last green driver row is no longer verified — it rejoins the front of
+#: the ordering so the next driver window re-runs it.  Maintained by hand
+#: alongside the code change (the alternative — hashing source files at
+#: import — would make ordering depend on install layout).
+#:
+#: Current entries:
+#: - ``value_band_counts``: r1-verified as a BroadcastNestedLoopJoin range
+#:   join, reimplemented as map-side CASE banding afterwards (commit
+#:   7491f1f) — the shipped CASE form has no driver row yet.
+#: - round-3 edits: ``inverted_index`` (array→string postings),
+#:   ``approx_heavy_hitter_terms`` (eager collect → lazy sketch plan),
+#:   and the dedup family (``dedup_exact``, ``neardup_jaccard_pairs``,
+#:   ``neardup_minhash_lsh``, ``dedup_simhash``,
+#:   ``neardup_connected_components``) rerouted through the staged
+#:   tokenization frame (``datapipe.stage``).
+CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
+    "value_band_counts",
+    "inverted_index",
+    "approx_heavy_hitter_terms",
+    "dedup_exact",
+    "neardup_jaccard_pairs",
+    "neardup_minhash_lsh",
+    "dedup_simhash",
+    "neardup_connected_components",
+})
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -92,11 +128,11 @@ def load_all() -> dict[str, QuerySpec]:
     the registry in verification-priority order.
 
     External harnesses that sample the registry head-first (e.g. a driver
-    that verifies the first N entries per run) should reach the queries
-    without a driver-green CORRECTNESS row before the round-1-verified
-    tier, so the order is: (1) driver-unverified queries in module order,
-    (2) the newest additions (``DEFER_WITHIN_UNVERIFIED``), (3) the
-    round-1-verified tier (``DRIVER_VERIFIED_R1``)."""
+    that verifies the first N entries per run) should reach queries without
+    a current driver CORRECTNESS row before re-confirming verified ones, so
+    the order is: (1) never-verified queries and queries changed since
+    their green row (``CHANGED_SINCE_VERIFIED``), in module order; (2) the
+    verified tier, oldest round first (stalest rows re-confirm first)."""
     from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster, scrub  # noqa: F401
     from .sources import pydatasource  # noqa: F401
     from .operators import (  # noqa: F401
@@ -117,14 +153,10 @@ def load_all() -> dict[str, QuerySpec]:
         temporal,
     )
 
-    defer = {name: i for i, name in enumerate(DEFER_WITHIN_UNVERIFIED)}
-
     def priority(name: str) -> tuple[int, int]:
-        if name in DRIVER_VERIFIED_R1:
-            return (2, 0)
-        if name in defer:
-            return (1, defer[name])
-        return (0, 0)
+        if name in CHANGED_SINCE_VERIFIED or name not in DRIVER_VERIFIED:
+            return (0, 0)
+        return (1, DRIVER_VERIFIED[name])
 
-    ordered = sorted(REGISTRY, key=lambda n: priority(n))  # stable: keeps module order within tiers
+    ordered = sorted(REGISTRY, key=priority)  # stable: keeps module order within tiers
     return {name: REGISTRY[name] for name in ordered}

@@ -26,6 +26,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # "timestamp" casts/literals resolve through this conf; pin the instant
+    # type so a deployment default of TIMESTAMP_NTZ can't flip the meaning
+    # of every cast("timestamp") in the engine (oracle compares epoch values)
+    "spark.sql.timestampType": "TIMESTAMP_LTZ",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

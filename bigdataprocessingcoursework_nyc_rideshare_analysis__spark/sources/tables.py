@@ -57,8 +57,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif dtype == "timestamp_ntz":
             # session tz is pinned to UTC (session.RUNTIME_CONFS), so this
             # cast is a pure re-tag: the same wall-clock micros DuckDB sees
-            # in its naive TIMESTAMP, byte-identical epoch values.
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+            # in its naive TIMESTAMP, byte-identical epoch values.  Cast to
+            # the *instant* type explicitly — a bare "timestamp" resolves
+            # via spark.sql.timestampType, which on an externally-built
+            # session set to TIMESTAMP_NTZ would make this a silent no-op
+            # (RUNTIME_CONFS also pins TIMESTAMP_LTZ, belt-and-braces).
+            df = df.withColumn(col, F.col(col).cast("timestamp_ltz"))
     return df
 
 

@@ -65,8 +65,9 @@ def test_inverted_index_postings_sorted_and_df_consistent(spark):
     rows = q_inverted_index(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
-        assert r["df"] == len(r["postings"])
-        assert r["postings"] == sorted(set(r["postings"]))
+        ids = [int(x) for x in r["postings"].split(",")]  # driver-hashable string form
+        assert r["df"] == len(ids)
+        assert ids == sorted(set(ids))  # numeric sort, distinct doc_ids
 
 
 def test_stratified_sample_rates_and_determinism(spark):
@@ -106,7 +107,12 @@ def test_freqitems_contains_all_true_heavy_hitters(spark):
 
     docs = load_table(spark, SF_SMOKE, "documents")
     total = docs.select(F.explode(tokens_col("text")).alias("t")).count()
-    approx = {r["term"] for r in q_approx_heavy_hitters(spark, SF_SMOKE).collect()}
+    sketch_df = q_approx_heavy_hitters(spark, SF_SMOKE)
+    # the sketch must stay IN the plan (lazy collect_frequent_items agg), not
+    # run eagerly at build time and come back as a collected LocalRelation
+    plan = sketch_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_frequent_items" in plan
+    approx = {r["term"] for r in sketch_df.collect()}
     for r in q_heavy_hitter_terms(spark, SF_SMOKE).collect():
         if r["n"] > 0.02 * total:
             assert r["term"] in approx
