@@ -4,6 +4,18 @@
 Execution is measured with a JVM-side noop sink (full plan runs, nothing
 crosses Py4J), after a warmup that touches every input file once so OS page
 cache and JVM JIT state are comparable across queries.
+
+Unless ``SPARK_GRAFT_BENCH_WAREHOUSE=0``, the run additionally builds the
+bucketed trip warehouse (one-time orderkey-bucketed ingest of
+lineitem/orders) and re-times the enriched-view tier against it, recording
+raw-vs-bucketed deltas under ``"warehouse"`` (full detail in
+BENCH_DETAIL.json, sums on the headline line) — the measured payoff of
+paying the fact×fact shuffle at ingest instead of per query.  The
+warehouse timings are NOT part of the headline total.  Caveat for small
+scale factors: below ~sf0.1 AQE broadcasts the orders side, so the raw
+join has no exchange to save and the build cost dominates; the bucketed
+plan's structural win (no Exchange, no Sort on the orderkey join — pinned
+in tests/test_bucketing.py) compounds with scale.
 """
 
 from __future__ import annotations
@@ -71,6 +83,36 @@ def main() -> None:
         # inherits the previous queries' executor-memory pressure
         spark.catalog.clearCache()
 
+    # raw-vs-bucketed-warehouse deltas for the enriched-view tier (opt-out)
+    warehouse = None
+    if os.environ.get("SPARK_GRAFT_BENCH_WAREHOUSE", "1") != "0":
+        from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.warehouse import (
+            build_trip_warehouse,
+        )
+
+        wh_tier = (
+            "enrich_trips",
+            "route_revenue_top30",
+            "corridor_trip_count",
+            "route_pivot_by_business_top10",
+        )
+        start = time.perf_counter()
+        build_trip_warehouse(spark, sf_dir, force=True)
+        build_sec = round(time.perf_counter() - start, 4)
+        bucketed: dict[str, float] = {}
+        for name in wh_tier:
+            start = time.perf_counter()
+            registry[name].fn(spark, sf_dir, use_warehouse=True).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            bucketed[name] = round(time.perf_counter() - start, 4)
+            spark.catalog.clearCache()
+        warehouse = {
+            "build_sec": build_sec,
+            "raw": {name: timings[name] for name in wh_tier},
+            "bucketed": bucketed,
+        }
+
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
 
     # Full per-query map goes to a file; stdout gets ONE compact line (the
@@ -85,24 +127,29 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
+    if warehouse is not None:
+        detail["warehouse"] = warehouse
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": slowest,
-                "sf": sf,
-                "n_queries": len(timings),
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
-    )
+    headline = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    if warehouse is not None:
+        headline["warehouse"] = {
+            "build_sec": warehouse["build_sec"],
+            "raw_sec": round(sum(warehouse["raw"].values()), 4),
+            "bucketed_sec": round(sum(warehouse["bucketed"].values()), 4),
+        }
+    print(json.dumps(headline))
     spark.stop()
 
 

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
-from .dedup import _JACCARD_CTES, JACCARD_THRESHOLD, jaccard_pairs, shingle_sets
+from .dedup import _JACCARD_CTES, JACCARD_THRESHOLD, jaccard_pairs
 
 
 def connected_components(
@@ -234,8 +234,10 @@ def q_neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the component size.  Downstream keeps ``doc_id == cluster_id`` rows
     (one representative per cluster) — the step that turns pair detection
     into an actual dedup of the corpus."""
+    from .stage import staged_shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(shingle_sets(docs).persist(), JACCARD_THRESHOLD)
+    pairs = jaccard_pairs(staged_shingles(spark, sf_dir).persist(), JACCARD_THRESHOLD)
     assign = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         docs.select(F.col("doc_id").alias("id")),

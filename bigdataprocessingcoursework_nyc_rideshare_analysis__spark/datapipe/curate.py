@@ -30,7 +30,6 @@ from pyspark.sql import Window
 
 from ..functions.text import normalize_text, tokens_col
 from ..registry import register
-from ..sources import load_table
 from .textstats import BPE_PATTERN, LANG_MARKERS
 
 TARGET_LANG = "en"
@@ -153,8 +152,11 @@ WHERE predicted_lang = '{TARGET_LANG}'
 
 @register("curate_training_corpus", oracle=_CURATE_ORACLE, tags=("datapipe", "pipeline"))
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return prepare_training_corpus(docs)
+    from .stage import staged_features
+
+    return manifest_from_features(staged_features(spark, sf_dir)).select(
+        "doc_id", "lang", "predicted_lang", "fingerprint", "n_tokens", "n_bpe_tokens"
+    )
 
 
 # --- full pipeline: curation + hygiene + packing ----------------------------
@@ -233,12 +235,13 @@ def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup window, the gate joins, and the per-source packing window — the
     same shapes at 100 TB, just wider.
 
-    The whole fan-out derives from ONE persisted ``featurize_documents``
-    frame: the manifest, the repetition gate, and both contamination
-    shingle sides all read the same tokenized projection, so the text is
-    scanned and tokenized exactly once no matter how many stages consume
-    it (previously each branch re-scanned the parquet and re-ran the
-    regex — the per-branch tax is what kills a 100 TB run)."""
+    The whole fan-out derives from ONE staged ``featurize_documents``
+    frame (``datapipe.stage``): the manifest, the repetition gate, and both
+    contamination shingle sides all read the same tokenized projection, so
+    the text is scanned and tokenized exactly once no matter how many
+    stages — or sibling queries — consume it (previously each branch
+    re-scanned the parquet and re-ran the regex — the per-branch tax is
+    what kills a 100 TB run)."""
     from ..functions.text import shingles_col
     from .scrub import (
         _EVAL_MOD,
@@ -246,9 +249,9 @@ def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         REPETITION_MAX_DUP_FRAC,
         contamination_pairs,
     )
+    from .stage import staged_features, staged_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    feat = featurize_documents(docs).persist()
+    feat = staged_features(spark, sf_dir).persist()
     manifest = manifest_from_features(feat).select(
         "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
     )
@@ -259,9 +262,10 @@ def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_frac = F.lit(1.0) - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
     repkeep = grams.filter(dup_frac <= REPETITION_MAX_DUP_FRAC).select("doc_id")
 
-    # explode of an empty shingle array drops <3-token docs, mirroring the
-    # oracle's WHERE len(toks) >= 3
-    sh = feat.select("doc_id", F.explode(shingles_col("toks", 3)).alias("shingle")).distinct()
+    # staged distinct (doc_id, shingle) pairs; <3-token docs dropped at
+    # stage-build via the empty-array explode, mirroring the oracle's
+    # WHERE len(toks) >= 3
+    sh = staged_shingles(spark, sf_dir)
     contaminated = (
         contamination_pairs(
             sh.filter(F.col("doc_id") % _EVAL_MOD != 0),

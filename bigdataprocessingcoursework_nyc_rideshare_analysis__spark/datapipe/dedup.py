@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, shingles_col, tokens_col
+from ..functions.text import shingles_col, tokens_col
 from ..registry import register
 from ..sources import load_table
 
@@ -52,12 +52,15 @@ FROM documents GROUP BY 1
 @register("dedup_exact", oracle=_EXACT_ORACLE, tags=("datapipe", "dedup"))
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint of normalized text → representative id +
-    duplicate count.  Downstream keeps ``rep_doc_id`` rows only."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("fingerprint", F.md5(normalize_text("text")))
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+    duplicate count.  Downstream keeps ``rep_doc_id`` rows only.
+
+    Reads the staged feature frame — parquet column pruning fetches only
+    (doc_id, fingerprint), never the text bytes (``datapipe.stage``)."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    return feat.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_dupes")
     )
 
 
@@ -132,11 +135,13 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
 @register("neardup_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("datapipe", "dedup"))
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # the shingle set feeds both join sides and the size table — persist so
-    # the tokenize/shingle/distinct runs once (at 100 TB: materialize to
-    # parquet instead)
-    return jaccard_pairs(shingle_sets(docs).persist(), JACCARD_THRESHOLD)
+    # the shingle set feeds both join sides and the size table: read it from
+    # the staged parquet (tokenize/shingle/distinct ran exactly once, at
+    # stage-build — the "materialize to parquet" 100 TB shape) and persist
+    # the in-memory copy across the three consumers of this plan
+    from .stage import staged_shingles
+
+    return jaccard_pairs(staged_shingles(spark, sf_dir).persist(), JACCARD_THRESHOLD)
 
 
 # --- MinHash + LSH (scale path) ---------------------------------------------
@@ -196,8 +201,9 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-level fact joins.  Collision risk of hashing shingles to 64-bit
     is ~|shingles|²/2⁶⁵ (≈10⁻⁹ here) — fine for the approximate path, kept
     out of the exact oracle-checked one."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs).persist()  # feeds signatures + the verify sets
+    from .stage import staged_shingles
+
+    sh = staged_shingles(spark, sf_dir).persist()  # feeds signatures + the verify sets
     candidates = lsh_candidate_pairs(minhash_signatures(sh))
     sets = sh.select("doc_id", F.xxhash64("shingle").alias("h")).groupBy("doc_id").agg(
         F.collect_set("h").alias("hs")
@@ -421,6 +427,13 @@ def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """64-bit SimHash from raw documents (tokenize + shingle inline) — see
+    ``simhash_from_shingles`` for the semantics; staged-pipeline callers
+    pass a pre-materialized (doc_id, shingle) frame instead."""
+    return simhash_from_shingles(shingle_sets(docs), bits)
+
+
+def simhash_from_shingles(sh: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """64-bit SimHash over the *shingle* set: bit b is the sign of the sum
     over features of ±1 according to bit b of ``xxhash64(shingle)``.
 
@@ -443,8 +456,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
     assert bits == 64, "bit-plane packing below is 64-bit (one int64 per doc)"
     hashes = (
-        shingle_sets(docs)
-        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        sh.select("doc_id", F.xxhash64("shingle").alias("h"))
         .groupBy("doc_id")
         .agg(F.collect_list("h").alias("hs"))
     )
@@ -472,8 +484,9 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ 3, found via 4×16-bit chunk
     bucketing (pigeonhole guarantee), verified with ``bit_count(xor)``."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = simhash(docs)
+    from .stage import staged_shingles
+
+    sig = simhash_from_shingles(staged_shingles(spark, sf_dir))
     n_chunks = 4
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1

@@ -177,10 +177,11 @@ def contamination_pairs(
 
 @register("contamination_overlap", oracle=_CONTAMINATION_ORACLE, tags=("datapipe", "scrub"))
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import shingle_sets
+    from .stage import staged_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs).persist()  # one tokenize/shingle pass feeds both splits
+    # staged shingle frame feeds both splits (tokenize/shingle ran once, at
+    # stage-build; see datapipe.stage)
+    sh = staged_shingles(spark, sf_dir).persist()
     return contamination_pairs(
         sh.filter(F.col("doc_id") % _EVAL_MOD != 0),
         sh.filter(F.col("doc_id") % _EVAL_MOD == 0),

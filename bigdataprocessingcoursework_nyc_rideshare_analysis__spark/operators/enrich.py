@@ -183,8 +183,8 @@ LEFT JOIN nation  cn  ON c.c_nationkey = cn.n_nationkey
 
 
 @register("enrich_trips", oracle=_ENRICH_ORACLE, tags=("join", "prelude"))
-def q_enrich_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return enriched_trips(spark, sf_dir)
+def q_enrich_trips(spark: SparkSession, sf_dir: str, use_warehouse: bool = False) -> DataFrame:
+    return enriched_trips(spark, sf_dir, use_warehouse=use_warehouse)
 
 
 _UNKNOWN_ORACLE = """

@@ -103,12 +103,12 @@ WHERE sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_10'
 
 
 @register("corridor_trip_count", oracle=_CORRIDOR_ORACLE, tags=("filter",))
-def q_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corridor(spark: SparkSession, sf_dir: str, use_warehouse: bool = False) -> DataFrame:
     """Conjunctive corridor filter → scalar count as a 1-row DataFrame
     (``codes/task6.py:99-106``: Brooklyn → Staten Island)."""
     from .enrich import enriched_trips
 
-    enr = enriched_trips(spark, sf_dir)
+    enr = enriched_trips(spark, sf_dir, use_warehouse=use_warehouse)
     return (
         enr.filter((F.col("Pickup_Borough") == "NATION_9") & (F.col("Dropoff_Borough") == "NATION_10"))
         .agg(F.count(F.lit(1)).alias("trip_count"))

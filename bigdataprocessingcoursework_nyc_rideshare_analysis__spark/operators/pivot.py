@@ -57,10 +57,10 @@ LIMIT 10
 
 
 @register("route_pivot_by_business_top10", oracle=_PIVOT_ORACLE, tags=("pivot", "topk"))
-def q_route_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_route_pivot(spark: SparkSession, sf_dir: str, use_warehouse: bool = False) -> DataFrame:
     from .enrich import enriched_trips
 
-    enr = enriched_trips(spark, sf_dir).withColumn(
+    enr = enriched_trips(spark, sf_dir, use_warehouse=use_warehouse).withColumn(
         "Route", route_label("Pickup_Zone", "Dropoff_Zone")
     )
     pivoted = pivot_counts(enr, "Route", "business", BUSINESS_VALUES)

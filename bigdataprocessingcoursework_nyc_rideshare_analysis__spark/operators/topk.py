@@ -150,12 +150,12 @@ LIMIT 30
 
 
 @register("route_revenue_top30", oracle=_ROUTE_REVENUE_ORACLE, tags=("agg", "topk"))
-def q_route_revenue_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_route_revenue_top30(spark: SparkSession, sf_dir: str, use_warehouse: bool = False) -> DataFrame:
     """Borough-level route revenue, top 30 (``codes/task3.py:109-118``).
     Route tiebreaker added so the LIMIT frontier is deterministic."""
     from .enrich import enriched_trips
 
-    enr = enriched_trips(spark, sf_dir).withColumn(
+    enr = enriched_trips(spark, sf_dir, use_warehouse=use_warehouse).withColumn(
         "Route", route_label("Pickup_Borough", "Dropoff_Borough")
     ).withColumn(
         "profit",

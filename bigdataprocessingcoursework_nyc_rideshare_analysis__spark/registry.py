@@ -120,6 +120,9 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "neardup_minhash_lsh",
     "dedup_simhash",
     "neardup_connected_components",
+    "contamination_overlap",
+    "curate_training_corpus",
+    "curate_pack_corpus",
 })
 
 

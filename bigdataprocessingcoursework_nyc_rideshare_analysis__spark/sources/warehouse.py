@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
+from urllib.parse import urlparse
 
 from pyspark.sql import SparkSession
 
@@ -61,5 +63,22 @@ def build_trip_warehouse(
     names = warehouse_table_names(sf_dir)
     for tbl, key in _WAREHOUSE_SPEC:
         if force or not spark.catalog.tableExists(names[tbl]):
+            if not spark.catalog.tableExists(names[tbl]):
+                # a managed-table DIRECTORY left by an earlier session is not
+                # in this session's (in-memory derby) catalog, and saveAsTable
+                # refuses to reuse the location (LOCATION_ALREADY_EXISTS) —
+                # the warehouse is a rebuildable cache we own, so clear it
+                _remove_stray_location(spark, names[tbl])
             write_bucketed_table(load_table(spark, sf_dir, tbl), names[tbl], key, n_buckets)
     return names
+
+
+def _remove_stray_location(spark: SparkSession, table: str) -> None:
+    """Delete an orphaned managed-table directory (location exists on the
+    local filesystem, table absent from the current catalog)."""
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme not in ("", "file"):
+        return  # non-local warehouse: nothing we should touch
+    loc = os.path.join(wh.path or wh.netloc, table.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)

@@ -291,3 +291,64 @@ def test_sink_checkpoint_restart_no_duplicates(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sink_crash_replay_overwrites_torn_batch(spark):
+    """Exactly-once closure for the foreachBatch parquet sink: a crash AFTER
+    a partial batch write but BEFORE the checkpoint commit must leave no
+    trace once the query restarts.
+
+    Simulated precisely at the at-least-once seam: run batch 0 to
+    completion, append new source data, then plant a TORN output directory
+    for the upcoming batch id (a corrupted subset of its rows, values
+    poisoned to -999) without committing anything to the checkpoint — the
+    exact on-disk state a mid-batch kill leaves.  On restart the file
+    source re-plans the uncommitted files into that batch id and the
+    ``mode("overwrite")`` per-``batch_id`` write replaces the torn
+    directory wholesale, so the final output equals the clean two-batch
+    run row-for-row and the poison rows are gone."""
+    import os
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        sink_partitioned_parquet,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(200).cache()
+    first = ev.limit(120)
+    second = ev.subtract(first)
+    src = tempfile.mkdtemp(prefix="crash_src_")
+    out = tempfile.mkdtemp(prefix="crash_out_")
+    ckpt = tempfile.mkdtemp(prefix="crash_ckpt_")
+    try:
+        first.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = sink_partitioned_parquet(stream, out, ckpt)
+        q.awaitTermination(120)
+
+        # new data arrives; the NEXT batch id is (last committed + 1)
+        second.write.mode("append").parquet(src)
+        next_batch = max(int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+                         if f.isdigit()) + 1
+
+        # plant the torn write: a partial, corrupted slice of the upcoming
+        # batch under its batch_id dir — no checkpoint commit for it exists
+        torn = second.limit(7).withColumn("value", F.lit(-999.0))
+        torn.write.mode("overwrite").partitionBy("event_type").parquet(
+            f"{out}/batch_id={next_batch}"
+        )
+        assert spark.read.parquet(out).filter(F.col("value") == -999.0).count() > 0
+
+        stream2 = spark.readStream.schema(ev.schema).parquet(src)
+        q2 = sink_partitioned_parquet(stream2, out, ckpt)
+        q2.awaitTermination(120)
+
+        recovered = spark.read.parquet(out)
+        assert recovered.filter(F.col("value") == -999.0).count() == 0  # torn rows gone
+        assert recovered.count() == ev.count()
+        assert recovered.select("event_id").distinct().count() == ev.count()
+        # row-for-row identical to the source frame (order-insensitive)
+        assert recovered.select(*ev.columns).exceptAll(ev).count() == 0
+        assert ev.exceptAll(recovered.select(*ev.columns)).count() == 0
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
