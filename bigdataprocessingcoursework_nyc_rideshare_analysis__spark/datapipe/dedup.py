@@ -64,6 +64,61 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental (cross-snapshot) dedup -------------------------------------
+
+INCR_MOD = 7  # deterministic stand-in ingest split: doc_id % 7 == 0 is "incoming"
+
+_INCREMENTAL_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+), incoming AS (
+  SELECT * FROM f WHERE doc_id % {INCR_MOD} = 0
+), existing AS (
+  SELECT * FROM f WHERE doc_id % {INCR_MOD} <> 0
+), keep AS (
+  SELECT i.doc_id, i.fingerprint,
+         MIN(i.doc_id) OVER (PARTITION BY i.fingerprint) AS rep
+  FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fingerprint = i.fingerprint)
+)
+SELECT doc_id, fingerprint FROM keep WHERE doc_id = rep
+"""
+
+
+@register("incremental_dedup_new_docs", oracle=_INCREMENTAL_ORACLE, tags=("datapipe", "dedup"))
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup — the operation every RECURRING ingest runs: of
+    an incoming batch, keep only documents whose fingerprint (a) does not
+    already exist in the standing corpus (anti-join) and (b) is not
+    duplicated within the batch itself (per-fingerprint min-id window).
+
+    The ingest split is a deterministic stand-in (``doc_id % INCR_MOD == 0``
+    is the incoming batch); a production run substitutes the new snapshot for
+    ``incoming`` and the staged corpus fingerprints for ``existing``.
+
+    Scale shape: both sides come off the staged feature frame (fingerprint
+    column only — parquet prunes the text), the anti-join shuffles on the
+    128-bit fingerprint (perfectly uniform key, no skew possible), and the
+    within-batch window shares that same hash partitioning, so AQE plans
+    one exchange for the batch side.  At 100 TB the standing-corpus side is
+    a fingerprint-only columnar table a fraction of corpus size."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir).select("doc_id", "fingerprint")
+    incoming = feat.filter(F.col("doc_id") % INCR_MOD == 0)
+    existing = feat.filter(F.col("doc_id") % INCR_MOD != 0)
+    from pyspark.sql import Window
+
+    fresh = incoming.join(existing, "fingerprint", "left_anti")
+    rep = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return (
+        fresh.withColumn("rep", rep)
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "fingerprint")
+    )
+
+
 # --- exact n-gram Jaccard (ground truth) ------------------------------------
 
 # CTE chain shared with datapipe.cluster's recursive connected-components

@@ -188,6 +188,50 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-source quota sampling ----------------------------------------------
+
+SOURCE_QUOTA = 20  # max documents kept per source
+
+
+_QUOTA_ORACLE = f"""
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_source
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {SOURCE_QUOTA}
+"""
+
+
+@register("source_quota_sample", oracle=_QUOTA_ORACLE, tags=("datapipe", "scrub", "sampling"))
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota — the domain-balancing cap every web-scale
+    curation pipeline applies (CommonCrawl-style: no single domain may
+    contribute more than N documents).  Selection is by *hash order*
+    (``md5(doc_id)``, doc_id tiebreak), so the kept subset is deterministic
+    across runs, engines, and partitionings — same reproducibility contract
+    as ``stratified_hash_sample`` — and uniformly random w.r.t. any content
+    property.
+
+    Scale shape: one exchange on ``source``; the per-key ROW_NUMBER needs
+    only a per-partition top-N heap in principle (rank ≤ quota), and AQE's
+    skew splitting handles a mega-domain.  At 100 TB with truly pathological
+    domains you pre-aggregate a per-source count and only window the sources
+    over quota — the declared plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rank_in_source"))
+        .filter(F.col("rank_in_source") <= SOURCE_QUOTA)
+        .select("doc_id", "source", F.col("rank_in_source").cast("long").alias("rank_in_source"))
+    )
+
+
 # --- sequence packing -------------------------------------------------------
 
 PACK_TOKEN_BUDGET = 256  # tokens per packed training sequence

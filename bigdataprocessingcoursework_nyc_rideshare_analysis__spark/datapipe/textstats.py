@@ -334,6 +334,202 @@ def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.select(F.explode("term_freqItems").alias("term")).orderBy("term")
 
 
+# --- model-based quality scoring ---------------------------------------------
+
+#: linear quality model (hand-set weights standing in for a trained
+#: fasttext/logistic quality classifier): bias, per-token, stopword-ratio,
+#: avg-token-chars.  The *shape* — featurize → linear score → squash →
+#: threshold — is exactly how learned quality filters deploy; swapping in
+#: trained weights changes constants, not the plan.
+QUALITY_WEIGHTS = (-2.0, 0.02, 6.0, 0.05)
+
+#: squash is SOFTSIGN (s / (1 + |s|)), not sigmoid: no exp(), so the score
+#: is built purely from IEEE +,*,/,abs in a pinned association order and
+#: both engines produce bit-identical doubles (a sigmoid would be at the
+#: mercy of libm exp ulp differences; same reasoning as the TF-IDF ratio).
+
+_SCORE_CTES = f"""t AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x))) AS INTEGER) AS n_stop,
+         CAST(n_chars AS INTEGER) AS n_chars
+  FROM t
+), scored AS (
+  SELECT doc_id, lang,
+         ((({QUALITY_WEIGHTS[0]} + {QUALITY_WEIGHTS[1]} * CAST(n_tokens AS DOUBLE))
+            + {QUALITY_WEIGHTS[2]} * (CAST(n_stop AS DOUBLE) / n_tokens))
+            + {QUALITY_WEIGHTS[3]} * (CAST(n_chars AS DOUBLE) / n_tokens)) AS score
+  FROM feats
+)"""
+
+_QUALITY_SCORE_ORACLE = f"""
+WITH {_SCORE_CTES}
+SELECT doc_id, score,
+       score / (1 + abs(score)) AS prob,
+       score >= 0 AS keep
+FROM scored
+"""
+
+
+def _quality_score_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, score) with the score built in the exact association
+    order the oracle uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("int").alias("n_stop"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+    w0, w1, w2, w3 = QUALITY_WEIGHTS
+    score = (
+        (
+            (F.lit(w0) + F.lit(w1) * F.col("n_tokens").cast("double"))
+            + F.lit(w2) * (F.col("n_stop").cast("double") / F.col("n_tokens"))
+        )
+        + F.lit(w3) * (F.col("n_chars").cast("double") / F.col("n_tokens"))
+    )
+    return feats.select("doc_id", "lang", score.alias("score"))
+
+
+@register("quality_model_score", oracle=_QUALITY_SCORE_ORACLE, tags=("datapipe", "text", "quality"))
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: linear score over per-document features,
+    softsign-squashed to (−1, 1), thresholded into the keep/drop verdict.
+    Stateless per-row expression over one scan — zero shuffles; at 100 TB a
+    trained replacement runs as the same plan with a weights broadcast (or
+    an Arrow-batched scorer UDF for a real neural classifier)."""
+    scored = _quality_score_frame(spark, sf_dir)
+    return scored.select(
+        "doc_id",
+        "score",
+        (F.col("score") / (F.lit(1) + F.abs("score"))).alias("prob"),
+        (F.col("score") >= 0).alias("keep"),
+    )
+
+
+_QUALITY_DECILE_ORACLE = f"""
+WITH {_SCORE_CTES}
+SELECT doc_id, lang, CAST(decile AS INTEGER) AS decile,
+       CASE WHEN decile <= 3 THEN 'head' WHEN decile <= 7 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (
+  SELECT doc_id, lang,
+         NTILE(10) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS decile
+  FROM scored
+)
+"""
+
+
+@register("quality_deciles_by_lang", oracle=_QUALITY_DECILE_ORACLE, tags=("datapipe", "text", "quality"))
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality partitioning: per-language
+    deciles of the quality score (best decile = 1), bucketed 1-3 / 4-7 /
+    8-10.  Downstream pipelines train preferentially on ``head`` and
+    subsample ``tail``.  One exchange on ``lang``; NTILE is an in-partition
+    sort — per-language shards sort independently, no global order.  Tie
+    order is pinned (score desc, doc_id) so both engines emit identical
+    decile assignments."""
+    from pyspark.sql import Window
+
+    scored = _quality_score_frame(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    decile = F.ntile(10).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        decile.cast("int").alias("decile"),
+        F.when(decile <= 3, "head").when(decile <= 7, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
+# --- content-defined chunking ------------------------------------------------
+
+_CDC_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[i] AS tok
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+), fl AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN substr(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS flag
+  FROM tok
+), ch AS (
+  SELECT doc_id, pos, tok,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+  FROM fl
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM ch GROUP BY doc_id, chunk_id
+"""
+
+
+@register("cdc_chunk_docs", oracle=_CDC_ORACLE, tags=("datapipe", "text", "dedup"))
+def q_cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync idea at token granularity):
+    a token opens a new chunk iff the first hex digit of its md5 is ``0``
+    (expected chunk length 16 tokens), so chunk boundaries depend only on
+    LOCAL content — insert one word into a document and every chunk except
+    the one containing the edit keeps its exact hash.  That shift-resistance
+    is what makes chunk-hash dedup/delta-storage work where fixed-width
+    windows break.
+
+    Plan: posexplode → per-doc running-sum window → (doc, chunk) aggregation
+    with an order-pinned string_agg; the window and the aggregation share
+    the doc_id hash partitioning, so one exchange total.  Per-chunk output
+    carries ``chunk_hash`` — the join key for chunk-level dedup across a
+    100 TB corpus (uniform 128-bit key, no skew)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs.select("doc_id", tokens_col("text").alias("toks")))
+
+
+def cdc_chunks(toked: DataFrame) -> DataFrame:
+    """Content-defined chunks over a (doc_id, toks array<string>) frame —
+    see ``q_cdc_chunk_docs`` for semantics; factored so property tests can
+    chunk constructed token streams directly."""
+    from pyspark.sql import Window
+
+    tok = toked.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    flag = (F.substring(F.md5("tok"), 1, 1) == "0").cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ch = tok.withColumn("chunk_id", F.sum(flag).over(w))
+    chunk_text = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]),
+        " ",
+    )
+    return (
+        ch.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            chunk_text.alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "n_toks",
+            "chunk_text",
+            F.md5("chunk_text").alias("chunk_hash"),
+        )
+    )
+
+
 # --- deterministic sampling --------------------------------------------------
 
 #: per-source keep-rate in sixteenths (first hex digit of md5 < threshold);

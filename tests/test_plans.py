@@ -181,3 +181,42 @@ def test_sole_late_suppliers_one_fact_aggregation(spark):
     # back: no semi/anti join nodes, no third/fourth lineitem pass
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-3 curation tier plan pins -----------------------------------------
+
+
+def test_cdc_chunking_shares_one_doc_keyed_exchange(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        q_cdc_chunk_docs,
+    )
+
+    plan = plan_string(q_cdc_chunk_docs(spark, SF_SMOKE))
+    # the running-sum window and the (doc, chunk) aggregation must reuse the
+    # same doc_id hash partitioning: exactly one real shuffle (plans print
+    # the tree twice under AQE, hence <= 2 occurrences)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Window" in plan
+
+
+def test_incremental_dedup_plans_anti_join_on_pruned_stage(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        q_incremental_dedup,
+    )
+
+    plan = plan_string(q_incremental_dedup(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    # staged-feature scan must prune to (doc_id, fingerprint) — never toks
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines and all("toks" not in l for l in schema_lines), plan
+
+
+def test_source_quota_single_exchange_per_source_sort(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.scrub import (
+        q_source_quota_sample,
+    )
+
+    plan = plan_string(q_source_quota_sample(spark, SF_SMOKE))
+    # one hash exchange on source, in-partition sort, no global sort node
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Exchange rangepartitioning" not in plan
