@@ -123,6 +123,7 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "contamination_overlap",
     "curate_training_corpus",
     "curate_pack_corpus",
+    "minmax_normalized_values",  # grouped-map → window form (round 3)
 })
 
 

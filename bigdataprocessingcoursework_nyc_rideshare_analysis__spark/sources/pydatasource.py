@@ -133,6 +133,148 @@ def register_synthetic_source(spark: SparkSession) -> None:
     spark.dataSource.register(_build_datasource())
 
 
+# --- JSONL shard source with a committing writer -----------------------------
+
+SHARDS_SOURCE_NAME = "doc_shards"
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _build_shards_datasource():
+    """JSONL shard store (the interchange format LLM corpora actually ship
+    as) with the FULL Spark 4 Python DataSource surface: Arrow-batched
+    ``DataSourceArrowWriter`` with a real two-phase commit, plus a reader
+    that plans one partition per committed shard.
+
+    Commit protocol (the cloud-storage pattern, exercised end-to-end):
+    every write task streams its partition to an UNCOMMITTED ``_tmp-*``
+    shard and returns a commit message; only the driver-side ``commit()``
+    renames shards to final names and publishes the manifest — so a crashed
+    or speculative task leaves debris that is never visible to readers
+    (``abort()`` and the manifest reader both ignore ``_tmp-*``).  Readers
+    list the MANIFEST, not the directory: torn writes cannot be read.  On a
+    cluster the same steps target an object store; nothing in the protocol
+    relies on a shared local filesystem beyond this demo deployment.
+    """
+    import json
+    import os
+    import uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        DataSourceReader,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class ShardCommit(WriterCommitMessage):
+        tmp_name: str
+        final_name: str
+        rows: int
+
+    class ShardPartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class DocShardsWriter(DataSourceArrowWriter):
+        def __init__(self, options, overwrite: bool):
+            self.path = options["path"]
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            os.makedirs(self.path, exist_ok=True)
+            shard = f"shard-{uuid.uuid4().hex}.jsonl"
+            tmp = os.path.join(self.path, f"_tmp-{shard}")
+            rows = 0
+            with open(tmp, "w") as fh:
+                for batch in iterator:  # Arrow RecordBatches, not per-row pickles
+                    for row in batch.to_pylist():
+                        fh.write(json.dumps(row, sort_keys=True) + "\n")
+                        rows += 1
+            return ShardCommit(tmp_name=f"_tmp-{shard}", final_name=shard, rows=rows)
+
+        def commit(self, messages):
+            manifest_path = os.path.join(self.path, MANIFEST_NAME)
+            shards = []
+            if not self.overwrite and os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    shards = json.load(fh)["shards"]
+            elif self.overwrite and os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    for old in json.load(fh)["shards"]:
+                        try:
+                            os.remove(os.path.join(self.path, old["name"]))
+                        except FileNotFoundError:
+                            pass
+            for m in messages:
+                os.rename(
+                    os.path.join(self.path, m.tmp_name), os.path.join(self.path, m.final_name)
+                )
+                shards.append({"name": m.final_name, "rows": m.rows})
+            tmp_manifest = manifest_path + ".tmp"
+            with open(tmp_manifest, "w") as fh:
+                json.dump({"shards": sorted(shards, key=lambda s: s["name"])}, fh, indent=1)
+            os.replace(tmp_manifest, manifest_path)  # atomic publish
+
+        def abort(self, messages):
+            for m in messages:
+                if m is None:
+                    continue
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except FileNotFoundError:
+                    pass
+
+    class DocShardsReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def partitions(self):
+            with open(os.path.join(self.path, MANIFEST_NAME)) as fh:
+                manifest = json.load(fh)
+            # one partition per committed shard; uncommitted _tmp-* debris
+            # is invisible by construction
+            return [
+                ShardPartition(os.path.join(self.path, s["name"])) for s in manifest["shards"]
+            ]
+
+        def read(self, partition):
+            import pyarrow as pa
+
+            ids, texts = [], []
+            with open(partition.path) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    ids.append(rec["doc_id"])
+                    texts.append(rec["text"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(texts, type=pa.string())],
+                names=["doc_id", "text"],
+            )
+
+    class DocShardsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return SHARDS_SOURCE_NAME
+
+        def schema(self):
+            return "doc_id bigint, text string"
+
+        def reader(self, schema):
+            return DocShardsReader(self.options)
+
+        def writer(self, schema, overwrite):
+            return DocShardsWriter(self.options, overwrite)
+
+    return DocShardsSource
+
+
+def register_doc_shards_source(spark: SparkSession) -> None:
+    spark.dataSource.register(_build_shards_datasource())
+
+
 _SYNTH_ORACLE = f"""
 SELECT i AS doc_id,
        'synthetic document ' || CAST(i AS VARCHAR) || ' body ' ||

@@ -170,6 +170,24 @@ def test_minmax_constant_group_yields_true_nulls(spark):
     assert rows[3] == 0.0 and rows[4] == 1.0
 
 
+def test_minmax_grouped_map_matches_window_form(spark):
+    """The applyInPandas escape hatch and the registered window plan must be
+    bit-identical (same IEEE subtraction/division on the same values), so
+    swapping forms is purely a physical-plan decision."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.normalize import (
+        minmax_normalize,
+        minmax_normalize_window,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    gm = {r["event_id"]: r["norm_value"] for r in minmax_normalize(ev).collect()}
+    win = {r["event_id"]: r["norm_value"] for r in minmax_normalize_window(ev).collect()}
+    assert gm == win
+
+
 def test_lsh_candidate_pairs_respects_bands_param(spark):
     """bands != default must band the signature consistently (regression:
     the stacked explode iterated the module constant, so bands<8 raised on

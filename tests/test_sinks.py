@@ -166,3 +166,68 @@ def test_task2_task5_csv_contract_matches_reference(spark, outdir):
         else:  # avgwaitingtime: day int + raw double, notebook plots directly
             assert all(re.match(r"^\d+$", r[0]) and float(r[1]) for r in rows)
             assert {tuple(r) for r in rows} <= {tuple(r) for r in ref_rows}
+
+
+# --- custom Python DataSource writer (doc_shards) ----------------------------
+
+
+def _register_shards(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.pydatasource import (
+        SHARDS_SOURCE_NAME,
+        register_doc_shards_source,
+    )
+
+    register_doc_shards_source(spark)
+    return SHARDS_SOURCE_NAME
+
+
+def test_doc_shards_roundtrip_and_manifest(spark, outdir):
+    """Arrow writer -> two-phase commit -> manifest-driven reader: the full
+    custom-sink surface round-trips the documents corpus losslessly."""
+    import json
+    import os
+
+    fmt = _register_shards(spark)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = f"{outdir}/shards"
+    docs.write.format(fmt).option("path", path).mode("overwrite").save()
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert sum(s["rows"] for s in manifest["shards"]) == docs.count()
+    assert all(not s["name"].startswith("_tmp-") for s in manifest["shards"])
+
+    back = spark.read.format(fmt).option("path", path).load()
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
+
+
+def test_doc_shards_reader_ignores_uncommitted_debris(spark, outdir):
+    """A crashed task's _tmp- shard (written but never committed) must be
+    invisible: readers list the manifest, never the directory."""
+    fmt = _register_shards(spark)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(50)
+    path = f"{outdir}/shards"
+    docs.write.format(fmt).option("path", path).mode("overwrite").save()
+    with open(f"{path}/_tmp-shard-torn.jsonl", "w") as fh:
+        fh.write('{"doc_id": 999999, "text": "torn uncommitted write"}\n')
+    back = spark.read.format(fmt).option("path", path).load()
+    assert back.count() == 50
+    assert back.filter(F.col("doc_id") == 999999).count() == 0
+
+
+def test_doc_shards_append_and_overwrite_modes(spark, outdir):
+    fmt = _register_shards(spark)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") < 100)
+    b = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    path = f"{outdir}/shards"
+    a.write.format(fmt).option("path", path).mode("overwrite").save()
+    b.write.format(fmt).option("path", path).mode("append").save()
+    back = spark.read.format(fmt).option("path", path).load()
+    assert back.count() == a.count() + b.count()  # append unions manifests
+
+    b.write.format(fmt).option("path", path).mode("overwrite").save()
+    again = spark.read.format(fmt).option("path", path).load()
+    assert again.count() == b.count()  # overwrite replaced prior shards
+    assert again.exceptAll(b).count() == 0
