@@ -1,0 +1,85 @@
+"""Distributed BPE induction vs a pure-Python reference implementation:
+the learned merge sequence must be identical (same greedy objective, same
+pinned tie policy)."""
+
+from __future__ import annotations
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
+    learn_bpe_merges,
+    q_bpe_learn_merges,
+    word_frequencies,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def ref_bpe(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str, int]]:
+    """Textbook in-memory BPE (Sennrich et al.): greedy best-pair merges
+    over a word-frequency table, leftmost-first non-overlapping fusion,
+    ties to the lexicographically smallest (left, right)."""
+    table = [(list(w), f) for w, f in word_freqs.items()]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, f in table:
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = counts.get((sym[i], sym[i + 1]), 0) + f
+        if not counts:
+            break
+        (left, right), freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right, freq))
+        new_table = []
+        for sym, f in table:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_table.append((out, f))
+        table = new_table
+    return merges
+
+
+def test_bpe_classic_example(spark):
+    """The Sennrich toy vocabulary: first merges must be (e,s) then (es,t)
+    — highest weighted pair counts with the lexicographic tiebreak."""
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], "word string, freq long"
+    )
+    merges = learn_bpe_merges(words, 4)
+    got = [(m["left"], m["right"], m["pair_freq"]) for m in merges]
+    want = ref_bpe({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 4)
+    assert got == want
+    assert got[0][:2] == ("e", "s") and got[1][:2] == ("es", "t")
+
+
+def test_bpe_matches_reference_on_corpus(spark):
+    wf = {r["word"]: r["freq"] for r in word_frequencies(
+        load_table(spark, SF_SMOKE, "documents")
+    ).collect()}
+    got = sorted(q_bpe_learn_merges(spark, SF_SMOKE).collect(), key=lambda r: r["rank"])
+    want = ref_bpe(wf, len(got))
+    assert [(r["left"], r["right"], r["pair_freq"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    for r in got:
+        assert r["merged"] == r["left"] + r["right"]
+
+
+def test_bpe_distributed_loop_matches_task_local_plan(spark):
+    """The giant-vocab fallback (per-round distributed merging) must learn
+    the identical merge sequence as the task-local default — same greedy
+    objective, same tie policy, different physical plan only."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
+        learn_bpe_merges,
+    )
+
+    words = word_frequencies(load_table(spark, SF_SMOKE, "documents"))
+    dist = learn_bpe_merges(words, 8)
+    local = sorted(q_bpe_learn_merges(spark, SF_SMOKE).collect(), key=lambda r: r["rank"])[:8]
+    assert [(m["left"], m["right"], m["pair_freq"]) for m in dist] == [
+        (r["left"], r["right"], r["pair_freq"]) for r in local
+    ]
