@@ -271,9 +271,14 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join, so ``2`` precedes ``10``), not ``array<bigint>``: the driver's
     result canonicalizer hashes scalar cells and cannot sort array columns
     (round-2 finding), and a deterministic string encodes the same total
-    order for both engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    terms = docs.select("doc_id", F.explode(tokens_col("text")).alias("term")).distinct()
+    order for both engines.
+
+    Token arrays come off the staged frame (``datapipe.stage``) — the
+    index build never re-tokenizes the corpus."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    terms = feat.select("doc_id", F.explode("toks").alias("term")).distinct()
     return terms.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.array_join(
@@ -332,6 +337,60 @@ def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(F.explode(tokens_col("text")).alias("term"))
     sketch = terms.freqItems(["term"], support=0.02)
     return sketch.select(F.explode("term_freqItems").alias("term")).orderBy("term")
+
+
+# --- token diversity (Gini) ---------------------------------------------------
+
+_DIVERSITY_ORACLE = f"""
+WITH {_TF_CTES}, agg AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(tf * tf) AS BIGINT) AS sum_sq
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       1.0 - (CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens)) AS gini_diversity
+FROM agg
+"""
+
+
+@register("token_diversity", oracle=_DIVERSITY_ORACLE, tags=("datapipe", "text", "quality"))
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: distinct-token ratio and Gini
+    impurity of the token distribution (1 − Σp²) — the degenerate-text
+    detector (low diversity = repeated boilerplate / keyword stuffing)
+    that complements the bigram repetition gate.
+
+    Gini rather than Shannon entropy on purpose: entropy needs ``log``,
+    whose libm ulp differences break cross-engine bit-equality, while Gini
+    is exact-integer sums (Σtf², Σtf) and ONE IEEE divide — hash-identical
+    on both engines.  Plan: explode → per-(doc, term) count → per-doc sums;
+    both aggregations share the doc_id-prefixed shuffle key.  Token arrays
+    come off the staged frame (``datapipe.stage``) — no re-tokenization."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    tf = (
+        feat.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sum_sq"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),
+        (
+            F.lit(1.0) - (F.col("sum_sq").cast("double") / (F.col("n_tokens") * F.col("n_tokens")))
+        ).alias("gini_diversity"),
+    )
 
 
 # --- model-based quality scoring ---------------------------------------------

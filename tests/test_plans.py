@@ -204,6 +204,10 @@ def test_incremental_dedup_plans_anti_join_on_pruned_stage(spark):
         q_incremental_dedup,
     )
 
+    # pin the COLD plan: an earlier test's persisted staged-features frame
+    # (all columns) would otherwise be substituted by the cache manager and
+    # its full-width parquet scan would show up in ReadSchema
+    spark.catalog.clearCache()
     plan = plan_string(q_incremental_dedup(spark, SF_SMOKE))
     assert "LeftAnti" in plan
     # staged-feature scan must prune to (doc_id, fingerprint) — never toks
