@@ -88,3 +88,74 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_tws_stream(events: DataFrame) -> DataFrame:
+    """The same running-totals state machine on ``transformWithStateInPandas``
+    — Spark 4's successor stateful API (SPARK-43563 "arbitrary stateful
+    processing v2").
+
+    Worth carrying both: ``applyInPandasWithState`` is the stable v1 surface,
+    while the ``StatefulProcessor`` form adds lifecycle hooks (init/close),
+    NAMED state variables (value/list/map) instead of one state tuple, and
+    timer registration — the shape long-running keyed state machines need at
+    scale (state eviction by timer rather than blanket timeout).  The two
+    implementations are pinned to identical output in ``test_streaming.py``.
+
+    The processor class is defined INSIDE this function: cloudpickle must
+    serialize it by value (workers never import this package — same rule as
+    every Python-worker callable here).
+
+    ENVIRONMENT GATE: the transformWithState runtime speaks protobuf to its
+    state server, so this surface needs the ``protobuf`` package on driver
+    and workers.  Checked eagerly here with a clear error; the parity test
+    skips when the dependency is absent (this container ships without it —
+    the v1 ``running_totals_stream`` above has no such dependency and is
+    the tested default)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark.sql.streaming.proto speaks protobuf to the state "
+            "server); install protobuf or use running_totals_stream "
+            "(applyInPandasWithState), which has no such dependency"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total, mx = self._totals.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._totals.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx if mx != float("-inf") else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
