@@ -129,9 +129,10 @@ def interval_join_stream(
     purchases: DataFrame,
     horizon: str = "1 HOUR",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase matched to the same user's
-    clicks in the preceding ``horizon`` (attribution join).
+    """Stream-stream join: each purchase matched to the same user's clicks
+    in the preceding ``horizon`` (attribution join).
 
     Both sides carry watermarks and the join predicate bounds event-time
     distance — together these let the state store evict a buffered row once
@@ -139,7 +140,14 @@ def interval_join_stream(
     O(rate × horizon) instead of unbounded.  State shards by the equi-key
     (user_id); the range predicate is evaluated within each key's buffer.
     The batch twin (same predicate on static frames) is asserted equal in
-    tests — one logical definition, both deployment modes."""
+    tests — one logical definition, both deployment modes.
+
+    ``how="leftOuter"`` adds unmatched-click rows (null purchase columns)
+    — the "clicks that never converted" side of attribution.  Outer
+    results are withheld until BOTH watermarks pass the click's joinable
+    range (only then is "no purchase arrived" final), so with a draining
+    trigger the tail of the stream — rows the watermark never crosses —
+    stays unemitted; the parity test models exactly that frontier."""
     c = clicks.select(
         "user_id",
         F.col("ts").alias("click_ts"),
@@ -154,6 +162,6 @@ def interval_join_stream(
         f"user_id = p_user_id AND purchase_ts >= click_ts "
         f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
     )
-    return c.join(p, cond, "inner").select(
+    return c.join(p, cond, how).select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
     )

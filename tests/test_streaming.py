@@ -268,6 +268,64 @@ def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir):
     assert got == want and got
 
 
+def test_stream_stream_left_outer_join_emits_final_unmatched(spark, event_stream_dir):
+    """leftOuter attribution: unmatched clicks must surface with null
+    purchase columns — but only once the watermark makes 'no purchase
+    arrived' FINAL.  The assertion models that frontier explicitly: with
+    horizon 1h and watermark 2h, a click is decidable iff
+    click_ts + 3h < max(ts); matched pairs must equal the batch inner
+    join, emitted nulls must be exactly the decidable batch-unmatched
+    clicks (tail clicks stay open — emitting them early would be wrong)."""
+    import datetime
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        interval_join_stream,
+    )
+
+    batch_schema = load_table(spark, SF_SMOKE, "events").schema
+    src = spark.readStream.schema(batch_schema).parquet(event_stream_dir)
+    q = (
+        interval_join_stream(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "purchase"),
+            how="leftOuter",
+        )
+        .writeStream.format("memory")
+        .queryName("ss_left_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("ss_left_join").collect()
+    got_matched = {(r["click_id"], r["purchase_id"]) for r in rows if r["purchase_id"] is not None}
+    got_nulls = {r["click_id"] for r in rows if r["purchase_id"] is None}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purchases_b = ev.filter(F.col("event_type") == "purchase")
+    inner_b = interval_join_stream(clicks_b, purchases_b).collect()
+    want_matched = {(r["click_id"], r["purchase_id"]) for r in inner_b}
+    assert got_matched == want_matched
+
+    # the query watermark is the MIN over both inputs' (max event ts − delay);
+    # a click is decidable once that watermark passes click_ts + horizon
+    max_c = clicks_b.agg(F.max("ts")).collect()[0][0]
+    max_p = purchases_b.agg(F.max("ts")).collect()[0][0]
+    frontier = min(max_c, max_p) - datetime.timedelta(hours=3)  # 2h delay + 1h horizon
+    # exact boundary ties depend on the engine's strict-vs-inclusive
+    # comparison and watermark truncation — assert the band, not the tie
+    margin = datetime.timedelta(minutes=5)
+    matched_clicks = {r["click_id"] for r in inner_b}
+    unmatched = {r["event_id"]: r["ts"] for r in clicks_b.collect()
+                 if r["event_id"] not in matched_clicks}
+    must_emit = {cid for cid, ts in unmatched.items() if ts < frontier - margin}
+    may_emit = {cid for cid, ts in unmatched.items() if ts < frontier + margin}
+    assert must_emit and must_emit <= got_nulls <= may_emit
+    # no matched click may ever appear as an unmatched-null row
+    assert not (got_nulls & matched_clicks)
+
+
 def test_custom_streaming_source_matches_batch(spark):
     """The custom Python DataSource's stream reader must emit, across
     micro-batches (offset advance → partition planning → Arrow reads →
