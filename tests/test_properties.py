@@ -88,3 +88,40 @@ def test_shingles_match_reference(spark, words):
     toks = text.split(" ") if text else [""]
     want = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)] if len(toks) >= 3 else []
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", "dd", "eee"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SETTINGS
+def test_cdc_chunks_partition_any_token_stream(spark, docs):
+    """For ANY token stream: chunks reconstruct the document exactly, chunk
+    token counts sum to the document length, and chunk boundaries are
+    content-determined (first hex digit of md5(token) == '0')."""
+    import hashlib
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        cdc_chunks,
+    )
+
+    toked = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)], "doc_id long, toks array<string>"
+    )
+    rows = cdc_chunks(toked).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs):
+        chunks = sorted(per_doc[i], key=lambda r: r["chunk_id"])
+        assert " ".join(c["chunk_text"] for c in chunks) == " ".join(toks)
+        assert sum(c["n_toks"] for c in chunks) == len(toks)
+        # reference chunking: boundary iff md5(tok) starts with '0'
+        want_n_chunks = len(
+            {sum(1 for t in toks[: j + 1] if hashlib.md5(t.encode()).hexdigest()[0] == "0")
+             for j in range(len(toks))}
+        )
+        assert len(chunks) == want_n_chunks
