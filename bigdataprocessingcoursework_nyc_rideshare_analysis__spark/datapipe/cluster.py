@@ -206,6 +206,47 @@ def _cc_two_phase(
     )
 
 
+_TRIANGLE_ORACLE = f"""
+WITH {_JACCARD_CTES},
+e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs)
+SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@register("neardup_triangles", oracle=_TRIANGLE_ORACLE, tags=("datapipe", "dedup", "graph"))
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-dup pair graph — the density
+    signal that separates true duplicate CLIQUES (template families, mirror
+    sites: every pair similar) from accidental CHAINS (a~b~c where a̸~c),
+    which connected components alone cannot distinguish.
+
+    Standard distributed triangle join: with edges oriented (a < b), a
+    wedge join (e1.b = e2.a) proposes a<b<c paths and one closing join
+    checks (a, c).  Each join keys on a vertex id — ordinary hash
+    exchanges; orientation alone bounds wedge fan-out by out-degree, and
+    at web scale you additionally re-orient edges by (degree, id) so every
+    vertex's out-degree is O(√|E|) (the classic MR triangle-count bound) —
+    same plan, different orientation rule.  Output rows are the triangles
+    themselves (doc_a < doc_b < doc_c)."""
+    from .stage import staged_shingles
+
+    pairs = jaccard_pairs(staged_shingles(spark, sf_dir).persist(), JACCARD_THRESHOLD)
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(
+            F.col("e1.a").alias("doc_a"),
+            F.col("e1.b").alias("doc_b"),
+            F.col("e2.b").alias("doc_c"),
+        )
+    )
+
+
 _CC_ORACLE = f"""
 WITH RECURSIVE {_JACCARD_CTES},
 edges AS (

@@ -391,3 +391,76 @@ def q_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pos") == F.col("prev_t"), F.col("prev_v")).otherwise(interp).alias("value_interp"),
         )
     )
+
+
+# --- time-weighted average ----------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events
+), d AS (
+  SELECT user_id, t, v_cents,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+  FROM t
+), agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us,
+         CAST(SUM(v_cents * dt) AS BIGINT) AS wsum_cus
+  FROM d GROUP BY user_id
+)
+SELECT user_id, n_points, span_us,
+       CASE WHEN span_us > 0
+            THEN CAST(wsum_cus AS DOUBLE) / CAST(span_us * 100 AS DOUBLE) END AS twap
+FROM agg
+"""
+
+
+@register("time_weighted_avg_per_user", oracle=_TWAP_ORACLE, tags=("temporal", "window"))
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over an IRREGULAR event series —
+    the metric a plain AVG gets wrong whenever sampling is uneven (a value
+    held for 6 hours must weigh 360x one held for a minute; standard for
+    billing meters, position marks, sensor rollups).
+
+    Step-function integral: each observation holds until the next one, so
+    twap = SUM(value_i * (t_{i+1} - t_i)) / (t_last - t_first).
+
+    Numeric scheme, chosen for cross-engine bit-equality: values quantize
+    to integer CENTS, intervals stay integer MICROSECONDS, and the weighted
+    sum is a pure int64 SUM (order-independent, exact; bounded ~2.5e16 <<
+    int64).  The only floating-point ops are two int64->double conversions
+    (correctly rounded, single-step in every engine — unlike decimal->
+    double, which DuckDB performs as two roundings and drifts 1 ulp on
+    >2^53 sums) and ONE division.  Single-point / zero-span users yield
+    NULL.  Plan: one lead window + one aggregation, both keyed on user_id
+    — a single exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = ev.select(
+        "user_id",
+        "t",
+        "v_cents",
+        (F.lead("t").over(w) - F.col("t")).alias("dt"),
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+        F.sum(F.col("v_cents") * F.col("dt")).cast("long").alias("wsum_cus"),
+    )
+    return agg.select(
+        "user_id",
+        "n_points",
+        "span_us",
+        F.when(
+            F.col("span_us") > 0,
+            F.col("wsum_cus").cast("double") / (F.col("span_us") * 100).cast("double"),
+        ).alias("twap"),
+    )

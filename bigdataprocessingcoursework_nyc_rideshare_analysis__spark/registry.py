@@ -142,6 +142,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         olap,
         merge,
+        dq,
         tpch,
         windows,
         enrich,
