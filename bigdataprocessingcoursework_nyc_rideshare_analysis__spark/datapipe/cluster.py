@@ -268,6 +268,89 @@ FROM assign
 """
 
 
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+assign AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+qfeats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains({{STOPWORDS}}, x))) AS INTEGER) AS n_stop,
+         CAST(length(text) AS INTEGER) AS n_chars
+  FROM t JOIN documents USING (doc_id)
+),
+qscored AS (
+  SELECT doc_id,
+         ((({{W0}} + {{W1}} * CAST(n_tokens AS DOUBLE))
+            + {{W2}} * (CAST(n_stop AS DOUBLE) / n_tokens))
+            + {{W3}} * (CAST(n_chars AS DOUBLE) / n_tokens)) AS score
+  FROM qfeats
+),
+ranked AS (
+  SELECT a.cluster_id, a.doc_id, s.score,
+         ROW_NUMBER() OVER (PARTITION BY a.cluster_id ORDER BY s.score DESC, a.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY a.cluster_id) AS cluster_size
+  FROM assign a JOIN qscored s USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id, score AS rep_score, cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
+def _fill_keep_best_oracle() -> str:
+    from .textstats import QUALITY_WEIGHTS, STOPWORDS
+
+    w0, w1, w2, w3 = QUALITY_WEIGHTS
+    return _KEEP_BEST_ORACLE.format(
+        STOPWORDS=repr(list(STOPWORDS)), W0=w0, W1=w1, W2=w2, W3=w3
+    )
+
+
+@register("dedup_keep_best_in_cluster", oracle=_fill_keep_best_oracle(), tags=("datapipe", "dedup", "pipeline"))
+def q_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup LAST MILE, composed end-to-end: near-dup pairs → connected
+    components → per-cluster survivor chosen by QUALITY, not by min doc_id
+    — real pipelines keep the best copy of a duplicate family (longest /
+    cleanest), and min-id is only the label convention, not the keep rule.
+
+    Tie policy pinned (score desc, doc_id asc).  Plan: the CC fixpoint
+    (iterative, documented in ``connected_components``) feeds one
+    broadcast-sized label frame; the quality score joins on doc_id and one
+    cluster-keyed window picks survivors — each stage reuses operators that
+    are independently oracle-verified (`neardup_connected_components`,
+    `quality_model_score`), and the composition itself is checked against
+    the recursive-SQL + argmax oracle registered at module level."""
+    from .textstats import _quality_score_frame
+
+    assign = q_neardup_cc(spark, sf_dir).select("doc_id", "cluster_id", "cluster_size")
+    scored = _quality_score_frame(spark, sf_dir).select("doc_id", "score")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        assign.join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("score").alias("rep_score"),
+            "cluster_size",
+        )
+    )
+
+
 @register("neardup_connected_components", oracle=_CC_ORACLE, tags=("datapipe", "dedup", "iterative"))
 def q_neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse exact-Jaccard near-dup pairs into duplicate clusters: every

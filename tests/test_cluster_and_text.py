@@ -50,6 +50,29 @@ def test_neardup_pairs_land_in_same_cluster(spark):
     assert all(assign[cid] == cid for cid in set(assign.values()))
 
 
+def test_keep_best_in_cluster_picks_max_quality_member(spark):
+    """Survivor selection: one representative per cluster, drawn from the
+    cluster's members, carrying the cluster's maximum quality score (doc_id
+    tiebreak)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.cluster import (
+        q_keep_best_in_cluster,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        _quality_score_frame,
+    )
+
+    assign = {r["doc_id"]: r["cluster_id"] for r in q_neardup_cc(spark, SF_SMOKE).collect()}
+    scores = {r["doc_id"]: r["score"] for r in _quality_score_frame(spark, SF_SMOKE).collect()}
+    reps = q_keep_best_in_cluster(spark, SF_SMOKE).collect()
+    assert len(reps) == len(set(assign.values()))  # one row per cluster
+    for r in reps:
+        members = [d for d, c in assign.items() if c == r["cluster_id"]]
+        assert r["rep_doc_id"] in members
+        best = max(members, key=lambda d: (scores[d], -d))
+        assert r["rep_doc_id"] == best and r["rep_score"] == scores[best]
+        assert r["cluster_size"] == len(members)
+
+
 def test_tfidf_topk_and_score_ordering(spark):
     rows = q_tfidf_top_terms(spark, SF_SMOKE).collect()
     per_doc: dict[int, list] = {}
