@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
-from .dedup import _JACCARD_CTES, JACCARD_THRESHOLD, jaccard_pairs
+from .dedup import _JACCARD_CTES
 
 
 def connected_components(
@@ -230,10 +230,13 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at web scale you additionally re-orient edges by (degree, id) so every
     vertex's out-degree is O(√|E|) (the classic MR triangle-count bound) —
     same plan, different orientation rule.  Output rows are the triangles
-    themselves (doc_a < doc_b < doc_c)."""
-    from .stage import staged_shingles
+    themselves (doc_a < doc_b < doc_c).
 
-    pairs = jaccard_pairs(staged_shingles(spark, sf_dir).persist(), JACCARD_THRESHOLD)
+    Consumes the STAGED pair set (``datapipe.stage.staged_jaccard_pairs``):
+    detection runs once, graph analytics read its output."""
+    from .stage import staged_jaccard_pairs
+
+    pairs = staged_jaccard_pairs(spark, sf_dir)
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
@@ -357,11 +360,14 @@ def q_neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     document mapped to its component's min doc_id (the canonical survivor)
     plus the component size.  Downstream keeps ``doc_id == cluster_id`` rows
     (one representative per cluster) — the step that turns pair detection
-    into an actual dedup of the corpus."""
-    from .stage import staged_shingles
+    into an actual dedup of the corpus.
+
+    Consumes the STAGED pair set (``datapipe.stage.staged_jaccard_pairs``):
+    detection runs once, clustering reads its output."""
+    from .stage import staged_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(staged_shingles(spark, sf_dir).persist(), JACCARD_THRESHOLD)
+    pairs = staged_jaccard_pairs(spark, sf_dir)
     assign = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         docs.select(F.col("doc_id").alias("id")),

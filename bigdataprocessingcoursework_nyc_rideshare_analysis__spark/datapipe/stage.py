@@ -110,3 +110,24 @@ def staged_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
     out = _ensure(f"doc_shingles_k{k}", sf_dir, build)
     return spark.read.parquet(out)
+
+
+def staged_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float | None = None) -> DataFrame:
+    """The verified exact near-dup pair set (doc_a, doc_b, jaccard ≥
+    threshold) — the DETECTION stage's output, staged for its graph
+    consumers (connected components, triangles, survivor selection).
+
+    In a production pipeline pair detection runs once and writes this
+    table; clustering and graph analytics read it — they do not re-run the
+    shingle self-join each.  ``neardup_jaccard_pairs`` (the detection query
+    itself) deliberately does NOT read this stage: it IS the computation
+    being measured.  The threshold is part of the stage key."""
+    from .dedup import JACCARD_THRESHOLD, jaccard_pairs
+
+    t = JACCARD_THRESHOLD if threshold is None else threshold
+
+    def build() -> DataFrame:
+        return jaccard_pairs(staged_shingles(spark, sf_dir).persist(), t)
+
+    out = _ensure(f"jaccard_pairs_t{t}", sf_dir, build)
+    return spark.read.parquet(out)
