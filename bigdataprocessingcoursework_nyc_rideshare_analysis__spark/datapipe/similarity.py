@@ -305,3 +305,139 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy("label", "pos").agg(
         (F.sum("qval").cast("double") / F.count(F.lit(1))).alias("centroid")
     )
+
+
+# --- per-dimension embedding statistics ---------------------------------------
+
+_DIM_STATS_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), d AS (
+  SELECT CAST(i AS INTEGER) AS dim, v[i + 1] AS q
+  FROM e, UNNEST(range(0, len(v))) AS u(i)
+), agg AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(q) AS BIGINT) AS sum_q,
+         CAST(MIN(q) AS BIGINT) AS min_q,
+         CAST(MAX(q) AS BIGINT) AS max_q,
+         CAST(SUM(q * q) AS BIGINT) AS ssq_q
+  FROM d GROUP BY dim
+)
+SELECT dim, n_vecs, sum_q, min_q, max_q,
+       CAST(sum_q AS DOUBLE) / (n_vecs * 1000000) AS mean,
+       ((CAST(ssq_q AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / n_vecs) / n_vecs) AS var_q
+FROM agg
+"""
+
+
+@register("embedding_dim_stats", oracle=_DIM_STATS_ORACLE, tags=("datapipe", "similarity", "stats"))
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (count / sum / min / max / mean /
+    variance) — the fit step of feature standardization: whitening,
+    dead-dimension detection, and quantizer range calibration all read this
+    table before touching the vectors.
+
+    Exactness scheme (same as the TWAP operator): values quantize to int64
+    millionths, every aggregate is an exact integer SUM/MIN/MAX, and the
+    derived mean/variance touch floating point only through single-step
+    int64→double conversions in a pinned association order — bit-identical
+    across engines, unlike a naive double Σ whose result depends on
+    partition order.  Plan: posexplode → one dim-keyed aggregation; dim
+    cardinality = embedding width, so the exchange is tiny."""
+    from ..functions.vector import quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.posexplode(quantize_vec("embedding")).alias("dim", "q")
+    )
+    agg = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.min("q").cast("long").alias("min_q"),
+        F.max("q").cast("long").alias("max_q"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ssq_q"),
+    )
+    mean = F.col("sum_q").cast("double") / (F.col("n_vecs") * 1000000)
+    var_q = (
+        F.col("ssq_q").cast("double")
+        - F.col("sum_q").cast("double") * F.col("sum_q").cast("double") / F.col("n_vecs")
+    ) / F.col("n_vecs")
+    return agg.select(
+        "dim", "n_vecs", "sum_q", "min_q", "max_q", mean.alias("mean"), var_q.alias("var_q")
+    )
+
+
+_STANDARDIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), d AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS dim, v[i + 1] AS q
+  FROM e, UNNEST(range(0, len(v))) AS u(i)
+), agg AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(q) AS BIGINT) AS sum_q,
+         CAST(SUM(q * q) AS BIGINT) AS ssq_q
+  FROM d GROUP BY dim
+), st AS (
+  SELECT dim,
+         CAST(sum_q AS DOUBLE) / (n_vecs * 1000000) AS mean,
+         ((CAST(ssq_q AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / n_vecs) / n_vecs) AS var_q
+  FROM agg
+)
+SELECT d.vec_id, d.dim,
+       CASE WHEN st.var_q > 0
+            THEN (CAST(d.q AS DOUBLE) / 1000000 - st.mean) / sqrt(st.var_q / 1000000000000)
+       END AS z
+FROM d JOIN st USING (dim)
+"""
+
+
+@register("embedding_standardized", oracle=_STANDARDIZE_ORACLE, tags=("datapipe", "similarity", "stats"))
+def q_embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-scoring of the embedding corpus — the transform step
+    that consumes ``embedding_dim_stats``: z = (x − μ_dim) / σ_dim, emitted
+    FLATTENED as (vec_id, dim, z) rows (scalar cells hash cross-engine;
+    array outputs cannot).
+
+    Determinism: stats come from the exact integer aggregates above; the
+    per-row arithmetic is divisions, one subtraction, and ``sqrt`` — which
+    IEEE-754 requires correctly rounded (unlike exp/log), so z-scores are
+    bit-identical on both engines given the pinned association order.
+    Constant dimensions (σ = 0) yield NULL.  Plan: the dim-keyed stats
+    table is embedding-width-sized → broadcast join against the exploded
+    corpus; one tiny aggregation exchange, no corpus shuffle at all."""
+    from ..functions.vector import quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.posexplode(quantize_vec("embedding")).alias("dim", "q")
+    )
+    agg = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ssq_q"),
+    )
+    st = agg.select(
+        "dim",
+        (F.col("sum_q").cast("double") / (F.col("n_vecs") * 1000000)).alias("mean"),
+        (
+            (
+                F.col("ssq_q").cast("double")
+                - F.col("sum_q").cast("double") * F.col("sum_q").cast("double") / F.col("n_vecs")
+            )
+            / F.col("n_vecs")
+        ).alias("var_q"),
+    )
+    z = (F.col("q").cast("double") / 1000000 - F.col("mean")) / F.sqrt(
+        F.col("var_q") / 1000000000000
+    )
+    return (
+        d.join(F.broadcast(st), "dim")
+        .select("vec_id", "dim", F.when(F.col("var_q") > 0, z).alias("z"))
+    )
