@@ -334,3 +334,68 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("value") < fence_lo) | (F.col("value") > fence_hi))
         .select("event_id", "event_type", "value")
     )
+
+
+# --- winsorization ------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), p AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = greatest(((n + 1) * 5) // 100, 1) THEN value END) AS p05,
+         MAX(CASE WHEN rn = least(greatest(((n + 1) * 95) // 100, 1), n) THEN value END) AS p95
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, p.p05), p.p95) AS value_winsorized,
+       (e.value < p.p05 OR e.value > p.p95) AS clamped
+FROM events e JOIN p ON e.event_type = p.event_type
+"""
+
+
+@register("winsorized_values_by_event_type", oracle=_WINSOR_ORACLE, tags=("agg", "quantile", "scrub"))
+def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each event's value to its type's exact
+    rank-based [p05, p95] band — the outlier TAMING counterpart of the IQR
+    DETECTOR above (robust statistics pipelines clip rather than drop, so
+    row counts and joins downstream stay stable).
+
+    Exact rank selection (same discrete positions as the quartile family —
+    no interpolation, so no float synthesis: every output value is one of
+    the input's own doubles, and LEAST/GREATEST comparisons are
+    bit-deterministic).  Plan: one rank shuffle per type, |types|-row
+    percentile table broadcast back against the fact — identical shape to
+    the IQR plan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pos05 = F.greatest(F.floor(((F.col("n") + 1) * 5) / 100).cast("long"), F.lit(1))
+    pos95 = F.least(
+        F.greatest(F.floor(((F.col("n") + 1) * 95) / 100).cast("long"), F.lit(1)), F.col("n")
+    )
+    p = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == pos05, F.col("value"))).alias("p05"),
+        F.max(F.when(F.col("rn") == pos95, F.col("value"))).alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("value_winsorized"),
+            ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias("clamped"),
+        )
+    )
