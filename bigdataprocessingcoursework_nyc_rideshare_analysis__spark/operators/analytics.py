@@ -399,3 +399,41 @@ def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias("clamped"),
         )
     )
+
+
+# --- mergeable distinct-count sketches ----------------------------------------
+
+
+@register("daily_distinct_users_sketch_rollup", oracle=None, tags=("agg", "approx", "sketch"))
+def q_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count state — the warehouse pattern plain
+    ``approx_count_distinct`` cannot express: build one DataSketches HLL
+    sketch per (day, event_type) at ingest, then answer any date-range
+    distinct-user question later by UNIONING the precomputed sketches —
+    no rescan of the events, additive across arbitrary ranges.
+
+    Output: per event_type, the estimate from the union of that type's
+    daily sketches, alongside the day count and exact distinct for
+    auditability.  Not SQL-expressible in DuckDB (no mergeable sketch
+    surface) → rows-only driver check; pytest pins (a) determinism,
+    (b) union-of-dailies ≡ one whole-corpus sketch (DataSketches is
+    deterministic on sets), and (c) estimate within 5% of exact.
+
+    Scale: daily sketch state is O(days × types × sketch_size) — KBs per
+    key — and the rollup shuffles sketch BINARIES, never user ids."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "event_type", "user_id")
+        .groupBy("day", "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("distinct_users_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("distinct_users_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "n_days", "distinct_users_est", "distinct_users_exact"
+    )

@@ -116,3 +116,82 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+# --- snapshot diff (change data capture) --------------------------------------
+
+_DIFF_UPD_MOD = 17  # keys perturbed in the synthetic "old" snapshot
+_DIFF_INS_MOD = 31  # keys absent from "old" → inserts in "new"
+_DIFF_DEL_MOD = 29  # extra old-only keys (negated) → deletes
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+), old AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % {_DIFF_UPD_MOD} = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % {_DIFF_INS_MOD} <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % {_DIFF_DEL_MOD} = 0
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
+            WHEN n.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey
+FROM new n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR NOT (n.o_custkey IS NOT DISTINCT FROM o.o_custkey
+           AND n.o_orderstatus IS NOT DISTINCT FROM o.o_orderstatus
+           AND n.o_totalprice IS NOT DISTINCT FROM o.o_totalprice)
+"""
+
+
+def snapshot_diff(new: DataFrame, old: DataFrame, key: str) -> DataFrame:
+    """(op, key) change set between two snapshots sharing a schema:
+    'I' = key only in ``new``, 'D' = only in ``old``, 'U' = present in both
+    with any payload column differing (null-safe comparison — no hashing,
+    no string formatting, so engine number-rendering can't leak in).
+
+    The CDC primitive incremental pipelines derive deltas from when the
+    source can't emit a change feed: one full-outer join keyed on the
+    primary key; payload comparison is map-side.  Unchanged rows are
+    dropped, so the output is |changes|-sized, not |table|-sized."""
+    payload = [c for c in new.columns if c != key]
+    n = new.alias("n")
+    o = old.alias("o")
+    same = F.lit(True)
+    for c in payload:
+        same = same & F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+    nk, ok = F.col(f"n.{key}"), F.col(f"o.{key}")
+    return (
+        n.join(o, nk == ok, "full_outer")
+        .filter(ok.isNull() | nk.isNull() | ~same)
+        .select(
+            F.when(ok.isNull(), "I").when(nk.isNull(), "D").otherwise("U").alias("op"),
+            F.coalesce(nk, ok).alias(key),
+        )
+    )
+
+
+@register("snapshot_diff_orders", oracle=_SNAPSHOT_DIFF_ORACLE, tags=("merge", "cdc"))
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff of orders against a deterministically-perturbed prior
+    snapshot (every ``_DIFF_UPD_MOD``-th key's price bumped → 'U', every
+    ``_DIFF_INS_MOD``-th key removed from old → 'I', negated copies of
+    every ``_DIFF_DEL_MOD``-th key added to old → 'D') — proving all three
+    change classes fire, differentially against the oracle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % _DIFF_INS_MOD != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % _DIFF_UPD_MOD == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % _DIFF_DEL_MOD == 0).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+    )
+    return snapshot_diff(orders, old, "o_orderkey")

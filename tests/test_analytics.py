@@ -47,3 +47,34 @@ def test_cube_grand_total_matches_detail_sum(spark):
     detail = [r for r in rows if r["business"] is not None and r["ship_month"] is not None]
     assert len(grand) == 1
     assert grand[0]["trip_count"] == sum(r["trip_count"] for r in detail)
+
+
+def test_sketch_rollup_union_matches_whole_corpus_sketch(spark):
+    """Mergeability: the union of daily HLL sketches must estimate exactly
+    what one sketch over the whole corpus estimates (DataSketches is
+    deterministic on a given value set), and both must track the exact
+    distinct count within the sketch's error envelope."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+        q_daily_sketch_rollup,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    rows = {r["event_type"]: r for r in q_daily_sketch_rollup(spark, SF_SMOKE).collect()}
+    assert rows
+    whole = {
+        r["event_type"]: r["est"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("est"))
+        .collect()
+    }
+    again = {r["event_type"]: r for r in q_daily_sketch_rollup(spark, SF_SMOKE).collect()}
+    for et, r in rows.items():
+        assert r["distinct_users_est"] == whole[et]  # union of dailies ≡ one sketch
+        assert r["distinct_users_est"] == again[et]["distinct_users_est"]  # deterministic
+        exact = r["distinct_users_exact"]
+        assert abs(r["distinct_users_est"] - exact) <= max(2, 0.05 * exact)
+        assert r["n_days"] >= 1
