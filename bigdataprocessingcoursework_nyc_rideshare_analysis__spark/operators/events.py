@@ -245,3 +245,71 @@ def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").alias("n_with_k"),
         )
     )
+
+
+# --- N-step funnel ------------------------------------------------------------
+
+_FUNNEL3_ORACLE = """
+WITH su AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY 1
+), ck AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'click' AND e.ts > su.signup_ts GROUP BY 1
+), pu AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN ck ON e.user_id = ck.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > ck.click_ts GROUP BY 1
+)
+SELECT su.user_id, su.signup_ts, ck.click_ts, pu.purchase_ts,
+       1 + CASE WHEN ck.user_id IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN pu.user_id IS NULL THEN 0 ELSE 1 END AS steps_completed
+FROM su
+LEFT JOIN ck ON su.user_id = ck.user_id
+LEFT JOIN pu ON su.user_id = pu.user_id
+"""
+
+
+@register("signup_click_purchase_funnel", oracle=_FUNNEL3_ORACLE, tags=("events", "funnel"))
+def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel with earliest-completion semantics: first
+    signup, then the first click STRICTLY after it, then the first purchase
+    strictly after that — the greedy chain every product-analytics funnel
+    uses (k steps generalize by repeating the step join).  Strictly-later
+    is on timestamps alone, so MIN per step is deterministic without
+    tiebreaks.
+
+    Plan: one filtered aggregation per step, each keyed on user_id — three
+    small user-keyed exchanges AQE can co-partition; each step's input is
+    pre-filtered by event_type at the scan (pushed filter), so step k only
+    reads its own event class.  Output: per signed-up user, per-step
+    timestamps (NULL = dropped off) and the steps-completed count the
+    conversion report aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    su = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    ck = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(ck, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    steps = (
+        F.lit(1)
+        + F.when(F.col("click_ts").isNull(), 0).otherwise(1)
+        + F.when(F.col("purchase_ts").isNull(), 0).otherwise(1)
+    )
+    return (
+        su.join(ck, "user_id", "left")
+        .join(pu, "user_id", "left")
+        .select("user_id", "signup_ts", "click_ts", "purchase_ts", steps.alias("steps_completed"))
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, load_tables
 
 
 def asof_join(
@@ -463,4 +463,73 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("span_us") > 0,
             F.col("wsum_cus").cast("double") / (F.col("span_us") * 100).cast("double"),
         ).alias("twap"),
+    )
+
+
+# --- SCD2 validity-interval dimension join ------------------------------------
+
+SCD2_SPLIT = "1997-06-01 00:00:00"
+_SCD2_LO = "1992-01-01 00:00:00"
+_SCD2_HI = "2002-01-01 00:00:00"
+
+_SCD2_ORACLE = f"""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '{_SCD2_LO}' AS valid_from, TIMESTAMP '{SCD2_SPLIT}' AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 'MIGRATED' ELSE c_mktsegment END,
+         TIMESTAMP '{SCD2_SPLIT}', TIMESTAMP '{_SCD2_HI}'
+  FROM customer
+)
+SELECT o.o_orderkey, o.o_custkey, d.segment AS segment_at_order
+FROM orders o
+JOIN dim d ON o.o_custkey = d.c_custkey
+          AND o.o_orderdate >= d.valid_from AND o.o_orderdate < d.valid_to
+"""
+
+
+@register("scd2_segment_at_order", oracle=_SCD2_ORACLE, tags=("temporal", "join", "scd"))
+def q_scd2_segment_at_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension join: resolve each order against the dimension
+    version VALID AT ORDER TIME (half-open [valid_from, valid_to)
+    intervals) — the point-in-time-correct enrichment that prevents
+    training-data leakage from joining facts to future attribute values
+    (an as-of join against explicit validity intervals).
+
+    The versioned dimension here is built deterministically from customer
+    (pre/post-split segment, every 3rd customer migrated) so both engines
+    construct identical versions.  Plan: equi-join on the customer key
+    carries the plan (dimension broadcasts); the interval predicate is a
+    residual filter on the joined row — never a range-only join.  At
+    100 TB an SCD2 dimension stays dimension-sized (versions, not
+    history-of-facts), so the broadcast survives."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    cust = t["customer"]
+    lo = F.lit(_SCD2_LO).cast("timestamp")
+    split = F.lit(SCD2_SPLIT).cast("timestamp")
+    hi = F.lit(_SCD2_HI).cast("timestamp")
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        lo.alias("valid_from"),
+        split.alias("valid_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, "MIGRATED").otherwise(F.col("c_mktsegment")).alias("segment"),
+        split.alias("valid_from"),
+        hi.alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = t["orders"]
+    return (
+        o.join(
+            F.broadcast(dim),
+            (o["o_custkey"] == dim["c_custkey"])
+            & (o["o_orderdate"] >= dim["valid_from"])
+            & (o["o_orderdate"] < dim["valid_to"]),
+        )
+        .select("o_orderkey", "o_custkey", F.col("segment").alias("segment_at_order"))
     )
