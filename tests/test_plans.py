@@ -215,6 +215,30 @@ def test_incremental_dedup_plans_anti_join_on_pruned_stage(spark):
     assert schema_lines and all("toks" not in l for l in schema_lines), plan
 
 
+def test_scd2_join_broadcasts_with_residual_interval(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        q_scd2_segment_at_order,
+    )
+
+    plan = plan_string(q_scd2_segment_at_order(spark, SF_SMOKE))
+    # the equi-key must carry the join (broadcast hash), with the validity
+    # interval as a residual condition — never a nested-loop range join
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_triangle_join_has_no_shuffle_on_smoke(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.cluster import (
+        q_neardup_triangles,
+    )
+
+    spark.catalog.clearCache()
+    plan = plan_string(q_neardup_triangles(spark, SF_SMOKE))
+    # staged pair set is tiny → both joins broadcast; no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_source_quota_single_exchange_per_source_sort(spark):
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.scrub import (
         q_source_quota_sample,
