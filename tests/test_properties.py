@@ -91,6 +91,71 @@ def test_shingles_match_reference(spark, words):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            KEYS,                                     # user
+            st.integers(min_value=0, max_value=50),   # ts seconds (ties likely)
+            st.integers(min_value=-500, max_value=500),  # value in cents
+        ),
+        max_size=16,
+    )
+)
+@SETTINGS
+def test_twap_matches_reference(spark, rows):
+    """Time-weighted average against a pure-Python reference on generated
+    irregular series — tie timestamps, negative values, single-point and
+    zero-span users all land in the domain."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [
+            (i, k, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=t), c / 100.0)
+            for i, (k, t, c) in enumerate(rows)
+        ]
+        or [(None, None, None, None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    ).filter(F.col("event_id").isNotNull())
+
+    # re-run the exact query body on this frame (same expressions)
+    ev = df.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = ev.select("user_id", "t", "v_cents", (F.lead("t").over(w) - F.col("t")).alias("dt"))
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+        F.sum(F.col("v_cents") * F.col("dt")).cast("long").alias("wsum_cus"),
+    )
+    got = {
+        r["user_id"]: (r["n_points"], r["span_us"], r["twap"])
+        for r in agg.select(
+            "user_id", "n_points", "span_us",
+            F.when(F.col("span_us") > 0,
+                   F.col("wsum_cus").cast("double") / (F.col("span_us") * 100).cast("double")
+                   ).alias("twap"),
+        ).collect()
+    }
+
+    per_user: dict[int, list] = {}
+    for i, (k, t, c) in enumerate(rows):
+        per_user.setdefault(k, []).append((t * 1_000_000, i, c))
+    for k, pts in per_user.items():
+        pts.sort(key=lambda p: (p[0], p[1]))
+        span = pts[-1][0] - pts[0][0]
+        n, s, twap = got[k]
+        assert n == len(pts) and s == span
+        if span == 0:
+            assert twap is None
+        else:
+            wsum = sum(c * (pts[j + 1][0] - t) for j, (t, _, c) in enumerate(pts[:-1]))
+            assert twap == wsum / (span * 100)
+
+
+@given(
     docs=st.lists(
         st.lists(st.sampled_from(["a", "b", "cc", "dd", "eee"]), min_size=1, max_size=12),
         min_size=1,

@@ -231,3 +231,38 @@ def test_doc_shards_append_and_overwrite_modes(spark, outdir):
     again = spark.read.format(fmt).option("path", path).load()
     assert again.count() == b.count()  # overwrite replaced prior shards
     assert again.exceptAll(b).count() == 0
+
+
+def test_doc_shards_abort_removes_uncommitted_tmp_files(spark, outdir):
+    """The abort path of the two-phase commit: written-but-uncommitted
+    shards are deleted, committed shards from prior runs stay untouched."""
+    import json
+    import os
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.pydatasource import (
+        _build_shards_datasource,
+    )
+
+    source_cls = _build_shards_datasource()
+    src = source_cls(options={"path": f"{outdir}/shards"})
+    writer = src.writer(None, overwrite=True)
+
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2], type=pa.int64()), pa.array(["x", "y"], type=pa.string())],
+        names=["doc_id", "text"],
+    )
+    msg = writer.write(iter([batch]))
+    tmp_path = os.path.join(f"{outdir}/shards", msg.tmp_name)
+    assert os.path.exists(tmp_path)  # uncommitted shard on disk
+
+    writer.abort([msg, None])  # None = a task that never produced a message
+    assert not os.path.exists(tmp_path)
+    assert not os.path.exists(os.path.join(f"{outdir}/shards", "_MANIFEST.json"))
+
+    # commit path still works after an abort (fresh attempt)
+    msg2 = writer.write(iter([batch]))
+    writer.commit([msg2])
+    with open(os.path.join(f"{outdir}/shards", "_MANIFEST.json")) as fh:
+        assert sum(s["rows"] for s in json.load(fh)["shards"]) == 2
