@@ -313,3 +313,36 @@ def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pu, "user_id", "left")
         .select("user_id", "signup_ts", "click_ts", "purchase_ts", steps.alias("steps_completed"))
     )
+
+
+_MODAL_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS modal_event_type, CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
+@register("modal_event_type_per_user", oracle=_MODAL_ORACLE, tags=("events", "agg", "argmax"))
+def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MODE of event_type (most frequent value, alphabetical
+    tiebreak) — the categorical summary statistic behind 'dominant
+    behavior' features.  Single-aggregation argmax via struct-min over
+    (−count, type): no window, no second shuffle — the same plan trick as
+    the TPC-H argmin (``cheapest_supplier_per_brand``), pinned there in
+    ``test_plans.py``."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    best = F.min(
+        F.struct((-F.col("n")).alias("neg_n"), F.col("event_type").alias("et"))
+    ).alias("b")
+    return counts.groupBy("user_id").agg(best).select(
+        "user_id",
+        F.col("b.et").alias("modal_event_type"),
+        (-F.col("b.neg_n")).cast("long").alias("n_events"),
+    )

@@ -533,3 +533,46 @@ def q_scd2_segment_at_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey", F.col("segment").alias("segment_at_order"))
     )
+
+
+# --- day-over-day growth ------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, n_events,
+       LAG(n_events) OVER (ORDER BY day) AS prev_events,
+       n_events - LAG(n_events) OVER (ORDER BY day) AS delta,
+       CAST(n_events - LAG(n_events) OVER (ORDER BY day) AS DOUBLE)
+         / LAG(n_events) OVER (ORDER BY day) AS growth
+FROM d
+"""
+
+
+@register("daily_event_growth", oracle=_GROWTH_ORACLE, tags=("temporal", "window"))
+def q_daily_event_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day event volume deltas and growth rate (NULL on the first
+    day) — the trend primitive behind monitoring dashboards.  The lag
+    window is GLOBAL (no partition key) which is normally a scale smell,
+    but it runs over the |days|-sized daily rollup, not the corpus — the
+    aggregation reduces first, so the single-partition sort touches a few
+    hundred rows regardless of input size (same reasoning as the date
+    spine in the gap-fill operator).  Growth divides exact int64 counts —
+    one IEEE division, bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("n_events").over(w)
+    return d.select(
+        "day",
+        "n_events",
+        prev.alias("prev_events"),
+        (F.col("n_events") - prev).alias("delta"),
+        ((F.col("n_events") - prev).cast("double") / prev).alias("growth"),
+    )
