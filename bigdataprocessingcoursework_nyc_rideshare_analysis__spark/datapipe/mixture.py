@@ -1,0 +1,155 @@
+"""Dataset-mixture operators for LLM training-data pipelines: per-source
+temperature resampling weights and the deterministic doc-level sample that
+applies them.
+
+No reference counterpart (SURVEY.md §2.9 extension tier).  Multi-source
+corpora are never trained at their natural proportions — a handful of crawl
+sources dwarf the curated ones, so pipelines re-weight sources with a
+temperature exponent (w_s ∝ p_s^α, α < 1 flattens the distribution; the
+scheme used by multilingual/multi-corpus samplers in published LLM training
+recipes).  Both queries are single-shuffle shapes that hold at 100 TB:
+
+- ``source_mixture_weights``: one groupBy(source) over token counts (the
+  per-row token count is codegen'd array math), then a 1-row total joined
+  back by broadcast.  |sources| is tiny; the only corpus-sized cost is the
+  scan.
+- ``mixture_resample_docs``: joins the |sources|-row weight table back to
+  the corpus (broadcast) and gates each doc on an md5-derived bucket —
+  content-hash sampling, so the subset is reproducible across engines,
+  partitionings, and retries (same rationale as ``stratified_hash_sample``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col
+from ..registry import register
+from ..sources import load_table
+
+#: Temperature exponent: w_s ∝ p_s^alpha (alpha=1 → natural mix, 0 → uniform).
+MIXTURE_ALPHA = 0.7
+
+#: Global budget as a fraction of the natural corpus: the resampled corpus
+#: targets ``BUDGET_FRAC × total_tokens`` tokens, allocated by weight.
+BUDGET_FRAC = 0.5
+
+_WEIGHTS_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS n_tokens
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS total_tokens, SUM(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})) AS z
+  FROM per_source
+)
+SELECT source,
+       n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens AS DOUBLE) / total_tokens AS p_natural,
+       ROUND(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA}) / z, 12) AS weight,
+       ROUND((POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA}) / z)
+         / (CAST(n_tokens AS DOUBLE) / total_tokens), 12) AS epochs
+FROM per_source, tot
+ORDER BY source
+"""
+
+
+def source_token_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens) — the one corpus-sized pass."""
+    return (
+        docs.select("source", F.size(tokens_col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def mixture_weights(docs: DataFrame, alpha: float = MIXTURE_ALPHA) -> DataFrame:
+    """Temperature-resampled source weights: w_s = n_s^α / Σ n^α, plus the
+    natural share and the implied epoch multiplier (w_s / p_s > 1 means the
+    source is over-sampled relative to its natural size)."""
+    per_source = source_token_stats(docs)
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("z"),
+    )
+    p_nat = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("z")
+    return (
+        per_source.join(F.broadcast(tot))  # 1-row totals: broadcast cross join
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            p_nat.alias("p_natural"),
+            # Math.pow (JVM) and pow (C) may differ in the last ulp; one
+            # 12-dp rounding in both engines pins the published artifact.
+            F.round(w, 12).alias("weight"),
+            F.round(w / p_nat, 12).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("source_mixture_weights", oracle=_WEIGHTS_ORACLE, tags=("datapipe", "mixture", "r4"))
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature resampling weights (α=0.7) over the corpus."""
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+_RESAMPLE_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         SUM(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS n_tokens
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS total_tokens, SUM(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})) AS z
+  FROM per_source
+), rates AS (
+  SELECT source,
+         CAST(ROUND(LEAST(1.0,
+               {BUDGET_FRAC} * ROUND((POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA}) / z)
+                 / (CAST(n_tokens AS DOUBLE) / total_tokens), 12)) * 1000, 0) AS INTEGER) AS keep_per_mille
+  FROM per_source, tot
+)
+SELECT d.doc_id, d.source, r.keep_per_mille
+FROM documents d JOIN rates r USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+      < r.keep_per_mille
+"""
+
+
+@register("mixture_resample_docs", oracle=_RESAMPLE_ORACLE, tags=("datapipe", "mixture", "r4"))
+def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture weights as a deterministic doc-level sample.
+
+    Each source's keep-rate is ``min(1, BUDGET_FRAC × epochs_s)`` — the
+    token budget allocated by weight, expressed as a per-mille integer
+    threshold (rounded once, so both engines gate on the same integer) — and
+    a doc survives iff its md5 bucket falls under the threshold.  Plan: the
+    |sources|-row rate table broadcast-joins back to the corpus; the gate is
+    a stateless filter.  Sources whose epochs exceed 1/BUDGET_FRAC keep
+    everything (up-sampling beyond 1.0 is repetition, handled at batch
+    assembly, not here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = mixture_weights(docs).select(
+        "source",
+        F.round(F.least(F.lit(1.0), F.lit(BUDGET_FRAC) * F.col("epochs")) * 1000, 0)
+        .cast("int")
+        .alias("keep_per_mille"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 1000
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("keep_per_mille"))
+        .select("doc_id", "source", "keep_per_mille")
+    )

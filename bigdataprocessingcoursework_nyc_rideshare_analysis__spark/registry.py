@@ -137,7 +137,7 @@ def load_all() -> dict[str, QuerySpec]:
     the order is: (1) never-verified queries and queries changed since
     their green row (``CHANGED_SINCE_VERIFIED``), in module order; (2) the
     verified tier, oldest round first (stalest rows re-confirm first)."""
-    from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster, scrub, bpe  # noqa: F401
+    from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster, scrub, bpe, mixture, boilerplate, graphrank  # noqa: F401
     from .sources import pydatasource  # noqa: F401
     from .operators import (  # noqa: F401
         olap,
@@ -160,7 +160,10 @@ def load_all() -> dict[str, QuerySpec]:
 
     def priority(name: str) -> tuple[int, int]:
         if name in CHANGED_SINCE_VERIFIED or name not in DRIVER_VERIFIED:
-            return (0, 0)
+            # within the unverified tier, older additions verify first: a
+            # query tagged "r4" (added round 4) queues behind round-3 adds
+            # so a bounded verification window drains oldest-first.
+            return (0, 1 if "r4" in REGISTRY[name].tags else 0)
         return (1, DRIVER_VERIFIED[name])
 
     ordered = sorted(REGISTRY, key=priority)  # stable: keeps module order within tiers
