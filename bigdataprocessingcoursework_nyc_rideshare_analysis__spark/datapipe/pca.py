@@ -1,0 +1,105 @@
+"""Distributed PCA over the embedding table: top principal component via a
+one-pass Gram/covariance aggregation + power iteration.
+
+No reference counterpart (SURVEY.md §2.9 extension tier).  The standard
+split for PCA at scale (the same physical shape Spark MLlib's
+``computePrincipalComponents`` uses): the corpus-sized work is ONE
+``mapInPandas`` pass emitting per-batch partial sums (Σx, Σxxᵀ, n) as
+NumPy float64 — Arrow-batched, embarrassingly parallel, reduced by a tiny
+aggregation — and the eigen-solve then runs on the d×d covariance matrix,
+which scales with the embedding WIDTH squared (64² here), never with the
+corpus.  Power iteration with a fixed deterministic start and iteration
+count, so the result is reproducible bit-for-bit across runs and cluster
+sizes (the partial sums are order-sensitive at the last ulp; the final
+8-dp rounding absorbs that).
+
+Rows-only driver check (eigen-solves aren't SQL); the component is pinned
+against ``numpy.linalg.eigh`` in ``tests/test_pca.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+POWER_ITERATIONS = 50
+
+
+def covariance_parts(emb: DataFrame, dim: int) -> DataFrame:
+    """Per-batch partial (n, Σx, vec(Σxxᵀ)) — the single corpus pass."""
+
+    def parts(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            if x.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    return emb.select("embedding").mapInPandas(
+        parts, schema="n long, s array<double>, g array<double>"
+    )
+
+
+def top_component(emb: DataFrame, dim: int, iterations: int = POWER_ITERATIONS):
+    """(eigenvalue, eigenvector) of the sample covariance's top component.
+
+    The reduce keyed on nothing collapses partials to one row (Spark plans
+    a partial+final aggregate, so the d²-wide sums combine tree-wise); the
+    bounded d²-float collect then feeds a driver-side power iteration —
+    control-flow-sized, independent of corpus size."""
+    import numpy as np
+
+    parts = covariance_parts(emb, dim)
+    row = (
+        parts.agg(
+            F.sum("n").alias("n"),
+            F.array(*[F.sum(F.element_at("s", i + 1)) for i in range(dim)]).alias("s"),
+            F.array(*[F.sum(F.element_at("g", i + 1)) for i in range(dim * dim)]).alias("g"),
+        )
+        .collect()[0]
+    )
+    n = row["n"]
+    mean = np.asarray(row["s"], dtype=np.float64) / n
+    gram = np.asarray(row["g"], dtype=np.float64).reshape(dim, dim)
+    cov = gram / n - np.outer(mean, mean)
+    v = np.ones(dim) / np.sqrt(dim)  # deterministic start
+    for _ in range(iterations):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    # canonical sign: first nonzero loading positive
+    nz = np.nonzero(np.round(v, 12))[0]
+    if nz.size and v[nz[0]] < 0:
+        v = -v
+    eigenvalue = float(v @ cov @ v)
+    return eigenvalue, v, float(np.trace(cov))
+
+
+@register("embedding_top_component", oracle=None, tags=("datapipe", "embeddings", "iterative", "r4"))
+def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud: one row per
+    dimension with its loading, plus the shared explained-variance ratio.
+    The 8-dp rounding makes the output stable across partitionings (float
+    summation order differs; the eigenvector is conditioned far above
+    1e-8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    eigenvalue, v, trace = top_component(emb, dim)
+    spark_rows = [
+        (i, round(float(v[i]), 8), round(eigenvalue, 8), round(eigenvalue / trace, 8))
+        for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        spark_rows, "dim int, loading double, eigenvalue double, explained_ratio double"
+    )
