@@ -118,3 +118,39 @@ def test_boilerplate_dedup_reassembles_in_order(spark):
     # removed, but the doc still appears with an empty kept_text
     assert out[99]["kept_text"] == ""
     assert out[99]["n_removed"] == 1
+
+
+def test_unigram_cross_entropy_hand_computed(spark, tmp_path):
+    """Two docs, vocab {a:3, b:1}: p(a)=(3+1)/(4+2), p(b)=(1+1)/(4+2).
+    doc0 = 'a a a' → H = -ln(2/3); doc1 = 'b' → H = -ln(1/3)."""
+    import math
+    from pyspark.sql import Row
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.lm import (
+        q_unigram_logppl,
+    )
+
+    rows = [
+        Row(doc_id=0, text="a a a", lang="en", source="s", n_chars=5),
+        Row(doc_id=1, text="b", lang="en", source="s", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_unigram_logppl(spark, str(tmp_path)).collect()}
+    assert out[0]["cross_entropy"] == pytest.approx(-math.log(4 / 6), abs=1e-9)
+    assert out[1]["cross_entropy"] == pytest.approx(-math.log(2 / 6), abs=1e-9)
+    # rare-token doc scores strictly worse (higher)
+    assert out[1]["cross_entropy"] > out[0]["cross_entropy"]
+
+
+def test_vocab_coverage_counts_hits(spark, tmp_path):
+    from pyspark.sql import Row
+    import bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.lm as lm
+
+    rows = [
+        Row(doc_id=0, text="x x y rare1 rare2", lang="en", source="s", n_chars=1),
+        Row(doc_id=1, text="x y", lang="en", source="s", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in lm.q_vocab_coverage(spark, str(tmp_path)).collect()}
+    # top-500 easily includes all terms here → full coverage
+    assert out[0]["coverage"] == pytest.approx(1.0)
+    assert out[0]["in_vocab"] == 5 and out[0]["n_tokens"] == 5
