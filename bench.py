@@ -73,6 +73,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # build the content-addressed staging artifacts up front (ingest cost,
+    # not query cost — same treatment as the bucketed warehouse below) so
+    # per-query timings don't depend on which dedup-family query happens to
+    # run first against a cold stage; the build cost is reported separately
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.stage import (
+        staged_features,
+        staged_jaccard_pairs,
+        staged_shingles,
+    )
+
+    start = time.perf_counter()
+    for build in (staged_features, staged_shingles, staged_jaccard_pairs):
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    stage_build_sec = round(time.perf_counter() - start, 4)
+
     timings: dict[str, float] = {}
     for name, spec in registry.items():
         start = time.perf_counter()
@@ -126,6 +141,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "stage_build_sec": stage_build_sec,
     }
     if warehouse is not None:
         detail["warehouse"] = warehouse
@@ -141,6 +157,7 @@ def main() -> None:
         "queries": slowest,
         "sf": sf,
         "n_queries": len(timings),
+        "stage_build_sec": stage_build_sec,
         "detail": "BENCH_DETAIL.json",
     }
     if warehouse is not None:

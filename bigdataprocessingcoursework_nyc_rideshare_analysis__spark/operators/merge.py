@@ -195,3 +195,108 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(orders, old, "o_orderkey")
+
+
+# --- incremental aggregate maintenance (IVM) --------------------------------
+
+_IVM_ORACLE = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+def apply_agg_deltas(
+    base_agg: DataFrame, new: DataFrame, old: DataFrame, key: str, group: str, money: str
+) -> DataFrame:
+    """Maintain ``group → (count, decimal sum)`` under a snapshot change
+    without recomputing from the fact table.
+
+    Change rows are found with one key-wise full-outer join (same shape as
+    ``snapshot_diff``); each changed key contributes (+new payload) and/or
+    (−old payload) to its group's delta; the |changes|-sized delta aggregate
+    then full-outer-merges into the maintained aggregate.  Every sum flows
+    through DECIMAL — addition is associative and exact, so the maintained
+    result is BIT-IDENTICAL to a recompute, which is exactly what the
+    DuckDB oracle does (it recomputes from the new snapshot; the Spark side
+    never touches it).  Groups whose count reaches zero are dropped.
+
+    100 TB story: the two corpus-sized inputs are joined once on the
+    primary key (co-partitionable / bucketable); everything downstream is
+    |changes|- or |groups|-sized.  This is the standard incremental-view-
+    maintenance shape for distributive aggregates (COUNT/SUM; MIN/MAX would
+    need per-group recompute on deletes)."""
+    n = new.alias("n")
+    o = old.alias("o")
+    nk, ok = F.col(f"n.{key}"), F.col(f"o.{key}")
+    payload = [c for c in new.columns if c != key]
+    same = F.lit(True)
+    for c in payload:
+        same = same & F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+    changed = n.join(o, nk == ok, "full_outer").filter(ok.isNull() | nk.isNull() | ~same)
+    dec = "decimal(18,2)"
+    plus = changed.filter(nk.isNotNull()).select(
+        F.col(f"n.{group}").alias(group),
+        F.col(f"n.{money}").cast(dec).alias("dm"),
+        F.lit(1).alias("dn"),
+    )
+    minus = changed.filter(ok.isNotNull()).select(
+        F.col(f"o.{group}").alias(group),
+        (-F.col(f"o.{money}").cast(dec)).alias("dm"),
+        F.lit(-1).alias("dn"),
+    )
+    deltas = (
+        plus.unionByName(minus)
+        .groupBy(group)
+        .agg(F.sum("dm").alias("dm"), F.sum("dn").cast("bigint").alias("dn"))
+    )
+    b = base_agg.alias("b")
+    d = deltas.alias("d")
+    bg, dg = F.col(f"b.{group}"), F.col(f"d.{group}")
+    zero = F.lit(0).cast(dec)
+    return (
+        b.join(d, bg == dg, "full_outer")
+        .select(
+            F.coalesce(bg, dg).alias(group),
+            (F.coalesce(F.col("b.n_orders"), F.lit(0)) + F.coalesce(F.col("d.dn"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (F.coalesce(F.col("b.rev_dec"), zero) + F.coalesce(F.col("d.dm"), zero)).alias(
+                "rev_dec"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+@register("rollup_apply_cdc", oracle=_IVM_ORACLE, tags=("merge", "cdc", "ivm", "r4"))
+def q_rollup_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintain the per-customer order rollup across the same
+    synthetic snapshot change as ``snapshot_diff_orders``: the maintained
+    aggregate starts from the OLD snapshot, the delta derived from the
+    old→new diff is applied, and the result must bit-match the oracle's
+    full recompute over the NEW snapshot — the differential proof that the
+    incremental path loses nothing."""
+    new = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old = new.filter(F.col("o_orderkey") % _DIFF_INS_MOD != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % _DIFF_UPD_MOD == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        new.filter(F.col("o_orderkey") % _DIFF_DEL_MOD == 0).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+    )
+    base = old.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+    )
+    out = apply_agg_deltas(base, new, old, "o_orderkey", "o_custkey", "o_totalprice")
+    return out.select(
+        "o_custkey", "n_orders", F.col("rev_dec").cast("double").alias("revenue")
+    )

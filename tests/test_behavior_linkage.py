@@ -101,3 +101,32 @@ def test_fuzzy_pairs_finds_sub_ins_del_and_rejects_distance_two(spark):
     assert ("marsha", "marthas") not in got
     # every reported pair is genuinely within distance 1
     assert set(got.values()) <= {0, 1}
+
+
+def test_apply_agg_deltas_hand_case(spark):
+    """IVM by hand: base over old {k1:(2 orders, 30.00), k2:(1, 5.00)};
+    change = update one k1 order (+1.50), delete k2's only order, insert a
+    k3 order.  Maintained result must equal a recompute over new, and the
+    emptied group k2 must vanish."""
+    from pyspark.sql import functions as F
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.merge import (
+        apply_agg_deltas,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "k1", 10.0), (2, "k1", 20.0), (3, "k2", 5.0)],
+        "okey long, grp string, amt double",
+    )
+    new = spark.createDataFrame(
+        [(1, "k1", 11.5), (2, "k1", 20.0), (4, "k3", 7.0)],
+        "okey long, grp string, amt double",
+    )
+    base = old.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("amt").cast("decimal(18,2)")).alias("rev_dec"),
+    )
+    out = {
+        r["grp"]: (r["n_orders"], float(r["rev_dec"]))
+        for r in apply_agg_deltas(base, new, old, "okey", "grp", "amt").collect()
+    }
+    assert out == {"k1": (2, 31.5), "k3": (1, 7.0)}
