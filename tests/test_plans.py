@@ -248,3 +248,37 @@ def test_source_quota_single_exchange_per_source_sort(spark):
     # one hash exchange on source, in-partition sort, no global sort node
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_round4_datapipe_plan_shapes(spark):
+    """Plan pins for the round-4 tier: broadcasts where a side is bounded,
+    no cartesian products anywhere, hash-keyed joins for the corpus-sized
+    paths."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    reg = load_all()
+    # LM tier: term/vocab tables broadcast into the token-level join
+    for name in ("unigram_logppl_docs", "vocab_coverage_docs"):
+        plan = plan_string(reg[name].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # mixture resample: |sources|-row rate table broadcast back to corpus
+    plan = plan_string(reg["mixture_resample_docs"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # boilerplate + fuzzy linkage + IVM: equi-joins only, never cartesian
+    for name in ("boilerplate_segment_dedup", "fuzzy_customer_pairs", "rollup_apply_cdc"):
+        plan = plan_string(reg[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_mixture_weights_single_corpus_scan(spark):
+    """source_mixture_weights reads only (source, text): column pruning
+    must reach the parquet scan."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    plan = plan_string(load_all()["source_mixture_weights"].fn(spark, SF_SMOKE))
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    assert all("doc_id" not in l and "n_chars" not in l for l in scans)

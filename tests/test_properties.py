@@ -190,3 +190,79 @@ def test_cdc_chunks_partition_any_token_stream(spark, docs):
              for j in range(len(toks))}
         )
         assert len(chunks) == want_n_chunks
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from("abc"), st.integers(0, 999)),
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    upd=st.lists(
+        st.tuples(st.integers(0, 40), st.sampled_from("abc"), st.integers(0, 999)),
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+@SETTINGS
+def test_ivm_equals_recompute_for_any_snapshots(spark, base, upd):
+    """Incremental aggregate maintenance ≡ full recompute for ARBITRARY
+    old/new snapshot pairs (inserts, deletes, updates, group moves, empty
+    sides): the maintained (count, decimal sum) per group must bit-match
+    grouping the new snapshot directly."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.merge import (
+        apply_agg_deltas,
+    )
+
+    schema = "okey long, grp string, amt double"
+    old_rows = [(k, g, v / 100.0) for k, g, v in base]
+    new_rows = [(k, g, v / 100.0) for k, g, v in upd]
+    old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+    agg = lambda df: df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("amt").cast("decimal(18,2)")).alias("rev_dec"),
+    )
+    got = {
+        r["grp"]: (r["n_orders"], r["rev_dec"])
+        for r in apply_agg_deltas(agg(old), new, old, "okey", "grp", "amt").collect()
+    }
+    want = {r["grp"]: (r["n_orders"], r["rev_dec"]) for r in agg(new).collect()}
+    assert got == want
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="ab1", min_size=1, max_size=5), min_size=2, max_size=12, unique=True
+    )
+)
+@SETTINGS
+def test_fuzzy_pairs_match_brute_force(spark, names):
+    """Deletion-neighborhood blocking finds EXACTLY the brute-force
+    Levenshtein<=1 pairs on arbitrary short strings over a tiny alphabet
+    (dense distance-1 neighborhoods, insert/delete/substitute all hit)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.linkage import (
+        fuzzy_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "k long, name string")
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_pairs(df, "k", "name").collect()
+    }
+    want = {
+        (min(a, b), max(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev(a, b) <= 1
+    }
+    assert got == want
