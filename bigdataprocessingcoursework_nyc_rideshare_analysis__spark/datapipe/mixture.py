@@ -21,7 +21,7 @@ recipes).  Both queries are single-shuffle shapes that hold at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col
@@ -152,4 +152,48 @@ def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "source")
         .filter(bucket < F.col("keep_per_mille"))
         .select("doc_id", "source", "keep_per_mille")
+    )
+
+
+# --- loader-side shard manifest ---------------------------------------------
+
+N_SHARDS = 8
+
+_SHARD_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(shuffle_key % {N_SHARDS} AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % {N_SHARDS}
+                               ORDER BY shuffle_key, doc_id) AS BIGINT) AS position
+FROM keyed
+"""
+
+
+@register("training_shard_manifest", oracle=_SHARD_ORACLE, tags=("datapipe", "mixture", "loader", "r4"))
+def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for the training data loader: every doc
+    gets a shard and a position within it, both derived from a content
+    hash — reproducible across runs/engines/partitionings, which a resumable
+    training job requires (step N must mean the same examples everywhere).
+
+    The 100 TB point: a uniform random *global* order normally means a
+    global sort.  Hashing first makes the order pseudo-random, so sorting
+    WITHIN hash-assigned shards is equivalent — one hash exchange on the
+    shard id plus per-shard sorts, never a single-partition global sort.
+    (doc_id breaks md5-prefix ties deterministically.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    shuffle_key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    keyed = docs.select("doc_id", shuffle_key.alias("shuffle_key"))
+    shard = (F.col("shuffle_key") % N_SHARDS).cast("int")
+    w = Window.partitionBy(shard).orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("position"),
     )

@@ -154,3 +154,23 @@ def test_vocab_coverage_counts_hits(spark, tmp_path):
     # top-500 easily includes all terms here → full coverage
     assert out[0]["coverage"] == pytest.approx(1.0)
     assert out[0]["in_vocab"] == 5 and out[0]["n_tokens"] == 5
+
+
+def test_shard_manifest_dense_positions_and_determinism(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.mixture import (
+        N_SHARDS,
+        q_training_shard_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = q_training_shard_manifest(spark, sf).collect()
+    b = q_training_shard_manifest(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard"] < N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    # positions are dense 1..n within every shard (a loader can seek by step)
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+    assert len(by_shard) == N_SHARDS
