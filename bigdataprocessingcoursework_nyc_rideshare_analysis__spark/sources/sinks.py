@@ -93,3 +93,34 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_orc(spark, path: str) -> DataFrame:
     """ORC source (self-describing schema, like parquet)."""
     return spark.read.orc(path)
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 128,
+    sample_rows: int = 10_000,
+    mode: str = "overwrite",
+) -> int:
+    """Parquet sink that bounds OUTPUT FILE SIZE, the other half of write
+    hygiene at scale: tiny files swamp the namenode/listing and huge files
+    defeat range-request parallelism, so production sinks target
+    ~128-1024 MB per file.
+
+    Row width is estimated from a bounded sample (serialized via the
+    to_json length of each row — a cheap upper-bound proxy for on-disk
+    width before encoding), converted to ``maxRecordsPerFile``, which Spark
+    enforces per task WITHOUT any repartition: no extra shuffle, files
+    just roll over at the cap.  Returns the cap used (also handy for
+    tests).  Compression typically shrinks files well under the target —
+    the cap bounds the upper tail, which is what matters."""
+    from pyspark.sql import functions as F
+
+    sampled = df.limit(sample_rows).select(
+        F.length(F.to_json(F.struct(*df.columns))).alias("w")
+    )
+    row = sampled.agg(F.avg("w").alias("avg_w")).collect()[0]
+    avg_w = row["avg_w"] or 1.0
+    max_records = max(1, int(target_mb * 1024 * 1024 / avg_w))
+    df.write.mode(mode).option("maxRecordsPerFile", max_records).parquet(path)
+    return max_records

@@ -266,3 +266,27 @@ def test_doc_shards_abort_removes_uncommitted_tmp_files(spark, outdir):
     writer.commit([msg2])
     with open(os.path.join(f"{outdir}/shards", "_MANIFEST.json")) as fh:
         assert sum(s["rows"] for s in json.load(fh)["shards"]) == 2
+
+
+def test_sized_parquet_rolls_files_at_record_cap(spark, tmp_path):
+    """A small target_mb must split the write into multiple files with no
+    file exceeding the returned record cap — and no repartition: row data
+    round-trips exactly."""
+    import glob
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.sinks import (
+        write_sized_parquet,
+    )
+
+    df = spark.range(0, 50_000, 1, 2).withColumnRenamed("id", "k")
+    out = f"{tmp_path}/sized"
+    # ~26-byte json rows; 1 MB target → cap ≈ 40k records per file
+    cap = write_sized_parquet(df, out, target_mb=1)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= 2
+    counts = [
+        spark.read.parquet(f).count() for f in files
+    ]
+    assert all(c <= cap for c in counts)
+    assert sum(counts) == 50_000
+    got = spark.read.parquet(out)
+    assert got.count() == 50_000 and set(got.columns) == {"k"}
