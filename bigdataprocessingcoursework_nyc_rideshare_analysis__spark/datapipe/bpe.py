@@ -30,18 +30,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_col
+from ..functions.text import tokens_of
 from ..registry import register
-from ..sources import load_table
+from .stage import staged_features
 
 BPE_MERGES = 24  # merges to learn in the registered query
 _CHECKPOINT_EVERY = 6
 
 
 def word_frequencies(docs: DataFrame) -> DataFrame:
-    """(word, freq) over whitespace tokens — the single corpus-sized pass."""
+    """(word, freq) over whitespace tokens — the single corpus-sized pass.
+    Accepts raw ``documents`` or the staged token frame."""
     return (
-        docs.select(F.explode(tokens_col("text")).alias("word"))
+        docs.select(F.explode(tokens_of(docs)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -140,7 +141,7 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback for a vocabulary that outgrows a task (byte-level BPE over
     non-segmented scripts): same pinned tie policy, measured ~0.6 s/round
     overhead at 24 rounds — which is why it is not the default."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = staged_features(spark, sf_dir)
     n_merges = BPE_MERGES
 
     def run_merges(batches):
@@ -200,7 +201,7 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles: the 100 TB cost is exactly one scan of the corpus.  Rows-only
     driver check; round-trip and merge-consistency are pinned in
     ``tests/test_bpe.py``."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = staged_features(spark, sf_dir)
     merge_rows = sorted(
         q_bpe_learn_merges(spark, sf_dir).collect(), key=lambda r: r["rank"]
     )
@@ -231,11 +232,10 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = str(text).lower().strip().split()
+            for doc_id, words in zip(pdf["doc_id"], pdf["toks"]):
                 toks: list[str] = []
                 for w in words:
-                    toks.extend(enc_word(w))
+                    toks.extend(enc_word(str(w)))
                 out.append(
                     (int(doc_id), len(words), len(toks), "|".join(toks[:12]))
                 )
@@ -243,6 +243,6 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "n_words", "n_bpe_tokens", "preview"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "toks").mapInPandas(
         encode, schema="doc_id long, n_words int, n_bpe_tokens int, preview string"
     )

@@ -24,9 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_col
+from ..functions.text import tokens_of
 from ..registry import register
-from ..sources import load_table
+from .stage import staged_features
 
 VOCAB_SIZE = 50
 DAMPING = 0.85
@@ -40,7 +40,7 @@ def doc_term_pairs(docs: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
     vocabulary is an aggregate-then-limit — small — and broadcast into the
     containment semi-join."""
     dt = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("term")
+        "doc_id", F.explode(F.array_distinct(tokens_of(docs))).alias("term")
     )
     vocab = (
         dt.groupBy("term")
@@ -106,8 +106,9 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus keywords by TextRank centrality.  Rows-only driver
     check (iterative fixed point — not SQL-expressible); the solver is
     pinned against a pure-Python PageRank and analytic star-graph ranks in
-    ``tests/test_graphrank.py``."""
-    docs = load_table(spark, sf_dir, "documents")
+    ``tests/test_graphrank.py``.  The containment pass reads the staged
+    token frame (tokenize-once)."""
+    docs = staged_features(spark, sf_dir)
     edges = cooccurrence_edges(doc_term_pairs(docs))
     return (
         pagerank(edges)

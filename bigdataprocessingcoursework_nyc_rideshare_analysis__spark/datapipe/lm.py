@@ -20,9 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_col
+from ..functions.text import tokens_of
 from ..registry import register
-from ..sources import load_table
+from .stage import staged_features
 
 COVERAGE_TOP_K = 500
 
@@ -49,9 +49,10 @@ def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one-smoothed unigram LM — the perplexity quality gate: documents
     full of rare tokens (junk, OCR noise, generated gibberish) score high
     and get dropped at a percentile threshold downstream.  12-dp rounding
-    pins ln-ulp drift, as elsewhere."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    pins ln-ulp drift, as elsewhere.  Reads the staged token frame — the
+    tokenize-once scan shared with the dedup/curation tier."""
+    docs = staged_features(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
     vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tot = vocab.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("v"))
     logp = F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v")))
@@ -91,8 +92,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic (freq desc, term asc) cut) — the OOV-rate signal a
     tokenizer/vocab decision consumes: low coverage means the doc is
     off-distribution for the vocab being trained."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    docs = staged_features(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
     topk = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -24,9 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_col
+from ..functions.text import tokens_of
 from ..registry import register
 from ..sources import load_table
+from .stage import staged_features
 
 #: Temperature exponent: w_s ∝ p_s^alpha (alpha=1 → natural mix, 0 → uniform).
 MIXTURE_ALPHA = 0.7
@@ -59,9 +60,10 @@ ORDER BY source
 
 
 def source_token_stats(docs: DataFrame) -> DataFrame:
-    """(source, n_docs, n_tokens) — the one corpus-sized pass."""
+    """(source, n_docs, n_tokens) — the one corpus-sized pass.  Accepts raw
+    ``documents`` or the staged feature frame (pre-tokenized ``toks``)."""
     return (
-        docs.select("source", F.size(tokens_col("text")).alias("n_tok"))
+        docs.select("source", F.size(tokens_of(docs)).alias("n_tok"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -99,8 +101,9 @@ def mixture_weights(docs: DataFrame, alpha: float = MIXTURE_ALPHA) -> DataFrame:
 
 @register("source_mixture_weights", oracle=_WEIGHTS_ORACLE, tags=("datapipe", "mixture", "r4"))
 def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source temperature resampling weights (α=0.7) over the corpus."""
-    return mixture_weights(load_table(spark, sf_dir, "documents"))
+    """Per-source temperature resampling weights (α=0.7) over the corpus,
+    via the staged token frame (shared tokenize-once scan)."""
+    return mixture_weights(staged_features(spark, sf_dir))
 
 
 _RESAMPLE_ORACLE = f"""
@@ -138,7 +141,7 @@ def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stateless filter.  Sources whose epochs exceed 1/BUDGET_FRAC keep
     everything (up-sampling beyond 1.0 is repetition, handled at batch
     assembly, not here)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = staged_features(spark, sf_dir)
     rates = mixture_weights(docs).select(
         "source",
         F.round(F.least(F.lit(1.0), F.lit(BUDGET_FRAC) * F.col("epochs")) * 1000, 0)

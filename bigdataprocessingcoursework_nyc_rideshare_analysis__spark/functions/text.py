@@ -49,3 +49,12 @@ def shingles_col(col: Column | str, k: int = 3) -> Column:
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
     )
+
+
+def tokens_of(df) -> Column:
+    """Token array for a corpus frame: the pre-tokenized ``toks`` column
+    when the frame is the staged feature table (``datapipe.stage``), else
+    tokenize ``text`` in place.  Lets operators accept either raw
+    ``documents`` (tests, ad-hoc) or the staged frame (the shared-scan
+    path every registered text query routes through)."""
+    return F.col("toks") if "toks" in df.columns else tokens_col("text")

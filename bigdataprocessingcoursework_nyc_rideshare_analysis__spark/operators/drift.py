@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_col
+from ..datapipe.stage import staged_features
+from ..functions.text import tokens_of
 from ..registry import register
 from ..sources import load_table
 
@@ -108,10 +109,10 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(rank) over the top {ZIPF_TOP_TERMS} terms (deterministic rank via
     (freq desc, term asc)).  slope = covar_pop/var_pop, the textbook OLS
     identity both engines implement; one 12-dp rounding pins ulp drift in
-    ln/÷."""
-    docs = load_table(spark, sf_dir, "documents")
+    ln/÷.  Term counts come off the staged token frame (tokenize-once)."""
+    docs = staged_features(spark, sf_dir)
     counts = (
-        docs.select(F.explode(tokens_col("text")).alias("term"))
+        docs.select(F.explode(tokens_of(docs)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("term"))
