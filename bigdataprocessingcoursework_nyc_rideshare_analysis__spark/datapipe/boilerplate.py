@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col
 from ..registry import register
-from ..sources import load_table
+from .stage import staged_features
 
 #: Tokens per segment (the dedup unit).
 SEG_TOKENS = 16
@@ -82,9 +82,22 @@ LIMIT 20
 """
 
 
-def _banner_text(docs: DataFrame) -> Column:
-    return F.concat(
-        F.lit(_BANNER_PREFIX), F.col("source"), F.lit(_BANNER_SUFFIX), F.col("text")
+def _bannered_tokens(docs: DataFrame) -> Column:
+    """Token array of banner+text.  On the staged frame the banner tokens
+    are prepended as an array to the pre-tokenized ``toks`` (no re-tokenize
+    of the corpus); on raw documents the concatenated string is tokenized
+    in place.  Both normalize identically — the banner is already
+    lowercase single-spaced."""
+    banner = F.split(
+        F.concat(F.lit(_BANNER_PREFIX), F.col("source"), F.lit(_BANNER_SUFFIX.rstrip())),
+        " ",
+    )
+    if "toks" in docs.columns:
+        # a fully-empty text stages as [""] — drop the empty token so the
+        # result matches tokenizing the concatenated string (which trims)
+        return F.concat(banner, F.filter(F.col("toks"), lambda x: x != F.lit("")))
+    return tokens_col(
+        F.concat(F.lit(_BANNER_PREFIX), F.col("source"), F.lit(_BANNER_SUFFIX), F.col("text"))
     )
 
 
@@ -92,7 +105,7 @@ def segment_table(docs: DataFrame, width: int = SEG_TOKENS) -> DataFrame:
     """(doc_id, seg_idx, seg): fixed-width token segments of the bannered
     corpus.  Per-row array math only — the corpus-sized explode feeds the
     one shuffle downstream."""
-    toks = tokens_col(_banner_text(docs))
+    toks = _bannered_tokens(docs)
     segged = docs.select(
         "doc_id",
         F.transform(
@@ -129,8 +142,9 @@ def q_boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: segment explode → global hash-frequency agg → join back on the
     segment hash → one per-doc groupBy reassembling ``kept_text``.  Two
     shuffles total (frequency agg, per-doc regroup); no driver round-trip;
-    every stage keys on a hash, so partitioning stays uniform at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+    every stage keys on a hash, so partitioning stays uniform at 100 TB.
+    Segments build from the staged token frame (tokenize-once)."""
+    docs = staged_features(spark, sf_dir)
     segs = segment_table(docs)
     freq = segment_frequencies(segs)
     keep = F.col("df") < BOILERPLATE_MIN_DOCS
@@ -156,7 +170,7 @@ def q_boilerplate_hot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation run ships alongside the scrubbed corpus (what got cut, and how
     widespread it was).  Reuses the frequency table; the join back to one
     exemplar segment string per hash stays hash-keyed."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = staged_features(spark, sf_dir)
     segs = segment_table(docs)
     freq = segment_frequencies(segs).filter(F.col("df") >= BOILERPLATE_MIN_DOCS)
     return (
