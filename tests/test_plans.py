@@ -282,3 +282,28 @@ def test_mixture_weights_single_corpus_scan(spark):
     scans = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scans, plan
     assert all("doc_id" not in l and "n_chars" not in l for l in scans)
+
+
+def test_no_registry_query_plans_a_cartesian_product(spark):
+    """Global invariant: no registered query may degenerate into a
+    CartesianProduct — the one plan shape that cannot survive scale —
+    except the explicitly-documented brute-force ground-truth baselines."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    ALLOWED = {
+        "ann_cosine_topk",          # documented brute-force ANN baseline
+        "neardup_embedding_cosine", # documented quadratic ground truth
+        "neardup_jaccard_pairs",    # documented all-pairs oracle for LSH
+    }
+    offenders = []
+    for name, spec in load_all().items():
+        if name in ALLOWED:
+            continue
+        try:
+            plan = plan_string(spec.fn(spark, SF_SMOKE))
+        except Exception as exc:  # a query that cannot even plan is its own failure
+            offenders.append((name, f"plan build failed: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders
