@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from ..functions.text import shingles_col, tokens_col
 from ..registry import register
@@ -581,4 +582,83 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- exact Jaccard via prefix filtering (PPJoin-style) ----------------------
+
+
+def prefix_filter_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs without the all-pairs shingle
+    self-join: prefix filtering (the SSJoin/PPJoin family, Chaudhuri et al.
+    2006 / Xiao et al. 2008).
+
+    Order every document's shingles by global rarity (df asc, shingle asc —
+    any total order works); with prefix length ``floor((1-t)·|S|)+1``, two
+    sets with Jaccard >= t MUST collide inside their prefixes (pigeonhole
+    on the ``(1-t)|S|`` elements a t-similar pair may miss), so joining
+    prefixes only is lossless.  Rare-first ordering makes those prefix
+    buckets the SMALLEST ones — the hot shingles that explode the
+    ground-truth self-join never enter the candidate join.  Candidates are
+    then verified exactly on shingle strings (no hashing — this path is
+    oracle-checked, and the 64-bit set-hash shortcut used by the LSH
+    verifier is documented as approximate-only).
+
+    Cost: df-agg (one shuffle) + per-doc rank window + prefix self-join on
+    rare shingles + candidate-restricted intersection joins.  Every stage
+    is hash-keyed; nothing is quadratic in hot-shingle df."""
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    nw = Window.partitionBy("doc_id")
+    ranked = sh.join(df, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.floor((1 - threshold) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    a = prefix.alias("pa")
+    b = prefix.alias("pb")
+    cand = (
+        a.join(
+            b,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register("neardup_prefix_filter", oracle=_JACCARD_ORACLE, tags=("datapipe", "dedup", "r4"))
+def q_neardup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs (Jaccard >= 0.8) via prefix filtering — the
+    scalable EXACT alternative to both the all-pairs ground truth (same
+    output, quadratic in hot shingles) and MinHash LSH (linear but
+    approximate).  Shares the staged shingle frame; shares the all-pairs
+    query's oracle verbatim, which IS the exactness claim."""
+    from .stage import staged_shingles
+
+    return prefix_filter_jaccard(
+        staged_shingles(spark, sf_dir).persist(), JACCARD_THRESHOLD
     )

@@ -205,3 +205,21 @@ def test_lsh_candidate_pairs_respects_bands_param(spark):
         pairs = lsh_candidate_pairs(sig, bands=bands)
         assert pairs.columns == ["doc_a", "doc_b"]
         pairs.limit(1).collect()  # executes the banded plan
+
+
+def test_prefix_filter_equals_ground_truth_jaccard(spark):
+    """Prefix filtering is EXACT: its pair set and jaccard values must
+    equal the all-pairs ground truth bit-for-bit (same output contract,
+    same oracle)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    reg = load_all()
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in reg["neardup_jaccard_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in reg["neardup_prefix_filter"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == truth
