@@ -129,3 +129,86 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 12).alias("zipf_slope"),
         F.round(F.avg("lf") - slope * F.avg("lr"), 12).alias("zipf_intercept"),
     )
+
+
+# --- trend + autocorrelation ------------------------------------------------
+
+_TREND_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), x AS (
+  SELECT event_type,
+         CAST(d - MIN(d) OVER (PARTITION BY event_type) AS DOUBLE) AS day_x,
+         CAST(c AS DOUBLE) AS y
+  FROM daily
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       ROUND(regr_slope(y, day_x), 12) AS trend_per_day,
+       ROUND(regr_intercept(y, day_x), 12) AS level
+FROM x
+GROUP BY event_type
+"""
+
+
+@register("event_volume_trend", oracle=_TREND_ORACLE, tags=("events", "stats", "drift", "r4"))
+def q_event_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type volume trend: OLS slope of daily counts against days
+    since that type's first appearance — the grow/decay health metric a
+    pipeline alerts on.  Two hash aggregations + a per-type min window; the
+    regression identity (covar_pop/var_pop) runs on the |types|×|days|
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type")
+    x = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.min("d").over(w)).cast("double").alias("day_x"),
+        F.col("c").cast("double").alias("y"),
+    )
+    slope = F.covar_pop("day_x", "y") / F.var_pop("day_x")
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(slope, 12).alias("trend_per_day"),
+        F.round(F.avg("y") - slope * F.avg("day_x"), 12).alias("level"),
+    )
+
+
+AUTOCORR_LAG = 1
+
+_AUTOCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
+), lagged AS (
+  SELECT CAST(c AS DOUBLE) AS y,
+         CAST(LAG(c, {AUTOCORR_LAG}) OVER (ORDER BY d) AS DOUBLE) AS y_prev
+  FROM daily
+)
+SELECT {AUTOCORR_LAG} AS lag,
+       COUNT(*) AS n_pairs,
+       ROUND(corr(y, y_prev), 12) AS autocorr
+FROM lagged WHERE y_prev IS NOT NULL
+"""
+
+
+@register("daily_autocorrelation", oracle=_AUTOCORR_ORACLE, tags=("events", "stats", "drift", "r4"))
+def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — near 0 for
+    independent days, near 1 for strong day-over-day persistence (and a
+    cheap seasonality probe at lag 7).  The unpartitioned lag window runs
+    on the |days| aggregate, not the raw stream."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("c").cast("double").alias("y"),
+        F.lag("c", AUTOCORR_LAG).over(w).cast("double").alias("y_prev"),
+    ).filter(F.col("y_prev").isNotNull())
+    return lagged.agg(
+        F.lit(AUTOCORR_LAG).alias("lag"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("y", "y_prev"), 12).alias("autocorr"),
+    )
