@@ -161,13 +161,16 @@ def load_all() -> dict[str, QuerySpec]:
         temporal,
     )
 
-    def priority(name: str) -> tuple[int, int]:
+    def priority(name: str) -> tuple[int, int, int]:
         if name in CHANGED_SINCE_VERIFIED or name not in DRIVER_VERIFIED:
-            # within the unverified tier, older additions verify first: a
-            # query tagged "r4" (added round 4) queues behind round-3 adds
-            # so a bounded verification window drains oldest-first.
-            return (0, 1 if "r4" in REGISTRY[name].tags else 0)
-        return (1, DRIVER_VERIFIED[name])
+            # Within the unverified tier: oracle-backed queries first — a
+            # driver hash-match row is the strongest evidence there is,
+            # while a rows-only row only proves execution (which pytest
+            # already covers).  Then older additions before newer ("r4"
+            # tag), so a bounded verification window drains oldest-first.
+            spec = REGISTRY[name]
+            return (0, 2 * (spec.oracle is None) + ("r4" in spec.tags), 0)
+        return (1, 0, DRIVER_VERIFIED[name])
 
     ordered = sorted(REGISTRY, key=priority)  # stable: keeps module order within tiers
     return {name: REGISTRY[name] for name in ordered}
