@@ -1,0 +1,111 @@
+"""Distributed Lloyd's k-means over the embedding table — the iterative
+whole-corpus trainer that complements IVF's capped-sample k-means
+(``similarity.train_ivf_centroids``).
+
+No reference counterpart (SURVEY.md §2.9 extension tier).  Semantic
+clustering of embeddings is the backbone of corpus organization (topic
+bucketing, semantic dedup beyond near-identical pairs, cluster-balanced
+sampling).  IVF's trainer deliberately samples because index quality only
+needs O(k·dim) data; when the CLUSTERS are the product, training must see
+the whole corpus — and that is exactly Lloyd's algorithm in its classic
+distributed form:
+
+- **assignment** (corpus-sized): one Arrow-batched GEMM per batch against
+  the broadcast k×dim centroid matrix — embarrassingly parallel, zero
+  shuffles;
+- **update** (k×dim-sized): per-dimension means via ``posexplode`` +
+  ``groupBy(cluster, pos)`` — ONE hash shuffle of (corpus×dim) scalar
+  rows, partial aggregation JVM-side, and a k×dim-row collect that is
+  control-flow-sized (the CC-fingerprint rule: collects may scale with
+  the model, never the corpus).
+
+Initialization is deterministic and engine-independent: the k vectors with
+the smallest ``md5(vec_id)`` (a content-hash sample, same device as
+``stratified_hash_sample``), so reruns converge identically up to float
+summation order.  Iterative fixed point → rows-only driver check; blob
+recovery and agreement with a pure-numpy Lloyd's run are pinned in
+``tests/test_kmeans.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+KMEANS_K = 8
+KMEANS_ITERS = 6
+
+
+def _assign(emb: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    """(id, cluster, dist²) via one GEMM per Arrow batch."""
+    cents = centroids.copy()
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # argmin ||x-c||² = argmax (x·c − ½||c||²)
+            scores = x @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+            best = np.argmax(scores, axis=1)
+            d2 = ((x - cents[best]) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cluster": best.astype(np.int64), "dist2": d2}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cluster long, dist2 double"
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Whole-corpus Lloyd's: returns (centroids k×dim ndarray, assignment
+    DataFrame (id, cluster, dist2) for the final centroids)."""
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows])
+    dim = centroids.shape[1]
+    for _ in range(iters):
+        assigned = _assign(emb, centroids, id_col, vec_col)
+        sums = (
+            assigned.join(emb.select(id_col, vec_col), id_col)
+            .select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # k×dim rows: model-sized, not corpus-sized
+        )
+        new = centroids.copy()
+        counts = np.zeros(k, dtype=np.int64)
+        acc = np.zeros((k, dim), dtype=np.float64)
+        for r in sums:
+            acc[r["cluster"], r["pos"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        for c in range(k):
+            if counts[c]:
+                new[c] = acc[c] / counts[c]  # empty clusters keep their centroid
+        centroids = new
+    return centroids, _assign(emb, centroids, id_col, vec_col)
+
+
+@register("kmeans_embedding_clusters", oracle=None, tags=("datapipe", "embeddings", "iterative", "r4"))
+def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster every embedding with whole-corpus Lloyd's k-means; output
+    (vec_id, cluster, dist2) for the converged centroids.  Rows-only driver
+    check (iterative); semantics pinned in ``tests/test_kmeans.py``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(emb)
+    return assigned
