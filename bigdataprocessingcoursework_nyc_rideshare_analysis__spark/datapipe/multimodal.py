@@ -178,3 +178,67 @@ def q_media_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         frames, schema="media_id long, frame_idx int, byte_offset long, frame_bytes long"
     )
+
+
+# --- chunk-level payload dedup (storage shape) ------------------------------
+
+CHUNK_CHARS = 128
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH chunks AS (
+  SELECT doc_id AS media_id,
+         md5(substr(text, CAST(i * {CHUNK_CHARS} + 1 AS INTEGER), {CHUNK_CHARS})) AS digest,
+         CAST(least({CHUNK_CHARS}, length(text) - i * {CHUNK_CHARS}) AS BIGINT) AS chunk_chars
+  FROM documents,
+       UNNEST(range(CAST(ceil(length(text) / {CHUNK_CHARS}.0) AS BIGINT))) AS u(i)
+)
+SELECT digest,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT media_id) AS n_media,
+       any_value(chunk_chars) AS chunk_chars,
+       CAST((COUNT(*) - 1) * any_value(chunk_chars) AS BIGINT) AS saved_chars
+FROM chunks
+GROUP BY digest
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("media_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE, tags=("datapipe", "multimodal", "dedup", "r4"))
+def q_media_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level payload deduplication — the content-addressable-storage
+    shape (fixed-width chunks, digest groupBy, dedup savings accounting)
+    that backup/blob systems run over petabytes.  The corpus's genuine
+    duplicate documents produce shared chunks, so the savings report is
+    non-empty without synthetic injection.  One per-row chunk explode +
+    one digest-keyed shuffle; chunk payloads never move — only digests do,
+    which is the entire trick at 100 TB.  (``any_value(chunk_chars)`` is
+    deterministic: equal-digest chunks are equal strings, hence equal
+    lengths, bar an md5 collision.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / CHUNK_CHARS).cast("int")
+    chunks = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(length(text) / {CHUNK_CHARS}.0)) - 1),"
+                f" i -> substr(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS}))"
+            )
+        ).alias("i", "chunk"),
+        F.length("text").alias("len"),
+    ).select(
+        "media_id",
+        F.md5("chunk").alias("digest"),
+        F.least(F.lit(CHUNK_CHARS), F.col("len") - F.col("i") * CHUNK_CHARS)
+        .cast("long")
+        .alias("chunk_chars"),
+    )
+    return (
+        chunks.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("media_id").alias("n_media"),
+            F.any_value("chunk_chars").alias("chunk_chars"),
+            ((F.count(F.lit(1)) - 1) * F.any_value("chunk_chars")).cast("bigint").alias("saved_chars"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
