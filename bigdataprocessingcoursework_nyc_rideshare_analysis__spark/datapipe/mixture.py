@@ -200,3 +200,48 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("bigint").alias("position"),
     )
+
+
+# --- deterministic weighted sampling (Efraimidis–Spirakis) ------------------
+
+WEIGHTED_SAMPLE_K = 200
+
+_WSAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                  / 4294967297.0) / n_chars, 12) AS sort_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, sort_key
+FROM keyed
+ORDER BY sort_key DESC, doc_id ASC
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+@register("weighted_doc_sample", oracle=_WSAMPLE_ORACLE, tags=("datapipe", "mixture", "sampling", "r4"))
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministically: the
+    Efraimidis–Spirakis A-ES scheme (key = u^(1/w), keep the top-k keys)
+    with the uniform u derived from a content hash instead of an RNG — so
+    the sample is weighted by ``n_chars`` AND reproducible across engines,
+    runs, and partitionings (ln(u)/w is monotone in u^(1/w); 12-dp
+    rounding pins ln-ulp drift, doc_id breaks residual ties).
+
+    The scale shape is the published one: the key is a per-row expression,
+    and top-k by key is ``TakeOrderedAndProject`` — per-partition heaps +
+    a k-row driver merge, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", key.alias("sort_key"))
+        .orderBy(F.desc("sort_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+    )
