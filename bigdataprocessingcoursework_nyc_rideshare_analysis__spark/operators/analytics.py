@@ -17,7 +17,7 @@ Scale strategy:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -437,3 +437,49 @@ def q_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(exact, "event_type").select(
         "event_type", "n_days", "distinct_users_est", "distinct_users_exact"
     )
+
+
+
+_SKYLINE_ORACLE = """
+WITH per_date AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, MAX(o_totalprice) AS max_p
+  FROM orders GROUP BY 1
+), frontier AS (
+  SELECT d, max_p,
+         MAX(max_p) OVER (ORDER BY d DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS later_max
+  FROM per_date
+)
+SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice
+FROM orders o
+JOIN frontier f ON CAST(o.o_orderdate AS DATE) = f.d AND o.o_totalprice = f.max_p
+WHERE f.later_max IS NULL OR f.max_p > f.later_max
+"""
+
+
+@register("order_skyline_price_date", oracle=_SKYLINE_ORACLE, tags=("olap", "skyline", "r4"))
+def q_order_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of orders over (totalprice, orderdate): an
+    order survives iff NO other order has a later-or-equal date AND a
+    higher price (resp. equal price and strictly later date) — the classic
+    preference query ("best tradeoffs", Borzsony et al. 2001).
+
+    The 2-D skyline reduces to a sort-scan: collapse to per-date maxima
+    (one hash agg — the corpus-sized step), then a running max over the
+    |dates|-bounded frontier ordered date-descending; a date's champion is
+    on the skyline iff it beats every strictly-later date's max.  The
+    final join re-attaches the winning order rows by (date, price)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_totalprice"
+    )
+    per_date = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("max_p")
+    )
+    w = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, -1)
+    frontier = per_date.select(
+        "d", "max_p", F.max("max_p").over(w).alias("later_max")
+    ).filter(F.col("later_max").isNull() | (F.col("max_p") > F.col("later_max")))
+    return orders.join(
+        F.broadcast(frontier),
+        (orders["o_orderdate"] == frontier["d"]) & (orders["o_totalprice"] == frontier["max_p"]),
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
