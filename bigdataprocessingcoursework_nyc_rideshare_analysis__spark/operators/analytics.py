@@ -483,3 +483,59 @@ def q_order_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(frontier),
         (orders["o_orderdate"] == frontier["d"]) & (orders["o_totalprice"] == frontier["max_p"]),
     ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey,
+         CAST(revenue AS DOUBLE) AS revenue,
+         CAST(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(revenue) OVER () AS DOUBLE) AS cum_share
+  FROM rev
+)
+SELECT o_custkey, revenue, cum_share,
+       CASE WHEN cum_share <= 0.8 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register("customer_abc_classes", oracle=_ABC_ORACLE, tags=("olap", "pareto", "r4"))
+def q_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification: rank customers by exact-decimal
+    revenue, accumulate their share of the total, and band into A (first
+    80% of revenue), B (to 95%), C (tail) — the classic inventory/CRM
+    segmentation.  Cumulation runs over exact decimals in a deterministic
+    (revenue desc, custkey) order, so the banding is reproducible; the
+    unpartitioned window is entity-table-sized (customers, not orders) —
+    at larger scale the same banding runs on a quantile-bucketed
+    pre-aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    w = Window.orderBy(F.desc("rev_dec"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    share = F.sum("rev_dec").over(w).cast("double") / F.sum("rev_dec").over(tot).cast("double")
+    ranked = rev.select(
+        "o_custkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+    )
+    return ranked.select(
+        "o_custkey",
+        "revenue",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
