@@ -576,3 +576,49 @@ def q_daily_event_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") - prev).alias("delta"),
         ((F.col("n_events") - prev).cast("double") / prev).alias("growth"),
     )
+
+
+
+BURST_Z = 2.0
+
+_BURST_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), b AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+), dense AS (
+  SELECT s.day, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+  FROM spine s LEFT JOIN d ON s.day = d.day
+), stats AS (
+  SELECT avg(CAST(n_events AS DOUBLE)) AS mu,
+         stddev_pop(CAST(n_events AS DOUBLE)) AS sigma
+  FROM dense
+)
+SELECT day, n_events,
+       ROUND((n_events - mu) / sigma, 12) AS zscore
+FROM dense, stats
+WHERE sigma > 0 AND (n_events - mu) / sigma > 2.0
+"""
+
+
+@register("daily_event_bursts", oracle=_BURST_ORACLE, tags=("temporal", "anomaly", "r4"))
+def q_daily_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection on the gap-filled daily series: days whose event
+    count sits more than ``BURST_Z`` population standard deviations above
+    the mean.  Gap-filling first matters — silently-missing zero days
+    would bias the baseline upward and hide bursts.  The stats are one
+    1-row aggregate broadcast back over the |days| spine."""
+    dense = daily_gapfilled(load_table(spark, sf_dir, "events"))
+    stats = dense.agg(
+        F.avg(F.col("n_events").cast("double")).alias("mu"),
+        F.stddev_pop(F.col("n_events").cast("double")).alias("sigma"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return (
+        dense.join(F.broadcast(stats))
+        .filter((F.col("sigma") > 0) & (z > BURST_Z))
+        .select("day", "n_events", F.round(z, 12).alias("zscore"))
+    )
