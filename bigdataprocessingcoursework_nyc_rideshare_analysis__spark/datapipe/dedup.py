@@ -616,8 +616,14 @@ def prefix_filter_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
         F.row_number().over(w).alias("pos"),
         F.count(F.lit(1)).over(nw).alias("n"),
     )
+    # prefix length floor((1-t)·n)+1 — computed with an epsilon nudge:
+    # (1-0.8) floats to 0.19999…, so (1-t)·n lands a hair BELOW the exact
+    # integer for n divisible by 5 and floor() would cut the prefix one
+    # short (lossy!).  The nudge can only ever LENGTHEN the prefix by one
+    # (more candidates, still lossless).  Caught by the sf0.1 sweep: one
+    # true pair of 256 missed without it.
     prefix = ranked.filter(
-        F.col("pos") <= F.floor((1 - threshold) * F.col("n")) + 1
+        F.col("pos") <= F.floor((1 - threshold) * F.col("n") + 1e-9) + 1
     ).select("doc_id", "shingle")
     a = prefix.alias("pa")
     b = prefix.alias("pb")

@@ -37,7 +37,7 @@ WITH tok AS (
 )
 SELECT tok.doc_id,
        COUNT(*) AS n_tokens,
-       ROUND(-SUM(ln((vocab.c + 1.0) / (tot.t + tot.v))) / COUNT(*), 12) AS cross_entropy
+       ROUND(-SUM(ln((vocab.c + 1.0) / (tot.t + tot.v))) / COUNT(*), 9) AS cross_entropy
 FROM tok JOIN vocab USING (term), tot
 GROUP BY tok.doc_id
 """
@@ -62,7 +62,9 @@ def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(-F.sum(logp) / F.count(F.lit(1)), 12).alias("cross_entropy"),
+            # 9 dp, not 12: thousands-of-terms ln-sums drift past the 12th
+            # decimal (seen at sf0.1); per-row ln users keep 12
+            F.round(-F.sum(logp) / F.count(F.lit(1)), 9).alias("cross_entropy"),
         )
     )
 

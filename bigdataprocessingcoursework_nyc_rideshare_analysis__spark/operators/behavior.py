@@ -35,7 +35,7 @@ SELECT user_id,
        CAST(SUM(c) AS BIGINT) AS n_events,
        COUNT(*) AS n_types,
        ROUND(ln(CAST(SUM(c) AS DOUBLE))
-             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / SUM(c), 12) AS entropy
+             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / SUM(c), 9) AS entropy
 FROM per_type
 GROUP BY user_id
 """
@@ -52,10 +52,12 @@ def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.groupBy("user_id").agg(
         n.cast("bigint").alias("n_events"),
         F.count(F.lit(1)).alias("n_types"),
+        # 9 dp: the Σ c·ln c accumulation can drift past the 12th decimal
+        # on active users (seen at sf0.1)
         F.round(
             F.log(n.cast("double"))
             - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))) / n,
-            12,
+            9,
         ).alias("entropy"),
     )
 
