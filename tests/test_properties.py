@@ -266,3 +266,39 @@ def test_fuzzy_pairs_match_brute_force(spark, names):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_prefix_filter_lossless_on_any_corpus(spark, docs):
+    """Prefix filtering must be LOSSLESS for any shingle sets and any set
+    sizes — in particular sizes divisible by 5, where (1-0.8)·n floats a
+    hair below the exact integer and an unguarded floor() cuts the prefix
+    one short (the sf0.1 regression this test pins)."""
+    from pyspark.sql import Row
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        jaccard_pairs,
+        prefix_filter_jaccard,
+    )
+
+    rows = [
+        Row(doc_id=i, shingle=f"{a} {b} {c}")
+        for i, toks in enumerate(docs)
+        for a, b, c in zip(toks, toks[1:], toks[2:])
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string").distinct()
+    for t in (0.5, 0.8):
+        truth = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(sh, t).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in prefix_filter_jaccard(sh, t).collect()
+        }
+        assert got == truth
