@@ -307,3 +307,19 @@ def test_no_registry_query_plans_a_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """The 100 TB fact-table idiom: a date-partitioned fact joined to a
+    selective dim must plan a dynamicpruningexpression inside the scan's
+    PartitionFilters — only the dim's partitions are read, discovered at
+    runtime.  Pins that session confs keep Spark's DPP armed."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn("day", F.to_date("ts"))
+    ev.write.partitionBy("day").parquet(f"{tmp_path}/ev")
+    fact = spark.read.parquet(f"{tmp_path}/ev")
+    dim = ev.groupBy("day").count().filter(F.col("count") > 0).limit(1).select("day")
+    plan = plan_string(fact.join(dim, "day").groupBy("event_type").count())
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("dynamicpruning" in ln.lower() for ln in pf), plan
