@@ -644,3 +644,47 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     key for cross-snapshot dedup."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5(normalize_text("text")).alias("fingerprint"))
+
+
+
+PER_LANG_TOP_K = 5
+
+_LANG_TOP_TERMS_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), counts AS (
+  SELECT lang, term, COUNT(*) AS freq FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, term, freq,
+         DENSE_RANK() OVER (PARTITION BY lang ORDER BY freq DESC, term ASC) AS rnk
+  FROM counts
+)
+SELECT lang, term, freq, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {PER_LANG_TOP_K}
+"""
+
+
+@register("per_lang_top_terms", oracle=_LANG_TOP_TERMS_ORACLE, tags=("datapipe", "text", "r4"))
+def q_per_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped heavy hitters: top-{PER_LANG_TOP_K} terms per language via
+    dense_rank over per-(lang, term) counts — the per-stratum companion to
+    the global ``heavy_hitter_terms`` (same tie semantics as the rideshare
+    top-5-per-month operator).  Two hash shuffles; the rank window
+    partitions by lang so no global sort exists."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens_of
+    from .stage import staged_features
+
+    docs = staged_features(spark, sf_dir)
+    counts = (
+        docs.select("lang", F.explode(tokens_of(docs)).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        counts.select("lang", "term", "freq", F.dense_rank().over(w).cast("bigint").alias("rnk"))
+        .filter(F.col("rnk") <= PER_LANG_TOP_K)
+    )

@@ -346,3 +346,61 @@ def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.et").alias("modal_event_type"),
         (-F.col("b.neg_n")).cast("long").alias("n_events"),
     )
+
+
+
+_SESSION_STATS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN datediff('microsecond', lag(ts) OVER w, ts) IS NULL
+                OR datediff('microsecond', lag(ts) OVER w, ts) > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         datediff('microsecond', MIN(ts), MAX(ts)) AS duration_us
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(duration_us) AS BIGINT) AS longest_session_us,
+       CAST(SUM(duration_us) AS BIGINT) AS total_engaged_us,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounce_sessions
+FROM per_session
+GROUP BY user_id
+"""
+
+
+@register("user_session_stats", oracle=_SESSION_STATS_ORACLE, tags=("events", "temporal", "r4"))
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollup over the gap-sessionized stream: session
+    count, total events, longest session, total engaged time, and bounce
+    (single-event) sessions — the product-analytics engagement summary.
+    Composes ``sessionize`` (already user-partitioned) with one further
+    user-keyed aggregation: the second groupBy re-uses the same hash
+    partitioning, so AQE plans no extra exchange."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    per_session = (
+        sessionize(ev, "user_id", "ts", SESSION_GAP_MIN)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("duration_us").cast("bigint").alias("longest_session_us"),
+        F.sum("duration_us").cast("bigint").alias("total_engaged_us"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bounce_sessions"),
+    )
