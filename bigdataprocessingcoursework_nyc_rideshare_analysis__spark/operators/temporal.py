@@ -622,3 +622,67 @@ def q_daily_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("sigma") > 0) & (z > BURST_Z))
         .select("day", "n_events", F.round(z, 12).alias("zscore"))
     )
+
+
+
+EWMA_ALPHA = 0.3
+
+_EWMA_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), b AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+), dense AS (
+  SELECT s.day, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+         CAST(s.day - MIN(s.day) OVER () AS DOUBLE) AS t
+  FROM spine s LEFT JOIN d ON s.day = d.day
+), scaled AS (
+  SELECT day, n_events, t,
+         SUM(n_events * POW({1 - EWMA_ALPHA}, -t)) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM dense
+)
+SELECT day, n_events,
+       ROUND({EWMA_ALPHA} * POW({1 - EWMA_ALPHA}, t) * s
+             / (1.0 - POW({1 - EWMA_ALPHA}, t + 1)), 9) AS ewma
+FROM scaled
+"""
+
+
+@register("daily_ewma_counts", oracle=_EWMA_ORACLE, tags=("temporal", "timeseries", "r4"))
+def q_daily_ewma_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the gap-filled daily event
+    series (α = {EWMA_ALPHA}, bias-corrected like pandas ``ewm(adjust=True)``).
+
+    The recursive EWMA is re-expressed CLOSED-FORM so it stays one window
+    pass: with the series scaled by (1-α)^(-t), the EWMA is an ordered
+    cumulative sum times α(1-α)^t (normalized by 1-(1-α)^(t+1)).  The
+    ordered cumsum runs over the |days|-bounded spine; the scaling is safe
+    while the horizon is bounded ((1-α)^(-t) grows exponentially — at
+    longer horizons you window the cumsum to a e.g. 60-day tail where
+    older terms are numerically zero anyway).  9-dp rounding pins pow ulp
+    drift; the cumsum itself is order-identical in both engines."""
+    dense = daily_gapfilled(load_table(spark, sf_dir, "events"))
+    t = F.datediff(F.col("day"), F.min("day").over(Window.partitionBy())).cast("double")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    beta = 1 - EWMA_ALPHA
+    scaled = dense.select(
+        "day",
+        "n_events",
+        t.alias("t"),
+    ).select(
+        "day",
+        "n_events",
+        "t",
+        F.sum(F.col("n_events") * F.pow(F.lit(beta), -F.col("t"))).over(w).alias("s"),
+    )
+    ewma = (
+        F.lit(EWMA_ALPHA)
+        * F.pow(F.lit(beta), F.col("t"))
+        * F.col("s")
+        / (F.lit(1.0) - F.pow(F.lit(beta), F.col("t") + 1))
+    )
+    return scaled.select("day", "n_events", F.round(ewma, 9).alias("ewma"))
