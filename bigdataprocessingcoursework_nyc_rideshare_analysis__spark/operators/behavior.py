@@ -20,6 +20,7 @@ user-modeling shapes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -103,4 +104,50 @@ def q_event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_type",
         "n",
         (F.col("n").cast("double") / F.sum("n").over(norm)).alias("p"),
+    )
+
+
+
+_GEOMEAN_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(exp(avg(ln(value))), 9) AS geo_mean_value
+FROM events
+WHERE value > 0
+GROUP BY event_type
+"""
+
+
+@register("geo_mean_value_by_event_type", oracle=_GEOMEAN_ORACLE, tags=("events", "agg", "udaf", "r4"))
+def q_geo_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of event values per type, computed through a
+    GROUPED_AGG pandas UDAF — the remaining Python-UDF flavor the engine
+    demonstrates (scalar pandas UDFs, grouped-map, mapInPandas, UDTF, and
+    stateful processors are covered elsewhere).  The UDAF receives each
+    group's values as one pandas Series over Arrow; the oracle is the
+    exp-of-mean-of-logs identity.  At scale a grouped-agg UDAF has no
+    partial aggregation — for an algebraic metric like this the pure-SQL
+    ``exp(avg(ln(x)))`` form (the oracle) is the production path; the UDAF
+    exists to pin the API route for metrics that genuinely need Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _geo(v: pd.Series) -> float:
+        import numpy as np
+
+        return round(float(np.exp(np.log(v.to_numpy(dtype="float64")).mean())), 9)
+
+    def _n(v: pd.Series) -> int:
+        return len(v)
+
+    # annotations resolve against module globals (``pd`` imported there);
+    # the Series -> scalar signature selects the GROUPED_AGG flavor.  The
+    # count rides in a second pandas UDAF: Spark refuses to mix group-agg
+    # pandas UDFs with JVM aggregates in one agg().
+    geo_mean = pandas_udf(_geo, "double")
+    n_rows = pandas_udf(_n, "long")
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        n_rows("value").alias("n"),
+        geo_mean("value").alias("geo_mean_value"),
     )
