@@ -688,3 +688,99 @@ def q_per_lang_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("lang", "term", "freq", F.dense_rank().over(w).cast("bigint").alias("rnk"))
         .filter(F.col("rnk") <= PER_LANG_TOP_K)
     )
+
+
+
+NPMI_MIN_COUNT = 20
+NPMI_TOP_K = 20
+
+_NPMI_ORACLE = f"""
+WITH t AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), uni AS (
+  SELECT u.term, COUNT(*) AS c
+  FROM (SELECT unnest(toks) AS term FROM t) u GROUP BY u.term
+), tot AS (
+  SELECT SUM(c) AS n FROM uni
+), big AS (
+  SELECT b.gram, COUNT(*) AS c
+  FROM (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM t WHERE len(toks) >= 2) b
+  GROUP BY b.gram
+), btot AS (
+  SELECT SUM(c) AS nb FROM big
+), scored AS (
+  SELECT big.gram, big.c AS pair_count,
+         ROUND(ln((CAST(big.c AS DOUBLE) / nb)
+                  / ((CAST(ua.c AS DOUBLE) / n) * (CAST(ub.c AS DOUBLE) / n)))
+               / (-ln(CAST(big.c AS DOUBLE) / nb)), 9) AS npmi
+  FROM big, btot, tot, uni ua, uni ub
+  WHERE ua.term = string_split(big.gram, ' ')[1]
+    AND ub.term = string_split(big.gram, ' ')[2]
+    AND big.c >= {NPMI_MIN_COUNT}
+)
+SELECT gram, pair_count, npmi FROM scored
+ORDER BY npmi DESC, gram ASC
+LIMIT {NPMI_TOP_K}
+"""
+
+
+@register("collocation_npmi_top", oracle=_NPMI_ORACLE, tags=("datapipe", "text", "r4"))
+def q_collocation_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent bigrams by normalized pointwise
+    mutual information (NPMI ∈ [−1, 1]) with a minimum pair count — the
+    phrase-detection pass tokenizer/embedding pipelines run to promote
+    multi-word units.  Two corpus passes (unigram + bigram counts) off the
+    staged token frame; the score join touches only the |bigrams|-sized
+    aggregate, with both unigram lookups broadcast."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens_of
+    from .stage import staged_features
+
+    docs = staged_features(spark, sf_dir)
+    toks = tokens_of(docs)
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        F.explode(
+            F.transform(idx, lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+            ))
+        ).alias("g")
+    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pc")).filter(
+        F.col("pc") >= NPMI_MIN_COUNT
+    )
+    n = uni.agg(F.sum("c").alias("n"))
+    nb_src = docs.select((F.when(F.size(toks) >= 2, F.size(toks) - 1).otherwise(0)).alias("k"))
+    nb = nb_src.agg(F.sum("k").alias("nb"))
+    ua = uni.select(F.col("term").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("term").alias("w2"), F.col("c").alias("cb"))
+    joined = (
+        big.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .join(F.broadcast(n))
+        .join(F.broadcast(nb))
+    )
+    p_ab = F.col("pc").cast("double") / F.col("nb")
+    p_a = F.col("ca").cast("double") / F.col("n")
+    p_b = F.col("cb").cast("double") / F.col("n")
+    npmi = F.log(p_ab / (p_a * p_b)) / -F.log(p_ab)
+    return (
+        joined.select(
+            F.concat_ws(" ", "w1", "w2").alias("gram"),
+            F.col("pc").alias("pair_count"),
+            F.round(npmi, 9).alias("npmi"),
+        )
+        .orderBy(F.desc("npmi"), F.asc("gram"))
+        .limit(NPMI_TOP_K)
+    )

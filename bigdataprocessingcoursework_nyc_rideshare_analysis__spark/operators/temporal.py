@@ -686,3 +686,43 @@ def q_daily_ewma_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.lit(1.0) - F.pow(F.lit(beta), F.col("t") + 1))
     )
     return scaled.select("day", "n_events", F.round(ewma, 9).alias("ewma"))
+
+
+
+_LATE_MOD = 13  # every 13th event arrives late (synthetic late batch)
+
+_BACKFILL_ORACLE = """
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+@register("late_data_backfill", oracle=_BACKFILL_ORACLE, tags=("temporal", "backfill", "r4"))
+def q_late_data_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped late-data backfill: the daily rollup is first built
+    WITHOUT the late batch (every {_LATE_MOD}th event, synthetically held
+    back), then repaired by recomputing ONLY the days the late batch
+    touches — unaffected days keep their original aggregate rows untouched.
+    The oracle recomputes the rollup over everything, so the driver check
+    is the completeness proof (same differential device as
+    ``rollup_apply_cdc``, but scoped to partitions instead of keys — the
+    batch-pipeline pattern for hourly/daily jobs receiving stragglers).
+
+    Scale shape: affected_days is |late-batch-days|-sized and broadcast
+    both into the late-partition recompute (a partition-pruning filter at
+    100 TB, where the fact is date-partitioned) and as the anti-join that
+    drops stale rows from the standing aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("day")
+    )
+    late = ev.filter(F.col("event_id") % _LATE_MOD == 0)
+    on_time = ev.filter(F.col("event_id") % _LATE_MOD != 0)
+    base_rollup = on_time.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    affected = late.select("day").distinct()
+    repaired = (
+        ev.join(F.broadcast(affected), "day")  # prunes to affected partitions
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    untouched = base_rollup.join(F.broadcast(affected), "day", "left_anti")
+    return untouched.unionByName(repaired)
