@@ -404,3 +404,129 @@ def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bounce_sessions"),
     )
+
+
+
+_GROWTH_ACCOUNTING_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), flagged AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+  FROM activity
+), classified AS (
+  SELECT day,
+         CASE WHEN prev_day IS NULL THEN 'new'
+              WHEN day - prev_day = 1 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM flagged
+), counts AS (
+  SELECT day, status, COUNT(*) AS n FROM classified GROUP BY 1, 2
+), churn AS (
+  SELECT day + 1 AS day, 'churned' AS status, COUNT(*) AS n
+  FROM flagged f
+  WHERE NOT EXISTS (SELECT 1 FROM activity a
+                    WHERE a.user_id = f.user_id AND a.day = f.day + 1)
+    AND day + 1 <= (SELECT MAX(day) FROM activity)
+  GROUP BY 1
+)
+SELECT day, status, CAST(n AS BIGINT) AS n FROM counts
+UNION ALL
+SELECT day, status, CAST(n AS BIGINT) AS n FROM churn
+"""
+
+
+@register("user_growth_accounting", oracle=_GROWTH_ACCOUNTING_ORACLE, tags=("events", "temporal", "r4"))
+def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting over daily activity: each active (user, day) is
+    classified new (first ever day), retained (also active the previous
+    day), or resurrected (returning after a gap); churned counts users
+    active on day d−1 but not on d (attributed to d, capped at the last
+    observed day).  The product-analytics identity DAU_d = new + retained
+    + resurrected and ΔDAU = new + resurrected − churned follows directly.
+    One distinct + one user-partitioned lag window + day-keyed counts; the
+    churn side is an anti-join of consecutive activity days."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = activity.select(
+        "user_id", "day", F.lag("day").over(w).alias("prev_day")
+    )
+    status = (
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.datediff("day", "prev_day") == 1, "retained")
+        .otherwise("resurrected")
+    )
+    counts = flagged.select("day", status.alias("status")).groupBy("day", "status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    max_day = activity.agg(F.max("day").alias("max_day"))
+    next_day_active = activity.select(
+        "user_id", F.date_sub("day", 1).alias("day")
+    )  # (user, d): user active on d+1
+    churn = (
+        flagged.join(next_day_active, ["user_id", "day"], "left_anti")
+        .select(F.date_add("day", 1).alias("day"))
+        .join(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("day", F.lit("churned").alias("status"), "n")
+    )
+    return counts.select("day", "status", F.col("n").cast("bigint")).unionByName(
+        churn.select("day", "status", F.col("n").cast("bigint"))
+    )
+
+
+
+_AUDIENCE_OVERLAP_ORACLE = """
+WITH aud AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM aud GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_common
+  FROM aud a JOIN aud b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+
+@register("audience_overlap_matrix", oracle=_AUDIENCE_OVERLAP_ORACLE, tags=("events", "setops", "r4"))
+def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: shared distinct
+    users and Jaccard similarity per (type_a < type_b) pair — the audience
+    segmentation matrix.  The self-join keys on user_id (each user carries
+    ≤|types| rows, so the pair fan-out per user is bounded by |types|²);
+    output is |types|²-sized.  Same set-similarity arithmetic as the
+    document dedup tier, applied to behavioral cohorts."""
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_common",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            jac.alias("jaccard"),
+        )
+    )
