@@ -784,3 +784,90 @@ def q_collocation_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("npmi"), F.asc("gram"))
         .limit(NPMI_TOP_K)
     )
+
+
+
+TFIDF_SIM_THRESHOLD = 0.5
+
+_TFIDF_SIM_ORACLE = f"""
+WITH {{tf_ctes}}, n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (df.df + 1) AS w
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+), topk AS (
+  SELECT doc_id, term, w FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rn
+    FROM scored
+  ) WHERE rn <= {TFIDF_TOP_K}
+), norms AS (
+  SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM topk GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+  FROM topk a JOIN topk b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(dot / (na.nrm * nb.nrm), 9) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE ROUND(dot / (na.nrm * nb.nrm), 9) >= {TFIDF_SIM_THRESHOLD}
+"""
+
+
+@register(
+    "tfidf_doc_similarity_pairs",
+    oracle=_TFIDF_SIM_ORACLE.format(tf_ctes=_TF_CTES),
+    tags=("datapipe", "text", "similarity", "r4"),
+)
+def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical document similarity: cosine over each document's
+    top-{TFIDF_TOP_K} TF-IDF terms, pairs above {TFIDF_SIM_THRESHOLD} —
+    the sparse-vector counterpart of the embedding near-dup tier, and the
+    classic IR trick that makes the pairwise join feasible at scale:
+    sparsifying to top-TF-IDF terms keeps mostly RARE terms, so the
+    term-keyed self-join's buckets stay small exactly where an unsparsified
+    join would explode on stopwords.  Cosine is rounded once (9 dp, both
+    engines) because the ≤k-term dot/norm sums are order-sensitive in the
+    last ulp."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens_of
+    from .stage import staged_features
+
+    docs = staged_features(spark, sf_dir)
+    terms = docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar corpus dimension, as in tfidf_top_terms
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + F.lit(1))).alias("w"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "w")
+        .persist()  # feeds both the norm table and both join sides
+    )
+    norms = topk.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = topk.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = topk.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, ["term"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cosine = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= TFIDF_SIM_THRESHOLD)
+    )
