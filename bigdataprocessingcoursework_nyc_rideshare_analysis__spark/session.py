@@ -72,11 +72,19 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
+        # local mode runs every executor thread inside the driver JVM, so
+        # the 1g spark.driver.memory default caps the WHOLE engine — 32
+        # concurrent tasks' shuffle/agg buffers OOM long before the host's
+        # RAM is touched.  Heap is reserved lazily, so a large ceiling
+        # costs nothing when idle.  (Only effective at JVM launch; the
+        # verification driver's own session keeps its own sizing.)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
     )
     for key, value in RUNTIME_CONFS.items():
