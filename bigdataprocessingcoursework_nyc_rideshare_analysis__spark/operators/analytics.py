@@ -539,3 +539,94 @@ def q_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+# --- interpolated percentiles (ANSI percentile_cont) -------------------------
+
+# Both engines implement ANSI linear interpolation at rank p*(n-1):
+# v[lo] + frac*(v[hi]-v[lo]).  The sorted-value inputs are identical sets, so
+# the only cross-engine noise is the last-ulp of that one expression — one
+# 9 dp rounding absorbs it (same discipline as the cosine/TF-IDF tiers; the
+# exact rank-selection quartiles above stay the no-rounding ground truth).
+_PCTL_CONT_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 9) AS p25,
+       ROUND(quantile_cont(value, 0.50), 9) AS p50,
+       ROUND(quantile_cont(value, 0.75), 9) AS p75,
+       ROUND(quantile_cont(value, 0.99), 9) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("percentile_cont_by_event_type", oracle=_PCTL_CONT_ORACLE, tags=("agg", "quantile"))
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``percentile_cont`` per group — the interpolating quantile
+    surface (the exact rank-selection quartiles keep the discrete
+    semantics; dashboards and SLO reports expect the interpolated one).
+
+    Spark evaluates this as a true aggregate: per-group sorted buffers
+    merged map-side, one shuffle on the group key.  Unlike the sketch
+    path (``approx_percentiles_by_event_type``) this is exact, at the cost
+    of buffering each group's values — appropriate when groups are bounded
+    (here: |event types|); at 100 TB with unbounded groups, use the sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.round(F.expr(f"percentile_cont({p}) WITHIN GROUP (ORDER BY value)"), 9).alias(name)
+        for p, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99"))
+    ]
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+# --- z-order clustering extents ----------------------------------------------
+
+
+def _zorder_extents_oracle() -> str:
+    from ..functions.zorder import zorder_sql
+
+    z = zorder_sql("(l_partkey % 256)", "(l_suppkey % 256)")
+    return f"""
+WITH keyed AS (
+  SELECT (l_partkey % 256) AS px, (l_suppkey % 256) AS sx,
+         {z} AS zkey
+  FROM lineitem
+)
+SELECT (zkey >> 8) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(px) AS min_part, MAX(px) AS max_part,
+       MIN(sx) AS min_supp, MAX(sx) AS max_supp
+FROM keyed GROUP BY 1
+"""
+
+
+@register("lineitem_zorder_extents", oracle=_zorder_extents_oracle(), tags=("layout", "zorder"))
+def q_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-key lineitem on (partkey, suppkey) and
+    report each z-bucket's row count and per-dimension min/max extents
+    (keys folded onto a 256×256 grid, 256 buckets of 16×16 each) —
+    the measurable property that makes the layout worth paying for: every
+    bucket's extent is a bounded RECTANGLE of the 2-D key space, so a
+    z-sorted write gives parquet row-group skipping on filters over
+    EITHER key (single-column sort bounds one dimension; z-order bounds
+    both at ~√ granularity each).  ``functions.zorder`` documents the
+    write-side recipe (`repartitionByRange` + `sortWithinPartitions` on
+    the same key).
+
+    Plan: pure integer bit arithmetic inside whole-stage codegen (no UDF),
+    one aggregation on the 256-value bucket key — scan-bound at any
+    scale.  Identical magic-number ladder runs as ANSI SQL on the oracle,
+    so the key itself (not just the extents) is differentially pinned."""
+    from ..functions.zorder import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sx"),
+    )
+    keyed = li.select("px", "sx", zorder_key("px", "sx").alias("zkey"))
+    return keyed.groupBy(F.shiftright("zkey", 8).alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("px").alias("min_part"),
+        F.max("px").alias("max_part"),
+        F.min("sx").alias("min_supp"),
+        F.max("sx").alias("max_supp"),
+    )

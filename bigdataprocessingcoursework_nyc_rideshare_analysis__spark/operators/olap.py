@@ -159,3 +159,40 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §7.4 numeric-fidelity discipline applied to a threshold.)"""
     register_views(spark, sf_dir, "orders")
     return spark.sql(_ABOVE_AVG_SQL)
+
+
+# --- lateral joins -----------------------------------------------------------
+
+# Ordering and the emitted balance both go through DECIMAL(18,2) so row
+# membership and ties are engine-independent; c_custkey breaks exact-balance
+# ties deterministically.
+_LATERAL_TOPK_SQL = """
+SELECT n.n_name AS nation, t.c_custkey, t.c_name, t.acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_name,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+  LIMIT 3
+) t
+"""
+
+
+@register("top_customers_per_nation_lateral", oracle=_LATERAL_TOPK_SQL, tags=("olap", "join", "sql"))
+def q_top_customers_per_nation_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery surface: top-3 customers by account
+    balance for each nation, one SQL text on both engines.
+
+    The lateral form is the declarative way users write per-group top-K
+    when the outer side is a table, not a group-by — and the plan is where
+    Spark earns it: Catalyst decorrelates the LIMIT-bearing subquery into
+    a window rank over a customer shuffle partitioned by nationkey, NOT
+    |nation| repeated scans (the imperative loop a naive engine would run
+    is exactly what decorrelation deletes).  At 100 TB: nation broadcasts;
+    the decorrelator's one artifact is a global range-sort exchange for
+    the subquery's ORDER BY ahead of the window's own sort — one exchange
+    more than the hand-written ``top_k_per_group``, which is the
+    documented trade for the declarative form."""
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_TOPK_SQL)

@@ -726,3 +726,54 @@ def q_late_data_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     untouched = base_rollup.join(F.broadcast(affected), "day", "left_anti")
     return untouched.unionByName(repaired)
+
+
+_ROLLING_DISTINCT_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+span AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+cover AS (
+  SELECT DISTINCT ud.user_id, s.day
+  FROM ud JOIN spine s ON s.day >= ud.d AND s.day <= ud.d + INTERVAL 6 DAY
+)
+SELECT day, COUNT(*) AS active_users_7d
+FROM cover GROUP BY 1
+"""
+
+
+@register(
+    "rolling_7day_distinct_users",
+    oracle=_ROLLING_DISTINCT_ORACLE,
+    tags=("temporal", "window", "distinct"),
+)
+def q_rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT active users per day — the windowed-distinct
+    aggregate that defines rolling DAU/WAU dashboards and does NOT fit a
+    window frame, because COUNT(DISTINCT) over a moving frame can't be
+    maintained incrementally by frame arithmetic (a departing row may or
+    may not retire its user).
+
+    The distributed shape that works at 100 TB: dedup to (user, active
+    day) — |users|×|days| bounded — then explode each active day to the ≤7
+    window-end days it covers (a bounded 7× fan-out, NOT a range self-join),
+    dedup (user, window-end) once more, and count per day.  Every stage is
+    a hash shuffle on bounded keys; no per-day rescan, no quadratic pair
+    set, no sketch approximation — this is exact.  The spine semi-join
+    clips the fan-out's overhang past the observed range."""
+    return rolling_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+def rolling_distinct_users(ev: DataFrame, window_days: int = 7) -> DataFrame:
+    """(day, active_users_7d) per the query docstring above; the explode
+    fan-out is ``window_days``-bounded."""
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    spine = daily_gapfilled(ev).select("day")
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))).alias("day"),
+    ).distinct()
+    return (
+        cover.join(spine, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+    )

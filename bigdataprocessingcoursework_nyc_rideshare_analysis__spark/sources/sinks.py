@@ -95,6 +95,23 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """XML sink (Spark 4 built-in, the donated spark-xml connector) — for
+    feeds whose consumers mandate XML (regulatory submissions, legacy ETL).
+    Row-per-element under ``row_tag``; per-partition parallel write."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(spark, path: str, schema=None, row_tag: str = "row") -> DataFrame:
+    """XML source.  As with JSON: ALWAYS pass the schema in production —
+    inference is an extra full pass, and XML's is the costliest of the
+    text formats (full parse, no early bail)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def write_sized_parquet(
     df: DataFrame,
     path: str,

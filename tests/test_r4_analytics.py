@@ -73,3 +73,43 @@ def test_abc_classes_band_by_cumulative_share(spark, tmp_path):
     ).write.parquet(f"{tmp_path}/orders.parquet")
     got = {r["o_custkey"]: r["abc_class"] for r in q_customer_abc(spark, str(tmp_path)).collect()}
     assert got == {1: "A", 2: "B", 3: "B", 4: "C"}
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.zorder import (
+        zorder_key,
+    )
+
+    def py_morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (255, 256)]
+    df = spark.createDataFrame(vals, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select("x", "y", zorder_key("x", "y").alias("z")).collect()}
+    for x, y in vals:
+        assert got[(x, y)] == py_morton(x, y), (x, y)
+
+
+def test_zorder_bounds_both_dimensions(spark):
+    """Chunks of a z-sorted layout span bounded rectangles: max extent of
+    EACH dimension per chunk is ~sqrt(domain), where a single-column sort
+    leaves the other dimension unbounded."""
+    import itertools
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.zorder import (
+        zorder_key,
+    )
+
+    # full 64x64 grid → 16 chunks of 256 rows each under a z-sort
+    grid = spark.createDataFrame(
+        [(x, y) for x, y in itertools.product(range(64), range(64))], "x long, y long"
+    )
+    rows = grid.select("x", "y", zorder_key("x", "y").alias("z")).orderBy("z").collect()
+    for c in range(16):
+        chunk = rows[c * 256 : (c + 1) * 256]
+        xs = [r["x"] for r in chunk]
+        ys = [r["y"] for r in chunk]
+        assert max(xs) - min(xs) <= 15 and max(ys) - min(ys) <= 15  # 16x16 rectangle

@@ -290,3 +290,21 @@ def test_sized_parquet_rolls_files_at_record_cap(spark, tmp_path):
     assert sum(counts) == 50_000
     got = spark.read.parquet(out)
     assert got.count() == 50_000 and set(got.columns) == {"k"}
+
+
+def test_xml_roundtrip(spark, outdir):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.sinks import (
+        read_xml,
+        write_xml,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello <world> & friends", "en"), (2, "ünïcode § text", "de")],
+        "doc_id long, text string, lang string",
+    )
+    path = f"{outdir}/docs_xml"
+    write_xml(docs, path, row_tag="doc")
+    back = read_xml(spark, path, schema="doc_id long, text string, lang string", row_tag="doc")
+    assert sorted((r["doc_id"], r["text"], r["lang"]) for r in back.collect()) == sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in docs.collect()
+    )  # entity escaping survives the round trip

@@ -97,3 +97,27 @@ def test_interpolation_semantics(spark):
     for r in rows:
         assert r["value_interp"] is not None
         assert lo - 1e-9 <= r["value_interp"] <= hi + 1e-9
+
+
+def test_rolling_distinct_users_exact_on_hand_case(spark):
+    """A user active on several days inside one window counts ONCE per
+    window-end day; the explode-dedup shape must equal the naive per-day
+    recompute."""
+    rows = [
+        # user 1 active day 1 and day 3 → covers window-ends 1..7 and 3..9
+        (1, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 1, 3)),
+        # user 2 active day 8 only
+        (2, dt.datetime(2024, 1, 8)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        rolling_distinct_users,
+    )
+
+    got = {str(r["day"]): r["active_users_7d"] for r in rolling_distinct_users(ev).collect()}
+    # expected: days 1-7 → user1 once; day 8 → user1 (active day 3 covers 3..9) + user2
+    assert got["2024-01-01"] == 1
+    assert got["2024-01-02"] == 1  # user1 counted once though active twice in window on day 3+
+    assert got["2024-01-03"] == 1
+    assert got["2024-01-07"] == 1
+    assert got["2024-01-08"] == 2
