@@ -916,3 +916,137 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= TFIDF_SIM_THRESHOLD)
     )
+
+
+# --- count-min sketch --------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_oracle() -> str:
+    rows = ", ".join(f"({r})" for r in range(CMS_DEPTH))
+    hash_term = (
+        f"CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8)) AS BIGINT) % {CMS_WIDTH}"
+    )
+    return f"""
+WITH {_TF_CTES}, vocab AS (
+  SELECT term, SUM(tf) AS n FROM tf GROUP BY 1
+), hashes AS (
+  SELECT v.term, v.n, r, {hash_term} AS bucket
+  FROM vocab v CROSS JOIN (VALUES {rows}) AS d(r)
+), sketch AS (
+  SELECT r, bucket, SUM(n) AS c FROM hashes GROUP BY 1, 2
+), top AS (
+  SELECT term, CAST(n AS BIGINT) AS n FROM vocab
+  ORDER BY n DESC, term LIMIT {HEAVY_HITTER_K}
+)
+SELECT t.term, t.n, CAST(MIN(s.c) AS BIGINT) AS cms_n
+FROM top t
+JOIN hashes h ON h.term = t.term
+JOIN sketch s ON s.r = h.r AND s.bucket = h.bucket
+GROUP BY 1, 2
+"""
+
+
+@register("cms_heavy_hitter_estimates", oracle=_cms_oracle(), tags=("datapipe", "text", "sketch"))
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode–Muthukrishnan) term-frequency estimation,
+    built and probed in ONE differential-checkable plan: {CMS_DEPTH} hash
+    rows × {CMS_WIDTH} buckets, md5-derived hashes (the engine's
+    deterministic-hash idiom, identical on the oracle — so unlike the
+    ``freqItems`` sketch this approximate structure is pinned EXACTLY,
+    collisions and all), probed for the exact top-{HEAVY_HITTER_K} terms
+    so the row carries ground truth beside its estimate (cms_n ≥ n always;
+    equality when none of the term's {CMS_DEPTH} buckets collide).
+
+    Why it matters at 100 TB: the sketch state is a constant
+    {CMS_DEPTH}×{CMS_WIDTH} integer grid built by one map-side-combined
+    aggregation — mergeable across shards/days by cell-wise addition (the
+    property ``approx_count_distinct``'s opaque state can't offer across
+    separately-persisted runs), giving frequency-over-any-time-range
+    queries from O(1) storage per shard.  The vocab-sized fan-out (×depth)
+    happens AFTER term aggregation, never on raw tokens."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    vocab = (
+        feat.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r")
+    hashes = vocab.select(
+        "term",
+        "n",
+        rows,
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("term"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH,
+    )
+    sketch = hashes.groupBy("r", "bucket").agg(F.sum("n").alias("c"))
+    top = vocab.orderBy(F.desc("n"), F.asc("term")).limit(HEAVY_HITTER_K)
+    return (
+        F.broadcast(top)
+        .join(hashes.select("term", "r", "bucket"), "term")
+        .join(sketch, ["r", "bucket"])
+        .groupBy("term", "n")
+        .agg(F.min("c").cast("long").alias("cms_n"))
+    )
+
+
+# --- trigram-accelerated substring search ------------------------------------
+
+SEARCH_PATTERN = "merge join"
+
+
+@register(
+    "trigram_substring_search",
+    oracle=f"SELECT doc_id FROM documents WHERE text LIKE '%{SEARCH_PATTERN}%'",
+    tags=("datapipe", "text", "search"),
+)
+def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search ('%{pattern}%') answered through a character-trigram
+    inverted index instead of a full-text scan — the pg_trgm/code-search
+    architecture: a doc can contain the pattern only if it contains EVERY
+    trigram of the pattern, so candidates = docs whose trigram posting
+    rows cover all pattern trigrams (an index intersection), and one exact
+    ``contains`` check on just the candidates removes coincidental
+    covers.  The oracle is the naive LIKE scan — the differential check IS
+    the lossless-acceleration proof.
+
+    Scale shape: the posting build (explode distinct trigrams) is the
+    one-time index cost — at 100 TB it persists next to the corpus
+    (``datapipe.stage`` pattern) and each query touches only the
+    pattern's ≤|pattern| posting lists; the cover test is a counting
+    semi-join (no per-doc set materialization), and verification rescans
+    candidate docs only.  Selectivity comes from the RAREST trigram
+    exactly as in prefix-filtered similarity join — same pruning algebra,
+    different predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat_trigrams = [SEARCH_PATTERN[i : i + 3] for i in range(len(SEARCH_PATTERN) - 2)]
+    posting = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))")
+            )
+        ).alias("tg"),
+    )
+    cand = (
+        posting.filter(F.col("tg").isin(pat_trigrams))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tg").alias("hit"))
+        .filter(F.col("hit") == len(set(pat_trigrams)))
+        .select("doc_id")
+    )
+    return (
+        docs.join(cand, "doc_id", "left_semi")
+        .filter(F.col("text").contains(SEARCH_PATTERN))
+        .select("doc_id")
+    )

@@ -630,3 +630,54 @@ def q_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sx").alias("min_supp"),
         F.max("sx").alias("max_supp"),
     )
+
+
+# --- join-key skew profile ---------------------------------------------------
+
+_SKEW_PROFILE_ORACLE = """
+WITH kc AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS rn,
+         COUNT(*) OVER () AS k
+  FROM kc
+)
+SELECT MAX(k) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       MAX(n) AS max_rows_per_key,
+       MAX(CASE WHEN rn = greatest((k * 2) // 4, 1) THEN n END) AS p50,
+       MAX(CASE WHEN rn = greatest((k * 99) // 100, 1) THEN n END) AS p99,
+       ROUND(CAST(MAX(n) AS DOUBLE) * MAX(k) / SUM(n), 9) AS skew_factor
+FROM ranked
+"""
+
+
+@register("join_key_skew_profile", oracle=_SKEW_PROFILE_ORACLE, tags=("diagnostic", "skew"))
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit for events.user_id — the pre-flight check
+    that decides between a plain join, a salted join (``functions.skew``),
+    and AQE skew splitting: per-key cardinalities reduced to key count,
+    max, exact rank-selected p50/p99, and the max/mean skew factor (the
+    straggler multiplier a key-hashed shuffle would suffer).
+
+    Plan: one map-side-combined count per key, then rank selection over
+    the |keys|-sized profile (same discipline as the exact quartiles —
+    percentiles are true data values).  The skew factor divides ONCE at
+    the end (max·k/total, 9 dp) so both engines agree bitwise.  At 100 TB
+    run it on a sample or on the aggregated key histogram you already
+    maintain; the output is O(1)."""
+    kc = load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").asc(), F.col("user_id").asc())
+    ranked = kc.select(
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    )
+    return ranked.agg(
+        F.max("k").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").alias("max_rows_per_key"),
+        F.max(F.when(F.col("rn") == F.expr("greatest((k * 2) div 4, 1)"), F.col("n"))).alias("p50"),
+        F.max(F.when(F.col("rn") == F.expr("greatest((k * 99) div 100, 1)"), F.col("n"))).alias("p99"),
+        F.round(F.max("n").cast("double") * F.max("k") / F.sum("n"), 9).alias("skew_factor"),
+    )

@@ -530,3 +530,130 @@ def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
     )
+
+
+_SESSION_WINDOW_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN datediff('microsecond', lag(ts) OVER w, ts) IS NULL
+                OR datediff('microsecond', lag(ts) OVER w, ts) >= {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+@register("session_window_rollup", oracle=_SESSION_WINDOW_ORACLE, tags=("window", "temporal", "session"))
+def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via the BUILT-IN ``session_window`` aggregate —
+    the declarative twin of the lag→flag→cumsum ``sessionize`` operator
+    (and the batch twin of ``streaming/windows.session_window_stream``).
+
+    Semantics nuance this query pins differentially: ``session_window``
+    merges an event into the previous session only while the gap is
+    STRICTLY below the timeout (windows ``[ts, ts+gap)`` must overlap), so
+    the lag-form oracle uses ``>= gap`` where ``sessionize`` uses
+    ``> gap`` — an off-by-one-microsecond corner that silently desyncs
+    naive reimplementations.
+
+    Plan: session_window is a real aggregate — partial session merge
+    map-side, one shuffle on user_id, final merge — not a window function,
+    so there is no per-user sort amplification beyond the merge.  At
+    100 TB this is THE shape for sessionizing a fact table; duplicate
+    timestamps merge identically on both engines because a 0-gap is
+    < timeout."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    gap = f"{SESSION_GAP_MIN} minutes"
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_PEAK_CONCURRENCY_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN datediff('microsecond', lag(ts) OVER w, ts) IS NULL
+                OR datediff('microsecond', lag(ts) OVER w, ts) > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+             ROWS UNBOUNDED PRECEDING) AS sid,
+         ts
+  FROM flagged
+), spans AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e FROM sessions GROUP BY 1, 2
+), bounds AS (
+  SELECT s AS ts, 1 AS delta FROM spans
+  UNION ALL
+  SELECT e, -1 FROM spans
+), swept AS (
+  SELECT ts, SUM(delta) AS d FROM bounds GROUP BY ts
+), running AS (
+  SELECT ts, SUM(d) OVER (ORDER BY ts ASC ROWS UNBOUNDED PRECEDING) AS live
+  FROM swept
+)
+SELECT MAX(live) AS peak_concurrent,
+       MIN(CASE WHEN live = (SELECT MAX(live) FROM running) THEN ts END) AS first_peak_ts
+FROM running
+"""
+
+
+@register("peak_concurrent_sessions", oracle=_PEAK_CONCURRENCY_ORACLE, tags=("window", "temporal", "session"))
+def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-active sessions (capacity planning's
+    defining question) via the sweep-line: each session span emits +1 at
+    its start and −1 at its end, boundary deltas collapse per timestamp
+    (which also makes the inclusive-overlap tie rule explicit: a session
+    ending at instant t and one starting at t coexist only through the
+    summed delta at t, identically on both engines), and a running sum
+    over the time-ordered deltas is the live count whose max is the peak.
+
+    Scale: the unpartitioned running-sum window is the honest cost —
+    but it runs over |distinct boundary timestamps| rows (2 per session,
+    pre-collapsed by a distributed groupBy), orders of magnitude below
+    the fact table.  For corpora where even that overflows one partition,
+    range-partition by time and carry per-partition prefix sums — same
+    algebra, documented here, not needed at this tier."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    spans = (
+        sessionize(ev, "user_id", "ts", SESSION_GAP_MIN)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    bounds = spans.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    swept = bounds.groupBy("ts").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = swept.select("ts", F.sum("d").over(w).alias("live"))
+    peak = running.agg(F.max("live").alias("mx"))
+    return (
+        running.join(F.broadcast(peak))
+        .agg(
+            F.max("live").cast("long").alias("peak_concurrent"),
+            F.min(F.when(F.col("live") == F.col("mx"), F.col("ts"))).alias("first_peak_ts"),
+        )
+    )

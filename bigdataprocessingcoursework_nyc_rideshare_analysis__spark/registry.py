@@ -137,7 +137,7 @@ def load_all() -> dict[str, QuerySpec]:
     the order is: (1) never-verified queries and queries changed since
     their green row (``CHANGED_SINCE_VERIFIED``), in module order; (2) the
     verified tier, oldest round first (stalest rows re-confirm first)."""
-    from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster, scrub, bpe, mixture, boilerplate, graphrank, pca, lm, kmeans  # noqa: F401
+    from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster, scrub, bpe, mixture, boilerplate, graphrank, pca, lm, kmeans, trainer  # noqa: F401
     from .sources import pydatasource  # noqa: F401
     from .operators import (  # noqa: F401
         behavior,
