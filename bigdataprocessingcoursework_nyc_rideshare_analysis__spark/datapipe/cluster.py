@@ -379,3 +379,85 @@ def q_neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(Window.partitionBy("label")).alias("cluster_size"),
     )
+
+
+# --- BFS hop distance --------------------------------------------------------
+
+BFS_MAX_HOPS = 6
+BFS_SEED_MOD = 10  # seeds = documents with doc_id % BFS_SEED_MOD == 0
+
+_HOP_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpairs
+),
+walk(node, hop) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hop < {BFS_MAX_HOPS}
+)
+SELECT node AS doc_id, CAST(MIN(hop) AS BIGINT) AS hop
+FROM walk GROUP BY node
+"""
+
+
+def bfs_hop_distance(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Distributed BFS: minimum hop count from any seed, frontier-at-a-time.
+
+    ``edges`` is (src, dst) DIRECTED (pass both orientations for an
+    undirected graph); ``seeds`` is a one-column (doc_id) frame.  Each round
+    expands only the FRONTIER (nodes first reached last round) — visited
+    nodes are anti-joined away, so total work is O(|E reachable|) across all
+    rounds, not O(|E| · rounds).  The per-round ``isEmpty`` is
+    control-flow-sized (same rule as the CC fingerprint) and
+    ``localCheckpoint`` cuts the growing lineage exactly as the CC loop
+    does.  This is the iterative-frontier shape Pregel/GraphX express —
+    here as plain DataFrame joins so Catalyst handles the physical plan."""
+    dist = seeds.select("doc_id").distinct().withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist.select("doc_id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["doc_id"] == edges["src"])
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(dist.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("doc_id")
+    return dist
+
+
+@register("neardup_hop_distance", oracle=_HOP_ORACLE, tags=("datapipe", "graph", "iterative", "r5"))
+def q_neardup_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup graph: every document's minimum
+    hop distance (≤ {BFS_MAX_HOPS}) from the seed set (doc_id divisible by
+    {BFS_SEED_MOD}) — the recursive-CTE workload class (reachability with
+    path length), expressed as frontier iteration.  Contamination radius is
+    the practical use: seeds = documents matching a benchmark, hops =
+    how far their near-duplicate influence spreads through the corpus.
+
+    The DuckDB oracle is literally ``WITH RECURSIVE`` with the same hop cap,
+    so the differential check proves the frontier loop ≡ the declarative
+    fixpoint — including min-hop semantics (UNION-distinct state dedup) and
+    unreached-node exclusion.  Consumes the STAGED pair set: detection runs
+    once, graph analytics read its output."""
+    from .stage import staged_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = staged_jaccard_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select("doc_id")
+    dist = bfs_hop_distance(edges, seeds, BFS_MAX_HOPS)
+    return dist.select("doc_id", F.col("hop").cast("long").alias("hop"))

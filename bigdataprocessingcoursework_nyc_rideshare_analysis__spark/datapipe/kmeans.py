@@ -109,3 +109,68 @@ def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     _, assigned = kmeans_fit(emb)
     return assigned
+
+
+# --- semantic dedup ----------------------------------------------------------
+
+SEMDEDUP_TAU = 0.40  # cosine threshold; synthetic corpus max pairwise ≈ 0.6
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): k-means-cluster the
+    embeddings, then WITHIN each cluster mark a vector as a duplicate iff
+    some smaller-id vector in the same cluster has cosine similarity ≥ tau
+    (keep-earliest, a pure pairwise rule with pinned determinism).
+
+    The clustering is the scale trick: cosine comparisons only happen inside
+    a cluster, so the quadratic term is Σ|cluster|² instead of n² — at
+    corpus scale you grow k with n to hold |cluster| ≈ constant (exactly the
+    bucket-size discipline of ``dedup.neardup_embedding_lsh``; SemDeDup
+    trades LSH's recall guarantee for semantic — not just geometric —
+    locality from the learned clusters).  Per-cluster work is one
+    normalized GEMM inside ``applyInPandas``; nothing driver-side but the
+    k×dim centroid fit.
+
+    Returns (vec_id, cluster, is_dup)."""
+    import pandas as pd  # noqa: F401 — imported for the worker closure
+
+    _, assigned = kmeans_fit(emb, k=k, iters=iters)
+    withvec = assigned.select("vec_id", "cluster").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+
+    def dedup_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        x = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        xn = x / norms[:, None]
+        sims = xn @ xn.T
+        dropped = np.tril(sims >= tau, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster": pdf["cluster"].to_numpy()[order], "is_dup": dropped}
+        )
+
+    return withvec.groupBy("cluster").applyInPandas(
+        dedup_group, schema="vec_id long, cluster long, is_dup boolean"
+    )
+
+
+@register("semantic_dedup_docs", oracle=None, tags=("datapipe", "embeddings", "dedup", "iterative", "r5"))
+def q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embedding corpus: (vec_id, cluster, is_dup)
+    per vector.  Downstream keeps ``NOT is_dup`` rows.  Iterative k-means
+    fit → rows-only driver check; exact agreement with a pure-numpy
+    reference (same init, same iterations, same pairwise rule) and the
+    keep/drop invariants are pinned in ``tests/test_kmeans.py``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, tokens_col
+from ..functions.text import normalize_text, tokens_col, tokens_of
 from ..registry import register
 from ..sources import load_table
 
@@ -1049,4 +1049,71 @@ def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(cand, "doc_id", "left_semi")
         .filter(F.col("text").contains(SEARCH_PATTERN))
         .select("doc_id")
+    )
+
+
+# --- retrieval chunking ------------------------------------------------------
+
+CHUNK_WINDOW = 24  # tokens per chunk
+CHUNK_STRIDE = 16  # tokens between chunk starts (overlap = WINDOW - STRIDE)
+
+_OVERLAP_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), k AS (
+  SELECT doc_id, toks, n, CAST(i AS BIGINT) AS chunk_id
+  FROM d, UNNEST(range(0, CASE WHEN n <= {CHUNK_WINDOW} THEN 1
+                          ELSE 1 + (n - {CHUNK_WINDOW} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} END)) AS u(i)
+)
+SELECT doc_id, chunk_id,
+       CAST(1 + chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_WINDOW}, n - chunk_id * {CHUNK_STRIDE}) AS BIGINT) AS n_toks,
+       array_to_string(
+         toks[CAST(1 + chunk_id * {CHUNK_STRIDE} AS BIGINT):
+              CAST(chunk_id * {CHUNK_STRIDE} + least({CHUNK_WINDOW}, n - chunk_id * {CHUNK_STRIDE}) AS BIGINT)],
+         ' ') AS chunk_text
+FROM k
+"""
+
+
+@register("chunk_docs_overlap", oracle=_OVERLAP_CHUNK_ORACLE, tags=("datapipe", "text", "retrieval", "r5"))
+def q_chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the retrieval/RAG segmentation
+    pass: {CHUNK_WINDOW}-token windows every {CHUNK_STRIDE} tokens, so
+    consecutive chunks share {CHUNK_WINDOW - CHUNK_STRIDE} tokens and no
+    sentence straddling a boundary is lost to both chunks.  The complement
+    of ``cdc_chunk_docs`` (content-defined, dedup-oriented): overlap
+    chunking is position-defined and embedding/index-oriented.
+
+    Chunk COUNT is closed-form (1 + ⌈(n−W)/S⌉, integer arithmetic only), so
+    the plan is a single ``sequence``+``posexplode`` per document and a
+    ``slice`` per chunk — no window function, no shuffle at all: the whole
+    query is map-side and stays inside whole-stage codegen.  Each output row
+    carries (start_tok, n_toks) so downstream spans can be mapped back into
+    the source document.  At 100 TB this is the shape you want: chunking is
+    embarrassingly parallel, and the ~W/S× output inflation is paid in
+    parquet, not in a shuffle."""
+    from .stage import staged_features
+
+    docs = staged_features(spark, sf_dir)
+    W, S = CHUNK_WINDOW, CHUNK_STRIDE
+    d = docs.select("doc_id", tokens_of(docs).alias("toks")).withColumn("n", F.size("toks"))
+    n_chunks = F.when(F.col("n") <= W, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(n - {W} + {S} - 1) div {S}").cast("int")
+    )
+    k = d.select(
+        "doc_id", "toks", "n",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "chunk_id"),
+    )
+    start = F.lit(1) + F.col("chunk_id") * S
+    length = F.least(F.lit(W), F.col("n") - F.col("chunk_id") * S)
+    return k.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        length.cast("long").alias("n_toks"),
+        F.array_join(F.slice("toks", start, length), " ").alias("chunk_text"),
     )

@@ -681,3 +681,131 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.expr("greatest((k * 99) div 100, 1)"), F.col("n"))).alias("p99"),
         F.round(F.max("n").cast("double") * F.max("k") / F.sum("n"), 9).alias("skew_factor"),
     )
+
+
+EQUIDEPTH_BUCKETS = 8
+
+_EQUIDEPTH_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, value,
+         NTILE({EQUIDEPTH_BUCKETS}) OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("equi_depth_histogram_by_event_type", oracle=_EQUIDEPTH_ORACLE, tags=("agg", "quantile", "r5"))
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of ``events.value`` per event type: NTILE
+    splits each group into {EQUIDEPTH_BUCKETS} equal-population buckets and
+    the aggregate reports each bucket's [lo, hi] bounds and count — the
+    histogram CBO statistics and drift monitors actually want (the fixed-
+    WIDTH ``value_histogram`` starves in dense regions and wastes buckets in
+    sparse ones; equal population adapts bin width to the distribution).
+
+    Tie order is pinned (value, event_id) so the SQL-standard NTILE remainder
+    rule — first ``n % B`` buckets take the extra row — assigns identically
+    on both engines.  Plan: one hash shuffle on event_type, an in-partition
+    sort for the window, then a map-side-combinable (type, bucket) agg; bucket
+    bounds are true data values, never synthesized floats.  At 100 TB the
+    per-group sort is the cost — for monitoring-grade bounds swap in
+    ``approx_percentiles_by_event_type``'s sketch; THIS form is the exact
+    oracle that validates it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(EQUIDEPTH_BUCKETS).over(w).cast("bigint").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+BASKET_MIN_PAIR_COUNT = 2
+BASKET_TOP_K = 100
+
+_BASKET_LIFT_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS baskets FROM items),
+item_counts AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY 1
+),
+pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_count
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, pair_count,
+       ROUND(CAST(pair_count AS DOUBLE) / n.baskets, 9) AS support,
+       ROUND(CAST(pair_count AS DOUBLE) / ca.cnt, 9) AS confidence_a_b,
+       ROUND(CAST(pair_count * n.baskets AS DOUBLE) / (ca.cnt * cb.cnt), 9) AS lift
+FROM pair_counts
+JOIN item_counts ca ON ca.l_partkey = part_a
+JOIN item_counts cb ON cb.l_partkey = part_b
+CROSS JOIN n
+WHERE pair_count >= {BASKET_MIN_PAIR_COUNT}
+ORDER BY lift DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
+@register("basket_part_pair_lift", oracle=_BASKET_LIFT_ORACLE, tags=("olap", "mining", "r5"))
+def q_basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order line items: for every part pair
+    co-ordered in ≥ {BASKET_MIN_PAIR_COUNT} baskets, the association metrics
+    (support, confidence, lift), top-{BASKET_TOP_K} by lift — the 2-itemset
+    core of FP-growth-style affinity analysis, done as plain relational
+    algebra.
+
+    Scale shape: the self-join is keyed on l_orderkey, and baskets are
+    naturally bounded (≤ 7 lines/order here, ≤ tens anywhere), so the pair
+    explosion is C(basket,2)-per-order — LINEAR in the fact table with a
+    small constant, never |parts|².  One shuffle builds distinct basket
+    items, one keys the pair self-join, one aggregates pairs; the per-part
+    counts are |parts|-sized and joined back broadcast.  Every metric is a
+    single division of exact int64 counts rounded to 9 dp, so both engines
+    agree bitwise.  The final top-K is a TakeOrderedAndProject, not a
+    global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.select(F.countDistinct("l_orderkey").alias("baskets"))
+    item_counts = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= BASKET_MIN_PAIR_COUNT)
+    )
+    ca = item_counts.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_counts.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pair_counts.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            F.round(F.col("pair_count").cast("double") / F.col("baskets"), 9).alias("support"),
+            F.round(F.col("pair_count").cast("double") / F.col("cnt_a"), 9).alias("confidence_a_b"),
+            F.round(
+                (F.col("pair_count") * F.col("baskets")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                9,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(BASKET_TOP_K)

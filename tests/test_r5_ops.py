@@ -1,0 +1,234 @@
+"""Round-5 additions: SemDeDup, BFS hop distance, overlap chunking,
+equi-depth histogram, market-basket lift.  Oracle parity runs in
+tools/check_oracle.py; these tests pin the SEMANTICS on hand-built cases
+and invariants the differential check can't express."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.cluster import (
+    BFS_MAX_HOPS,
+    bfs_hop_distance,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.kmeans import (
+    semantic_dedup,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+    CHUNK_STRIDE,
+    CHUNK_WINDOW,
+    q_chunk_docs_overlap,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+    EQUIDEPTH_BUCKETS,
+    q_basket_part_pair_lift,
+    q_equi_depth_histogram,
+)
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=0) for i, v in enumerate(vecs)]
+    )
+
+
+def _numpy_semdedup(vecs, k, iters, tau):
+    """Pure-python reference: same deterministic md5 init, same Lloyd's,
+    same keep-earliest pairwise rule."""
+    x = np.asarray(vecs, dtype=np.float64)
+    ids = list(range(len(vecs)))
+    order = sorted(range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]))
+    centroids = x[order[:k]].copy()
+    for _ in range(iters):
+        scores = x @ centroids.T - 0.5 * (centroids * centroids).sum(axis=1)
+        best = np.argmax(scores, axis=1)
+        for c in range(k):
+            m = x[best == c]
+            if len(m):
+                centroids[c] = m.mean(axis=0)
+    scores = x @ centroids.T - 0.5 * (centroids * centroids).sum(axis=1)
+    best = np.argmax(scores, axis=1)
+    norms = np.sqrt((x * x).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    xn = x / norms[:, None]
+    dropped = {}
+    for c in set(best):
+        members = [i for i in range(len(vecs)) if best[i] == c]
+        for pos, i in enumerate(members):
+            dropped[i] = any(
+                float(xn[i] @ xn[j]) >= tau for j in members[:pos]
+            )
+    return best, dropped
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    rng = np.random.RandomState(7)
+    # random 8-d directions are nearly orthogonal (pairwise cos ≈ N(0, 1/8)),
+    # so at tau=0.9 only the PLANTED near-identical copies count as dups
+    base = rng.randn(20, 8)
+    dups = base[[0, 3, 12]] + rng.randn(3, 8) * 1e-3  # cosine ≈ 1 with originals
+    vecs = np.vstack([base, dups])
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_dup"])
+        for r in semantic_dedup(_emb_df(spark, vecs), k=2, iters=5, tau=0.9).collect()
+    }
+    ref_best, ref_dropped = _numpy_semdedup(vecs, k=2, iters=5, tau=0.9)
+    assert len(got) == len(vecs)
+    for i in range(len(vecs)):
+        assert got[i][0] == ref_best[i]
+        assert got[i][1] == ref_dropped[i]
+    # the planted duplicates (larger ids than their originals) are dropped
+    for d in (20, 21, 22):
+        assert got[d][1] is True
+    # originals are kept
+    for o in (0, 3, 12):
+        assert got[o][1] is False
+
+
+def test_semantic_dedup_keep_set_is_tau_separated(spark):
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(40, 6)
+    tau = 0.8
+    rows = semantic_dedup(_emb_df(spark, vecs), k=3, iters=4, tau=tau).collect()
+    x = np.asarray(vecs, dtype=np.float64)
+    xn = x / np.sqrt((x * x).sum(axis=1))[:, None]
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append((r["vec_id"], r["is_dup"]))
+    for members in by_cluster.values():
+        kept = [i for i, d in members if not d]
+        # kept pairs are < tau similar
+        for a in range(len(kept)):
+            for b in range(a + 1, len(kept)):
+                assert float(xn[kept[a]] @ xn[kept[b]]) < tau
+        # every dropped member has a smaller-id cluster-mate >= tau
+        for i, d in members:
+            if d:
+                assert any(
+                    float(xn[i] @ xn[j]) >= tau for j, _ in members if j < i
+                )
+
+
+# --- BFS hop distance --------------------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "src long, dst long")
+
+
+def test_bfs_chain_hops(spark):
+    # chain 1-2-3-4-5, seed 1; isolated node 9 unreachable
+    edges = _edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,)], "doc_id long")
+    got = {r["doc_id"]: r["hop"] for r in bfs_hop_distance(edges, seeds, 6).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_min_hop_and_cap(spark):
+    # diamond: 1-2, 1-3, 2-4, 3-4 → 4 reached at hop 2 exactly once;
+    # long tail beyond the cap is excluded
+    tail = [(4 + i, 5 + i) for i in range(8)]
+    edges = _edges_df(spark, [(1, 2), (1, 3), (2, 4), (3, 4)] + tail)
+    seeds = spark.createDataFrame([(1,)], "doc_id long")
+    got = {r["doc_id"]: r["hop"] for r in bfs_hop_distance(edges, seeds, 3).collect()}
+    assert got[4] == 2
+    assert got[5] == 3
+    assert 6 not in got  # beyond max_hops
+    assert max(got.values()) <= 3
+
+
+def test_bfs_multi_source_takes_min(spark):
+    edges = _edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    got = {r["doc_id"]: r["hop"] for r in bfs_hop_distance(edges, seeds, 6).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+    assert BFS_MAX_HOPS >= 3  # registry cap comfortably covers near-dup cluster diameters
+
+
+# --- overlap chunking --------------------------------------------------------
+
+
+def test_chunk_overlap_tiles_every_document(spark):
+    chunks = q_chunk_docs_overlap(spark, SF_SMOKE).collect()
+    docs = {
+        r["doc_id"]: r["toks"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ").alias("toks"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        toks = docs[doc_id]
+        n = len(toks)
+        rows.sort(key=lambda r: r["chunk_id"])
+        covered = set()
+        for i, r in enumerate(rows):
+            assert r["chunk_id"] == i
+            assert r["start_tok"] == 1 + i * CHUNK_STRIDE
+            assert r["n_toks"] == min(CHUNK_WINDOW, n - i * CHUNK_STRIDE)
+            # chunk text is exactly the token slice
+            lo = r["start_tok"] - 1
+            assert r["chunk_text"] == " ".join(toks[lo : lo + r["n_toks"]])
+            covered.update(range(lo, lo + r["n_toks"]))
+        assert covered == set(range(n))  # full coverage, no token lost
+        # consecutive chunks overlap by WINDOW - STRIDE (except a short tail)
+        for a, b in zip(rows, rows[1:]):
+            overlap = (a["start_tok"] + a["n_toks"]) - b["start_tok"]
+            assert overlap >= 1
+
+
+# --- equi-depth histogram ----------------------------------------------------
+
+
+def test_equi_depth_buckets_are_balanced_and_ordered(spark):
+    rows = q_equi_depth_histogram(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for evt, bs in by_type.items():
+        bs.sort(key=lambda r: r["bucket"])
+        assert [b["bucket"] for b in bs] == list(range(1, EQUIDEPTH_BUCKETS + 1))
+        counts = [b["n"] for b in bs]
+        assert max(counts) - min(counts) <= 1  # NTILE balance
+        for a, b in zip(bs, bs[1:]):
+            assert a["hi"] <= b["lo"]  # buckets ordered, non-overlapping ranges
+        for b in bs:
+            assert b["lo"] <= b["hi"]
+
+
+# --- market-basket lift ------------------------------------------------------
+
+
+def test_basket_lift_metrics_are_consistent(spark):
+    rows = q_basket_part_pair_lift(spark, SF_SMOKE).collect()
+    assert rows, "expected non-empty pair set at sf0.001"
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.select("l_orderkey").distinct().count()
+    cnt = {
+        r["l_partkey"]: r["c"]
+        for r in items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)  # ordered by lift desc
+    for r in rows[:20]:
+        assert r["part_a"] < r["part_b"]
+        assert r["support"] == pytest.approx(r["pair_count"] / n_baskets, abs=1e-9)
+        assert r["confidence_a_b"] == pytest.approx(r["pair_count"] / cnt[r["part_a"]], abs=1e-9)
+        assert r["lift"] == pytest.approx(
+            r["pair_count"] * n_baskets / (cnt[r["part_a"]] * cnt[r["part_b"]]), abs=1e-7
+        )
