@@ -1117,3 +1117,150 @@ def q_chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         length.cast("long").alias("n_toks"),
         F.array_join(F.slice("toks", start, length), " ").alias("chunk_text"),
     )
+
+
+# --- hybrid retrieval (reciprocal rank fusion) -------------------------------
+
+RRF_QUERY_TERMS = ("merge", "hash", "stream")
+RRF_K = 60
+RRF_TOP_K = 20
+
+_RRF_TERMS_SQL = ", ".join(f"('{t}')" for t in RRF_QUERY_TERMS)
+
+_RRF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), q(term) AS (VALUES {_RRF_TERMS_SQL}),
+hits AS (
+  SELECT x.doc_id, x.term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) x
+  JOIN q ON q.term = x.term
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+lex AS (SELECT doc_id, SUM(tf) AS lex_score FROM hits GROUP BY 1),
+tfidf AS (
+  SELECT h.doc_id,
+         ROUND(SUM(CAST(h.tf AS DOUBLE) * (n.n_docs + 1) / (d.df + 1)), 9) AS tfidf_score
+  FROM hits h JOIN df d ON d.term = h.term CROSS JOIN n
+  GROUP BY 1
+),
+r1 AS (SELECT doc_id, lex_score,
+              ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank FROM lex),
+r2 AS (SELECT doc_id, tfidf_score,
+              ROW_NUMBER() OVER (ORDER BY tfidf_score DESC, doc_id) AS tfidf_rank FROM tfidf)
+SELECT r1.doc_id, r1.lex_score, r1.lex_rank, r2.tfidf_rank,
+       ROUND(1.0 / ({RRF_K} + r1.lex_rank) + 1.0 / ({RRF_K} + r2.tfidf_rank), 9) AS rrf
+FROM r1 JOIN r2 ON r2.doc_id = r1.doc_id
+ORDER BY rrf DESC, r1.doc_id
+LIMIT {RRF_TOP_K}
+"""
+
+
+@register("hybrid_search_rrf", oracle=_RRF_ORACLE, tags=("datapipe", "text", "retrieval", "r5"))
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (Cormack et al., SIGIR'09):
+    two independent rankers over the candidate set (documents containing at
+    least one query term) — raw term-frequency overlap and ratio-form TF-IDF
+    — fused as Σ 1/({RRF_K}+rank), top-{RRF_TOP_K}.  RRF is the standard way
+    to combine lexical and vector retrieval without score calibration; the
+    fusion operator here is ranking-agnostic (in production ranker #2 is the
+    ANN tier — ``ann_lsh_topk``/``ann_ivf_topk`` — whose scores live on an
+    incomparable scale, which is exactly why fusion uses RANKS not scores).
+
+    Determinism: both rankings order by (rounded score desc, doc_id), so
+    ranks agree cross-engine bit-for-bit; the RRF sum is two correctly-
+    rounded divisions and one addition, rounded once.  Scale shape: the
+    candidate set is hits-sized (inverted-index discipline — only documents
+    containing a query term are ever touched past the scan), per-ranker
+    windows are global but candidate-sized, and the final top-K is a
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    from .stage import staged_features
+
+    docs = staged_features(spark, sf_dir)
+    n_docs = docs.count()  # scalar corpus dimension, as in tfidf_top_terms
+    qterms = F.array(*[F.lit(t) for t in RRF_QUERY_TERMS])
+    hits = (
+        docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
+        .filter(F.array_contains(qterms, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    lex = hits.groupBy("doc_id").agg(F.sum("tf").alias("lex_score"))
+    tfidf = (
+        hits.join(F.broadcast(df), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + F.lit(1))),
+                9,
+            ).alias("tfidf_score")
+        )
+    )
+    w1 = Window.orderBy(F.desc("lex_score"), F.asc("doc_id"))
+    w2 = Window.orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
+    r1 = lex.select("doc_id", "lex_score", F.row_number().over(w1).alias("lex_rank"))
+    r2 = tfidf.select("doc_id", F.row_number().over(w2).alias("tfidf_rank"))
+    fused = r1.join(r2, "doc_id").select(
+        "doc_id",
+        "lex_score",
+        "lex_rank",
+        "tfidf_rank",
+        F.round(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank"))
+            + F.lit(1.0) / (F.lit(RRF_K) + F.col("tfidf_rank")),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOP_K)
+
+
+# --- per-group deterministic sample ------------------------------------------
+
+GROUP_SAMPLE_K = 10
+
+_GROUP_SAMPLE_ORACLE = f"""
+SELECT source, doc_id
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {GROUP_SAMPLE_K}
+"""
+
+
+@register("per_source_sample_topk", oracle=_GROUP_SAMPLE_ORACLE, tags=("datapipe", "sampling", "r5"))
+def q_per_source_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-{GROUP_SAMPLE_K}-per-source deterministic sample: rank each
+    group by ``md5(doc_id)`` and keep the first {GROUP_SAMPLE_K} — the
+    eval-set / spot-check companion to ``stratified_hash_sample`` (which
+    keeps a deterministic FRACTION; this keeps a deterministic COUNT, the
+    contract an eval suite or labeling batch needs).  The md5 order is a
+    uniform random permutation seeded by content, so the sample is unbiased
+    yet identical across runs, engines, and partitionings — and STABLE
+    under corpus growth in the sense that a document's sort key never
+    changes, so re-sampling after ingest only swaps members when a genuinely
+    smaller key arrives.
+
+    One shuffle (group window); at extreme group cardinality the rank
+    window's per-group sort dominates — swap in a per-group
+    TakeOrdered-style partial top-k (min-heap over md5 keys) via the same
+    two-phase trick as ``heavy_hitter_terms`` if a group ever outgrows a
+    partition."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+        .select("source", "doc_id")
+    )

@@ -809,3 +809,80 @@ def q_basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(BASKET_TOP_K)
+
+
+MAD_Z_CUTOFF = 3.5  # Iglewicz–Hoaglin modified z-score threshold
+
+_MAD_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS m FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, med.m,
+         abs(e.value - med.m) AS dev
+  FROM events e JOIN med ON med.event_type = e.event_type
+),
+dranked AS (
+  SELECT event_type, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, dev AS mad FROM dranked WHERE rn = (n + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.value,
+       ROUND(0.6745 * (d.value - d.m) / mad.mad, 9) AS robust_z
+FROM dev d JOIN mad ON mad.event_type = d.event_type
+WHERE mad.mad <> 0
+  AND abs(ROUND(0.6745 * (d.value - d.m) / mad.mad, 9)) > {MAD_Z_CUTOFF}
+"""
+
+
+@register("mad_outlier_events", oracle=_MAD_ORACLE, tags=("agg", "quantile", "anomaly", "r5"))
+def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the MAD modified z-score (Iglewicz &
+    Hoaglin): flag events where |0.6745·(x − median)/MAD| > {MAD_Z_CUTOFF}.
+    Completes the anomaly ladder — fixed threshold (reference task 5) →
+    IQR fences (``iqr_outlier_events``) → MAD, which keeps a 50 % breakdown
+    point where the IQR's 25 % lets heavy contamination drag the fences.
+
+    Both medians are exact DISCRETE rank selections (the
+    ``median_value_by_event_type`` rule: element ⌈n/2⌉), so every
+    intermediate is a true data value and the single rounded division is
+    the only synthesized float — bit-identical cross-engine.  Plan: two
+    group-keyed window passes over events (median, then median of absolute
+    deviations) with the group-sized median frames joined back broadcast;
+    same scale posture as the quartile family, with the sketch swap-in
+    documented there for extreme per-group cardinality."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    med = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("value").alias("m"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("m"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    z = F.round(F.lit(0.6745) * (F.col("value") - F.col("m")) / F.col("mad"), 9)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") != 0)
+        .select("event_id", "event_type", "value", z.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > MAD_Z_CUTOFF)
+    )

@@ -232,3 +232,85 @@ def test_basket_lift_metrics_are_consistent(spark):
         assert r["lift"] == pytest.approx(
             r["pair_count"] * n_baskets / (cnt[r["part_a"]] * cnt[r["part_b"]]), abs=1e-7
         )
+
+
+# --- hybrid RRF --------------------------------------------------------------
+
+
+def test_rrf_fuses_ranks_consistently(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        RRF_K,
+        RRF_TOP_K,
+        q_hybrid_search_rrf,
+    )
+
+    rows = q_hybrid_search_rrf(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= RRF_TOP_K
+    for r in rows:
+        assert r["rrf"] == pytest.approx(
+            1.0 / (RRF_K + r["lex_rank"]) + 1.0 / (RRF_K + r["tfidf_rank"]), abs=1e-9
+        )
+    rrfs = [r["rrf"] for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
+    # ranks are a permutation fragment: no duplicates within either ranking
+    assert len({r["lex_rank"] for r in rows}) == len(rows)
+    assert len({r["tfidf_rank"] for r in rows}) == len(rows)
+
+
+# --- per-source deterministic sample -----------------------------------------
+
+
+def test_per_source_sample_exact_k_and_deterministic(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        GROUP_SAMPLE_K,
+        q_per_source_sample_topk,
+    )
+
+    rows1 = sorted((r["source"], r["doc_id"]) for r in q_per_source_sample_topk(spark, SF_SMOKE).collect())
+    rows2 = sorted((r["source"], r["doc_id"]) for r in q_per_source_sample_topk(spark, SF_SMOKE).collect())
+    assert rows1 == rows2  # repartition/rerun stable
+    sizes = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from collections import Counter
+
+    got = Counter(s for s, _ in rows1)
+    for src, n in sizes.items():
+        assert got[src] == min(GROUP_SAMPLE_K, n)
+
+
+# --- MAD robust z-score ------------------------------------------------------
+
+
+def test_mad_outliers_match_python_reference(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+        MAD_Z_CUTOFF,
+        q_mad_outlier_events,
+    )
+
+    got = {(r["event_id"]): r["robust_z"] for r in q_mad_outlier_events(spark, SF_SMOKE).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["event_id"], r["value"]))
+    expected = {}
+    for vals in by_type.values():
+        xs = sorted(v for _, v in vals)
+        m = xs[(len(xs) + 1) // 2 - 1]  # discrete lower median
+        devs = sorted(abs(v - m) for _, v in vals)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        if mad == 0:
+            continue
+        for eid, v in vals:
+            z = round(0.6745 * (v - m) / mad, 9)
+            if abs(z) > MAD_Z_CUTOFF:
+                expected[eid] = z
+    assert set(got) == set(expected)
+    for eid, z in expected.items():
+        assert got[eid] == pytest.approx(z, abs=1e-9)
