@@ -165,3 +165,90 @@ def interval_join_stream(
     return c.join(p, cond, how).select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
     )
+
+
+def latest_snapshot_version(target_path: str, before_batch: int | None = None) -> int | None:
+    """Largest COMMITTED snapshot version under ``target_path`` (``v=<n>``
+    directories containing the Hadoop committer's ``_SUCCESS`` marker), or
+    None.  ``before_batch`` additionally bounds the version strictly below
+    the given batch id — the replay guard: a torn ``v=<batch_id>`` directory
+    left by a crashed attempt of the SAME batch is never read as input.
+
+    Driver-side directory listing — correct for a filesystem target; on
+    object storage at scale the version pointer lives in a manifest (the
+    ``doc_shards`` committing-writer pattern) or a table format's log."""
+    import os
+
+    if not os.path.isdir(target_path):
+        return None
+    versions = []
+    for d in os.listdir(target_path):
+        if d.startswith("v=") and d[2:].isdigit():
+            v = int(d[2:])
+            if before_batch is not None and v >= before_batch:
+                continue
+            if os.path.exists(os.path.join(target_path, d, "_SUCCESS")):
+                versions.append(v)
+    return max(versions) if versions else None
+
+
+def sink_merge_upsert(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    key: str,
+    order_col: str | None = None,
+):
+    """Streaming CDC apply: ``foreachBatch`` MERGEs each micro-batch of
+    change rows into a versioned parquet snapshot — the streaming half of
+    ``operators.merge.merge_upsert`` (Delta/Iceberg's ``MERGE INTO`` stream
+    sink, built on the same engine primitive).
+
+    Exactly-once without a table format, from three pieces:
+
+    - **Versioned snapshots**: batch N writes ``v=<N>`` reading from the
+      latest *committed* version `` < N`` — never its own possibly-torn
+      prior attempt, and never an uncommitted directory
+      (``latest_snapshot_version``'s ``_SUCCESS`` gate).
+    - **Idempotent replay**: re-running batch N reads the same input
+      snapshot and the same (checkpoint-replayed) change rows, so the
+      overwrite of ``v=<N>`` is byte-identical.
+    - **In-batch last-writer-wins**: with ``order_col``, multiple changes
+      to one key within a batch collapse to the row with the greatest
+      (order_col) before merging (pinned tiebreak on the full row via the
+      window's deterministic ordering); without it, batches are assumed
+      key-unique (one CDC event per key per micro-batch).
+
+    The merge itself is the batch operator — at 100 TB the target is
+    bucketed by the merge key so only the (small) change set shuffles, and
+    old versions are vacuumed by retention."""
+    from pyspark.sql import Window
+
+    from ..operators.merge import merge_upsert
+
+    # runs on the DRIVER (foreachBatch hands over a batch DataFrame), so
+    # module references — unlike worker-shipped closures — are safe here
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        changes = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(key).orderBy(F.desc(order_col))
+            changes = (
+                changes.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        prev = latest_snapshot_version(target_path, before_batch=batch_id)
+        if prev is not None:
+            target = sp.read.parquet(f"{target_path}/v={prev}")
+            merged = merge_upsert(target, changes, key)
+        else:
+            merged = changes
+        merged.write.mode("overwrite").parquet(f"{target_path}/v={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

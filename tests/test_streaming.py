@@ -464,3 +464,120 @@ def test_sink_crash_replay_overwrites_torn_batch(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_cdc_merge_snapshots(spark):
+    """Streaming MERGE sink: change batches fold into versioned snapshots,
+    and the final snapshot equals the batch-applied merge of all changes in
+    arrival order (updates win, inserts land, untouched rows survive)."""
+    import os
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.merge import merge_upsert
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        latest_snapshot_version,
+        sink_merge_upsert,
+    )
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).limit(100).cache()
+    schema = cust.schema
+    batch1 = cust  # initial load: all inserts
+    batch2 = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", "c_name", F.lit("CHANGED").alias("c_mktsegment"))
+        .union(
+            cust.limit(3).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("new row").alias("c_name"),
+                F.lit("FRESH").alias("c_mktsegment"),
+            )
+        )
+    )
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    out = tempfile.mkdtemp(prefix="cdc_out_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    try:
+        batch1.write.mode("append").parquet(src)
+        q = sink_merge_upsert(
+            spark.readStream.schema(schema).parquet(src), out, ckpt, key="c_custkey"
+        )
+        q.awaitTermination(120)
+        v1 = latest_snapshot_version(out)
+        assert v1 is not None
+        assert spark.read.parquet(f"{out}/v={v1}").count() == 100
+
+        batch2.write.mode("append").parquet(src)
+        q2 = sink_merge_upsert(
+            spark.readStream.schema(schema).parquet(src), out, ckpt, key="c_custkey"
+        )
+        q2.awaitTermination(120)
+        v2 = latest_snapshot_version(out)
+        assert v2 is not None and v2 > v1
+
+        got = spark.read.parquet(f"{out}/v={v2}")
+        expected = merge_upsert(batch1, batch2, "c_custkey")
+        assert got.count() == 103  # 100 originals + 3 inserts
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+        assert got.filter(F.col("c_mktsegment") == "CHANGED").count() == 20
+        assert got.filter(F.col("c_mktsegment") == "FRESH").count() == 3
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_cdc_merge_crash_replay_ignores_torn_snapshot(spark):
+    """Replay guard: a torn (uncommitted) snapshot directory from a crashed
+    attempt is invisible both to the reader helper and to the replayed
+    batch, which rebuilds it from the last COMMITTED version."""
+    import os
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        latest_snapshot_version,
+        sink_merge_upsert,
+    )
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).limit(50).cache()
+    schema = cust.schema
+    updates = cust.select(
+        "c_custkey", "c_name", F.lit("CHANGED").alias("c_mktsegment")
+    ).limit(10)
+    src = tempfile.mkdtemp(prefix="cdc2_src_")
+    out = tempfile.mkdtemp(prefix="cdc2_out_")
+    ckpt = tempfile.mkdtemp(prefix="cdc2_ckpt_")
+    try:
+        cust.write.mode("append").parquet(src)
+        q = sink_merge_upsert(
+            spark.readStream.schema(schema).parquet(src), out, ckpt, key="c_custkey"
+        )
+        q.awaitTermination(120)
+        committed = latest_snapshot_version(out)
+
+        # new changes arrive; plant a TORN snapshot for the upcoming batch:
+        # poisoned rows, _SUCCESS removed — the state a mid-write kill leaves
+        updates.write.mode("append").parquet(src)
+        next_batch = max(
+            int(f) for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+        ) + 1
+        cust.withColumn("c_mktsegment", F.lit("TORN")).write.mode("overwrite").parquet(
+            f"{out}/v={next_batch}"
+        )
+        os.remove(f"{out}/v={next_batch}/_SUCCESS")
+        assert latest_snapshot_version(out) == committed  # torn dir invisible
+
+        q2 = sink_merge_upsert(
+            spark.readStream.schema(schema).parquet(src), out, ckpt, key="c_custkey"
+        )
+        q2.awaitTermination(120)
+        v = latest_snapshot_version(out)
+        assert v == next_batch
+        got = spark.read.parquet(f"{out}/v={v}")
+        assert got.filter(F.col("c_mktsegment") == "TORN").count() == 0
+        assert got.filter(F.col("c_mktsegment") == "CHANGED").count() == 10
+        assert got.count() == 50
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
