@@ -657,3 +657,107 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("live") == F.col("mx"), F.col("ts"))).alias("first_peak_ts"),
         )
     )
+
+
+_CONVERSION_LATENCY_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, MIN(ts) AS first_click FROM events
+  WHERE event_type = 'click' GROUP BY 1
+),
+purchases AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN clicks c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY 1
+),
+lat AS (
+  SELECT c.user_id,
+         epoch_us(p.first_purchase) - epoch_us(c.first_click) AS latency_us
+  FROM clicks c JOIN purchases p ON p.user_id = c.user_id
+),
+ranked AS (
+  SELECT latency_us,
+         ROW_NUMBER() OVER (ORDER BY latency_us, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lat
+),
+qs AS (
+  SELECT
+    MAX(CASE WHEN rn = greatest(((n + 1) * 1) // 4, 1) THEN latency_us END) AS p25_us,
+    MAX(CASE WHEN rn = greatest(((n + 1) * 2) // 4, 1) THEN latency_us END) AS p50_us,
+    MAX(CASE WHEN rn = greatest(((n + 1) * 3) // 4, 1) THEN latency_us END) AS p75_us,
+    MAX(CASE WHEN rn = greatest(((n + 1) * 9) // 10, 1) THEN latency_us END) AS p90_us,
+    MAX(n) AS n_converted
+  FROM ranked
+)
+SELECT (SELECT COUNT(*) FROM clicks) AS n_clickers,
+       n_converted,
+       ROUND(CAST(n_converted AS DOUBLE) / (SELECT COUNT(*) FROM clicks), 9) AS conversion_rate,
+       p25_us, p50_us, p75_us, p90_us
+FROM qs
+"""
+
+
+@register("conversion_latency_quantiles", oracle=_CONVERSION_LATENCY_ORACLE, tags=("events", "funnel", "quantile", "r5"))
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the click→purchase funnel: exact
+    discrete p25/p50/p75/p90 of (first purchase − first click) across
+    converted users, plus the conversion rate — the funnel's LATENCY
+    half (``click_purchase_funnel`` pins who converts; this pins how fast).
+
+    Latencies are exact int64 microsecond differences (no float time math),
+    quantiles are rank selections with the quartile family's pinned rule
+    and (latency, user_id) tie order, and the single division is rounded
+    once — bit-identical cross-engine.  Plan: the funnel's user-keyed
+    aggregation chain (one effective shuffle), then ranking over the
+    CONVERTED-USERS set.  That final window is global-ordered — fine while
+    converted users fit one partition's sort (output is one row); at
+    100 TB swap the rank selection for the sketch percentiles exactly as
+    documented on the median family."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = clicks.join(purchases, "user_id").select(
+        "user_id",
+        (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias("latency_us"),
+    )
+    w = Window.orderBy("latency_us", "user_id")
+    ranked = lat.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    qs = ranked.agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"greatest(((n + 1) * {num}) div {den}, 1)"),
+                    F.col("latency_us"),
+                )
+            ).alias(alias)
+            for num, den, alias in [(1, 4, "p25_us"), (2, 4, "p50_us"), (3, 4, "p75_us"), (9, 10, "p90_us")]
+        ],
+        F.max("n").alias("n_converted"),
+    )
+    n_clickers = clicks.agg(F.count(F.lit(1)).alias("n_clickers"))
+    return qs.crossJoin(F.broadcast(n_clickers)).select(
+        "n_clickers",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_clickers"), 9).alias(
+            "conversion_rate"
+        ),
+        "p25_us",
+        "p50_us",
+        "p75_us",
+        "p90_us",
+    )

@@ -777,3 +777,64 @@ def rolling_distinct_users(ev: DataFrame, window_days: int = 7) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("active_users_7d"))
     )
+
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '1970-01-01', day)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_days,
+         MIN(day) AS streak_start, MAX(day) AS streak_end
+  FROM grp GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, streak_days, streak_start, streak_end,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY streak_days DESC, streak_start) AS rn
+  FROM streaks
+)
+SELECT user_id, streak_days, streak_start, streak_end
+FROM best WHERE rn = 1
+"""
+
+
+@register("longest_daily_streak_per_user", oracle=_STREAK_ORACLE, tags=("temporal", "window", "r5"))
+def q_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active days
+    (earliest run on ties) — the classic islands construction: on the
+    distinct (user, day) grid, ``day_number − row_number`` is constant
+    exactly within a consecutive run, so one subtraction turns streak
+    detection into a plain groupBy.  Engagement-streak / uptime-run /
+    contiguous-coverage analyses are all this one shape.
+
+    Plan: distinct day grid (one shuffle), island id from a user-keyed
+    window (same hash partitioning — no second exchange), streak groupBy
+    and best-streak window again on user — Exchange reuse keeps the whole
+    chain on ONE user-keyed repartition.  No global sort anywhere; day
+    arithmetic is exact integer date math on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island", F.datediff("day", F.lit("1970-01-01")) - F.row_number().over(w)
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(F.desc("streak_days"), F.asc("streak_start"))
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start", "streak_end")
+    )

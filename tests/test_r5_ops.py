@@ -314,3 +314,91 @@ def test_mad_outliers_match_python_reference(spark):
     assert set(got) == set(expected)
     for eid, z in expected.items():
         assert got[eid] == pytest.approx(z, abs=1e-9)
+
+
+# --- gaps-and-islands streaks ------------------------------------------------
+
+
+def _events_dir(spark, rows):
+    """Write a hand-built events.parquet into a temp sf_dir."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="r5_events_")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_longest_streak_hand_case(spark):
+    from datetime import datetime
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        q_longest_daily_streak,
+    )
+
+    def ev(i, u, day, hour=1):
+        return (i, datetime(2024, 3, day, hour), u, "click", 1.0, "{}")
+
+    rows = [
+        # user 1: days 1,2,3 then 5,6 → longest = 3 starting day 1
+        ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3), ev(4, 1, 5), ev(5, 1, 6),
+        # duplicate events same day don't extend streaks
+        ev(6, 1, 2, hour=9),
+        # user 2: two singleton days → longest = 1, EARLIEST start wins tie
+        ev(7, 2, 10), ev(8, 2, 12),
+        # user 3: tie between (1,2) and (4,5) runs → earliest wins
+        ev(9, 3, 1), ev(10, 3, 2), ev(11, 3, 4), ev(12, 3, 5),
+    ]
+    d = _events_dir(spark, rows)
+    try:
+        got = {r["user_id"]: r for r in q_longest_daily_streak(spark, d).collect()}
+        assert got[1]["streak_days"] == 3
+        assert str(got[1]["streak_start"]) == "2024-03-01"
+        assert str(got[1]["streak_end"]) == "2024-03-03"
+        assert got[2]["streak_days"] == 1
+        assert str(got[2]["streak_start"]) == "2024-03-10"
+        assert got[3]["streak_days"] == 2
+        assert str(got[3]["streak_start"]) == "2024-03-01"
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_conversion_latency_hand_case(spark):
+    from datetime import datetime
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events import (
+        q_conversion_latency,
+    )
+
+    rows = [
+        # user 1: click 10:00, purchase 10:30 → 1800s
+        (1, datetime(2024, 3, 1, 10, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 3, 1, 10, 30), 1, "purchase", 5.0, "{}"),
+        # user 2: purchase BEFORE first click → not converted
+        (3, datetime(2024, 3, 1, 9, 0), 2, "purchase", 5.0, "{}"),
+        (4, datetime(2024, 3, 1, 11, 0), 2, "click", 1.0, "{}"),
+        # user 3: click only → not converted
+        (5, datetime(2024, 3, 1, 12, 0), 3, "click", 1.0, "{}"),
+        # user 4: click 08:00, purchases 08:10 and 09:00 → first wins, 600s
+        (6, datetime(2024, 3, 1, 8, 0), 4, "click", 1.0, "{}"),
+        (7, datetime(2024, 3, 1, 8, 10), 4, "purchase", 5.0, "{}"),
+        (8, datetime(2024, 3, 1, 9, 0), 4, "purchase", 5.0, "{}"),
+    ]
+    d = _events_dir(spark, rows)
+    try:
+        row = q_conversion_latency(spark, d).collect()[0]
+        assert row["n_clickers"] == 4
+        assert row["n_converted"] == 2
+        assert row["conversion_rate"] == pytest.approx(0.5, abs=1e-12)
+        # latencies sorted: [600s, 1800s]; (n+1)*k//4 rule → p25=600, p50=600, p75=1800
+        assert row["p25_us"] == 600 * 1_000_000
+        assert row["p50_us"] == 600 * 1_000_000
+        assert row["p75_us"] == 1800 * 1_000_000
+        assert row["p90_us"] == 1800 * 1_000_000
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
