@@ -161,16 +161,21 @@ def load_all() -> dict[str, QuerySpec]:
         temporal,
     )
 
-    def priority(name: str) -> tuple[int, int, int]:
+    def priority(name: str) -> tuple[int, ...]:
         if name in CHANGED_SINCE_VERIFIED or name not in DRIVER_VERIFIED:
-            # Within the unverified tier: oracle-backed queries first — a
-            # driver hash-match row is the strongest evidence there is,
-            # while a rows-only row only proves execution (which pytest
-            # already covers).  Then older additions before newer ("r4"
-            # tag), so a bounded verification window drains oldest-first.
+            # Within the unverified tier:
+            # 1. CHANGED_SINCE_VERIFIED first — these HAD a green driver row
+            #    that the edit invalidated; restoring known-good status beats
+            #    first-time coverage (round-2 verdict rule #3).
+            # 2. Oracle-backed before rows-only — a driver hash-match row is
+            #    the strongest evidence there is, while a rows-only row only
+            #    proves execution (which pytest already covers).
+            # 3. Older additions before newer ("r4" then "r5" tags), so a
+            #    bounded verification window drains oldest-first.
             spec = REGISTRY[name]
-            return (0, 2 * (spec.oracle is None) + ("r4" in spec.tags), 0)
-        return (1, 0, DRIVER_VERIFIED[name])
+            age = ("r4" in spec.tags) + 2 * ("r5" in spec.tags)
+            return (0, name not in CHANGED_SINCE_VERIFIED, spec.oracle is None, age)
+        return (1, 0, 0, DRIVER_VERIFIED[name])
 
     ordered = sorted(REGISTRY, key=priority)  # stable: keeps module order within tiers
     return {name: REGISTRY[name] for name in ordered}
