@@ -441,3 +441,55 @@ def q_embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(st), "dim")
         .select("vec_id", "dim", F.when(F.col("var_q") > 0, z).alias("z"))
     )
+
+
+@register("ann_recall_report", oracle=None, tags=("datapipe", "similarity", "diagnostic", "r5"))
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality monitor: recall@{TOP_K} of each ANN tier (hyperplane
+    LSH, IVF) against the exact brute-force top-k, per method — the number
+    an ANN deployment alarms on.  One row per method: queries evaluated,
+    mean recall, worst per-query recall.
+
+    Every input is deterministic (fixed seeds, capped training sample,
+    quantized integer cosine with pinned tie order), so the report is
+    reproducible run-to-run — rows-only at the driver because LSH/IVF have
+    no SQL form; pytest separately floors these recalls against the same
+    ground truth.  Plan: the three top-k frames join on
+    (query_id, neighbor_id) — query-set-sized, not corpus-sized — and the
+    per-method aggregate is |methods| rows.  At scale this runs on a query
+    SAMPLE as a scheduled health check; the exact side is the expensive leg
+    (documented quadratic oracle), which is precisely why it's a sampled
+    monitor and not an inline gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(emb, queries, TOP_K).select("query_id", "neighbor_id")
+    per_method = []
+    for method, topk_df in (
+        ("lsh", q_ann_lsh_topk(spark, sf_dir)),
+        ("ivf", q_ann_ivf_topk(spark, sf_dir)),
+    ):
+        approx = topk_df.select("query_id", "neighbor_id")
+        hits = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        per_query = (
+            exact.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_true"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_true")).alias(
+                    "recall"
+                ),
+            )
+        )
+        per_method.append(per_query)
+    allq = per_method[0].unionByName(per_method[1])
+    return allq.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 9).alias("mean_recall"),
+        F.min("recall").alias("min_recall"),
+    )

@@ -402,3 +402,30 @@ def test_conversion_latency_hand_case(spark):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- ANN recall report -------------------------------------------------------
+
+
+def test_ann_recall_report_bounds_and_determinism(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        N_QUERIES,
+        q_ann_recall_report,
+    )
+
+    rows1 = {r["method"]: r for r in q_ann_recall_report(spark, SF_SMOKE).collect()}
+    rows2 = {r["method"]: r for r in q_ann_recall_report(spark, SF_SMOKE).collect()}
+    assert set(rows1) == {"lsh", "ivf"}
+    for m in rows1:
+        r = rows1[m]
+        assert r["n_queries"] == N_QUERIES
+        assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+        # reproducible run-to-run (fixed seeds, deterministic tie order)
+        assert rows2[m]["mean_recall"] == r["mean_recall"]
+        assert rows2[m]["min_recall"] == r["min_recall"]
+    # floors consistent with test_datapipe's index bars: IVF searches
+    # nprobe/lists of the corpus; hyperplane LSH on this near-uniform
+    # synthetic embedding table is the weaker tier (exactly what the
+    # monitor exists to surface)
+    assert rows1["lsh"]["mean_recall"] >= 0.2
+    assert rows1["ivf"]["mean_recall"] >= 0.3
