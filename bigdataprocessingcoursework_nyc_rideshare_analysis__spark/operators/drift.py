@@ -212,3 +212,67 @@ def q_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.corr("y", "y_prev"), 12).alias("autocorr"),
     )
+
+
+_CONTINGENCY_ORACLE = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) // 6 AS BIGINT) AS daypart, COUNT(*) AS observed
+  FROM events GROUP BY 1, 2
+),
+rows_ AS (SELECT event_type, SUM(observed) AS r_tot FROM cells GROUP BY 1),
+cols_ AS (SELECT daypart, SUM(observed) AS c_tot FROM cells GROUP BY 1),
+tot AS (SELECT SUM(observed) AS n FROM cells)
+SELECT c.event_type, c.daypart, c.observed,
+       ROUND(CAST(r.r_tot * co.c_tot AS DOUBLE) / tot.n, 9) AS expected,
+       ROUND(
+         (c.observed - CAST(r.r_tot * co.c_tot AS DOUBLE) / tot.n)
+           * (c.observed - CAST(r.r_tot * co.c_tot AS DOUBLE) / tot.n)
+           / (CAST(r.r_tot * co.c_tot AS DOUBLE) / tot.n),
+         9) AS chi2_contribution
+FROM cells c
+JOIN rows_ r ON r.event_type = c.event_type
+JOIN cols_ co ON co.daypart = c.daypart
+CROSS JOIN tot
+"""
+
+
+@register("event_daypart_contingency", oracle=_CONTINGENCY_ORACLE, tags=("drift", "stats", "r5"))
+def q_event_daypart_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis of event_type × day-part (6-hour
+    bands): observed vs independence-expected counts and each cell's χ²
+    contribution — the categorical drift/independence companion to the
+    numeric KS statistic above (is behaviour time-of-day dependent, and
+    WHICH cells drive it).  The per-cell table is the deliverable: summing
+    ``chi2_contribution`` gives the χ² statistic, but a float sum over
+    unordered cells is summation-order-sensitive, so the pinned contract
+    stops at cells (each one exact int64 margins → one division chain,
+    rounded once — bit-identical cross-engine) and the scalar is one
+    ``agg`` away for the consumer.
+
+    Plan: one map-side-combined cell aggregate (|types|×|dayparts| rows),
+    margins reduced FROM THE CELLS (never a second corpus scan), broadcast
+    margin joins.  Corpus cost = one aggregation pass regardless of scale."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", (F.hour("ts") / 6).cast("bigint").alias("daypart"))
+        .groupBy("event_type", "daypart")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rows_ = cells.groupBy("event_type").agg(F.sum("observed").alias("r_tot"))
+    cols_ = cells.groupBy("daypart").agg(F.sum("observed").alias("c_tot"))
+    tot = cells.agg(F.sum("observed").alias("n"))
+    expected = (F.col("r_tot") * F.col("c_tot")).cast("double") / F.col("n")
+    return (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "daypart")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "daypart",
+            "observed",
+            F.round(expected, 9).alias("expected"),
+            F.round(
+                (F.col("observed") - expected) * (F.col("observed") - expected) / expected, 9
+            ).alias("chi2_contribution"),
+        )
+    )

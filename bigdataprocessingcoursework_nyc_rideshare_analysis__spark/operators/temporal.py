@@ -838,3 +838,65 @@ def q_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_days", "streak_start", "streak_end")
     )
+
+
+_TUMBLING_ORACLE = """
+SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_15min_tumbling", oracle=_TUMBLING_ORACLE, tags=("temporal", "agg", "r5"))
+def q_events_15min_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window rollup via the built-in ``window()`` aggregate
+    — the BATCH twin of the streaming hourly rollup, at 15-minute grain.
+    ``F.window`` is the same expression batch and streaming, so a backfill
+    job and the live stream share one definition (the lambda-architecture
+    unification Structured Streaming promises); the oracle states the
+    window start arithmetically (epoch div 900) to pin the epoch-aligned
+    bucketing exactly.  Plan: plain hash aggregate — the window struct is
+    a map-side projection, no extra shuffle over a date_trunc rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+_HOPPING_ORACLE = """
+WITH k AS (SELECT CAST(i AS BIGINT) AS k FROM UNNEST(range(0, 4)) AS u(i))
+SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000) AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN k
+GROUP BY 1
+"""
+
+
+@register("events_hourly_hopping", oracle=_HOPPING_ORACLE, tags=("temporal", "agg", "r5"))
+def q_events_hourly_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window counts: 1-hour windows every 15 minutes, so
+    each event lands in exactly 4 overlapping windows — the smoothed-rate
+    view dashboards and alert rules want (a tumbling hour quantizes a burst
+    to one bucket; hops see it from 4 phases).  ``F.window(ts, '1 hour',
+    '15 minutes')`` expands map-side to the 4 assignments (duration/slide),
+    the deliberate 4× row inflation the oracle mirrors with an explicit
+    offset table; then one hash aggregate.  At 100 TB the inflation factor
+    is the knob: duration/slide = state × smoothness."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )

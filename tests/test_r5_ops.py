@@ -429,3 +429,45 @@ def test_ann_recall_report_bounds_and_determinism(spark):
     # monitor exists to surface)
     assert rows1["lsh"]["mean_recall"] >= 0.2
     assert rows1["ivf"]["mean_recall"] >= 0.3
+
+
+# --- runtime bloom-filter join pruning ---------------------------------------
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At 100 TB the single biggest shuffle-join lever after broadcast is the
+    RUNTIME BLOOM FILTER: a selective dimension side builds a bloom filter
+    that is pushed into the fact side's scan stage, dropping non-joining
+    rows BEFORE the shuffle.  Local thresholds normally suppress it (the
+    optimization targets >10 GB scans), so this pins that the engine's
+    session actually enables the rewrite once sizes warrant it — the conf
+    knobs are the test's stand-in for scale."""
+    from pyspark.sql import functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.plans import plan_string
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+        orders = (
+            load_table(spark, SF_SMOKE, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")  # selective build side
+            .select("o_orderkey")
+        )
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = plan_string(joined)
+        assert "might_contain" in plan or "bloom" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
