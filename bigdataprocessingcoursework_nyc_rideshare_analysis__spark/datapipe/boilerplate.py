@@ -143,12 +143,19 @@ def q_boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment hash → one per-doc groupBy reassembling ``kept_text``.  Two
     shuffles total (frequency agg, per-doc regroup); no driver round-trip;
     every stage keys on a hash, so partitioning stays uniform at 100 TB.
-    Segments build from the staged token frame (tokenize-once)."""
+    Segments build from the staged token frame (tokenize-once), are hashed
+    ONCE, and persist so the frequency branch and the join-back branch
+    don't each re-run the scan + banner + explode (the segment frame feeds
+    both sides of its own self-join — the same reuse rule as the TF-IDF
+    ``topk`` frame; measured ~2× cold)."""
     docs = staged_features(spark, sf_dir)
-    segs = segment_table(docs)
-    freq = segment_frequencies(segs)
+    segs = segment_table(docs).withColumn("h", F.md5("seg")).persist()
+    freq = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("occurrences"),
+    )
     keep = F.col("df") < BOILERPLATE_MIN_DOCS
-    flagged = segs.join(freq, F.md5(segs["seg"]) == freq["h"]).select(
+    flagged = segs.join(freq, "h").select(
         "doc_id", "seg_idx", "seg", keep.alias("keep")
     )
     kept_struct = F.when(F.col("keep"), F.struct("seg_idx", "seg"))
@@ -171,10 +178,14 @@ def q_boilerplate_hot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     widespread it was).  Reuses the frequency table; the join back to one
     exemplar segment string per hash stays hash-keyed."""
     docs = staged_features(spark, sf_dir)
-    segs = segment_table(docs)
-    freq = segment_frequencies(segs).filter(F.col("df") >= BOILERPLATE_MIN_DOCS)
+    segs = segment_table(docs).withColumn("h", F.md5("seg")).persist()
+    freq = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("occurrences"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DOCS)
+    )
     return (
-        freq.join(segs, F.md5(segs["seg"]) == freq["h"])
+        freq.join(segs, "h")
         .groupBy("h", "df", "occurrences")
         .agg(F.any_value("seg").alias("seg"))
         .select("seg", "df", "occurrences")

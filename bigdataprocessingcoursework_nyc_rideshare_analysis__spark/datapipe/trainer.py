@@ -83,7 +83,13 @@ def train_logreg(features: DataFrame, n_iter: int = N_ITER, lr: float = LEARNING
     w = [0.0] * (d + 1)
     feat_cols = list(FEATURE_NAMES)
     grad_schema = ", ".join([f"g{i} double" for i in range(d + 1)] + ["n long"])
-    frame = features.select(*feat_cols, "label")
+    # materialize the featurized frame ONCE: without this every round
+    # re-runs the scan + tokenization that produced the features (measured
+    # ~10x of the query's cost at 30 rounds).  The cached frame is (d+1)
+    # doubles per row — at 100 TB you stage it to parquet instead (the
+    # ``datapipe.stage`` discipline); the training loop itself only ever
+    # touches these narrow rows.
+    frame = features.select(*feat_cols, "label").persist()
 
     for _ in range(n_iter):
         w_now = list(w)  # captured by value in the task closure
@@ -114,6 +120,7 @@ def train_logreg(features: DataFrame, n_iter: int = N_ITER, lr: float = LEARNING
         )
         n = sums["n"]
         w = [w[i] - lr * sums[f"g{i}"] / n for i in range(d + 1)]
+    frame.unpersist()
     return w
 
 
