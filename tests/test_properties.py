@@ -302,3 +302,85 @@ def test_prefix_filter_lossless_on_any_corpus(spark, docs):
             for r in prefix_filter_jaccard(sh, t).collect()
         }
         assert got == truth
+
+
+# --- gaps-and-islands vs brute force ----------------------------------------
+
+DAYS = st.integers(min_value=1, max_value=20)
+
+
+@given(
+    users=st.lists(st.tuples(st.integers(min_value=1, max_value=3), DAYS), min_size=1, max_size=24),
+)
+@SETTINGS
+def test_longest_streak_matches_reference(spark, users):
+    """Islands construction ≡ brute-force longest consecutive run, for any
+    (user, day) multiset — duplicates, singletons, full ranges."""
+    from datetime import date, datetime
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        q_longest_daily_streak,
+    )
+    import shutil
+    import tempfile
+
+    rows = [
+        (i, datetime(2024, 1, d, 12), u, "click", 1.0, "{}")
+        for i, (u, d) in enumerate(users)
+    ]
+    tmp = tempfile.mkdtemp(prefix="prop_streak_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = {
+            r["user_id"]: (r["streak_days"], r["streak_start"])
+            for r in q_longest_daily_streak(spark, tmp).collect()
+        }
+        # brute force: scan sorted distinct days per user
+        want = {}
+        by_user: dict[int, list] = {}
+        for u, d in users:
+            by_user.setdefault(u, set()).add(d)
+        for u, days in by_user.items():
+            ds = sorted(days)
+            best_len, best_start = 0, None
+            run_len, run_start = 0, None
+            prev = None
+            for d in ds:
+                if prev is not None and d == prev + 1:
+                    run_len += 1
+                else:
+                    run_len, run_start = 1, d
+                if run_len > best_len:
+                    best_len, best_start = run_len, run_start
+                prev = d
+            want[u] = (best_len, date(2024, 1, best_start))
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- overlap chunking closed form -------------------------------------------
+
+
+@given(n=st.integers(min_value=1, max_value=200))
+@SETTINGS
+def test_chunk_count_closed_form(spark, n):
+    """The chunker's closed-form chunk count (1 + ceil((n-W)/S)) tiles any
+    document length with full coverage and in-bounds slices."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        CHUNK_STRIDE as S,
+        CHUNK_WINDOW as W,
+    )
+
+    n_chunks = 1 if n <= W else 1 + -(-(n - W) // S)
+    starts = [1 + k * S for k in range(n_chunks)]
+    lengths = [min(W, n - k * S) for k in range(n_chunks)]
+    assert all(l >= 1 for l in lengths)
+    assert starts[-1] + lengths[-1] - 1 == n  # last chunk ends exactly at n
+    covered = set()
+    for s0, l in zip(starts, lengths):
+        covered.update(range(s0, s0 + l))
+    assert covered == set(range(1, n + 1))
