@@ -886,3 +886,75 @@ def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("robust_z"))
         .filter(F.abs(F.col("robust_z")) > MAD_Z_CUTOFF)
     )
+
+
+RFM_REFERENCE_DATE = "2001-09-01"  # just past the synthetic order horizon
+RFM_BANDS = 5
+
+_RFM_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', MAX(o_orderdate), TIMESTAMP '{RFM_REFERENCE_DATE} 00:00:00')
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         NTILE({RFM_BANDS}) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+         NTILE({RFM_BANDS}) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+         NTILE({RFM_BANDS}) OVER (ORDER BY monetary ASC, custkey) AS m_score
+  FROM base
+)
+SELECT custkey, recency_days, frequency, monetary,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+FROM scored
+"""
+
+
+@register("customer_rfm_segments", oracle=_RFM_ORACLE, tags=("olap", "segmentation", "r5"))
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order, as of
+    {RFM_REFERENCE_DATE}), Frequency (order count), Monetary (exact-decimal
+    revenue) — each NTILE-scored into {RFM_BANDS} bands (5 = best: most
+    recent / most frequent / highest spend) and packed into the classic
+    3-digit ``rfm_code``.  The standard customer-value lens marketing and
+    churn models consume, produced as one relational flow.
+
+    Determinism: recency is exact integer day math, monetary is a DECIMAL
+    sum cast once, each NTILE orders by (measure, custkey) so band edges
+    tie-break identically on both engines.  Plan: one orders aggregation
+    (customer-keyed shuffle), then three global NTILE windows over the
+    |customers|-sized aggregate — at 100 TB you swap the global windows
+    for sketch-quantile band EDGES (same swap documented on the median
+    family) and score by comparison, keeping the aggregate map-side."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(RFM_REFERENCE_DATE).cast("date"), F.max("o_orderdate").cast("date")
+        ).cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+    m_w = Window.orderBy(F.asc("monetary"), F.asc("custkey"))
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(RFM_BANDS).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(RFM_BANDS).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(RFM_BANDS).over(m_w).cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("bigint"),
+    )

@@ -151,3 +151,55 @@ def q_geo_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("value").alias("n"),
         geo_mean("value").alias("geo_mean_value"),
     )
+
+
+PATH_TOP_K = 20
+
+_PATH_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+),
+paths AS (
+  SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path, COUNT(*) AS n
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n FROM paths
+ORDER BY n DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+
+@register("top_event_paths", oracle=_PATH_ORACLE, tags=("behavior", "sequence", "r5"))
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioural path mining: the top-{PATH_TOP_K} 3-step event sequences
+    across all users (every consecutive event trigram in each user's
+    timeline) — the Sankey/flow-diagram aggregate product analytics tools
+    build, and the order-sensitive extension of the first-order Markov
+    transition matrix above (a 3-gram distinguishes click>view>click from
+    click>click>view; the transition matrix cannot).
+
+    Event order is pinned (ts, event_id) so ties sequence identically on
+    both engines.  Plan: one user-keyed window (two LEADs share a single
+    sort), a map-side-combinable path count, TakeOrderedAndProject for the
+    top-K — the path-cardinality aggregate is |event_types|³-bounded, never
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(" > ", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return paths.orderBy(F.desc("n"), F.asc("path")).limit(PATH_TOP_K)
