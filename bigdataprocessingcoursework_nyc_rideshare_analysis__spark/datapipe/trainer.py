@@ -15,9 +15,10 @@ Structured exactly like the big case:
 - featurization is one declarative pass over the documents scan
   (token/stopword/char counts — no Python);
 - each training iteration is ONE distributed aggregation: Arrow-batched
-  partial gradients (a d-vector per partition) summed by Spark, applied
-  driver-side — the classic "broadcast parameters, reduce gradients"
-  data-parallel loop (parameter state is d+1 doubles; NEVER corpus-sized);
+  partial Newton statistics (gradient d+1-vector + Hessian upper triangle
+  per partition) summed by Spark, the step solved driver-side — the classic
+  "broadcast parameters, reduce statistics" data-parallel loop (parameter
+  state is d+1 doubles, reduced state (d+1)²; NEVER corpus-sized);
 - iteration count is fixed (no data-dependent convergence test), so the
   whole run is deterministic given the corpus (up to partition-order
   float noise in the gradient sums, bounded in the test).
@@ -38,8 +39,8 @@ from .textstats import QUALITY_WEIGHTS, STOPWORDS
 #: feature order is part of the model contract (weights align by index)
 FEATURE_NAMES: tuple[str, ...] = ("n_toks_h", "stop_ratio", "chars_per_tok_d")
 
-N_ITER = 30
-LEARNING_RATE = 1.0
+N_ITER = 8
+L2 = 1e-3  # ridge term: separable data has no finite logistic MLE without it
 
 
 def featurize_for_quality_gate(docs: DataFrame) -> DataFrame:
@@ -73,28 +74,44 @@ def featurize_for_quality_gate(docs: DataFrame) -> DataFrame:
     )
 
 
-def train_logreg(features: DataFrame, n_iter: int = N_ITER, lr: float = LEARNING_RATE) -> list[float]:
-    """Full-batch gradient descent; returns [w_0..w_{d-1}, bias].
+def train_logreg(features: DataFrame, n_iter: int = N_ITER, l2: float = L2) -> list[float]:
+    """L2-regularized logistic regression by distributed Newton / IRLS;
+    returns [w_0..w_{d-1}, bias].
 
-    Each round broadcasts the current weights inside the Arrow task
-    closure and reduces one (d+1)-vector of gradient sums plus the row
-    count — a single narrow aggregation over the feature frame."""
+    Each round is ONE Arrow-batched aggregation that reduces the exact
+    sufficient statistics of the Newton step — the (d+1) gradient vector
+    and the (d+1)² upper-triangle of the Hessian X̃ᵀRX̃ (R = p(1−p)) — and
+    the driver solves the (d+1)×(d+1) system.  Newton converges
+    quadratically, so ~8 rounds reach machine precision where plain
+    gradient descent needs 30+; at cluster scale each round is a full
+    barrier (broadcast params → reduce stats), so FEWER ROUNDS is the
+    optimization that matters — per-round cost is already one pass either
+    way, and the reduced state grows only as d².  The ridge term keeps the
+    separable-teacher problem well-posed (the unregularized MLE diverges)
+    and the Hessian invertible."""
     d = len(FEATURE_NAMES)
-    w = [0.0] * (d + 1)
+    dim = d + 1  # + bias
+    w = [0.0] * dim
     feat_cols = list(FEATURE_NAMES)
-    grad_schema = ", ".join([f"g{i} double" for i in range(d + 1)] + ["n long"])
+    tri = [(i, j) for i in range(dim) for j in range(i, dim)]
+    stat_schema = ", ".join(
+        [f"g{i} double" for i in range(dim)]
+        + [f"h{i}_{j} double" for i, j in tri]
+        + ["n long"]
+    )
     # materialize the featurized frame ONCE: without this every round
-    # re-runs the scan + tokenization that produced the features (measured
-    # ~10x of the query's cost at 30 rounds).  The cached frame is (d+1)
-    # doubles per row — at 100 TB you stage it to parquet instead (the
-    # ``datapipe.stage`` discipline); the training loop itself only ever
-    # touches these narrow rows.
+    # re-runs the scan + tokenization that produced the features.  The
+    # cached frame is (d+1) doubles per row — at 100 TB you stage it to
+    # parquet instead (the ``datapipe.stage`` discipline).
     frame = features.select(*feat_cols, "label").persist()
+    frame.count()
+
+    import numpy as np
 
     for _ in range(n_iter):
         w_now = list(w)  # captured by value in the task closure
 
-        def partial_grads(batches):
+        def partial_stats(batches):
             import numpy as _np
             import pandas as _pd
 
@@ -103,23 +120,34 @@ def train_logreg(features: DataFrame, n_iter: int = N_ITER, lr: float = LEARNING
             for pdf in batches:
                 x = pdf[feat_cols].to_numpy(dtype=float)
                 y = pdf["label"].to_numpy(dtype=float)
-                p = 1.0 / (1.0 + _np.exp(-(x @ wv + b)))
+                xt = _np.hstack([x, _np.ones((len(y), 1))])  # bias column
+                p = 1.0 / (1.0 + _np.exp(-(xt @ _np.append(wv, b))))
                 err = p - y
-                out = {f"g{i}": [float(x[:, i] @ err)] for i in range(len(feat_cols))}
-                out[f"g{len(feat_cols)}"] = [float(err.sum())]
+                r = p * (1.0 - p)
+                g = xt.T @ err
+                h = xt.T @ (xt * r[:, None])
+                out = {f"g{i}": [float(g[i])] for i in range(xt.shape[1])}
+                for i, j in [(a, c) for a in range(xt.shape[1]) for c in range(a, xt.shape[1])]:
+                    out[f"h{i}_{j}"] = [float(h[i, j])]
                 out["n"] = [len(y)]
                 yield _pd.DataFrame(out)
 
         sums = (
-            frame.mapInPandas(partial_grads, schema=grad_schema)
+            frame.mapInPandas(partial_stats, schema=stat_schema)
             .agg(
-                *[F.sum(f"g{i}").alias(f"g{i}") for i in range(d + 1)],
+                *[F.sum(f"g{i}").alias(f"g{i}") for i in range(dim)],
+                *[F.sum(f"h{i}_{j}").alias(f"h{i}_{j}") for i, j in tri],
                 F.sum("n").alias("n"),
             )
             .collect()[0]
         )
         n = sums["n"]
-        w = [w[i] - lr * sums[f"g{i}"] / n for i in range(d + 1)]
+        grad = np.array([sums[f"g{i}"] for i in range(dim)]) / n + l2 * np.array(w)
+        hess = np.zeros((dim, dim))
+        for i, j in tri:
+            hess[i, j] = hess[j, i] = sums[f"h{i}_{j}"]
+        hess = hess / n + l2 * np.eye(dim)
+        w = [float(v) for v in (np.array(w) - np.linalg.solve(hess, grad))]
     frame.unpersist()
     return w
 

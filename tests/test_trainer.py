@@ -7,7 +7,7 @@ import numpy as np
 
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.trainer import (
     FEATURE_NAMES,
-    LEARNING_RATE,
+    L2,
     N_ITER,
     featurize_for_quality_gate,
     train_logreg,
@@ -17,13 +17,18 @@ from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.tables im
 from .conftest import SF_SMOKE
 
 
-def _numpy_reference(x: np.ndarray, y: np.ndarray, n_iter: int, lr: float) -> np.ndarray:
-    w = np.zeros(x.shape[1] + 1)
+def _numpy_reference(x: np.ndarray, y: np.ndarray, n_iter: int, l2: float) -> np.ndarray:
+    """Same regularized Newton/IRLS the distributed trainer runs."""
+    dim = x.shape[1] + 1
+    xt = np.hstack([x, np.ones((len(y), 1))])
+    w = np.zeros(dim)
     for _ in range(n_iter):
-        p = 1.0 / (1.0 + np.exp(-(x @ w[:-1] + w[-1])))
+        p = 1.0 / (1.0 + np.exp(-(xt @ w)))
         err = p - y
-        grad = np.concatenate([x.T @ err, [err.sum()]])
-        w = w - lr * grad / len(y)
+        r = p * (1.0 - p)
+        grad = xt.T @ err / len(y) + l2 * w
+        hess = xt.T @ (xt * r[:, None]) / len(y) + l2 * np.eye(dim)
+        w = w - np.linalg.solve(hess, grad)
     return w
 
 
@@ -34,8 +39,8 @@ def test_distributed_training_matches_numpy_and_recovers_teacher(spark):
     y = np.array([r["label"] for r in rows])
     assert 0.2 < y.mean() < 0.8  # the teacher gate is non-degenerate here
 
-    w_dist = np.array(train_logreg(feat, n_iter=N_ITER, lr=LEARNING_RATE))
-    w_ref = _numpy_reference(x, y, N_ITER, LEARNING_RATE)
+    w_dist = np.array(train_logreg(feat, n_iter=N_ITER, l2=L2))
+    w_ref = _numpy_reference(x, y, N_ITER, L2)
     # partition-order float noise only — amplified over N_ITER rounds but
     # must stay far below model scale
     assert np.allclose(w_dist, w_ref, rtol=1e-6, atol=1e-9), (w_dist, w_ref)
