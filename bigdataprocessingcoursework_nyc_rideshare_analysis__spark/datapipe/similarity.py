@@ -493,3 +493,64 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("recall"), 9).alias("mean_recall"),
         F.min("recall").alias("min_recall"),
     )
+
+
+_INT8_EXPORT_ORACLE = """
+WITH s AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(embedding, e -> abs(CAST(e AS DOUBLE))), 'max') AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       array_to_string(
+         list_transform(embedding,
+           e -> CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE floor(127.0 * CAST(e AS DOUBLE) / scale + 0.5) END AS BIGINT)),
+         ',') AS q_csv
+FROM s
+"""
+
+
+@register("embedding_int8_export", oracle=_INT8_EXPORT_ORACLE, tags=("datapipe", "embeddings", "r5"))
+def q_embedding_int8_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus (per-vector
+    max-abs scale, round-half-up to [-127, 127]) — the 4× shrink applied
+    before shipping embeddings to serving / ANN index builds.  Exported as
+    (vec_id, scale, q_csv) so the driver's scalar-only hash contract holds
+    (the `inverted_index` lesson: array columns don't canonicalize).
+
+    API surface: this is the engine's ``mapInArrow`` operator — one level
+    lower than the Pandas exchanges elsewhere (`mapInPandas` byte features,
+    `applyInPandas` grouped maps, GROUPED_AGG UDAF, UDTF): the kernel reads
+    the Arrow ``RecordBatch`` list-array buffers directly (``flatten()``
+    honors slice offsets), one NumPy pass per batch, no pandas
+    materialization.  Quantized values are exact integers from identical
+    float64 arithmetic on both engines (float32 widens exactly; one
+    multiply, one divide, one floor — same order as the oracle), so the
+    differential check pins the kernel bit-for-bit.  Zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def quantize(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            lists = batch.column(1)
+            flat = lists.flatten()
+            x = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=np.float64)
+            n = len(lists)
+            x = x.reshape(n, -1) if n else x.reshape(0, 0)
+            s = np.abs(x).max(axis=1) if n else np.zeros(0)
+            safe = np.where(s == 0, 1.0, s)
+            q = np.where(
+                (s == 0)[:, None], 0, np.floor(127.0 * x / safe[:, None] + 0.5)
+            ).astype(np.int64)
+            q_csv = [",".join(str(v) for v in row) for row in q]
+            yield pa.record_batch(
+                [ids, pa.array(s, type=pa.float64()), pa.array(q_csv, type=pa.string())],
+                names=["vec_id", "scale", "q_csv"],
+            )
+
+    return emb.mapInArrow(quantize, schema="vec_id long, scale double, q_csv string")
