@@ -276,3 +276,120 @@ def q_event_daypart_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contribution"),
         )
     )
+
+
+PSI_BINS = 10
+PSI_SMOOTH = 0.5  # additive smoothing so empty comparison bins stay finite
+
+_PSI_ORACLE = f"""
+WITH ref AS (
+  SELECT value, ROW_NUMBER() OVER () AS rid FROM events WHERE event_type = 'click'
+),
+cmp AS (
+  SELECT value, ROW_NUMBER() OVER () AS rid FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn, COUNT(*) OVER () AS n FROM ref
+),
+edges AS (
+  SELECT CAST(i AS BIGINT) AS i, MAX(CASE WHEN rn = greatest(((n + 1) * i) // {PSI_BINS}, 1) THEN value END) AS edge
+  FROM ranked, UNNEST(range(1, {PSI_BINS})) AS u(i)
+  GROUP BY 1
+),
+rbin AS (
+  SELECT 1 + COUNT(e.edge) FILTER (WHERE r.value > e.edge) AS bin
+  FROM ref r CROSS JOIN edges e GROUP BY r.rid
+),
+cbin AS (
+  SELECT 1 + COUNT(e.edge) FILTER (WHERE c.value > e.edge) AS bin
+  FROM cmp c CROSS JOIN edges e GROUP BY c.rid
+),
+rc AS (SELECT bin, COUNT(*) AS ref_n FROM rbin GROUP BY 1),
+cc AS (SELECT bin, COUNT(*) AS cmp_n FROM cbin GROUP BY 1),
+tot AS (SELECT (SELECT COUNT(*) FROM ref) AS rn, (SELECT COUNT(*) FROM cmp) AS cn),
+bins AS (SELECT CAST(i AS BIGINT) + 1 AS bin FROM UNNEST(range(0, {PSI_BINS})) AS u(i))
+SELECT b.bin,
+       COALESCE(rc.ref_n, 0) AS ref_n,
+       COALESCE(cc.cmp_n, 0) AS cmp_n,
+       ROUND((COALESCE(rc.ref_n, 0) + {PSI_SMOOTH}) / (tot.rn + {PSI_BINS} * {PSI_SMOOTH}), 9) AS p,
+       ROUND((COALESCE(cc.cmp_n, 0) + {PSI_SMOOTH}) / (tot.cn + {PSI_BINS} * {PSI_SMOOTH}), 9) AS q,
+       ROUND(
+         ((COALESCE(rc.ref_n, 0) + {PSI_SMOOTH}) / (tot.rn + {PSI_BINS} * {PSI_SMOOTH})
+          - (COALESCE(cc.cmp_n, 0) + {PSI_SMOOTH}) / (tot.cn + {PSI_BINS} * {PSI_SMOOTH}))
+         * ln(((COALESCE(rc.ref_n, 0) + {PSI_SMOOTH}) / (tot.rn + {PSI_BINS} * {PSI_SMOOTH}))
+              / ((COALESCE(cc.cmp_n, 0) + {PSI_SMOOTH}) / (tot.cn + {PSI_BINS} * {PSI_SMOOTH}))),
+         9) AS psi_contribution
+FROM bins b
+LEFT JOIN rc ON rc.bin = b.bin
+LEFT JOIN cc ON cc.bin = b.bin
+CROSS JOIN tot
+"""
+
+
+@register("psi_click_vs_purchase", oracle=_PSI_ORACLE, tags=("drift", "stats", "r5"))
+def q_psi_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the click and purchase value
+    distributions — the ML-monitoring standard for feature/score drift
+    (PSI < 0.1 stable, > 0.25 shifted), complementing the KS statistic
+    above: KS gives one worst-case distance, PSI localizes drift to bins.
+    Bin edges are the reference side's exact decile values (rank selection,
+    the quartile family's rule), so bins are data-defined, not synthetic;
+    both populations are assigned by counting edges below each value
+    against the broadcast 9-row edge table; smoothing (+{PSI_SMOOTH}) keeps
+    empty comparison bins finite.
+
+    Per-bin output (ref_n, cmp_n, p, q, psi_contribution) — summing the
+    contributions yields the scalar PSI, but the pinned contract stops at
+    bins for the same reason as the χ² cells: a float sum over unordered
+    bins is summation-order-sensitive, while each bin's value is one
+    division chain + one ln, rounded once.  Plan: one global rank window
+    over the REFERENCE slice only (documented sketch swap at extreme n),
+    then two broadcast-join + count passes; corpus cost = two filtered
+    scans."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "click").select("value")
+    cmp = ev.filter(F.col("event_type") == "purchase").select("value")
+    w = Window.orderBy("value")
+    ranked = ref.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    edges = (
+        ranked.crossJoin(F.broadcast(spark.range(1, PSI_BINS).select(F.col("id").alias("i"))))
+        .groupBy("i")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr(f"greatest(((n + 1) * i) div {PSI_BINS}, 1)"), F.col("value"))
+            ).alias("edge")
+        )
+    )
+
+    def binned(side: DataFrame, out: str) -> DataFrame:
+        tagged = side.withColumn("_rid", F.monotonically_increasing_id())
+        return (
+            tagged.crossJoin(F.broadcast(edges))
+            .groupBy("_rid")
+            .agg((F.lit(1) + F.count(F.when(F.col("value") > F.col("edge"), 1))).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    rc, cc_ = binned(ref, "ref_n"), binned(cmp, "cmp_n")
+    tot = ref.agg(F.count(F.lit(1)).alias("rn")).crossJoin(cmp.agg(F.count(F.lit(1)).alias("cn")))
+    bins = spark.range(1, PSI_BINS + 1).select(F.col("id").alias("bin"))
+    p = (F.coalesce(F.col("ref_n"), F.lit(0)) + PSI_SMOOTH) / (F.col("rn") + PSI_BINS * PSI_SMOOTH)
+    q = (F.coalesce(F.col("cmp_n"), F.lit(0)) + PSI_SMOOTH) / (F.col("cn") + PSI_BINS * PSI_SMOOTH)
+    return (
+        bins.join(F.broadcast(rc), "bin", "left")
+        .join(F.broadcast(cc_), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
+            F.coalesce(F.col("cmp_n"), F.lit(0)).alias("cmp_n"),
+            F.round(p, 9).alias("p"),
+            F.round(q, 9).alias("q"),
+            F.round((p - q) * F.log(p / q), 9).alias("psi_contribution"),
+        )
+    )
