@@ -900,3 +900,124 @@ def q_events_hourly_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("win.start").alias("window_start"), "n_events")
     )
+
+
+CUSUM_SLACK = 0.5   # slack (k) in stddev-free count units: half the mean drift allowance
+CUSUM_THRESH = 5.0  # alarm when the cusum statistic exceeds this many mean-units
+
+_CUSUM_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), b AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+), series AS (
+  SELECT s.day, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+  FROM spine s LEFT JOIN d ON s.day = d.day
+), m AS (
+  SELECT CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mu FROM series
+), pre AS (
+  SELECT day, n_events,
+         SUM(n_events - (m.mu * (1 + {K}))) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+  FROM series CROSS JOIN m
+), st AS (
+  SELECT day, n_events, prefix,
+         MIN(prefix) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lowmark
+  FROM pre
+)
+SELECT st.day, st.n_events,
+       ROUND(greatest(st.prefix - st.lowmark, 0.0) / m.mu, 9) AS cusum,
+       (greatest(st.prefix - st.lowmark, 0.0) / m.mu) > {H} AS alarm
+FROM st CROSS JOIN m
+"""
+
+
+@register(
+    "cusum_daily_level_shift",
+    oracle=_CUSUM_ORACLE.replace("{K}", str(CUSUM_SLACK)).replace("{H}", str(CUSUM_THRESH)),
+    tags=("temporal", "anomaly", "r5"),
+)
+def q_cusum_daily_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift detector over the gap-filled daily
+    series: alarms on a SUSTAINED upward shift that per-day z-score burst
+    detection misses (many small exceedances accumulate; one spike decays).
+    The textbook recursion s_t = max(0, s_{t-1} + (x_t − k)) is not a
+    window expression — but its closed form IS: s_t = prefix_t − min(prefix
+    ≤ t), so the whole detector is one running sum plus one running min on
+    the same ordered window (Exchange-free beyond the |days|-sized rollup,
+    the EWMA closed-form trick's sibling).
+
+    Determinism: both running aggregates fold in day order on both engines,
+    so the float sums associate identically; one division by the mean
+    normalizes to mean-units and rounds once.  The |days|-sized global
+    window is the scale posture of the whole daily-series family."""
+    from pyspark.sql import Window
+
+    series = daily_gapfilled(load_table(spark, sf_dir, "events"))
+    mu = series.agg(
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = series.crossJoin(F.broadcast(mu)).withColumn(
+        "prefix",
+        F.sum(F.col("n_events") - F.col("mu") * (1 + CUSUM_SLACK)).over(w),
+    )
+    st = pre.withColumn("lowmark", F.min("prefix").over(w))
+    cusum = F.greatest(F.col("prefix") - F.col("lowmark"), F.lit(0.0)) / F.col("mu")
+    return st.select(
+        "day",
+        "n_events",
+        F.round(cusum, 9).alias("cusum"),
+        (cusum > CUSUM_THRESH).alias("alarm"),
+    )
+
+
+SEASONAL_LAG_DAYS = 7
+
+_SEASONAL_NAIVE_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), b AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+), series AS (
+  SELECT s.day, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+  FROM spine s LEFT JOIN d ON s.day = d.day
+)
+SELECT day, n_events,
+       LAG(n_events, {SEASONAL_LAG_DAYS}) OVER (ORDER BY day) AS forecast,
+       abs(n_events - LAG(n_events, {SEASONAL_LAG_DAYS}) OVER (ORDER BY day)) AS abs_error
+FROM series
+QUALIFY forecast IS NOT NULL
+"""
+
+
+@register("seasonal_naive_forecast_error", oracle=_SEASONAL_NAIVE_ORACLE, tags=("temporal", "forecast", "r5"))
+def q_seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naïve forecast baseline (ŷ_t = y_{{t−{SEASONAL_LAG_DAYS}}})
+    with per-day absolute error — the denominator every serious forecast
+    evaluation (MASE) scales by, and the sanity bar any model must beat.
+    Exact integer counts and differences; the gap-filled spine makes the
+    weekly lag a true calendar lag (ROWS lag over dense days), not a
+    row-position accident.  One |days|-sized ordered window after the
+    day-keyed rollup."""
+    from pyspark.sql import Window
+
+    series = daily_gapfilled(load_table(spark, sf_dir, "events"))
+    w = Window.orderBy("day")
+    out = series.withColumn("forecast", F.lag("n_events", SEASONAL_LAG_DAYS).over(w))
+    return (
+        out.filter(F.col("forecast").isNotNull())
+        .select(
+            "day",
+            "n_events",
+            "forecast",
+            F.abs(F.col("n_events") - F.col("forecast")).alias("abs_error"),
+        )
+    )

@@ -471,3 +471,29 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- CUSUM closed form ≡ recursion -------------------------------------------
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        CUSUM_SLACK,
+        CUSUM_THRESH,
+        q_cusum_daily_level_shift,
+        daily_gapfilled,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    got = {str(r["day"]): (r["cusum"], r["alarm"]) for r in q_cusum_daily_level_shift(spark, SF_SMOKE).collect()}
+    series = sorted(
+        (str(r["day"]), r["n_events"])
+        for r in daily_gapfilled(load_table(spark, SF_SMOKE, "events")).collect()
+    )
+    mu = sum(n for _, n in series) / len(series)
+    k = mu * (1 + CUSUM_SLACK)
+    s = 0.0
+    for day, n in series:  # textbook recursion s_t = max(0, s_{t-1} + x_t - k)
+        s = max(0.0, s + (n - k))
+        assert got[day][0] == pytest.approx(s / mu, abs=1e-6)
+        assert got[day][1] == (s / mu > CUSUM_THRESH)
