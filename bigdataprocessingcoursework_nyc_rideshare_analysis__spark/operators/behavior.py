@@ -203,3 +203,112 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return paths.orderBy(F.desc("n"), F.asc("path")).limit(PATH_TOP_K)
+
+
+AB_Z_CRIT = 1.959963985  # two-sided 95%
+
+_AB_TEST_ORACLE = f"""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN instr('0123456789abcdef',
+                         substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+              THEN 'A' ELSE 'B' END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+arm AS (
+  SELECT variant, COUNT(*) AS n_users, SUM(converted) AS conversions
+  FROM assigned GROUP BY 1
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
+    MAX(CASE WHEN variant = 'A' THEN conversions END) AS conv_a,
+    MAX(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
+    MAX(CASE WHEN variant = 'B' THEN conversions END) AS conv_b
+  FROM arm
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 9) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 9) AS rate_b,
+       -- saturated arms (0% or 100% pooled conversion) have zero pooled
+       -- variance: the z-statistic is undefined, reported as 0 / not-sig
+       ROUND(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
+         ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) END,
+         9) AS z_stat,
+       abs(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
+         ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) END) > {AB_Z_CRIT} AS significant
+FROM wide
+"""
+
+
+@register("ab_test_purchase_conversion", oracle=_AB_TEST_ORACLE, tags=("behavior", "experiment", "r5"))
+def q_ab_test_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-bucketed into
+    variants (first md5 hex digit — the industry assignment device, same
+    as ``stratified_hash_sample``'s gate: stable across sessions, engines,
+    reruns), per-arm purchase-conversion rates, and the pooled
+    two-proportion z-statistic with a 95% significance verdict.
+
+    All inputs to the statistic are exact int64 counts; the z formula is a
+    fixed parse tree of divisions, one sqrt (correctly rounded on both
+    engines), rounded once at the end.  Plan: one user-keyed aggregate
+    (conversion flag per user), one 2-row arm rollup, a CASE pivot to one
+    row — corpus cost is a single events scan regardless of scale.  On a
+    synthetic corpus with no real treatment effect the expected readout is
+    z ≈ 0 / not significant — the null calibration a healthy experiment
+    pipeline should reproduce."""
+    ev = load_table(spark, sf_dir, "events")
+    digit = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) - 1
+    )
+    assigned = (
+        ev.select(
+            "user_id",
+            F.when(digit < 8, "A").otherwise("B").alias("variant"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(F.max("is_purchase").alias("converted"))
+    )
+    arm = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("conversions")
+    )
+    wide = arm.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("conversions"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("conversions"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    saturated = (F.col("conv_a") + F.col("conv_b") == 0) | (
+        F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")
+    )
+    # saturated arms (0% or 100% pooled conversion) have zero pooled
+    # variance: z is undefined — reported as 0 / not-significant
+    z = F.when(saturated, F.lit(0.0)).otherwise(
+        (rate_a - rate_b)
+        / F.sqrt(
+            p_pool
+            * (F.lit(1.0) - p_pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        )
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(rate_a, 9).alias("rate_a"),
+        F.round(rate_b, 9).alias("rate_b"),
+        F.round(z, 9).alias("z_stat"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )
