@@ -312,3 +312,104 @@ def q_ab_test_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(z, 9).alias("z_stat"),
         (F.abs(z) > AB_Z_CRIT).alias("significant"),
     )
+
+
+_KM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS DATE) END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS first_purchase,
+         MAX(CAST(ts AS DATE)) AS last_seen
+  FROM events GROUP BY 1
+),
+durations AS (
+  SELECT user_id,
+         CASE WHEN first_purchase IS NOT NULL AND first_purchase >= first_click
+              THEN date_diff('day', first_click, first_purchase) ELSE date_diff('day', first_click, last_seen) END AS t_u,
+         (first_purchase IS NOT NULL AND first_purchase >= first_click) AS is_event
+  FROM per_user WHERE first_click IS NOT NULL
+),
+times AS (
+  SELECT t_u AS t, COUNT(*) AS leaving,
+         SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS d
+  FROM durations GROUP BY 1
+),
+risk AS (
+  SELECT t, d, leaving,
+         (SELECT COUNT(*) FROM durations) 
+           - COALESCE(SUM(leaving) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM times
+),
+km AS (
+  SELECT t, d, n_risk,
+         SUM(CASE WHEN d > 0 AND d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_s,
+         MAX(CASE WHEN d = n_risk AND d > 0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+  FROM risk
+)
+SELECT t AS duration_days, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE ROUND(exp(log_s), 9) END AS survival
+FROM km WHERE d > 0
+"""
+
+
+@register("km_time_to_purchase", oracle=_KM_ORACLE, tags=("behavior", "survival", "r5"))
+def q_km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase after first
+    click, with right-censoring at each non-converter's last-seen day —
+    the estimator conversion-latency analysis NEEDS once users can be
+    still-pending (``conversion_latency_quantiles`` conditions on
+    converters; KM uses censored users' at-risk time instead of dropping
+    them, which is what makes the curve unbiased).
+
+    Classic KM product Π(1 − dᵢ/nᵢ) computed as exp of an ORDERED running
+    sum of logs (both engines fold in duration order → identical doubles;
+    the ln/exp pair is the ``zipf_slope_terms`` precedent), with an exact
+    zero-flag window handling the dᵢ = nᵢ boundary (ln 0) instead of
+    relying on ±inf arithmetic.  Risk sets come from one ordered window
+    over the |distinct durations|-sized aggregate — corpus cost is the
+    per-user aggregation scan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.to_date("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.to_date("ts"))).alias("first_purchase"),
+        F.max(F.to_date("ts")).alias("last_seen"),
+    )
+    converted = F.col("first_purchase").isNotNull() & (
+        F.col("first_purchase") >= F.col("first_click")
+    )
+    durations = per_user.filter(F.col("first_click").isNotNull()).select(
+        F.when(converted, F.datediff("first_purchase", "first_click"))
+        .otherwise(F.datediff("last_seen", "first_click"))
+        .alias("t_u"),
+        converted.alias("is_event"),
+    )
+    times = durations.groupBy(F.col("t_u").alias("t")).agg(
+        F.count(F.lit(1)).alias("leaving"),
+        F.sum(F.col("is_event").cast("int")).alias("d"),
+    )
+    total = durations.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = times.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk", F.col("n_total") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+    )
+    log_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    zero_flag = F.max(
+        F.when((F.col("d") == F.col("n_risk")) & (F.col("d") > 0), 1).otherwise(0)
+    ).over(w_cum)
+    km = risk.withColumn("log_s", F.sum(log_term).over(w_cum)).withColumn("hit_zero", zero_flag)
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("log_s"), 9))
+        .alias("survival"),
+    )
