@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_tables
+from ..sources import load_table, load_tables
 
 ORDERS_DATE_LO = "1995-01-01 00:00:00"
 ORDERS_DATE_HI = "2001-12-31 00:00:00"
@@ -122,3 +122,58 @@ def q_dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("orphans0"))
     )
     return run_checks(orders, orders_checks(), fk_frames=[("o_custkey_fk_customer", orphans)])
+
+
+RECON_TOP_K = 50
+
+_RECON_ORACLE = f"""
+WITH detail AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS detail_total,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS header_total,
+       COALESCE(d.detail_total, 0.0) AS detail_total,
+       COALESCE(d.n_lines, 0) AS n_lines,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) - COALESCE(d.detail_total, 0.0)
+         AS delta
+FROM orders o LEFT JOIN detail d ON d.o_orderkey = o.o_orderkey
+ORDER BY abs(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             - COALESCE(d.detail_total, 0.0)) DESC, o.o_orderkey
+LIMIT {RECON_TOP_K}
+"""
+
+
+@register("order_revenue_reconciliation", oracle=_RECON_ORACLE, tags=("dq", "audit", "r5"))
+def q_order_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail reconciliation — the classic cross-table warehouse
+    audit the single-table constraint suite (``dq_orders_suite``) cannot
+    express: each order's header total against the exact-decimal sum of
+    its line items, worst {RECON_TOP_K} discrepancies first (headerless
+    lines are caught by the suite's FK anti-join; line-less headers
+    surface here with detail_total 0).
+
+    Money stays DECIMAL(18,2) through the sum and is cast to double ONCE
+    per side, so the delta is a single exact subtraction — bit-identical
+    cross-engine.  Plan: one order-keyed partial-aggregated rollup of
+    lineitem, an order-keyed join (bucketed warehouse makes it
+    exchange-free at scale), TakeOrderedAndProject for the top-K."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    detail = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("detail_total"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    header = orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("header_total")
+    )
+    joined = header.join(detail, "o_orderkey", "left").select(
+        "o_orderkey",
+        "header_total",
+        F.coalesce(F.col("detail_total"), F.lit(0.0)).alias("detail_total"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        (F.col("header_total") - F.coalesce(F.col("detail_total"), F.lit(0.0))).alias("delta"),
+    )
+    return joined.orderBy(F.abs(F.col("delta")).desc(), "o_orderkey").limit(RECON_TOP_K)
