@@ -1264,3 +1264,61 @@ def q_per_source_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= GROUP_SAMPLE_K)
         .select("source", "doc_id")
     )
+
+
+# --- keyword in context ------------------------------------------------------
+
+KWIC_TERM = "merge"
+KWIC_CONTEXT = 3  # tokens of context on each side
+
+_KWIC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), hit AS (
+  SELECT doc_id, toks, CAST(i AS BIGINT) AS pos
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+  WHERE toks[i] = '{KWIC_TERM}'
+)
+SELECT doc_id, pos,
+       COALESCE(array_to_string(toks[CAST(greatest(pos - {KWIC_CONTEXT}, 1) AS BIGINT):CAST(pos - 1 AS BIGINT)], ' '), '') AS left_ctx,
+       COALESCE(array_to_string(toks[CAST(pos + 1 AS BIGINT):CAST(least(pos + {KWIC_CONTEXT}, len(toks)) AS BIGINT)], ' '), '') AS right_ctx
+FROM hit
+"""
+
+
+@register("kwic_concordance", oracle=_KWIC_ORACLE, tags=("datapipe", "text", "retrieval", "r5"))
+def q_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for '{KWIC_TERM}': every occurrence
+    with {KWIC_CONTEXT} tokens of context each side — the corpus-inspection
+    view behind search-result snippets and linguistic concordancers, and
+    the spot-check companion to ``trigram_substring_search`` (that one
+    finds documents; this shows the hits in situ).
+
+    Pure map-side: tokenize (staged), posexplode, filter to hits, slice
+    context windows — zero shuffles, output is hit-sized.  Context bounds
+    clamp at document edges identically on both engines (1-based inclusive
+    slices; an empty slice renders as '')."""
+    from .stage import staged_features
+
+    docs = staged_features(spark, sf_dir)
+    toked = docs.select("doc_id", tokens_of(docs).alias("toks"))
+    hits = toked.select(
+        "doc_id", "toks", F.posexplode("toks").alias("p0", "tok")
+    ).filter(F.col("tok") == KWIC_TERM)
+    pos = F.col("p0") + 1  # 1-based
+    left_start = F.greatest(pos - KWIC_CONTEXT, F.lit(1))
+    left_len = pos - left_start
+    right_len = F.least(pos + KWIC_CONTEXT, F.size("toks")) - pos
+    def ctx(start, length):
+        # slice(..., 0) yields NULL on this engine; an empty context is ''
+        return F.when(length > 0, F.array_join(F.slice("toks", start, length), " ")).otherwise(
+            F.lit("")
+        )
+
+    return hits.select(
+        "doc_id",
+        pos.cast("bigint").alias("pos"),
+        ctx(left_start, left_len).alias("left_ctx"),
+        ctx(pos + 1, right_len).alias("right_ctx"),
+    )

@@ -761,3 +761,74 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p75_us",
         "p90_us",
     )
+
+
+ATTRIBUTION_WINDOW_HOURS = 24
+
+_ATTRIBUTION_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.purchase_id, e.event_id AS click_id, CAST(e.ts AS DATE) AS click_day
+  FROM purchases p
+  JOIN events e
+    ON e.user_id = p.user_id
+   AND e.event_type = 'click'
+   AND e.ts <= p.purchase_ts
+   AND e.ts > p.purchase_ts - INTERVAL {ATTRIBUTION_WINDOW_HOURS} HOUR
+),
+credited AS (
+  SELECT purchase_id, click_id, click_day,
+         1.0 / COUNT(*) OVER (PARTITION BY purchase_id) AS credit
+  FROM touches
+)
+SELECT click_day, COUNT(*) AS n_touches,
+       ROUND(SUM(credit), 9) AS credited_conversions
+FROM credited GROUP BY 1
+"""
+
+
+@register("linear_attribution_by_day", oracle=_ATTRIBUTION_ORACLE, tags=("events", "attribution", "r5"))
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every click in the
+    {ATTRIBUTION_WINDOW_HOURS}h window before a purchase shares the
+    conversion credit equally (1/n_touches), rolled up to credited
+    conversions per click day — the marketing-analytics counterpart of the
+    last-touch ``asof_last_click_before_error`` join (last-touch gives the
+    final click everything; linear splits it across the path).
+
+    Credit is ONE division per touch (exact counts).  The per-day SUM of
+    1/n doubles is fold-order-sensitive in the last ulp, but both engines
+    sum the same finite multiset of credit values per day, so 9-dp
+    rounding after the sum absorbs the fold-order noise.  Plan: the
+    user-keyed interval join is the cost — bounded state exactly like the
+    streaming interval join's window; per-purchase touch counts come from
+    a purchase-keyed window on the join output (touches-sized)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            > F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_HOURS} HOURS")
+        ),
+    ).select("purchase_id", "click_id", F.to_date("click_ts").alias("click_day"))
+    w = Window.partitionBy("purchase_id")
+    credited = touches.withColumn("credit", F.lit(1.0) / F.count(F.lit(1)).over(w))
+    return credited.groupBy("click_day").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("credit"), 9).alias("credited_conversions"),
+    )
