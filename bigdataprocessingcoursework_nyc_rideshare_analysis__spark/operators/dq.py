@@ -177,3 +177,88 @@ def q_order_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("header_total") - F.coalesce(F.col("detail_total"), F.lit(0.0))).alias("delta"),
     )
     return joined.orderBy(F.abs(F.col("delta")).desc(), "o_orderkey").limit(RECON_TOP_K)
+
+
+K_ANON_THRESHOLD = 5
+
+_KANON_ORACLE = f"""
+WITH cells AS (
+  SELECT lang, source, n_chars // 100 AS size_band, COUNT(*) AS group_size
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(size_band AS BIGINT) AS size_band, group_size
+FROM cells WHERE group_size < {K_ANON_THRESHOLD}
+"""
+
+
+@register("k_anonymity_violations", oracle=_KANON_ORACLE, tags=("dq", "privacy", "r5"))
+def q_k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the documents table's quasi-identifiers
+    (lang, source, 100-char size band): every combination shared by fewer
+    than {K_ANON_THRESHOLD} records — the re-identification risk report a
+    release review runs BEFORE publishing a dataset (a unique
+    quasi-identifier combination singles a record out even with direct
+    identifiers scrubbed; ``pii_scrub_docs`` removes identifiers, this
+    finds the joins that re-create them).
+
+    One map-side-combined aggregate, output bounded by the violating-cell
+    count; integer band arithmetic is identical on both engines.  The fix
+    actions (generalize bands, suppress cells) are one filter away."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang", "source", F.expr("n_chars div 100").cast("bigint").alias("size_band")
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return cells.filter(F.col("group_size") < K_ANON_THRESHOLD)
+
+
+DP_EPSILON = 1.0  # Laplace scale b = sensitivity/epsilon = 1/epsilon for counts
+
+_DP_ORACLE = f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS true_count FROM events GROUP BY 1
+),
+noised AS (
+  SELECT event_type, true_count,
+         (CAST(('0x' || substr(md5('dp:' || event_type), 1, 8)) AS BIGINT)
+            / 4294967296.0) - 0.5 AS u
+  FROM counts
+)
+SELECT event_type,
+       ROUND(true_count
+             + CASE WHEN u >= 0 THEN -(1.0 / {DP_EPSILON}) * ln(1.0 - 2.0 * u)
+                    ELSE (1.0 / {DP_EPSILON}) * ln(1.0 + 2.0 * u) END,
+             9) AS dp_count
+FROM noised
+"""
+
+
+@register("dp_noisy_event_counts", oracle=_DP_ORACLE, tags=("dq", "privacy", "r5"))
+def q_dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (ε = {DP_EPSILON} Laplace
+    mechanism) with DETERMINISTIC pseudo-noise: the Laplace draw comes from
+    inverse-CDF-transforming a uniform derived from ``md5('dp:' || key)``
+    — so the release is reproducible across engines and reruns (the
+    property the differential check needs, and what a production release
+    pipeline wants anyway: re-running a publication must not spend fresh
+    privacy budget by emitting a different draw).  True counts are never
+    in the output; sensitivity of a count is 1, so b = 1/ε.
+
+    The noise arithmetic is one hash→uniform division, one ln (the
+    ``zipf_slope_terms`` precedent), one multiply — rounded once.  Pure
+    map-side after the count aggregate.  NOTE: deterministic noise is
+    sound only when each release key is published ONCE; a re-keyed re-query
+    is a fresh mechanism invocation and must re-randomize the seed prefix."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_count"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    ) - F.lit(0.5)
+    noise = F.when(
+        u >= 0, F.lit(-(1.0 / DP_EPSILON)) * F.log(F.lit(1.0) - F.lit(2.0) * u)
+    ).otherwise(F.lit(1.0 / DP_EPSILON) * F.log(F.lit(1.0) + F.lit(2.0) * u))
+    return counts.select(
+        "event_type",
+        F.round(F.col("true_count") + noise, 9).alias("dp_count"),
+    )
