@@ -1322,3 +1322,102 @@ def q_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx(left_start, left_len).alias("left_ctx"),
         ctx(pos + 1, right_len).alias("right_ctx"),
     )
+
+
+NDCG_K = 10
+
+_NDCG_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), q(term) AS (VALUES {_RRF_TERMS_SQL}),
+hits AS (
+  SELECT x.doc_id, x.term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) x
+  JOIN q ON q.term = x.term
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+lex AS (SELECT doc_id, SUM(tf) AS rel FROM hits GROUP BY 1),
+tfidf AS (
+  SELECT h.doc_id,
+         ROUND(SUM(CAST(h.tf AS DOUBLE) * (n.n_docs + 1) / (d.df + 1)), 9) AS score
+  FROM hits h JOIN df d ON d.term = h.term CROSS JOIN n GROUP BY 1
+),
+sys AS (
+  SELECT l.rel, ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM tfidf s JOIN lex l ON l.doc_id = s.doc_id
+),
+ideal AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rn FROM lex
+)
+SELECT {NDCG_K} AS k,
+       ROUND((SELECT SUM(rel / log2(rn + 1.0)) FROM sys WHERE rn <= {NDCG_K}), 9) AS dcg,
+       ROUND((SELECT SUM(rel / log2(rn + 1.0)) FROM ideal WHERE rn <= {NDCG_K}), 9) AS idcg,
+       ROUND((SELECT SUM(rel / log2(rn + 1.0)) FROM sys WHERE rn <= {NDCG_K})
+             / (SELECT SUM(rel / log2(rn + 1.0)) FROM ideal WHERE rn <= {NDCG_K}), 9) AS ndcg
+"""
+
+
+@register("ndcg_tfidf_vs_overlap", oracle=_NDCG_ORACLE, tags=("datapipe", "retrieval", "eval", "r5"))
+def q_ndcg_tfidf_vs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} of the TF-IDF ranker against term-overlap graded
+    relevance — the standard ranking-quality metric, closing the retrieval
+    evaluation pair: ``ann_recall_report`` grades set retrieval (did the
+    right items come back), NDCG grades ORDERING (did the best items come
+    first, discounted by rank).  Linear-gain form rel/log₂(rank+1); both
+    rankings break ties on doc_id so system and ideal orders are pinned.
+
+    The summed top-{NDCG_K} gains are each O(rel) doubles; 9-dp rounding
+    absorbs fold-order ulp noise (terms span no magnitude cliff).  Plan:
+    the RRF candidate construction (hits-sized), two candidate-sized rank
+    windows, and a {NDCG_K}-row sum — one scan of the corpus."""
+    from pyspark.sql import Window
+
+    from .stage import staged_features
+
+    docs = staged_features(spark, sf_dir)
+    n_docs = docs.count()
+    qterms = F.array(*[F.lit(t) for t in RRF_QUERY_TERMS])
+    hits = (
+        docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
+        .filter(F.array_contains(qterms, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    lex = hits.groupBy("doc_id").agg(F.sum("tf").alias("rel"))
+    tfidf = (
+        hits.join(F.broadcast(df), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + F.lit(1))),
+                9,
+            ).alias("score")
+        )
+    )
+    gain = F.col("rel") / F.log2(F.col("rn") + F.lit(1.0))
+    sys_rn = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    sys_dcg = (
+        tfidf.join(lex, "doc_id")
+        .withColumn("rn", F.row_number().over(sys_rn))
+        .filter(F.col("rn") <= NDCG_K)
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    ideal_rn = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal_dcg = (
+        lex.withColumn("rn", F.row_number().over(ideal_rn))
+        .filter(F.col("rn") <= NDCG_K)
+        .agg(F.sum(gain).alias("idcg"))
+    )
+    return (
+        sys_dcg.crossJoin(ideal_dcg)
+        .select(
+            F.lit(NDCG_K).alias("k"),
+            F.round(F.col("dcg"), 9).alias("dcg"),
+            F.round(F.col("idcg"), 9).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+        )
+    )

@@ -413,3 +413,69 @@ def q_km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("log_s"), 9))
         .alias("survival"),
     )
+
+
+ABSORBING_STATES = ("purchase", "error")
+
+
+def absorption_probabilities(ev: DataFrame, absorbing: tuple[str, ...] = ABSORBING_STATES):
+    """P(absorbed in each absorbing state | start) for every transient
+    event type, from the first-order transition counts.
+
+    The corpus-sized work is the same user-ordered window + pair count as
+    ``event_transition_probs``; the collected matrix is |types|² (≤ tens)
+    — model-sized, the PCA/k-means collect rule — and the fundamental-
+    matrix solve B = (I−Q)⁻¹R runs on the driver.  Returns a list of
+    (state, dict absorbing→prob) pairs sorted by state."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # |types|² rows: model-sized, never corpus-sized
+    )
+    states = sorted({r["src"] for r in pairs} | {r["dst"] for r in pairs})
+    absorbing = tuple(a for a in absorbing if a in states)
+    transient = [s for s in states if s not in absorbing]
+    counts = {(r["src"], r["dst"]): r["c"] for r in pairs}
+    row_tot = {s: sum(counts.get((s, t), 0) for t in states) for s in states}
+    nt, na = len(transient), len(absorbing)
+    Q = np.zeros((nt, nt))
+    R = np.zeros((nt, na))
+    for i, s in enumerate(transient):
+        if row_tot[s] == 0:
+            continue
+        for j, t in enumerate(transient):
+            Q[i, j] = counts.get((s, t), 0) / row_tot[s]
+        for j, a in enumerate(absorbing):
+            R[i, j] = counts.get((s, a), 0) / row_tot[s]
+    B = np.linalg.solve(np.eye(nt) - Q, R)
+    return [
+        (s, {a: float(B[i, j]) for j, a in enumerate(absorbing)})
+        for i, s in enumerate(transient)
+    ]
+
+
+@register("absorption_purchase_vs_error", oracle=None, tags=("behavior", "markov", "iterative", "r5"))
+def q_absorption_purchase_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov funnel analysis: for each transient event type, the
+    probability the user's event chain reaches PURCHASE before ERROR —
+    what the one-step ``event_transition_probs`` matrix cannot say (it
+    answers "what happens next"; absorption answers "where does the walk
+    END"), solved exactly via the fundamental matrix B = (I−Q)⁻¹R rather
+    than by simulation.  Rows-only (matrix solve); gambler's-ruin hand
+    case and numpy-reference equality pinned in ``test_r5_ops.py``."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = [
+        (s, round(probs.get("purchase", 0.0), 9), round(probs.get("error", 0.0), 9))
+        for s, probs in absorption_probabilities(ev)
+    ]
+    return spark.createDataFrame(rows, "start_state string, p_purchase double, p_error double")

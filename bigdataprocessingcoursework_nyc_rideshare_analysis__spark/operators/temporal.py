@@ -1021,3 +1021,78 @@ def q_seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFra
             F.abs(F.col("n_events") - F.col("forecast")).alias("abs_error"),
         )
     )
+
+
+M4_BUCKETS = 100
+
+_M4_ORACLE = f"""
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+assigned AS (
+  SELECT e.event_id, e.value, epoch_us(e.ts) AS us,
+         least(((epoch_us(e.ts) - b.lo) * {M4_BUCKETS}) // (b.hi - b.lo + 1),
+               {M4_BUCKETS} - 1) AS bucket
+  FROM events e CROSS JOIN b
+),
+ranked AS (
+  SELECT bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY us DESC, event_id DESC) AS rn_z
+  FROM assigned
+)
+SELECT bucket, COUNT(*) AS n,
+       MIN(value) AS v_min, MAX(value) AS v_max,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+       MAX(CASE WHEN rn_z = 1 THEN value END) AS v_last
+FROM ranked GROUP BY bucket
+"""
+
+
+@register("m4_downsample_values", oracle=_M4_ORACLE, tags=("temporal", "viz", "r5"))
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    pixel-column time bucket, keep min / max / first / last of the value
+    stream — the four points that make a width-{M4_BUCKETS} line chart of
+    millions of points PIXEL-PERFECT, which naive every-k-th sampling is
+    not (it clips extremes; M4 is the error-free visualization-aware
+    aggregation).  The charting counterpart of the analytics histograms.
+
+    Bucket assignment is exact integer µs arithmetic off the stream's own
+    [min, max] (one broadcast 1-row bound frame, no driver round-trip);
+    first/last are rank selections with pinned (ts, event_id) tie order so
+    both engines pick identical endpoints.  Plan: one bucket-keyed window
+    + aggregate on the same key — one shuffle; output is 4 points per
+    pixel regardless of corpus size, which IS the point."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    assigned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.least(
+            F.expr(
+                f"((unix_micros(ts) - lo) * {M4_BUCKETS}) div (hi - lo + 1)"
+            ),
+            F.lit(M4_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    w_a = Window.partitionBy("bucket").orderBy("us", "event_id")
+    w_z = Window.partitionBy("bucket").orderBy(F.desc("us"), F.desc("event_id"))
+    ranked = assigned.select(
+        "bucket",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_z).alias("rn_z"),
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("rn_z") == 1, F.col("value"))).alias("v_last"),
+    )

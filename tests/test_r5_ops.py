@@ -497,3 +497,47 @@ def test_cusum_closed_form_equals_recursion(spark):
         s = max(0.0, s + (n - k))
         assert got[day][0] == pytest.approx(s / mu, abs=1e-6)
         assert got[day][1] == (s / mu > CUSUM_THRESH)
+
+
+# --- absorbing Markov --------------------------------------------------------
+
+
+def test_absorption_gamblers_ruin_hand_case(spark):
+    """Chain A where 2 of 3 observed transitions go to purchase and 1 to
+    error → P(purchase|A) = 2/3.  And a 2-hop chain B→A only → B inherits
+    A's absorption probabilities exactly."""
+    from datetime import datetime
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.behavior import (
+        absorption_probabilities,
+    )
+
+    rows = []
+    eid = 0
+
+    def chain(user, *types):
+        nonlocal eid
+        for i, t in enumerate(types):
+            rows.append((eid, datetime(2024, 3, 1, 0, eid % 60, eid // 60), user, t, 1.0, "{}"))
+            eid += 1
+
+    # user chains: A→purchase, A→purchase, A→error, B→A→purchase (the B
+    # chain's A transition also adds one A→purchase observation: recompute)
+    chain(1, "click", "purchase")
+    chain(2, "click", "purchase")
+    chain(3, "click", "error")
+    chain(4, "view", "click", "purchase")
+    d = _events_dir(spark, rows)
+    try:
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        got = dict(absorption_probabilities(ev, ("purchase", "error")))
+        # click: 3 of 4 observed click-transitions purchase, 1 error
+        assert got["click"]["purchase"] == pytest.approx(3 / 4)
+        assert got["click"]["error"] == pytest.approx(1 / 4)
+        # view always walks through click → inherits click's absorption
+        assert got["view"]["purchase"] == pytest.approx(3 / 4)
+        assert got["view"]["error"] == pytest.approx(1 / 4)
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
