@@ -308,3 +308,27 @@ def test_xml_roundtrip(spark, outdir):
     assert sorted((r["doc_id"], r["text"], r["lang"]) for r in back.collect()) == sorted(
         (r["doc_id"], r["text"], r["lang"]) for r in docs.collect()
     )  # entity escaping survives the round trip
+
+
+def test_text_and_binaryfile_sources(spark, tmp_path):
+    """The two remaining built-in ingestion formats: line-oriented text
+    (spark.read.text) and whole-file binary (format('binaryFile') — the
+    multimodal front door: each file becomes one row with path, length,
+    and raw content bytes)."""
+    txt_dir = tmp_path / "txt"
+    txt_dir.mkdir()
+    (txt_dir / "a.txt").write_text("alpha\nbeta\n")
+    (txt_dir / "b.txt").write_text("gamma\n")
+    lines = spark.read.text(str(txt_dir))
+    assert lines.columns == ["value"]
+    assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
+
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    payload = bytes(range(16))
+    (bin_dir / "x.bin").write_bytes(payload)
+    files = spark.read.format("binaryFile").load(str(bin_dir))
+    row = files.select("path", "length", "content").collect()[0]
+    assert row["path"].endswith("x.bin")
+    assert row["length"] == 16
+    assert bytes(row["content"]) == payload
