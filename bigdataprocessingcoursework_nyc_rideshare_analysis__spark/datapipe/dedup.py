@@ -668,3 +668,73 @@ def q_neardup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard(
         staged_shingles(spark, sf_dir).persist(), JACCARD_THRESHOLD
     )
+
+
+# --- asymmetric containment (derivation detection) ---------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+CONTAINMENT_MIN_SHINGLES = 5
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT contained_doc, container_doc, containment FROM (
+  SELECT i.doc_a AS contained_doc, i.doc_b AS container_doc,
+         CAST(i.n_common AS DOUBLE) / x.n AS containment, x.n AS n_contained
+  FROM inter i JOIN sz x ON x.doc_id = i.doc_a
+  UNION ALL
+  SELECT i.doc_b, i.doc_a,
+         CAST(i.n_common AS DOUBLE) / y.n AS containment, y.n AS n_contained
+  FROM inter i JOIN sz y ON y.doc_id = i.doc_b
+)
+WHERE containment >= {CONTAINMENT_THRESHOLD} AND n_contained >= {CONTAINMENT_MIN_SHINGLES}
+"""
+
+
+@register("doc_containment_pairs", oracle=_CONTAINMENT_ORACLE, tags=("datapipe", "dedup", "r5"))
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: |A∩B| / |A| ≥ {CONTAINMENT_THRESHOLD}
+    flags document A as CONTAINED in B — the derivation/quotation metric
+    Jaccard suppresses (a paragraph quoted inside a long article has tiny
+    Jaccard but containment ≈ 1; Broder's resemblance-vs-containment
+    distinction).  This is the provenance signal a curation pipeline uses
+    to keep the superset document and attribute the subset, where symmetric
+    dedup would keep both.  Minimum {CONTAINMENT_MIN_SHINGLES} shingles on
+    the contained side — tiny documents trivially embed anywhere.
+
+    Same scale shape as the exact-Jaccard ground truth (one shingle-keyed
+    intersection join, sizes broadcast); the one intersection table serves
+    BOTH directions, so asymmetry costs nothing extra.  The score is one
+    exact division — bit-identical cross-engine, no rounding needed."""
+    from .stage import staged_shingles
+
+    sh = staged_shingles(spark, sf_dir).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    both = inter.join(F.broadcast(sx), "doc_a").join(F.broadcast(sy), "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        (F.col("n_common").cast("double") / F.col("na")).alias("containment"),
+        F.col("na").alias("n_contained"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        (F.col("n_common").cast("double") / F.col("nb")).alias("containment"),
+        F.col("nb").alias("n_contained"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(
+            (F.col("containment") >= CONTAINMENT_THRESHOLD)
+            & (F.col("n_contained") >= CONTAINMENT_MIN_SHINGLES)
+        )
+        .select("contained_doc", "container_doc", "containment")
+    )
