@@ -1421,3 +1421,77 @@ def q_ndcg_tfidf_vs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
         )
     )
+
+
+# --- feature hashing ----------------------------------------------------------
+
+HASH_VEC_DIM = 64
+
+_HASH_VEC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) x
+  GROUP BY 1, 2
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {HASH_VEC_DIM} AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(term), 9, 1)) AS BIGINT) < 8 THEN tf ELSE -tf END AS v
+  FROM tf
+), cells AS (
+  SELECT doc_id, bucket, SUM(v) AS v FROM hashed GROUP BY 1, 2
+), spine AS (
+  SELECT d.doc_id, CAST(i AS BIGINT) AS bucket
+  FROM (SELECT DISTINCT doc_id FROM documents) d, UNNEST(range(0, {HASH_VEC_DIM})) AS u(i)
+)
+SELECT s.doc_id,
+       string_agg(CAST(COALESCE(c.v, 0) AS VARCHAR), ',' ORDER BY s.bucket) AS vec_csv
+FROM spine s LEFT JOIN cells c ON c.doc_id = s.doc_id AND c.bucket = s.bucket
+GROUP BY s.doc_id
+"""
+
+
+@register("hashing_trick_doc_vectors", oracle=_HASH_VEC_ORACLE, tags=("datapipe", "text", "features", "r5"))
+def q_hashing_trick_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectorizer: term counts
+    folded into a fixed {HASH_VEC_DIM}-dim vector by hashing terms to
+    buckets with a second sign hash to unbias collisions (Weinberger et
+    al., ICML'09) — the vocabulary-FREE featurization that needs no fitted
+    term dictionary, which is exactly why it scales: no vocab broadcast, no
+    OOV, the feature space is fixed before the corpus is seen.  Bridges the
+    text tier to the vector tier (these vectors feed the same ANN/k-means
+    machinery as the embeddings table).
+
+    Every cell is an exact INTEGER sum of signed term frequencies — no
+    floats anywhere — exported CSV-dense per the driver's scalar contract.
+    Plan: one (doc, term) count, one (doc, bucket) fold, one dense
+    reassembly via an in-plan map lookup (no spine join on the Spark side;
+    the oracle states it relationally)."""
+    from .stage import staged_features
+
+    docs = staged_features(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bucket = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % HASH_VEC_DIM
+    sign_pos = F.conv(F.substring(F.md5("term"), 9, 1), 16, 10).cast("bigint") < 8
+    hashed = tf.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(sign_pos, F.col("tf")).otherwise(-F.col("tf")).alias("v"),
+    )
+    cells = hashed.groupBy("doc_id", "bucket").agg(F.sum("v").alias("v"))
+    as_map = cells.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(HASH_VEC_DIM - 1)),
+        lambda i: F.coalesce(F.element_at("m", i.cast("bigint")), F.lit(0)),
+    )
+    return as_map.select(
+        "doc_id", F.array_join(F.transform(dense, lambda x: x.cast("string")), ",").alias("vec_csv")
+    )

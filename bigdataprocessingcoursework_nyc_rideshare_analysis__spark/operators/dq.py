@@ -262,3 +262,60 @@ def q_dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("true_count") + noise, 9).alias("dp_count"),
     )
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY 1),
+tot AS (SELECT SUM(n) AS total FROM obs),
+spine AS (SELECT CAST(i AS BIGINT) AS d FROM UNNEST(range(1, 10)) AS u(i))
+SELECT s.d AS leading_digit,
+       COALESCE(obs.n, 0) AS n,
+       ROUND(CAST(COALESCE(obs.n, 0) AS DOUBLE) / tot.total, 9) AS observed_share,
+       ROUND(ln(1.0 + 1.0 / s.d) / ln(10.0), 9) AS benford_share,
+       ROUND(CAST(COALESCE(obs.n, 0) AS DOUBLE) / tot.total
+             - ln(1.0 + 1.0 / s.d) / ln(10.0), 9) AS deviation
+FROM spine s LEFT JOIN obs ON obs.d = s.d CROSS JOIN tot
+"""
+
+
+@register("benford_order_totals", oracle=_BENFORD_ORACLE, tags=("dq", "forensic", "r5"))
+def q_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic
+    screen for fabricated or systematically-generated monetary data
+    (organic multi-scale amounts follow P(d) = log₁₀(1 + 1/d); synthetic
+    or tampered ledgers routinely don't, and THIS corpus is synthetic, so
+    the deviation column is the finding).  Completes the audit family:
+    constraint suite (validity) → reconciliation (consistency) → Benford
+    (plausibility).
+
+    The leading digit comes from the DECIMAL string form (exact — no
+    float log10 on the value itself); expected shares are ln-ratio
+    constants (the ``zipf_slope_terms`` ln precedent) and each output is
+    a per-digit row, so no cross-row float summation exists at all.  One
+    map-side-combined digit count; output is 9 rows regardless of scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    spine = spark.range(1, 10).select(F.col("id").alias("leading_digit"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("leading_digit")) / F.log(F.lit(10.0))
+    share = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total")
+    return (
+        spine.join(F.broadcast(obs.withColumnRenamed("d", "leading_digit")), "leading_digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "leading_digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(share, 9).alias("observed_share"),
+            F.round(benford, 9).alias("benford_share"),
+            F.round(share - benford, 9).alias("deviation"),
+        )
+    )
