@@ -958,3 +958,68 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rfm_code",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("bigint"),
     )
+
+
+WILSON_Z = 1.959963985  # two-sided 95%
+_WZ2 = WILSON_Z * WILSON_Z  # same literal inlined into BOTH engines' arithmetic
+
+_WILSON_ORACLE = f"""
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS k FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type,
+         COUNT(*) AS n_users,
+         SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS repeaters
+  FROM per_user GROUP BY 1
+)
+SELECT event_type, n_users, repeaters,
+       ROUND(CAST(repeaters AS DOUBLE) / n_users, 9) AS rate,
+       ROUND((CAST(repeaters AS DOUBLE) / n_users + {_WZ2!r} / (2 * n_users))
+               / (1 + {_WZ2!r} / n_users)
+             - ({WILSON_Z!r} / (1 + {_WZ2!r} / n_users))
+               * sqrt((CAST(repeaters AS DOUBLE) / n_users) * (1 - CAST(repeaters AS DOUBLE) / n_users) / n_users
+                      + {_WZ2!r} / (4 * CAST(n_users AS DOUBLE) * n_users)), 9) AS wilson_low,
+       ROUND((CAST(repeaters AS DOUBLE) / n_users + {_WZ2!r} / (2 * n_users))
+               / (1 + {_WZ2!r} / n_users)
+             + ({WILSON_Z!r} / (1 + {_WZ2!r} / n_users))
+               * sqrt((CAST(repeaters AS DOUBLE) / n_users) * (1 - CAST(repeaters AS DOUBLE) / n_users) / n_users
+                      + {_WZ2!r} / (4 * CAST(n_users AS DOUBLE) * n_users)), 9) AS wilson_high
+FROM base
+"""
+
+
+@register("repeat_rate_wilson_ci", oracle=_WILSON_ORACLE, tags=("agg", "stats", "r5"))
+def q_repeat_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty-aware metric reporting: per event type, the share of
+    users who REPEAT (≥2 events) with its 95% Wilson score interval — the
+    interval that stays honest at small n and extreme rates where the
+    naïve ±z√(p(1−p)/n) Wald band collapses or exits [0,1].  Every rate a
+    dashboard ships should carry one of these; this is the template.
+
+    Cross-engine determinism: z and z² are the SAME literals inlined into
+    both arithmetic trees, the formula is one fixed parse of divisions and
+    a sqrt over exact counts, rounded once per bound.  Plan: a user-keyed
+    pre-aggregation then a |types|-sized rollup — map-side combined, one
+    shuffle each."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("k"))
+    base = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("k") >= 2).cast("int")).alias("repeaters"),
+    )
+    n = F.col("n_users")
+    p = F.col("repeaters").cast("double") / n
+    denom = F.lit(1) + F.lit(_WZ2) / n
+    center = (p + F.lit(_WZ2) / (F.lit(2) * n)) / denom
+    half = (F.lit(WILSON_Z) / denom) * F.sqrt(
+        p * (F.lit(1) - p) / n + F.lit(_WZ2) / (F.lit(4) * n.cast("double") * n)
+    )
+    return base.select(
+        "event_type",
+        "n_users",
+        "repeaters",
+        F.round(p, 9).alias("rate"),
+        F.round(center - half, 9).alias("wilson_low"),
+        F.round(center + half, 9).alias("wilson_high"),
+    )

@@ -90,3 +90,62 @@ def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-candidate report a master-data pipeline runs before merging
     entities."""
     return fuzzy_pairs(load_table(spark, sf_dir, "customer"), "c_custkey", "c_name")
+
+
+_IDENTITY_CLUSTER_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT c_custkey, c_name, unnest(list_distinct(list_transform(range(0, length(c_name) + 1),
+           i -> CASE WHEN i = 0 THEN c_name
+                     ELSE substr(c_name, 1, i-1) || substr(c_name, i+1) END))) AS variant
+  FROM customer
+), cand AS (
+  SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.c_name < b.c_name
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+), edges AS (
+  SELECT custkey_a AS src, custkey_b AS dst FROM cand
+  UNION ALL
+  SELECT custkey_b, custkey_a FROM cand
+), reach(node, root) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+), assign AS (
+  SELECT node AS custkey, MIN(root) AS cluster_id FROM reach GROUP BY 1
+)
+SELECT custkey, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assign
+"""
+
+
+@register("customer_identity_clusters", oracle=_IDENTITY_CLUSTER_ORACLE, tags=("linkage", "graph", "r5"))
+def q_customer_identity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the fuzzy name-match pairs collapsed
+    into identity clusters by the SAME large-star/small-star connected
+    components that clusters document near-dups — linkage finds candidate
+    merges pairwise, but a master-data merge needs the TRANSITIVE entity
+    ("A≈B, B≈C ⇒ one customer"), and this composition proves the CC
+    operator is generic over any edge source.  Every customer appears,
+    labeled by its cluster's min custkey; singletons are their own cluster.
+
+    Oracle is the recursive-CTE reachability fixpoint over the identical
+    SymSpell-blocked + Levenshtein-verified pair set — the whole pipeline
+    (blocking → verify → transitive closure) differentially checked as one
+    unit.  Scale shape: pairs are deletion-neighborhood-blocked (no cross
+    join), CC is O(log diameter) edge-keyed rounds."""
+    from pyspark.sql import Window
+
+    from ..datapipe.cluster import connected_components
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(cust, "c_custkey", "c_name")
+    assign = connected_components(
+        pairs.select(F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")),
+        cust.select(F.col("c_custkey").alias("id")),
+    )
+    return assign.select(
+        F.col("id").alias("custkey"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("cluster_size"),
+    )
