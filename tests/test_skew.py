@@ -43,3 +43,48 @@ def test_salted_join_equals_plain_join(spark):
     )
     salted = salted_join(li, sup, "l_suppkey", "s_suppkey").groupBy("s_name").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The third leg of the skew toolkit (salting = rewrite,
+    join_key_skew_profile = detection, THIS = runtime mitigation): with the
+    skew thresholds stood down to local scale, AQE must detect the hot key
+    and split its partition at runtime — the executed plan's sort-merge
+    join carries the skew=true marker.  At 100 TB the same mechanism fires
+    on its default thresholds with no query change; this pins that the
+    engine's session leaves AQE free to do so (e.g. no accidental
+    skewJoin.enabled=false, no shuffle-partition pinning that blocks it)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key carrying ~100k rows vs 1k cold keys with 10 each
+        hot = spark.range(0, 100_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        )
+        cold = spark.range(0, 10_000).select(
+            (F.col("id") % 1_000 + 1).alias("k"), F.col("id").alias("payload")
+        )
+        left = hot.union(cold)
+        right = spark.range(0, 1_001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = left.join(right, "k")
+        # execute THIS df's plan (count() would finalize a different query)
+        assert len(joined.collect()) == 110_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
