@@ -1495,3 +1495,73 @@ def q_hashing_trick_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_map.select(
         "doc_id", F.array_join(F.transform(dense, lambda x: x.cast("string")), ",").alias("vec_csv")
     )
+
+
+# --- corpus comparison (fighting words) --------------------------------------
+
+LOGODDS_SRC_A = "src0"
+LOGODDS_SRC_B = "src1"
+LOGODDS_ALPHA = 0.5  # Dirichlet smoothing pseudo-count
+LOGODDS_TOP_K = 20
+
+_LOGODDS_ORACLE = f"""
+WITH t AS (
+  SELECT source, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents WHERE source IN ('{LOGODDS_SRC_A}', '{LOGODDS_SRC_B}')
+),
+counts AS (
+  SELECT term,
+         SUM(CASE WHEN source = '{LOGODDS_SRC_A}' THEN 1 ELSE 0 END) AS y1,
+         SUM(CASE WHEN source = '{LOGODDS_SRC_B}' THEN 1 ELSE 0 END) AS y2
+  FROM t GROUP BY 1
+),
+tot AS (SELECT SUM(y1) AS n1, SUM(y2) AS n2 FROM counts),
+scored AS (
+  SELECT c.term, c.y1, c.y2,
+         ROUND(
+           (ln((c.y1 + {LOGODDS_ALPHA}) / (tot.n1 - c.y1 + {LOGODDS_ALPHA}))
+            - ln((c.y2 + {LOGODDS_ALPHA}) / (tot.n2 - c.y2 + {LOGODDS_ALPHA})))
+           / sqrt(1.0 / (c.y1 + {LOGODDS_ALPHA}) + 1.0 / (c.y2 + {LOGODDS_ALPHA})),
+           9) AS z
+  FROM counts c CROSS JOIN tot
+)
+SELECT term, y1, y2, z FROM scored
+ORDER BY abs(z) DESC, term
+LIMIT {LOGODDS_TOP_K}
+"""
+
+
+@register("fighting_words_src0_vs_src1", oracle=_LOGODDS_ORACLE, tags=("datapipe", "text", "drift", "r5"))
+def q_fighting_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus comparison via smoothed log-odds-ratio z-scores (Monroe,
+    Colaresi & Quinn's "Fightin' Words"): the terms most over-represented
+    in {LOGODDS_SRC_A} vs {LOGODDS_SRC_B}, with Dirichlet smoothing so
+    rare terms don't dominate the way raw TF-IDF difference lets them —
+    the per-TERM attribution the corpus-level drift detectors (KS, PSI,
+    Zipf slope) can't give: not just "the sources differ" but "on these
+    words".
+
+    The z formula is a fixed parse of two lns, two divisions, one sqrt
+    over smoothed exact counts, rounded once (the ``zipf_slope_terms``
+    ln precedent); top-K by |z| with a term tiebreak both engines share.
+    Plan: one term-keyed count with both sources' tallies as conditional
+    sums in the SAME pass (no per-source scans), a broadcast 1-row total,
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(LOGODDS_SRC_A, LOGODDS_SRC_B)
+    )
+    terms = docs.select("source", F.explode(tokens_col("text")).alias("term"))
+    counts = terms.groupBy("term").agg(
+        F.sum((F.col("source") == LOGODDS_SRC_A).cast("int")).alias("y1"),
+        F.sum((F.col("source") == LOGODDS_SRC_B).cast("int")).alias("y2"),
+    )
+    tot = counts.agg(F.sum("y1").alias("n1"), F.sum("y2").alias("n2"))
+    a = LOGODDS_ALPHA
+    delta = F.log((F.col("y1") + a) / (F.col("n1") - F.col("y1") + a)) - F.log(
+        (F.col("y2") + a) / (F.col("n2") - F.col("y2") + a)
+    )
+    var = F.lit(1.0) / (F.col("y1") + a) + F.lit(1.0) / (F.col("y2") + a)
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "term", "y1", "y2", F.round(delta / F.sqrt(var), 9).alias("z")
+    )
+    return scored.orderBy(F.abs(F.col("z")).desc(), "term").limit(LOGODDS_TOP_K)
