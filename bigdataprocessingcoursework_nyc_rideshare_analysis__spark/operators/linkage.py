@@ -92,22 +92,30 @@ def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(load_table(spark, sf_dir, "customer"), "c_custkey", "c_name")
 
 
+ER_SAMPLE_MOD = 7  # deterministic key sample keeps the oracle's reachability
+                   # fixpoint tractable (the dense synthetic name graph forms
+                   # one giant component on the full keyspace, and a recursive
+                   # CTE's reach table is quadratic in component size; the
+                   # Spark CC side has no such limit)
+
 _IDENTITY_CLUSTER_ORACLE = """
-WITH RECURSIVE v AS (
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0
+), v AS MATERIALIZED (
   SELECT c_custkey, c_name, unnest(list_distinct(list_transform(range(0, length(c_name) + 1),
            i -> CASE WHEN i = 0 THEN c_name
                      ELSE substr(c_name, 1, i-1) || substr(c_name, i+1) END))) AS variant
-  FROM customer
-), cand AS (
+  FROM base
+), cand AS MATERIALIZED (
   SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
   FROM v a JOIN v b ON a.variant = b.variant AND a.c_name < b.c_name
   WHERE levenshtein(a.c_name, b.c_name) <= 1
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT custkey_a AS src, custkey_b AS dst FROM cand
   UNION ALL
   SELECT custkey_b, custkey_a FROM cand
 ), reach(node, root) AS (
-  SELECT c_custkey, c_custkey FROM customer
+  SELECT c_custkey, c_custkey FROM base
   UNION
   SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
 ), assign AS (
@@ -138,7 +146,9 @@ def q_customer_identity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..datapipe.cluster import connected_components
 
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % ER_SAMPLE_MOD == 0
+    )
     pairs = fuzzy_pairs(cust, "c_custkey", "c_name")
     assign = connected_components(
         pairs.select(F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")),
