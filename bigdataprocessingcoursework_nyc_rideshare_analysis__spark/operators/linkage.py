@@ -134,14 +134,20 @@ def q_customer_identity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components that clusters document near-dups — linkage finds candidate
     merges pairwise, but a master-data merge needs the TRANSITIVE entity
     ("A≈B, B≈C ⇒ one customer"), and this composition proves the CC
-    operator is generic over any edge source.  Every customer appears,
-    labeled by its cluster's min custkey; singletons are their own cluster.
+    operator is generic over any edge source.  Every sampled customer
+    appears, labeled by its cluster's min custkey; singletons are their
+    own cluster.
 
-    Oracle is the recursive-CTE reachability fixpoint over the identical
-    SymSpell-blocked + Levenshtein-verified pair set — the whole pipeline
-    (blocking → verify → transitive closure) differentially checked as one
-    unit.  Scale shape: pairs are deletion-neighborhood-blocked (no cross
-    join), CC is O(log diameter) edge-keyed rounds."""
+    Domain is the deterministic ``c_custkey % {ER_SAMPLE_MOD}`` sample —
+    an ORACLE-tractability bound, not an engine one: the synthetic names
+    form one giant edit-distance component on the full keyspace, and the
+    recursive-CTE reachability table the oracle relies on is quadratic in
+    component size (Spark's large-star/small-star CC is O(log diameter)
+    and handles the full graph fine — exactly the asymmetry that motivates
+    the distributed algorithm).  The oracle covers the identical
+    SymSpell-blocked + Levenshtein-verified pair set, so the whole pipeline
+    (blocking → verify → transitive closure) is differentially checked as
+    one unit."""
     from pyspark.sql import Window
 
     from ..datapipe.cluster import connected_components
