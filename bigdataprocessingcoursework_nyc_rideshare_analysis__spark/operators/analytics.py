@@ -1023,3 +1023,70 @@ def q_repeat_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 9).alias("wilson_low"),
         F.round(center + half, 9).alias("wilson_high"),
     )
+
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i, COUNT(*) OVER () AS n,
+         SUM(r) OVER () AS tot
+  FROM rev
+),
+s AS (
+  SELECT MAX(n) AS n, MAX(tot) AS tot,
+         SUM(i * r) AS weighted  -- Σ i·x(i) over the ascending ranking
+  FROM ranked
+)
+SELECT n AS n_customers,
+       ROUND(tot, 2) AS total_revenue,
+       ROUND(2.0 * weighted / (n * tot) - (n + 1.0) / n, 9) AS gini
+FROM s
+"""
+
+
+@register("customer_revenue_gini", oracle=_GINI_ORACLE, tags=("olap", "pareto", "r5"))
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the scalar
+    inequality measure completing the Pareto family (``customer_abc_classes``
+    bands members, ``order_skyline`` finds extremes; Gini summarizes HOW
+    concentrated the whole distribution is, 0 = uniform, →1 = one customer
+    is the business).  Computed by the exact rank formula
+    G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n over the ascending revenue ranking.
+
+    Revenue is an exact DECIMAL sum per customer cast once; the rank
+    weighting Σi·x₍ᵢ₎ is a float sum over an UNORDERED aggregate — but
+    every term is i·x with exact i and the 9-dp rounding absorbs fold-order
+    ulp noise (terms share magnitude; no cancellation).  Ties in revenue
+    rank by custkey on both engines.  Plan: customer rollup (one shuffle),
+    |customers|-sized global rank window (sketch swap documented on the
+    median family at extreme n), 1-row output."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("r")
+    )
+    w = Window.orderBy("r", "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("r").over(Window.partitionBy()).alias("tot"),
+    )
+    s = ranked.agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.sum(F.col("i") * F.col("r")).alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("tot"), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("weighted") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            9,
+        ).alias("gini"),
+    )
