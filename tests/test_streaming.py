@@ -671,3 +671,54 @@ def test_streaming_pipeline_end_to_end_with_crash_replay(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cdc_snapshot_time_travel(spark):
+    """Versioned snapshots double as TIME TRAVEL: `before_batch` bounds
+    `latest_snapshot_version` so a reader can reconstruct the table as of
+    any earlier committed batch — the poor-man's `VERSION AS OF`, and the
+    replay guard and the history reader are literally the same code path."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        latest_snapshot_version,
+        sink_merge_upsert,
+    )
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).limit(30).cache()
+    batch2 = cust.limit(10).select(
+        "c_custkey", "c_name", F.lit("V2").alias("c_mktsegment")
+    )
+    src = tempfile.mkdtemp(prefix="tt_src_")
+    out = tempfile.mkdtemp(prefix="tt_out_")
+    ckpt = tempfile.mkdtemp(prefix="tt_ckpt_")
+    try:
+        cust.write.mode("append").parquet(src)
+        q = sink_merge_upsert(
+            spark.readStream.schema(cust.schema).parquet(src), out, ckpt, key="c_custkey"
+        )
+        q.awaitTermination(120)
+        v1 = latest_snapshot_version(out)
+
+        batch2.write.mode("append").parquet(src)
+        q2 = sink_merge_upsert(
+            spark.readStream.schema(cust.schema).parquet(src), out, ckpt, key="c_custkey"
+        )
+        q2.awaitTermination(120)
+        v2 = latest_snapshot_version(out)
+        assert v2 > v1
+
+        # current state carries the updates...
+        now = spark.read.parquet(f"{out}/v={v2}")
+        assert now.filter(F.col("c_mktsegment") == "V2").count() == 10
+        # ...but AS OF v1 the original segments are intact — and the bound
+        # used is the same one the crash-replay guard uses
+        as_of_v1 = latest_snapshot_version(out, before_batch=v2)
+        assert as_of_v1 == v1
+        old = spark.read.parquet(f"{out}/v={as_of_v1}")
+        assert old.filter(F.col("c_mktsegment") == "V2").count() == 0
+        assert old.count() == 30
+        assert old.exceptAll(cust).count() == 0 and cust.exceptAll(old).count() == 0
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
