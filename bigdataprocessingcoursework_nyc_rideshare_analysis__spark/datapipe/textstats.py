@@ -1140,7 +1140,7 @@ hits AS (
 ),
 df AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
-lex AS (SELECT doc_id, SUM(tf) AS lex_score FROM hits GROUP BY 1),
+lex AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS lex_score FROM hits GROUP BY 1),
 tfidf AS (
   SELECT h.doc_id,
          ROUND(SUM(CAST(h.tf AS DOUBLE) * (n.n_docs + 1) / (d.df + 1)), 9) AS tfidf_score
@@ -1511,8 +1511,8 @@ WITH t AS (
 ),
 counts AS (
   SELECT term,
-         SUM(CASE WHEN source = '{LOGODDS_SRC_A}' THEN 1 ELSE 0 END) AS y1,
-         SUM(CASE WHEN source = '{LOGODDS_SRC_B}' THEN 1 ELSE 0 END) AS y2
+         CAST(SUM(CASE WHEN source = '{LOGODDS_SRC_A}' THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+         CAST(SUM(CASE WHEN source = '{LOGODDS_SRC_B}' THEN 1 ELSE 0 END) AS BIGINT) AS y2
   FROM t GROUP BY 1
 ),
 tot AS (SELECT SUM(y1) AS n1, SUM(y2) AS n2 FROM counts),

@@ -970,7 +970,7 @@ WITH per_user AS (
 base AS (
   SELECT event_type,
          COUNT(*) AS n_users,
-         SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS repeaters
+         CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS repeaters
   FROM per_user GROUP BY 1
 )
 SELECT event_type, n_users, repeaters,

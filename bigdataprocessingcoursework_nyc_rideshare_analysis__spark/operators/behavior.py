@@ -223,9 +223,9 @@ arm AS (
 wide AS (
   SELECT
     MAX(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
-    MAX(CASE WHEN variant = 'A' THEN conversions END) AS conv_a,
+    CAST(MAX(CASE WHEN variant = 'A' THEN conversions END) AS BIGINT) AS conv_a,
     MAX(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
-    MAX(CASE WHEN variant = 'B' THEN conversions END) AS conv_b
+    CAST(MAX(CASE WHEN variant = 'B' THEN conversions END) AS BIGINT) AS conv_b
   FROM arm
 )
 SELECT n_a, conv_a, n_b, conv_b,

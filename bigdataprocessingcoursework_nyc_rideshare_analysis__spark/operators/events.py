@@ -615,7 +615,7 @@ WITH flagged AS (
   SELECT ts, SUM(d) OVER (ORDER BY ts ASC ROWS UNBOUNDED PRECEDING) AS live
   FROM swept
 )
-SELECT MAX(live) AS peak_concurrent,
+SELECT CAST(MAX(live) AS BIGINT) AS peak_concurrent,
        MIN(CASE WHEN live = (SELECT MAX(live) FROM running) THEN ts END) AS first_peak_ts
 FROM running
 """

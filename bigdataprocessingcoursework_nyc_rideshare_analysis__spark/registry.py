@@ -94,6 +94,30 @@ DRIVER_VERIFIED.update(dict.fromkeys((
     "dormant_rich_customers", "cheapest_supplier_per_brand",
     "event_gaps_per_user", "user_value_position_stats",
 ), 2))
+DRIVER_VERIFIED.update(dict.fromkeys((
+    # CORRECTNESS_r03.json: 45 hash-green + 3 rows-only (driver rows exist
+    # for the rows-only trio; the two hash-fail rows are NOT listed — they
+    # sit in CHANGED_SINCE_VERIFIED with their oracle-cast fix instead).
+    "dedup_exact", "neardup_jaccard_pairs", "inverted_index",
+    "minmax_normalized_values", "curate_training_corpus", "curate_pack_corpus",
+    "neardup_connected_components", "contamination_overlap", "value_band_counts",
+    "incremental_dedup_new_docs", "embedding_dim_stats", "embedding_standardized",
+    "token_diversity", "quality_model_score", "quality_deciles_by_lang",
+    "cdc_chunk_docs", "cms_heavy_hitter_estimates", "trigram_substring_search",
+    "neardup_triangles", "dedup_keep_best_in_cluster", "source_quota_sample",
+    "top_customers_per_nation_lateral", "snapshot_diff_orders", "dq_orders_suite",
+    "small_quantity_order_revenue", "disjunctive_brand_revenue",
+    "sole_late_supplier_waits", "volume_shipping_by_year",
+    "product_profit_by_nation_year", "important_part_values",
+    "supplier_diversity_by_part_class", "dominant_part_suppliers",
+    "local_supplier_volume", "user_events_last_hour", "events_variant_extract",
+    "signup_click_purchase_funnel", "modal_event_type_per_user",
+    "session_window_rollup", "winsorized_values_by_event_type",
+    "percentile_cont_by_event_type", "lineitem_zorder_extents",
+    "join_key_skew_profile", "interpolated_user_series",
+    "time_weighted_avg_per_user", "scd2_segment_at_order",
+    "neardup_minhash_lsh", "dedup_simhash", "approx_heavy_hitter_terms",
+), 3))
 
 #: Round-2 verdict rule: a query whose IMPLEMENTATION changed after its
 #: last green driver row is no longer verified — it rejoins the front of
@@ -101,29 +125,17 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #: alongside the code change (the alternative — hashing source files at
 #: import — would make ordering depend on install layout).
 #:
-#: Current entries:
-#: - ``value_band_counts``: r1-verified as a BroadcastNestedLoopJoin range
-#:   join, reimplemented as map-side CASE banding afterwards (commit
-#:   7491f1f) — the shipped CASE form has no driver row yet.
-#: - round-3 edits: ``inverted_index`` (array→string postings),
-#:   ``approx_heavy_hitter_terms`` (eager collect → lazy sketch plan),
-#:   and the dedup family (``dedup_exact``, ``neardup_jaccard_pairs``,
-#:   ``neardup_minhash_lsh``, ``dedup_simhash``,
-#:   ``neardup_connected_components``) rerouted through the staged
-#:   tokenization frame (``datapipe.stage``).
+#: Current entries (round 4):
+#: - ``late_line_priority_mix`` / ``peak_concurrent_sessions``: the only
+#:   red rows in CORRECTNESS_r03.json — their oracles' final integer
+#:   SUM/MAX columns were uncast, so DuckDB typed them HUGEINT (int128)
+#:   and the driver's Arrow-type-sensitive hash mismatched.  Fixed by
+#:   ``CAST(... AS BIGINT)`` (tpch.py / events.py); re-verify first.
+#:   (The r3 staged-dedup entries all went green in CORRECTNESS_r03 and
+#:   moved to ``DRIVER_VERIFIED`` round 3.)
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
-    "value_band_counts",
-    "inverted_index",
-    "approx_heavy_hitter_terms",
-    "dedup_exact",
-    "neardup_jaccard_pairs",
-    "neardup_minhash_lsh",
-    "dedup_simhash",
-    "neardup_connected_components",
-    "contamination_overlap",
-    "curate_training_corpus",
-    "curate_pack_corpus",
-    "minmax_normalized_values",  # grouped-map → window form (round 3)
+    "late_line_priority_mix",
+    "peak_concurrent_sessions",
 })
 
 

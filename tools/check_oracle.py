@@ -46,16 +46,35 @@ def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     return sorted(out)
 
 
+def oracle_type_hazards(con, sql: str) -> dict[str, str]:
+    """DuckDB types in the oracle's final select that Arrow maps differently
+    than any Spark output type can — the driver hashes the Arrow type, while
+    this replica stringifies values and cannot see the difference.
+
+    The known class (round-3 verdict): an uncast integer ``SUM``/windowed sum
+    is HUGEINT (int128), which Spark can never emit — two driver rows went
+    red on exactly this while passing here at every SF.  ``DESCRIBE`` plans
+    without executing, so this check is free."""
+    rows = con.execute("DESCRIBE " + sql).fetchall()
+    return {r[0]: r[1] for r in rows if "HUGEINT" in str(r[1]).upper()}
+
+
 def compare(name: str, spark, con, sf_dir: str, spec) -> str:
     sdf = spec.fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
     if spec.oracle is None:
         return f"ROWS-ONLY rows={len(srows)}"
+    problems = []
+    hazards = oracle_type_hazards(con, spec.oracle)
+    if hazards:
+        problems.append(
+            f"oracle type hazard (int128 has no Spark/Arrow twin; driver "
+            f"hash WILL mismatch): {hazards} — wrap in CAST(... AS BIGINT)"
+        )
     orel = con.execute(spec.oracle)
     ocols = [d[0] for d in orel.description]
     orows = orel.fetchall()
-    problems = []
     if len(srows) != len(orows):
         problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
     if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
