@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col
 from ..registry import register
-from .stage import staged_features
+from .stage import staged_segments
 
 #: Tokens per segment (the dedup unit).
 SEG_TOKENS = 16
@@ -144,12 +144,13 @@ def q_boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles total (frequency agg, per-doc regroup); no driver round-trip;
     every stage keys on a hash, so partitioning stays uniform at 100 TB.
     Segments build from the staged token frame (tokenize-once), are hashed
-    ONCE, and persist so the frequency branch and the join-back branch
-    don't each re-run the scan + banner + explode (the segment frame feeds
-    both sides of its own self-join — the same reuse rule as the TF-IDF
-    ``topk`` frame; measured ~2× cold)."""
-    docs = staged_features(spark, sf_dir)
-    segs = segment_table(docs).withColumn("h", F.md5("seg")).persist()
+    ONCE, and are staged to parquet (``staged_segments``) so the frequency
+    branch and the join-back branch don't each re-run the scan + banner +
+    explode (the segment frame feeds both sides of its own self-join —
+    measured ~2× cold) — staged rather than ``persist()``-ed so nothing
+    cached outlives the query (round-3 advice: the old persist leaked a
+    cached frame per invocation for the session's lifetime)."""
+    segs = staged_segments(spark, sf_dir)
     freq = segs.groupBy("h").agg(
         F.countDistinct("doc_id").alias("df"),
         F.count(F.lit(1)).alias("occurrences"),
@@ -177,8 +178,7 @@ def q_boilerplate_hot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation run ships alongside the scrubbed corpus (what got cut, and how
     widespread it was).  Reuses the frequency table; the join back to one
     exemplar segment string per hash stays hash-keyed."""
-    docs = staged_features(spark, sf_dir)
-    segs = segment_table(docs).withColumn("h", F.md5("seg")).persist()
+    segs = staged_segments(spark, sf_dir)
     freq = (
         segs.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("occurrences"))

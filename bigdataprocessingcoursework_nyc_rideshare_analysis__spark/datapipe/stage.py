@@ -112,6 +112,31 @@ def staged_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def staged_segments(spark: SparkSession, sf_dir: str, width: int | None = None) -> DataFrame:
+    """The hashed fixed-width segment table (doc_id, seg_idx, seg, h) the
+    boilerplate family self-joins — staged instead of ``persist()``-ed so
+    (a) the frequency branch and the join-back branch share one
+    materialization WITHOUT leaking a cached frame into the session for
+    its lifetime (round-3 advice), and (b) the two boilerplate queries
+    share the segmentation work the way a real curation run would.  The
+    width is part of the stage key."""
+
+    def build() -> DataFrame:
+        from .boilerplate import SEG_TOKENS, segment_table
+
+        w = SEG_TOKENS if width is None else width
+        return (
+            segment_table(staged_features(spark, sf_dir), w)
+            .withColumn("h", F.md5("seg"))
+        )
+
+    from .boilerplate import SEG_TOKENS
+
+    w = SEG_TOKENS if width is None else width
+    out = _ensure(f"doc_segments_w{w}", sf_dir, build)
+    return spark.read.parquet(out)
+
+
 def staged_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float | None = None) -> DataFrame:
     """The verified exact near-dup pair set (doc_a, doc_b, jaccard ≥
     threshold) — the DETECTION stage's output, staged for its graph

@@ -142,11 +142,16 @@ def train_logreg(features: DataFrame, n_iter: int = N_ITER, l2: float = L2) -> l
             .collect()[0]
         )
         n = sums["n"]
-        grad = np.array([sums[f"g{i}"] for i in range(dim)]) / n + l2 * np.array(w)
+        # L2 applies to the d feature weights only: penalizing the bias
+        # (index dim-1) would shrink the intercept toward 0 and bias the
+        # fitted base rate — standard ridge practice excludes it.
+        l2_mask = np.ones(dim)
+        l2_mask[-1] = 0.0
+        grad = np.array([sums[f"g{i}"] for i in range(dim)]) / n + l2 * l2_mask * np.array(w)
         hess = np.zeros((dim, dim))
         for i, j in tri:
             hess[i, j] = hess[j, i] = sums[f"h{i}_{j}"]
-        hess = hess / n + l2 * np.eye(dim)
+        hess = hess / n + l2 * np.diag(l2_mask)
         w = [float(v) for v in (np.array(w) - np.linalg.solve(hess, grad))]
     frame.unpersist()
     return w

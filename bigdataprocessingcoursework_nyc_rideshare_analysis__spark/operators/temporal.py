@@ -930,8 +930,8 @@ WITH d AS (
   FROM pre
 )
 SELECT st.day, st.n_events,
-       ROUND(greatest(st.prefix - st.lowmark, 0.0) / m.mu, 9) AS cusum,
-       (greatest(st.prefix - st.lowmark, 0.0) / m.mu) > {H} AS alarm
+       ROUND(greatest(st.prefix - least(st.lowmark, 0.0), 0.0) / m.mu, 9) AS cusum,
+       (greatest(st.prefix - least(st.lowmark, 0.0), 0.0) / m.mu) > {H} AS alarm
 FROM st CROSS JOIN m
 """
 
@@ -946,10 +946,14 @@ def q_cusum_daily_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     series: alarms on a SUSTAINED upward shift that per-day z-score burst
     detection misses (many small exceedances accumulate; one spike decays).
     The textbook recursion s_t = max(0, s_{t-1} + (x_t − k)) is not a
-    window expression — but its closed form IS: s_t = prefix_t − min(prefix
-    ≤ t), so the whole detector is one running sum plus one running min on
-    the same ordered window (Exchange-free beyond the |days|-sized rollup,
-    the EWMA closed-form trick's sibling).
+    window expression — but its closed form IS: s_t = prefix_t −
+    min(0, prefix_1..t), so the whole detector is one running sum plus one
+    running min on the same ordered window (Exchange-free beyond the
+    |days|-sized rollup, the EWMA closed-form trick's sibling).  The 0 in
+    the inner min is the empty prefix P_0 = 0 (s_0 = 0): without it, a
+    series whose cumulative deviation starts positive — a burst or level
+    shift from day 1, the detector's target case — would be understated
+    (row 1 forced to 0) and alarms missed.
 
     Determinism: both running aggregates fold in day order on both engines,
     so the float sums associate identically; one division by the mean
@@ -967,7 +971,10 @@ def q_cusum_daily_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_events") - F.col("mu") * (1 + CUSUM_SLACK)).over(w),
     )
     st = pre.withColumn("lowmark", F.min("prefix").over(w))
-    cusum = F.greatest(F.col("prefix") - F.col("lowmark"), F.lit(0.0)) / F.col("mu")
+    cusum = (
+        F.greatest(F.col("prefix") - F.least(F.col("lowmark"), F.lit(0.0)), F.lit(0.0))
+        / F.col("mu")
+    )
     return st.select(
         "day",
         "n_events",

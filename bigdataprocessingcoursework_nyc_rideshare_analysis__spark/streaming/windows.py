@@ -221,7 +221,21 @@ def sink_merge_upsert(
 
     The merge itself is the batch operator — at 100 TB the target is
     bucketed by the merge key so only the (small) change set shuffles, and
-    old versions are vacuumed by retention."""
+    old versions are vacuumed by retention.
+
+    **Checkpoint↔target coupling (1:1).** Snapshot versions ARE this
+    checkpoint's batch ids, so a target directory belongs to exactly one
+    checkpoint for its lifetime.  Pointing a NEW checkpoint at an existing
+    target would restart batch ids at 0, making every committed snapshot
+    invisible to ``before_batch`` and silently re-initializing the table
+    from bare change rows (while readers still see the stale higher
+    version).  ``apply_batch`` fails fast on the detectable form — a
+    committed version strictly greater than the current batch id, which no
+    legitimate replay can produce (batch N replays read versions < N and
+    overwrite exactly v=N; versions > N commit only after N is in the
+    checkpoint).  The residual ambiguity — a fresh checkpoint at batch 0
+    meeting a target holding only ``v=0`` — is indistinguishable from a
+    crash-replay of batch 0 and stays the operator's contract to avoid."""
     from pyspark.sql import Window
 
     from ..operators.merge import merge_upsert
@@ -237,6 +251,16 @@ def sink_merge_upsert(
                 changes.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
+            )
+        ahead = latest_snapshot_version(target_path)
+        if ahead is not None and ahead > batch_id:
+            raise RuntimeError(
+                f"sink_merge_upsert: target {target_path!r} already holds "
+                f"committed snapshot v={ahead} > current batch {batch_id} — "
+                "the checkpoint's batch-id sequence is behind the target's "
+                "version history (most likely a NEW checkpoint pointed at an "
+                "existing target). Refusing to silently re-seed the table; "
+                "use the original checkpoint or a fresh target directory."
             )
         prev = latest_snapshot_version(target_path, before_batch=batch_id)
         if prev is not None:

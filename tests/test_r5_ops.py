@@ -499,6 +499,45 @@ def test_cusum_closed_form_equals_recursion(spark):
         assert got[day][1] == (s / mu > CUSUM_THRESH)
 
 
+def test_cusum_burst_from_day_one(spark):
+    """Positive-start regression case: when the cumulative deviation is
+    positive from the very first day (level shift at t=1 — the detector's
+    target), the closed form must clamp the running min at the empty
+    prefix P_0 = 0, or day 1's statistic is forced to 0 and every later
+    day is understated by prefix_1.  Counts 10,10,10,1,1,1 → mean 5.5,
+    k = 5.5·(1+slack): the recursion accumulates from day 1."""
+    from datetime import datetime
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        CUSUM_SLACK,
+        CUSUM_THRESH,
+        q_cusum_daily_level_shift,
+    )
+
+    rows = []
+    eid = 0
+    counts = [10, 10, 10, 1, 1, 1]
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 3, day, eid % 24), eid, "click", 1.0, "{}"))
+            eid += 1
+    d = _events_dir(spark, rows)
+    got = {
+        str(r["day"]): (r["cusum"], r["alarm"])
+        for r in q_cusum_daily_level_shift(spark, d).collect()
+    }
+    mu = sum(counts) / len(counts)
+    k = mu * (1 + CUSUM_SLACK)
+    s = 0.0
+    assert counts[0] > k  # the scenario under test: prefix_1 > 0
+    for day, n in enumerate(counts, start=1):
+        s = max(0.0, s + (n - k))
+        key = f"2024-03-{day:02d}"
+        assert got[key][0] == pytest.approx(s / mu, abs=1e-6)
+        assert got[key][1] == (s / mu > CUSUM_THRESH)
+    assert got["2024-03-01"][0] > 0  # day-1 statistic not clamped to zero
+
+
 # --- absorbing Markov --------------------------------------------------------
 
 

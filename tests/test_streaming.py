@@ -527,6 +527,56 @@ def test_streaming_cdc_merge_snapshots(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_cdc_merge_rejects_foreign_checkpoint(spark):
+    """Replay-guard coupling: pointing a NEW checkpoint at a target that
+    already holds committed snapshots restarts batch ids at 0, which would
+    make every committed version invisible to ``before_batch`` and silently
+    re-seed the table from bare change rows.  The sink must fail fast on
+    the detectable form (committed version > current batch id), not
+    re-initialize."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        latest_snapshot_version,
+        sink_merge_upsert,
+    )
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).limit(20).cache()
+    schema = cust.schema
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    out = tempfile.mkdtemp(prefix="cdc_out_")
+    ckpt1 = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    ckpt2 = tempfile.mkdtemp(prefix="cdc_ckpt2_")
+    try:
+        # two batches through checkpoint 1 → committed v=0 and v=1
+        cust.write.mode("append").parquet(src)
+        sink_merge_upsert(
+            spark.readStream.schema(schema).parquet(src), out, ckpt1, key="c_custkey"
+        ).awaitTermination(120)
+        cust.limit(5).select(
+            "c_custkey", "c_name", F.lit("CHANGED").alias("c_mktsegment")
+        ).write.mode("append").parquet(src)
+        sink_merge_upsert(
+            spark.readStream.schema(schema).parquet(src), out, ckpt1, key="c_custkey"
+        ).awaitTermination(120)
+        v = latest_snapshot_version(out)
+        assert v is not None and v >= 1
+
+        # a FRESH checkpoint on the same target restarts batch ids at 0:
+        # the guard must abort the query instead of re-seeding v=0
+        q = sink_merge_upsert(
+            spark.readStream.schema(schema).parquet(src), out, ckpt2, key="c_custkey"
+        )
+        with pytest.raises(Exception, match="behind the target's version history"):
+            q.awaitTermination(120)
+        # the committed history is untouched
+        assert latest_snapshot_version(out) == v
+        assert spark.read.parquet(f"{out}/v={v}").count() == 20
+    finally:
+        for d in (src, out, ckpt1, ckpt2):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_cdc_merge_crash_replay_ignores_torn_snapshot(spark):
     """Replay guard: a torn (uncommitted) snapshot directory from a crashed
     attempt is invisible both to the reader helper and to the replayed

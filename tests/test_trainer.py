@@ -18,16 +18,20 @@ from .conftest import SF_SMOKE
 
 
 def _numpy_reference(x: np.ndarray, y: np.ndarray, n_iter: int, l2: float) -> np.ndarray:
-    """Same regularized Newton/IRLS the distributed trainer runs."""
+    """Same regularized Newton/IRLS the distributed trainer runs (L2 on
+    the feature weights only — the bias is unpenalized, mirroring
+    ``train_logreg``)."""
     dim = x.shape[1] + 1
     xt = np.hstack([x, np.ones((len(y), 1))])
     w = np.zeros(dim)
+    l2_mask = np.ones(dim)
+    l2_mask[-1] = 0.0
     for _ in range(n_iter):
         p = 1.0 / (1.0 + np.exp(-(xt @ w)))
         err = p - y
         r = p * (1.0 - p)
-        grad = xt.T @ err / len(y) + l2 * w
-        hess = xt.T @ (xt * r[:, None]) / len(y) + l2 * np.eye(dim)
+        grad = xt.T @ err / len(y) + l2 * l2_mask * w
+        hess = xt.T @ (xt * r[:, None]) / len(y) + l2 * np.diag(l2_mask)
         w = w - np.linalg.solve(hess, grad)
     return w
 
