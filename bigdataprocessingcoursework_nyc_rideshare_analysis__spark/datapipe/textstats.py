@@ -237,9 +237,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # scalar dimension of the corpus; driver-side by design
-    scored = tf.join(F.broadcast(df), "term").withColumn(
-        "tfidf", F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + F.lit(1))
+    # corpus dimension as a broadcast 1-row aggregate: building this plan
+    # launches no job (an eager .count() here would run the scan once per
+    # invocation before the query even executes)
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -860,12 +868,17 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # scalar corpus dimension, as in tfidf_top_terms
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        "df",
-        (F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + F.lit(1))).alias("w"),
+    # broadcast 1-row corpus dimension — plan construction stays lazy
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            (F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))).alias("w"),
+        )
     )
     w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
     topk = (
@@ -1182,7 +1195,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stage import staged_features
 
     docs = staged_features(spark, sf_dir)
-    n_docs = docs.count()  # scalar corpus dimension, as in tfidf_top_terms
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # broadcast, lazy
     qterms = F.array(*[F.lit(t) for t in RRF_QUERY_TERMS])
     hits = (
         docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
@@ -1194,10 +1207,11 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = hits.groupBy("doc_id").agg(F.sum("tf").alias("lex_score"))
     tfidf = (
         hits.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + F.lit(1))),
+                F.sum(F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))),
                 9,
             ).alias("tfidf_score")
         )
@@ -1378,7 +1392,7 @@ def q_ndcg_tfidf_vs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stage import staged_features
 
     docs = staged_features(spark, sf_dir)
-    n_docs = docs.count()
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # broadcast, lazy
     qterms = F.array(*[F.lit(t) for t in RRF_QUERY_TERMS])
     hits = (
         docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
@@ -1390,10 +1404,11 @@ def q_ndcg_tfidf_vs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = hits.groupBy("doc_id").agg(F.sum("tf").alias("rel"))
     tfidf = (
         hits.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + F.lit(1))),
+                F.sum(F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))),
                 9,
             ).alias("score")
         )

@@ -133,9 +133,13 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   ``CAST(... AS BIGINT)`` (tpch.py / events.py); re-verify first.
 #:   (The r3 staged-dedup entries all went green in CORRECTNESS_r03 and
 #:   moved to ``DRIVER_VERIFIED`` round 3.)
+#: - ``tfidf_top_terms``: r2-verified with an eager ``docs.count()`` at
+#:   plan-build time; round 4 replaced the corpus dimension with a lazy
+#:   broadcast 1-row aggregate (same values, new plan) — re-verify.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "late_line_priority_mix",
     "peak_concurrent_sessions",
+    "tfidf_top_terms",
 })
 
 
