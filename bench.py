@@ -129,6 +129,11 @@ def main() -> None:
             "route_revenue_top30",
             "corridor_trip_count",
             "route_pivot_by_business_top10",
+            # TPC-H fact x fact tier: shuffles on orderkey by necessity on
+            # the raw path; bucket-distribution removes every Exchange but
+            # the final tiny rollup (tests/test_bucketing.py)
+            "sole_late_supplier_waits",
+            "late_line_priority_mix",
         )
         start = time.perf_counter()
         build_trip_warehouse(spark, sf_dir, force=True)

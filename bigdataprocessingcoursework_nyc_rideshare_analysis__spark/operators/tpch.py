@@ -664,6 +664,22 @@ def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _maybe_warehouse(spark: SparkSession, sf_dir: str, t: dict, use_warehouse: bool) -> dict:
+    """Swap lineitem/orders for the orderkey-bucketed managed tables
+    (``sources.warehouse``): both fact sides then arrive hash-distributed
+    on the join key and the fact×fact join plans with NO Exchange and NO
+    Sort — the per-query shuffle is paid once at ingest.  Default stays on
+    raw parquet (the driver's oracle harness owns no warehouse); pipelines
+    opt in like ``enriched_trips(..., use_warehouse=True)``."""
+    if use_warehouse:
+        from ..sources.warehouse import build_trip_warehouse
+
+        names = build_trip_warehouse(spark, sf_dir)  # idempotent
+        t["lineitem"] = spark.table(names["lineitem"])
+        t["orders"] = spark.table(names["orders"])
+    return t
+
+
 # ---------------------------------------------------------------------------
 # Q21 flavor — EXISTS and NOT EXISTS against the same fact, per supplier.
 # ---------------------------------------------------------------------------
@@ -689,7 +705,9 @@ GROUP BY s.s_name
 
 
 @register("sole_late_supplier_waits", oracle=_SOLE_LATE_ORACLE, tags=("olap", "semijoin", "antijoin", "tpch"))
-def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sole_late_suppliers(
+    spark: SparkSession, sf_dir: str, use_warehouse: bool = False
+) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the ONLY late shipper on
     multi-supplier finished orders — an EXISTS and a NOT EXISTS correlated
     against the same fact.
@@ -701,15 +719,29 @@ def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS — l1 is late, so "no OTHER supplier late" ≡ n_late_supp = 1.
     One orderkey-keyed aggregation + one join replaces two semi/anti fact
     joins; all three fact passes share the orderkey partitioning at
-    100 TB (bucket-able, see sources/warehouse.py)."""
-    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders")
+    100 TB.  With ``use_warehouse=True`` that partitioning comes from the
+    bucketed ingest: the li⋈orders join, the per-order aggregation, AND the
+    join-back all reuse the bucket distribution — the only Exchange left
+    is the supplier-sized name rollup (pinned in tests/test_bucketing.py)."""
+    t = _maybe_warehouse(
+        spark, sf_dir, load_tables(spark, sf_dir, "supplier", "lineitem", "orders"), use_warehouse
+    )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     ords = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
     lines = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    # Two stacked aggregations instead of a double countDistinct: the
+    # multi-distinct rewrite plans an Expand (2x row blow-up) plus TWO
+    # exchanges on expanded keys, which also defeats the bucket
+    # distribution.  Per-(order, supplier) first — clustering on a key set
+    # CONTAINING l_orderkey, so an orderkey partitioning (bucketed or from
+    # the join shuffle) satisfies both groupBys with zero extra Exchange.
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("has_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_late").alias("n_late_supp"),
     )
     waits = (
         lines.filter(late)
@@ -1092,7 +1124,9 @@ GROUP BY 1
 
 
 @register("late_line_priority_mix", oracle=_PRIORITY_MIX_ORACLE, tags=("olap", "agg", "join", "tpch"))
-def q_late_line_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_late_line_priority_mix(
+    spark: SparkSession, sf_dir: str, use_warehouse: bool = False
+) -> DataFrame:
     """TPC-H Q12 shape: for lines shipped ≥30 days after ordering in one
     year, count high- vs low-priority orders per line status — two
     CASE-conditional counts off a single fact×fact join.  (This schema has
@@ -1105,9 +1139,13 @@ def q_late_line_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates as a post-join residual — exactly where it belongs, since it
     cannot prune either scan alone.  Both conditional counts come out of
     ONE aggregation pass (map-side partials over a 2-row key space); at
-    100 TB the cost is the pruned scan plus the one orderkey shuffle the
-    bucketed warehouse removes."""
-    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    100 TB the cost is the pruned scan plus the one orderkey shuffle —
+    which ``use_warehouse=True`` removes entirely (bucketed ingest; the
+    2-row final agg's Exchange is all that remains, pinned in
+    tests/test_bucketing.py)."""
+    t = _maybe_warehouse(
+        spark, sf_dir, load_tables(spark, sf_dir, "lineitem", "orders"), use_warehouse
+    )
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))

@@ -136,10 +136,15 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #: - ``tfidf_top_terms``: r2-verified with an eager ``docs.count()`` at
 #:   plan-build time; round 4 replaced the corpus dimension with a lazy
 #:   broadcast 1-row aggregate (same values, new plan) — re-verify.
+#: - ``sole_late_supplier_waits``: r3-verified with a double countDistinct
+#:   (Expand + two exchanges); round 4 rewrote it as two stacked
+#:   aggregations clustered on orderkey (bucket-compatible, no Expand) —
+#:   re-verify.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "late_line_priority_mix",
     "peak_concurrent_sessions",
     "tfidf_top_terms",
+    "sole_late_supplier_waits",
 })
 
 

@@ -101,3 +101,48 @@ def test_enriched_trips_warehouse_path_is_exchange_free(spark):
     finally:
         for name in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_tpch_factxfact_tier_warehouse_path_is_exchange_free(spark):
+    """Round-3 verdict stretch: the two TPC-H queries that shuffle on
+    orderkey by necessity (Q21/Q12 shapes) ride the bucketed warehouse the
+    same way enriched_trips does.  With ``use_warehouse=True`` the
+    li⋈orders join — and for Q21 the per-order aggregation and join-back
+    too — reuse the bucket distribution; the only shuffle Exchange left is
+    the final tiny rollup (s_name / l_linestatus).  Results must be
+    row-identical to the raw path."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tpch import (
+        q_late_line_priority_mix,
+        q_sole_late_suppliers,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.warehouse import (
+        build_trip_warehouse,
+    )
+
+    names = build_trip_warehouse(spark, SF_SMOKE, n_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            for fn, sort_key in (
+                (q_sole_late_suppliers, "s_name"),
+                (q_late_line_priority_mix, "l_linestatus"),
+            ):
+                wh_plan = plan_string(fn(spark, SF_SMOKE, use_warehouse=True))
+                raw_plan = plan_string(fn(spark, SF_SMOKE))
+                # one Exchange: the final rollup over a tiny key space
+                assert _exchanges(wh_plan) == 1, (fn.__name__, wh_plan)
+                assert _exchanges(raw_plan) > _exchanges(wh_plan), (fn.__name__, raw_plan)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for fn, sort_key in (
+            (q_sole_late_suppliers, "s_name"),
+            (q_late_line_priority_mix, "l_linestatus"),
+        ):
+            raw = sorted(fn(spark, SF_SMOKE).collect(), key=lambda r: r[sort_key])
+            wh = sorted(
+                fn(spark, SF_SMOKE, use_warehouse=True).collect(), key=lambda r: r[sort_key]
+            )
+            assert raw == wh, fn.__name__
+    finally:
+        for name in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
