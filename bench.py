@@ -99,11 +99,12 @@ def main() -> None:
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.stage import (
         staged_features,
         staged_jaccard_pairs,
+        staged_segments,
         staged_shingles,
     )
 
     start = time.perf_counter()
-    for build in (staged_features, staged_shingles, staged_jaccard_pairs):
+    for build in (staged_features, staged_shingles, staged_jaccard_pairs, staged_segments):
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()
     stage_build_sec = round(time.perf_counter() - start, 4)
 

@@ -54,7 +54,12 @@ def oracle_type_hazards(con, sql: str) -> dict[str, str]:
     The known class (round-3 verdict): an uncast integer ``SUM``/windowed sum
     is HUGEINT (int128), which Spark can never emit — two driver rows went
     red on exactly this while passing here at every SF.  ``DESCRIBE`` plans
-    without executing, so this check is free."""
+    without executing, so this check is free.
+
+    Scope note (round-4 audit): int-WIDTH differences are benign — e.g.
+    ``user_retention_cohorts`` (BIGINT oracle vs int Spark) and
+    ``nation_market_share_by_year`` hold green driver rows — so only the
+    no-Spark-twin int128 types are flagged."""
     rows = con.execute("DESCRIBE " + sql).fetchall()
     return {r[0]: r[1] for r in rows if "HUGEINT" in str(r[1]).upper()}
 
