@@ -5,16 +5,24 @@ DuckDB over the same parquet tables, then compares row count, column names,
 and an order-insensitive value comparison.  Run before every commit:
 
     python tools/check_oracle.py [sf_dir] [name ...]
-"""
+    python tools/check_oracle.py --bare [sf_dir] [name ...]
+
+``--bare`` builds a DRIVER-LIKE SparkSession (none of the engine's session
+confs — the verification driver constructs its own bare session), which
+catches conf-dependence bugs the default mode can't: queries relying on
+``session.RUNTIME_CONFS`` being set eagerly, worker-shipped module-level
+closures, timezone/ANSI assumptions.  Run the full --bare sweep at sf0.01
+before every round ships."""
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import get_spark
@@ -92,11 +100,27 @@ def compare(name: str, spark, con, sf_dir: str, spec) -> str:
     return "OK" if not problems else "FAIL " + "; ".join(problems)
 
 
+def _bare_session():
+    """A session shaped like the verification driver's: no engine confs."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .appName("oracle-check-bare")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     registry = load_all()
-    spark = get_spark("oracle-check")
+    spark = _bare_session() if bare else get_spark("oracle-check")
     con = duck_connection(sf_dir)
     failed = []
     checked = 0
