@@ -42,7 +42,11 @@ from ..sources import load_table
 
 #: bump to invalidate every staged frame after a change to staged schemas
 #: or to the tokenization/shingling expressions they bake in
-STAGE_VERSION = 1
+#: v2: stage builds spread the source to the session's default parallelism
+#: before the heavy transform and therefore write multi-file stages — the
+#: testdata parquet is single-rowgroup (unsplittable), so v1 stages were
+#: one file and every staged consumer's scan stage ran single-threaded
+STAGE_VERSION = 2
 
 
 def stage_root() -> str:
@@ -89,10 +93,18 @@ def staged_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original text bytes."""
     from .curate import featurize_documents  # local: stage is curate's dependency at build time only
 
+    # Spread the corpus to the session's parallelism BEFORE featurizing:
+    # the synthetic documents.parquet is one rowgroup (unsplittable), so
+    # without this the tokenize/fingerprint pass runs in ONE task and the
+    # stage lands as one file, single-threading every staged consumer's
+    # scan stage too.  On real multi-rowgroup 100 TB inputs the scan is
+    # already parallel and the round-robin exchange is a no-op cost-wise
+    # (it moves rows once, before the expensive transform).
+    par = spark.sparkContext.defaultParallelism
     out = _ensure(
         "doc_features",
         sf_dir,
-        lambda: featurize_documents(load_table(spark, sf_dir, "documents")),
+        lambda: featurize_documents(load_table(spark, sf_dir, "documents").repartition(par)),
     )
     return spark.read.parquet(out)
 
