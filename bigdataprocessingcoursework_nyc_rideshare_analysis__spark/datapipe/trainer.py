@@ -102,7 +102,11 @@ def train_logreg(features: DataFrame, n_iter: int = N_ITER, l2: float = L2) -> l
     # materialize the featurized frame ONCE: without this every round
     # re-runs the scan + tokenization that produced the features.  The
     # cached frame is (d+1) doubles per row — at 100 TB you stage it to
-    # parquet instead (the ``datapipe.stage`` discipline).
+    # parquet instead (the ``datapipe.stage`` discipline).  The frame
+    # keeps its input partitioning: each round is an Arrow round-trip per
+    # partition, so at bench scale fewer/larger pandas batches beat
+    # max-parallelism (the caller spreads the expensive featurize pass;
+    # the cached 4-double-column rounds are batch-overhead-bound).
     frame = features.select(*feat_cols, "label").persist()
     frame.count()
 
@@ -166,7 +170,10 @@ def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bias — the artifact a ``quality_model_score``-style scan applies."""
     from ..sources import load_table
 
-    feat = featurize_for_quality_gate(load_table(spark, sf_dir, "documents"))
+    # spread BEFORE featurizing: the single-rowgroup source scans as one
+    # split, and the tokenizing featurizer is the expensive per-row pass
+    par = spark.sparkContext.defaultParallelism
+    feat = featurize_for_quality_gate(load_table(spark, sf_dir, "documents").repartition(par))
     w = train_logreg(feat)
     rows = [(name, float(wi)) for name, wi in zip(FEATURE_NAMES, w[:-1])]
     rows.append(("bias", float(w[-1])))
