@@ -26,6 +26,11 @@ from .stage import staged_features
 
 COVERAGE_TOP_K = 500
 
+#: stupid-backoff discount (Brants et al. 2007, "Large Language Models in
+#: Machine Translation" — the web-scale LM built exactly this way on
+#: MapReduce)
+BACKOFF = 0.4
+
 _LOGPPL_ORACLE = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
@@ -65,6 +70,91 @@ def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 9 dp, not 12: thousands-of-terms ln-sums drift past the 12th
             # decimal (seen at sf0.1); per-row ln users keep 12
             F.round(-F.sum(logp) / F.count(F.lit(1)), 9).alias("cross_entropy"),
+        )
+    )
+
+
+_BIGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS term FROM t
+), pairs AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), tuni AS (
+  SELECT term, COUNT(*) AS c FROM tok WHERE doc_id % 2 = 0 GROUP BY term
+), ttot AS (
+  SELECT SUM(c) AS t, COUNT(*) AS v FROM tuni
+), tbig AS (
+  SELECT w1, w2, COUNT(*) AS bc FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(SUM(CASE WHEN tbig.bc IS NOT NULL
+                      THEN ln(CAST(tbig.bc AS DOUBLE) / u1.c)
+                      ELSE ln({BACKOFF} * (COALESCE(u2.c, 0) + 1.0) / (ttot.t + ttot.v))
+                 END) / COUNT(*), 9) AS avg_logprob
+FROM pairs p
+LEFT JOIN tbig ON p.w1 = tbig.w1 AND p.w2 = tbig.w2
+LEFT JOIN tuni u1 ON p.w1 = u1.term
+LEFT JOIN tuni u2 ON p.w2 = u2.term, ttot
+GROUP BY p.doc_id
+"""
+
+
+@register("bigram_backoff_logprob", oracle=_BIGRAM_ORACLE, tags=("datapipe", "text", "quality", "r6"))
+def q_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under a stupid-backoff LM
+    (Brants et al. 2007) trained on the held-out even-``doc_id`` half of the
+    corpus: P(w2|w1) = bc/c(w1) when the bigram was seen in training, else
+    {BACKOFF}·(c(w2)+1)/(N+V) (add-one-smoothed unigram backoff — the
+    odd-half docs genuinely contain unseen bigrams/terms, which is what the
+    backoff path exists for).  This is the higher-order companion to
+    ``unigram_logppl_docs`` and the distributed shape of every count-based
+    LM quality gate: the n-gram table is an aggregation (Heaps-bounded,
+    broadcastable through the low orders), scoring is explode → broadcast
+    join → re-aggregate.  Two corpus passes (train counts, scoring), all
+    shuffles keyed on n-gram or doc_id — nothing scales worse than token
+    count.  Bigram extraction stays array-native (``arrays_zip`` of shifted
+    slices) so no per-token shuffle exists before the join."""
+    docs = staged_features(spark, sf_dir)
+    bigrams = F.expr(
+        "arrays_zip(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1))"
+    )
+    pairs = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    tuni = (
+        train.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ttot = tuni.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("v"))
+    tbig = (
+        train.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bc"))
+    )
+    u1 = tuni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = tuni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    logp = F.when(
+        F.col("bc").isNotNull(), F.log(F.col("bc").cast("double") / F.col("c1"))
+    ).otherwise(
+        F.log(BACKOFF * (F.coalesce(F.col("c2"), F.lit(0)) + 1.0) / (F.col("t") + F.col("v")))
+    )
+    return (
+        pairs.join(F.broadcast(tbig), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .join(F.broadcast(ttot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 9).alias("avg_logprob"),
         )
     )
 

@@ -655,6 +655,78 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: winnowing (Schleimer/Wilkerson/Aiken 2003, MOSS): k-gram size and the
+#: guarantee window — any shared run of WINNOW_K+WINNOW_W-1 tokens between
+#: two documents is guaranteed to share at least one selected fingerprint
+WINNOW_K = 3
+WINNOW_W = 4
+
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS term FROM t
+), ng AS (
+  SELECT a.doc_id, a.pos,
+         substr(md5(a.term || ' ' || b.term || ' ' || c.term), 1, 8) AS h
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), win AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_ng
+  FROM ng
+)
+SELECT DISTINCT doc_id, fp AS fingerprint
+FROM win WHERE pos <= n_ng - {WINNOW_W - 1}
+"""
+
+
+@register("winnowing_fingerprints", oracle=_WINNOW_ORACLE, tags=("datapipe", "text", "dedup", "r6"))
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every {WINNOW_K}-gram, slide a window of {WINNOW_W}
+    consecutive hashes, and keep the minimum hash of each window.  The
+    selected set is position-independent and guarantees that any shared
+    token run of length ≥ {WINNOW_K}+{WINNOW_W}-1 between two documents
+    shares a fingerprint — the local-similarity companion to the whole-doc
+    ``doc_fingerprint`` (which only catches exact duplicates) and the
+    deterministic alternative to MinHash (which only approximates global
+    resemblance).  Joining this table to itself on ``fingerprint`` is the
+    plagiarism/near-dup candidate generator.
+
+    Plan shape: the whole k-gram → rolling-min selection runs INSIDE one
+    row via higher-order array functions (``transform`` over ``sequence``
+    with ``array_min`` window slices) — a stateless projection with zero
+    shuffle; the only exchange is the final distinct on (doc_id,
+    fingerprint).  The oracle expresses the identical selection with
+    positional self-joins + a min-over window, which is the shape a pure
+    SQL engine would use (and what Spark would do if the text were already
+    exploded) — both produce the same set.  Min over the 8-hex-char md5
+    prefix is a string min in both engines, dodging engine-specific int
+    hash functions."""
+    from .stage import staged_features
+
+    docs = staged_features(spark, sf_dir)
+    hashes = (
+        f"transform(sequence(1, size(toks) - {WINNOW_K - 1}), "
+        f"i -> substring(md5(concat_ws(' ', slice(toks, i, {WINNOW_K}))), 1, 8))"
+    )
+    wins = (
+        f"transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
+        f"j -> array_min(slice(hs, j, {WINNOW_W})))"
+    )
+    return (
+        docs.filter(F.size("toks") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", F.expr(hashes).alias("hs"))
+        .select("doc_id", F.explode(F.expr(wins)).alias("fingerprint"))
+        .dropDuplicates(["doc_id", "fingerprint"])
+    )
+
+
 PER_LANG_TOP_K = 5
 
 _LANG_TOP_TERMS_ORACLE = f"""

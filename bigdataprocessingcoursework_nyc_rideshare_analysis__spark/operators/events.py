@@ -832,3 +832,47 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.round(F.sum("credit"), 9).alias("credited_conversions"),
     )
+
+
+THROTTLE_GAP_S = 3600
+
+_THROTTLE_ORACLE = f"""
+WITH x AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM x
+WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) > {THROTTLE_GAP_S * 1000000}
+"""
+
+
+@register("events_throttle_dedup", oracle=_THROTTLE_ORACLE, tags=("events", "window", "dedup", "r6"))
+def q_events_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throttle-style event dedup: within each (user, event_type) stream,
+    drop any event arriving within {THROTTLE_GAP_S}s (1h) of the PREVIOUS event —
+    the batch twin of the instrumentation-side debounce that collapses
+    double-clicks, retry storms, and at-least-once delivery duplicates
+    before sessionization/funnel logic consumes the stream.  (Gap measured
+    to the previous raw event, lag-expressible and SQL-mirrorable; the
+    strictly-iterative variant measured to the previous KEPT event is the
+    streaming `transformWithState` shape.)
+
+    One shuffle on (user_id, event_type) for the lag window; ties broken by
+    event_id so the kept set is deterministic.  Microsecond epoch
+    comparison on both sides dodges interval/decimal coercion differences.
+    At 100 TB the window partitions by user — millions of small partitions,
+    no skew beyond the hottest single user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", prev.alias("prev"))
+        .filter(
+            F.col("prev").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev") > THROTTLE_GAP_S * 1_000_000)
+        )
+        .drop("prev")
+    )

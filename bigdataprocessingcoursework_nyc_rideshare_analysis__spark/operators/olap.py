@@ -196,3 +196,74 @@ def q_top_customers_per_nation_lateral(spark: SparkSession, sf_dir: str) -> Data
     documented trade for the declarative form."""
     register_views(spark, sf_dir, "nation", "customer")
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Explicit Bloom-filter runtime prefilter: build-side key digest broadcast
+# ahead of the exact join.
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m bits / k hash functions.  m bounds the broadcast state
+#: regardless of build-side cardinality (at 100 TB you size m to the real
+#: key count; the POINT is that the digest is O(m), not O(keys)).
+BLOOM_M_BITS = 1 << 16
+BLOOM_SEEDS = (101, 202, 303)
+
+_BLOOM_SEMIJOIN_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+@register("bloom_prefilter_urgent_revenue", oracle=_BLOOM_SEMIJOIN_ORACLE, tags=("olap", "semijoin", "bloom", "r6"))
+def q_bloom_prefilter_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join revenue of urgent orders' lineitems, computed through an
+    EXPLICIT Bloom-filter runtime prefilter: hash the build side's keys
+    into an m-bit digest (materialized as the distinct set-bit positions —
+    ≤ m rows however large the build side grows), broadcast it, drop every
+    probe row whose k positions aren't all set, and only then run the
+    exact shuffle semi-join on the survivors.  False positives are removed
+    by the exact confirm, so the result is EXACTLY the semi-join (the
+    oracle is the plain ``IN`` subquery) — the Bloom stage only cuts the
+    shuffle volume.
+
+    This is the hand-rolled form of Spark's own runtime filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, which injects the
+    same digest under an AQE plan); materializing it explicitly is how you
+    REUSE one built filter across several probe-side facts or persist it
+    next to a snapshot for incremental loads.  All hashing is JVM-side
+    (``xxhash64`` with per-function seeds, ``pmod`` into m); the k
+    membership tests are k broadcast left-semi hash joins against the
+    ≤ m-row position set — no explode of the probe side, no Python.
+    At 1000 executors the probe scan streams through k broadcast probes
+    and only the surviving fraction reaches the orderkey exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    def positions(key):
+        return [F.pmod(F.xxhash64(key, F.lit(s)), F.lit(BLOOM_M_BITS)) for s in BLOOM_SEEDS]
+
+    bloom = (
+        urgent.select(F.explode(F.array(*positions(F.col("o_orderkey")))).alias("pos"))
+        .distinct()
+    )
+    probe = li
+    for i, p in enumerate(positions(F.col("l_orderkey"))):
+        member = bloom.withColumnRenamed("pos", f"pos{i}")
+        probe = probe.join(F.broadcast(member), p == F.col(f"pos{i}"), "left_semi")
+    return (
+        probe.join(urgent, probe.l_orderkey == urgent.o_orderkey, "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -194,7 +194,7 @@ def load_all() -> dict[str, QuerySpec]:
             # 3. Older additions before newer ("r4" then "r5" tags), so a
             #    bounded verification window drains oldest-first.
             spec = REGISTRY[name]
-            age = ("r4" in spec.tags) + 2 * ("r5" in spec.tags)
+            age = ("r4" in spec.tags) + 2 * ("r5" in spec.tags) + 3 * ("r6" in spec.tags)
             return (0, name not in CHANGED_SINCE_VERIFIED, spec.oracle is None, age)
         return (1, 0, 0, DRIVER_VERIFIED[name])
 

@@ -1,0 +1,166 @@
+"""Round-6 additions: stupid-backoff bigram LM scoring, winnowing
+fingerprints, throttle-style event dedup, explicit Bloom prefilter.
+Oracle parity runs in tools/check_oracle.py; these tests pin the semantics
+against pure-Python references on the smoke data and the invariants the
+differential check can't express (Bloom = exact semi-join, winnowing's
+shared-run guarantee)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+
+from tests.conftest import SF_SMOKE
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.lm import (
+    BACKOFF,
+    q_bigram_backoff_logprob,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+    WINNOW_K,
+    WINNOW_W,
+    q_winnowing_fingerprints,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events import (
+    THROTTLE_GAP_S,
+    q_events_throttle_dedup,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.olap import (
+    q_bloom_prefilter_urgent_revenue,
+)
+
+
+def _tokens(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+# --- bigram stupid backoff ---------------------------------------------------
+
+
+def test_bigram_backoff_matches_python_reference(spark):
+    docs = _docs()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _, r in docs.iterrows():
+        t = _tokens(r.text)
+        if r.doc_id % 2 == 0:
+            uni.update(t)
+            big.update(zip(t, t[1:]))
+    n, v = sum(uni.values()), len(uni)
+    expected = {}
+    for _, r in docs.iterrows():
+        t = _tokens(r.text)
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            continue
+        s = 0.0
+        for w1, w2 in pairs:
+            if (w1, w2) in big:
+                s += math.log(big[(w1, w2)] / uni[w1])
+            else:
+                s += math.log(BACKOFF * (uni.get(w2, 0) + 1.0) / (n + v))
+        expected[r.doc_id] = (len(pairs), s / len(pairs))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in q_bigram_backoff_logprob(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expected)
+    for doc_id, (n_bg, lp) in expected.items():
+        assert got[doc_id][0] == n_bg
+        assert abs(got[doc_id][1] - lp) < 2e-9, doc_id
+
+
+def test_bigram_backoff_path_actually_taken(spark):
+    """The held-out split must exercise BOTH scoring branches, or the
+    operator degenerates to an ML-estimate bigram LM."""
+    docs = _docs()
+    big = set()
+    for _, r in docs[docs.doc_id % 2 == 0].iterrows():
+        t = _tokens(r.text)
+        big.update(zip(t, t[1:]))
+    unseen = 0
+    for _, r in docs[docs.doc_id % 2 == 1].iterrows():
+        t = _tokens(r.text)
+        unseen += sum(1 for p in zip(t, t[1:]) if p not in big)
+    assert unseen > 0
+
+
+# --- winnowing ---------------------------------------------------------------
+
+
+def _py_winnow(tokens: list[str]) -> set[str]:
+    if len(tokens) < WINNOW_K + WINNOW_W - 1:
+        return set()
+    hs = [
+        hashlib.md5(" ".join(tokens[i : i + WINNOW_K]).encode()).hexdigest()[:8]
+        for i in range(len(tokens) - WINNOW_K + 1)
+    ]
+    return {min(hs[j : j + WINNOW_W]) for j in range(len(hs) - WINNOW_W + 1)}
+
+
+def test_winnowing_matches_python_reference(spark):
+    expected = set()
+    for _, r in _docs().iterrows():
+        for fp in _py_winnow(_tokens(r.text)):
+            expected.add((r.doc_id, fp))
+    got = {
+        (r.doc_id, r.fingerprint)
+        for r in q_winnowing_fingerprints(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_winnowing_shared_run_guarantee():
+    """Schleimer et al.'s guarantee, pinned on the reference implementation:
+    two token streams sharing a run of K+W-1 tokens share a fingerprint."""
+    shared = [f"s{i}" for i in range(WINNOW_K + WINNOW_W - 1)]
+    a = ["alpha", "beta", *shared, "gamma"]
+    b = ["delta", *shared, "epsilon", "zeta"]
+    assert _py_winnow(a) & _py_winnow(b)
+
+
+# --- throttle dedup ----------------------------------------------------------
+
+
+def test_throttle_dedup_matches_python_reference(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    keep = set()
+    for _, g in ev.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        prev = None
+        for _, r in g.iterrows():
+            if prev is None or (r.ts - prev).total_seconds() > THROTTLE_GAP_S:
+                keep.add(r.event_id)
+            prev = r.ts
+    got = {r.event_id for r in q_events_throttle_dedup(spark, SF_SMOKE).collect()}
+    assert got == keep
+    assert len(got) < len(ev)  # the smoke stream does contain bursts
+
+
+# --- bloom prefilter ---------------------------------------------------------
+
+
+def test_bloom_prefilter_equals_exact_semijoin(spark):
+    """False positives are confirmed away: the Bloom-prefiltered aggregate
+    equals the plain semi-join aggregate exactly."""
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    urgent = set(orders[orders.o_orderpriority == "1-URGENT"].o_orderkey)
+    m = li[li.l_orderkey.isin(urgent)]
+    row = q_bloom_prefilter_urgent_revenue(spark, SF_SMOKE).collect()[0]
+    assert row.n_lines == len(m)
+    expected_rev = float(
+        sum(
+            round(p, 2) * (1 - round(d, 2))
+            for p, d in zip(m.l_extendedprice, m.l_discount)
+        )
+    )
+    assert abs(row.revenue - expected_rev) < 1e-6 * max(1.0, abs(expected_rev))
