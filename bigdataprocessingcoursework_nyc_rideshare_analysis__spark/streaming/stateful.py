@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 RUNNING_TOTALS_SCHEMA = StructType(
@@ -158,4 +159,63 @@ def running_totals_tws_stream(events: DataFrame) -> DataFrame:
         outputStructType=RUNNING_TOTALS_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+THROTTLE_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+_LAST_KEPT_SCHEMA = StructType([StructField("last_us", LongType())])
+
+
+def throttle_dedup_stream(events: DataFrame, gap_s: int = 3600) -> DataFrame:
+    """Streaming debounce: per (user_id, event_type), emit an event only if
+    it arrives more than ``gap_s`` after the last EMITTED event of that key
+    — state is the last-kept timestamp, carried across micro-batches.
+
+    This is the strictly-iterative semantics the batch
+    ``events_throttle_dedup`` operator deliberately relaxes (batch measures
+    the gap to the previous RAW event so a lag window can express it; the
+    debounce-to-last-kept rule is sequential per key and therefore lives
+    here, where the state store IS the iteration).  Within a micro-batch
+    rows are ordered by (ts, event_id) before the rule is applied, so
+    output is deterministic for any fixed batching; state is one long per
+    live key — O(|keys|) memory, eviction by timeout when the key domain
+    is unbounded.
+
+    The update function is a closure (cloudpickle by-value; workers never
+    import this package — same rule as every Python-worker callable)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        keep = []
+        for row in pdf.itertuples():
+            us = row.ts.value // 1000  # pandas ns ticks → microseconds
+            if last is None or us - last > gap_s * 1_000_000:
+                keep.append(row.Index)
+                last = us
+        if last is not None:
+            state.update((int(last),))
+        out = pdf.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        if len(out):
+            yield out
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=THROTTLE_OUT_SCHEMA,
+        stateStructType=_LAST_KEPT_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -772,3 +772,89 @@ def test_cdc_snapshot_time_travel(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def _py_debounce(ev_pdf, gap_s):
+    keep = set()
+    for _, g in ev_pdf.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        last = None
+        for r in g.itertuples():
+            if last is None or (r.ts - last).total_seconds() > gap_s:
+                keep.add(r.event_id)
+                last = r.ts
+    return keep
+
+
+def test_streaming_throttle_debounce_matches_iterative_reference(spark):
+    """Debounce-to-last-KEPT over one micro-batch equals the sequential
+    per-key reference (the semantics no lag window can express)."""
+    import pandas as pd
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.stateful import (
+        throttle_dedup_stream,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tempfile.mkdtemp(prefix="events_debounce_")
+    try:
+        ev.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(ev.schema).parquet(d)
+        q = (
+            throttle_dedup_stream(src, gap_s=3600)
+            .writeStream.format("memory")
+            .queryName("debounce_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.event_id for r in spark.table("debounce_stream").collect()}
+        want = _py_debounce(ev.toPandas(), 3600)
+        assert got == want
+        assert len(got) < ev.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_throttle_state_carries_across_batches(spark):
+    """With one file per micro-batch, the last-kept timestamp must survive
+    the batch boundary: an early-second-batch event inside the gap of a
+    first-batch kept event is dropped."""
+    import pandas as pd
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.stateful import (
+        throttle_dedup_stream,
+    )
+
+    rows = [
+        # one key; 3 events: kept, dropped (inside gap, 2nd batch), kept
+        (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:30:00", 7, "click", 1.0, "{}"),
+        (3, "2024-01-01 02:00:00", 7, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, pd.Timestamp(t).to_pydatetime(), u, e, v, p) for i, t, u, e, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="events_debounce_batches_")
+    try:
+        import time as _time
+
+        ev.filter("event_id = 1").coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # file-source orders batches by mod time
+        ev.filter("event_id >= 2").coalesce(1).write.mode("append").parquet(d)
+        src = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+        q = (
+            throttle_dedup_stream(src, gap_s=3600)
+            .writeStream.format("memory")
+            .queryName("debounce_batches")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r.event_id for r in spark.table("debounce_batches").collect())
+        assert got == [1, 3]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
