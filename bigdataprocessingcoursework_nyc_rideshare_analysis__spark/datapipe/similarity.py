@@ -271,6 +271,156 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_rank_candidates(emb, candidates, TOP_K)
 
 
+# --- PQ (product quantization) ----------------------------------------------
+
+PQ_SUBSPACES = 8  # dim 64 → 8 subvectors of 8 dims each
+PQ_CODEBOOK = 64  # centroids per subspace: 6-bit codes (near-uniform synthetic
+#  embeddings carry little cluster structure, so ADC fidelity needs the bits)
+PQ_SEED = 11
+PQ_KMEANS_ITERS = 8
+PQ_SHORTLIST = 8  # ADC shortlist size = PQ_SHORTLIST × TOP_K per query
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_SUBSPACES,
+    ksub: int = PQ_CODEBOOK,
+    iters: int = PQ_KMEANS_ITERS,
+    seed: int = PQ_SEED,
+    cap: int = IVF_TRAIN_CAP,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Per-subspace k-means codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") trained driver-side on the
+    same strided, absolutely-capped sample as ``train_ivf_centroids`` —
+    training needs O(ksub·dsub) data per subspace, never O(corpus).
+    Vectors are unit-normalized first so PQ's L2 geometry ranks like the
+    cosine used by every other tier (‖a−b‖² = 2−2·cos for unit vectors).
+    Returns (m, ksub, dsub) float64."""
+    n = emb.count()
+    stride = max(1, -(-n // cap))
+    sample = np.stack(
+        emb.filter((F.col(id_col) % stride) == 0)
+        .select(vec_col)
+        .limit(cap)
+        .toPandas()[vec_col]
+        .to_numpy()
+    ).astype(np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    dim = sample.shape[1]
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d = (sub * sub).sum(1, keepdims=True) - 2 * sub @ cent.T + (cent * cent).sum(1)
+            assign = np.argmin(d, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame, books: "np.ndarray", id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, codes) rows: each vector compressed to its per-subspace nearest
+    codebook entries — m small ints replacing dim floats (64× smaller at
+    the default geometry).  One GEMM per subspace per Arrow batch."""
+    m, ksub, dsub = books.shape
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            emb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = emb[:, j * dsub : (j + 1) * dsub]
+                cent = books[j]
+                d = (sub * sub).sum(1, keepdims=True) - 2 * sub @ cent.T + (cent * cent).sum(1)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+@register("ann_pq_topk", oracle=None, tags=("datapipe", "similarity", "pq", "r6"))
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: the corpus lives as m-byte PQ codes; each
+    query precomputes an (m × ksub) table of squared distances to every
+    codebook entry, and a corpus vector's approximate distance is m table
+    lookups summed (asymmetric distance computation).  A per-partition ADC
+    shortlist ({PQ_SHORTLIST}×k per query) feeds the shared exact re-rank
+    tail, so the full-precision vectors are touched only for shortlist
+    members.
+
+    The 100 TB story is MEMORY, complementing IVF's compute story: 64
+    float32 dims (256 B) become 8 codes (8 B int32 here; 4 bits each in a
+    packed layout), so a trillion-vector corpus's scan state fits a
+    fraction of the raw footprint, and the scan itself is integer table
+    lookups, not FMAs.  Distance tables are query-set-sized driver state
+    ({N_QUERIES}·m·ksub doubles) shipped as a closure constant; the
+    map-side local top-k bounds the shuffle to
+    partitions × queries × {PQ_SHORTLIST}·k rows.  Recall is approximate →
+    rows-only driver check; pytest floors recall against the brute-force
+    truth and pins the encoder to a NumPy reference."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb)
+    m, ksub, dsub = books.shape
+    qpdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").toPandas()
+    )
+    qids = qpdf["vec_id"].to_numpy()
+    qvecs = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    # dt[q, j, c] = ‖q_sub_j − books[j, c]‖²
+    dt = np.empty((len(qids), m, ksub))
+    for j in range(m):
+        sub = qvecs[:, j * dsub : (j + 1) * dsub]
+        cent = books[j]
+        dt[:, j, :] = (
+            (sub * sub).sum(1, keepdims=True) - 2 * sub @ cent.T + (cent * cent).sum(1)
+        )
+    shortlist = PQ_SHORTLIST * TOP_K
+    subspace_idx = np.arange(m)
+
+    def adc_local_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            lookups = dt[:, subspace_idx, codes]  # (nq, n, m)
+            approx = lookups.sum(axis=2)  # (nq, n)
+            k = min(shortlist, approx.shape[1])
+            top = np.argpartition(approx, k - 1, axis=1)[:, :k]  # (nq, k)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, k),
+                    "neighbor_id": ids[top].ravel(),
+                }
+            )
+
+    candidates = (
+        pq_encode(emb, books)
+        .mapInPandas(adc_local_topk, schema="query_id long, neighbor_id long")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    return exact_rank_candidates(emb, candidates, TOP_K)
+
+
 # --- per-label centroids -----------------------------------------------------
 
 _CENTROID_ORACLE = """
@@ -446,14 +596,14 @@ def q_embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_recall_report", oracle=None, tags=("datapipe", "similarity", "diagnostic", "r5"))
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality monitor: recall@{TOP_K} of each ANN tier (hyperplane
-    LSH, IVF) against the exact brute-force top-k, per method — the number
+    LSH, IVF, PQ/ADC) against the exact brute-force top-k, per method — the number
     an ANN deployment alarms on.  One row per method: queries evaluated,
     mean recall, worst per-query recall.
 
     Every input is deterministic (fixed seeds, capped training sample,
     quantized integer cosine with pinned tie order), so the report is
-    reproducible run-to-run — rows-only at the driver because LSH/IVF have
-    no SQL form; pytest separately floors these recalls against the same
+    reproducible run-to-run — rows-only at the driver because LSH/IVF/PQ
+    have no SQL form; pytest separately floors these recalls against the same
     ground truth.  Plan: the three top-k frames join on
     (query_id, neighbor_id) — query-set-sized, not corpus-sized — and the
     per-method aggregate is |methods| rows.  At scale this runs on a query
@@ -467,6 +617,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, topk_df in (
         ("lsh", q_ann_lsh_topk(spark, sf_dir)),
         ("ivf", q_ann_ivf_topk(spark, sf_dir)),
+        ("pq", q_ann_pq_topk(spark, sf_dir)),
     ):
         approx = topk_df.select("query_id", "neighbor_id")
         hits = (
@@ -487,7 +638,9 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         per_method.append(per_query)
-    allq = per_method[0].unionByName(per_method[1])
+    allq = per_method[0]
+    for extra in per_method[1:]:
+        allq = allq.unionByName(extra)
     return allq.groupBy("method").agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.round(F.avg("recall"), 9).alias("mean_recall"),

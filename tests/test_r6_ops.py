@@ -164,3 +164,57 @@ def test_bloom_prefilter_equals_exact_semijoin(spark):
         )
     )
     assert abs(row.revenue - expected_rev) < 1e-6 * max(1.0, abs(expected_rev))
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def test_pq_encoder_matches_numpy_reference(spark):
+    """The distributed encoder must produce exactly the codes the trained
+    codebooks imply (nearest sub-centroid per subspace, L2 on unit-norm)."""
+    import numpy as np
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = train_pq_codebooks(emb)
+    m, ksub, dsub = books.shape
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = {}
+    for vid, v in zip(pdf["vec_id"], vecs):
+        codes = []
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            codes.append(int(np.argmin(((books[j] - sub) ** 2).sum(axis=1))))
+        want[vid] = codes
+    got = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    assert got == want
+
+
+def test_pq_topk_recall_floor(spark):
+    """ADC shortlist + exact re-rank must recover most of the brute-force
+    top-k (PQ quantization error bounds recall below 1.0)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        N_QUERIES,
+        TOP_K,
+        cosine_topk,
+        q_ann_pq_topk,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter("vec_id < %d" % N_QUERIES)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, TOP_K).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in q_ann_pq_topk(spark, SF_SMOKE).collect()}
+    assert len(got) == len(truth)  # k results per query either way
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall
