@@ -727,6 +727,81 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: candidate-pair thresholds: fingerprints rarer than WINNOW_DF_CAP docs
+#: join pairs; pairs sharing ≥ WINNOW_SHARED_MIN fingerprints are candidates
+WINNOW_DF_CAP = 20
+WINNOW_SHARED_MIN = 2
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS term FROM t
+), ng AS (
+  SELECT a.doc_id, a.pos,
+         substr(md5(a.term || ' ' || b.term || ' ' || c.term), 1, 8) AS h
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), win AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_ng
+  FROM ng
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM win WHERE pos <= n_ng - {WINNOW_W - 1}
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_SHARED_MIN}
+"""
+
+
+@register("winnow_candidate_pairs", oracle=_WINNOW_PAIRS_ORACLE, tags=("datapipe", "text", "dedup", "r6"))
+def q_winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from the winnowing fingerprint table:
+    document pairs sharing ≥ {WINNOW_SHARED_MIN} selected fingerprints,
+    counted over fingerprints rarer than {WINNOW_DF_CAP} documents — the
+    MOSS match step on top of ``winnowing_fingerprints``, and the
+    local-overlap companion to the MinHash/SimHash candidate generators
+    (those approximate GLOBAL resemblance; shared winnow fingerprints
+    witness shared local token runs — plagiarism, quote reuse, template
+    boilerplate).
+
+    The document-frequency cap is the standard hub guard (same move as the
+    AllPairs hub-term split and the prefix filter): a fingerprint shared by
+    half the corpus would contribute a quadratic per-fingerprint blowup
+    while carrying no discriminative signal, so pairs are generated only
+    through rare fingerprints.  Plan: fingerprint df aggregate (one
+    shuffle, |fingerprints|-bounded), broadcast-joined back as the rare
+    filter, self-join keyed on fingerprint (per-key fan-out ≤ cap²), pair
+    aggregate — corpus-linear outside the capped fan-out."""
+    fps = q_winnowing_fingerprints(spark, sf_dir)
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("fingerprint")
+    )
+    rare_fps = fps.join(F.broadcast(rare), "fingerprint")
+    a = rare_fps.select("fingerprint", F.col("doc_id").alias("doc_a"))
+    b = rare_fps.select("fingerprint", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= WINNOW_SHARED_MIN)
+    )
+
+
 PER_LANG_TOP_K = 5
 
 _LANG_TOP_TERMS_ORACLE = f"""

@@ -218,3 +218,33 @@ def test_pq_topk_recall_floor(spark):
     assert len(got) == len(truth)  # k results per query either way
     recall = len(got & truth) / len(truth)
     assert recall >= 0.5, recall
+
+
+def test_winnow_candidate_pairs_match_python_reference(spark):
+    from collections import Counter, defaultdict
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        WINNOW_DF_CAP,
+        WINNOW_SHARED_MIN,
+        q_winnow_candidate_pairs,
+    )
+
+    doc_fps = {r.doc_id: _py_winnow(_tokens(r.text)) for _, r in _docs().iterrows()}
+    df = Counter(fp for fps in doc_fps.values() for fp in fps)
+    by_fp = defaultdict(list)
+    for d, fps in doc_fps.items():
+        for fp in fps:
+            if df[fp] <= WINNOW_DF_CAP:
+                by_fp[fp].append(d)
+    shared = Counter()
+    for docs in by_fp.values():
+        docs = sorted(docs)
+        for i, a in enumerate(docs):
+            for b in docs[i + 1 :]:
+                shared[(a, b)] += 1
+    want = {p: c for p, c in shared.items() if c >= WINNOW_SHARED_MIN}
+    got = {
+        (r.doc_a, r.doc_b): r.shared_fingerprints
+        for r in q_winnow_candidate_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want
