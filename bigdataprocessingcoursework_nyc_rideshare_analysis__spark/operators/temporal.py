@@ -1103,3 +1103,70 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
         F.max(F.when(F.col("rn_z") == 1, F.col("value"))).alias("v_last"),
     )
+
+
+# --- seasonal decomposition --------------------------------------------------
+
+#: centered moving-average half-width: 3 ⇒ a 7-day (weekly) trend window
+DECOMP_HALF_WIDTH = 3
+
+_DOW_DECOMP_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+), b AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+), dense AS (
+  SELECT s.day, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+  FROM spine s LEFT JOIN d ON s.day = d.day
+), tr AS (
+  SELECT day, n_events,
+         AVG(CAST(n_events AS DOUBLE)) OVER (ORDER BY day
+             ROWS BETWEEN {DECOMP_HALF_WIDTH} PRECEDING AND {DECOMP_HALF_WIDTH} FOLLOWING) AS trend
+  FROM dense
+), se AS (
+  SELECT day, n_events, trend,
+         AVG(n_events - trend) OVER (PARTITION BY isodow(day) - 1) AS seasonal
+  FROM tr
+)
+SELECT day, n_events, ROUND(trend, 9) AS trend, ROUND(seasonal, 9) AS seasonal,
+       ROUND(n_events - trend - seasonal, 9) AS residual
+FROM se
+"""
+
+
+@register("daily_dow_decomposition", oracle=_DOW_DECOMP_ORACLE, tags=("temporal", "timeseries", "r6"))
+def q_daily_dow_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event series:
+    trend = 7-day centered moving average over the gap-filled spine,
+    seasonal = per-day-of-week mean of the detrended series, residual =
+    observed − trend − seasonal — the STL-lite every ops dashboard runs
+    before alerting on raw counts (a Monday dip is seasonality, not an
+    incident; the residual is what anomaly thresholds should see, cf. the
+    CUSUM and burst detectors that consume series like this).
+
+    All three components are window expressions over the |days|-sized daily
+    aggregate, so after the day-keyed partial count the whole decomposition
+    is dashboard-sized: the unpartitioned ORDER BY day window is the
+    documented single-series cost (|days| rows — thousands, not billions —
+    same bound as the EWMA/autocorrelation queries).  Day-of-week mapping
+    pins Spark ``weekday()`` (0=Monday) to DuckDB ``isodow()-1`` so the
+    seasonal groups agree across engines."""
+    dense = daily_gapfilled(load_table(spark, sf_dir, "events"))
+    w_trend = Window.orderBy("day").rowsBetween(-DECOMP_HALF_WIDTH, DECOMP_HALF_WIDTH)
+    tr = dense.select(
+        "day",
+        "n_events",
+        F.avg(F.col("n_events").cast("double")).over(w_trend).alias("trend"),
+    )
+    w_dow = Window.partitionBy(F.weekday("day"))
+    se = tr.withColumn("seasonal", F.avg(F.col("n_events") - F.col("trend")).over(w_dow))
+    return se.select(
+        "day",
+        "n_events",
+        F.round("trend", 9).alias("trend"),
+        F.round("seasonal", 9).alias("seasonal"),
+        F.round(F.col("n_events") - F.col("trend") - F.col("seasonal"), 9).alias("residual"),
+    )

@@ -248,3 +248,38 @@ def test_winnow_candidate_pairs_match_python_reference(spark):
         for r in q_winnow_candidate_pairs(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+# --- seasonal decomposition --------------------------------------------------
+
+
+def test_dow_decomposition_matches_pandas_reference(spark):
+    import numpy as np
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        DECOMP_HALF_WIDTH,
+        q_daily_dow_decomposition,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    daily = ev.groupby(ev.ts.dt.date).size()
+    idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D").date
+    dense = daily.reindex(idx, fill_value=0).astype(float)
+    trend = dense.rolling(2 * DECOMP_HALF_WIDTH + 1, center=True, min_periods=1).mean()
+    detr = dense - trend
+    dows = pd.Series([d.weekday() for d in idx], index=idx)
+    seasonal = detr.groupby(dows).transform("mean")
+    resid = dense - trend - seasonal
+    got = {r.day: (r.n_events, r.trend, r.seasonal, r.residual)
+           for r in q_daily_dow_decomposition(spark, SF_SMOKE).collect()}
+    assert set(got) == set(idx)
+    for d in idx:
+        n, t, s, r = got[d]
+        assert n == dense[d]
+        assert abs(t - trend[d]) < 2e-9
+        assert abs(s - seasonal[d]) < 2e-9
+        assert abs(r - resid[d]) < 4e-9
+    # decomposition identity: components sum back to the observation
+    for d in idx:
+        n, t, s, r = got[d]
+        assert abs((t + s + r) - n) < 1e-8
