@@ -332,3 +332,45 @@ def test_text_and_binaryfile_sources(spark, tmp_path):
     assert row["path"].endswith("x.bin")
     assert row["length"] == 16
     assert bytes(row["content"]) == payload
+
+
+def test_csv_permissive_mode_captures_corrupt_records(spark, outdir):
+    """Malformed-row handling at the ingestion edge: PERMISSIVE mode parses
+    what it can and lands the raw line of each bad row in the designated
+    corrupt-record column, so a 100 TB ingest quarantines garbage instead
+    of failing the job (DROPMALFORMED/FAILFAST are the stricter dials)."""
+    import os
+
+    path = os.path.join(outdir, "dirty.csv")
+    with open(path, "w") as f:
+        f.write("id,amount\n1,10.5\nnot_a_number_row_with,extra,columns\n2,20.0\n3,bad\n")
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("id int, amount double, _corrupt string")
+        .csv(path)
+    )
+    rows = df.collect()
+    good = {r.id: r.amount for r in rows if r._corrupt is None}
+    bad = [r._corrupt for r in rows if r._corrupt is not None]
+    assert good == {1: 10.5, 2: 20.0}
+    assert sorted(bad) == ["3,bad", "not_a_number_row_with,extra,columns"]
+
+
+def test_parquet_merge_schema_reads_evolved_layout(spark, outdir):
+    """Schema evolution: a reader over old (id, a) and new (id, a, b)
+    parquet must union the schemas under mergeSchema and null-fill the
+    column the old files lack — the contract that lets a long-lived table
+    add columns without rewriting history."""
+    import os
+
+    base = os.path.join(outdir, "evolved")
+    spark.createDataFrame([(1, "x")], "id int, a string").write.parquet(os.path.join(base, "v=1"))
+    spark.createDataFrame([(2, "y", 7.0)], "id int, a string, b double").write.parquet(
+        os.path.join(base, "v=2")
+    )
+    df = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(df.columns) == {"id", "a", "b", "v"}
+    got = {r.id: (r.a, r.b) for r in df.collect()}
+    assert got == {1: ("x", None), 2: ("y", 7.0)}
