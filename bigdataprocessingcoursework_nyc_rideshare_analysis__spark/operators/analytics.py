@@ -1090,3 +1090,66 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+# --- weighted median ---------------------------------------------------------
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag AS flag, l_discount AS disc,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT flag, disc,
+         SUM(rev) OVER (PARTITION BY flag ORDER BY disc
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(rev) OVER (PARTITION BY flag) AS tot
+  FROM r
+)
+SELECT flag, MIN(disc) AS weighted_median_discount
+FROM c WHERE 2 * cum >= tot
+GROUP BY flag
+"""
+
+
+@register("revenue_weighted_median_discount", oracle=_WEIGHTED_MEDIAN_ORACLE, tags=("analytics", "agg", "r6"))
+def q_revenue_weighted_median_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: per return flag, the discount level at which half
+    the REVENUE (not half the rows) sits at or below — the
+    distribution-over-weight statistic behind 'half our revenue ships at
+    ≤ X% discount' (``percentile_cont`` queries answer the unweighted
+    form; a row-median discount would overweight cheap lines).
+
+    Exactness discipline: the crossing test is ``2·cum ≥ tot`` in DECIMAL
+    arithmetic — no 0.5× double epsilon at the boundary — over cumulative
+    sums of the exact decimal revenue.  Plan: one (flag, discount) hash
+    aggregate collapses the fact scan to |flags|×|discount levels| rows
+    (map-side partials do the heavy lifting), and every window after that
+    runs on that tiny frame — the pattern for weighted quantiles over any
+    low-cardinality weight axis at 100 TB.  For continuous axes you bucket
+    first (cf. ``value_histogram``) and pay one more shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    r = (
+        li.groupBy(F.col("l_returnflag").alias("flag"), F.col("l_discount").alias("disc"))
+        .agg(rev.alias("rev"))
+    )
+    w_cum = Window.partitionBy("flag").orderBy("disc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("flag")
+    c = r.select(
+        "flag",
+        "disc",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_tot).alias("tot"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(F.min("disc").alias("weighted_median_discount"))
+    )

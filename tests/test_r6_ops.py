@@ -283,3 +283,38 @@ def test_dow_decomposition_matches_pandas_reference(spark):
     for d in idx:
         n, t, s, r = got[d]
         assert abs((t + s + r) - n) < 1e-8
+
+
+# --- weighted median ---------------------------------------------------------
+
+
+def test_weighted_median_discount_matches_python_reference(spark):
+    from decimal import Decimal
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+        q_revenue_weighted_median_discount,
+    )
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    want = {}
+    for flag, g in li.groupby("l_returnflag"):
+        rev_by_disc = {}
+        for p, d in zip(g.l_extendedprice, g.l_discount):
+            r = Decimal(str(round(p, 2))) * (1 - Decimal(str(round(d, 2))))
+            rev_by_disc[d] = rev_by_disc.get(d, Decimal(0)) + r
+        tot = sum(rev_by_disc.values())
+        cum = Decimal(0)
+        for d in sorted(rev_by_disc):
+            cum += rev_by_disc[d]
+            if 2 * cum >= tot:
+                want[flag] = d
+                break
+    got = {
+        r.flag: r.weighted_median_discount
+        for r in q_revenue_weighted_median_discount(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # weighted ≠ plain median in general; at minimum it must be a real
+    # discount level present under the flag
+    for flag, d in got.items():
+        assert d in set(li[li.l_returnflag == flag].l_discount)
