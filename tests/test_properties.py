@@ -384,3 +384,55 @@ def test_chunk_count_closed_form(spark, n):
     for s0, l in zip(starts, lengths):
         covered.update(range(s0, s0 + l))
     assert covered == set(range(1, n + 1))
+
+
+# --- winnowing guarantee ------------------------------------------------------
+
+# pure-Python property over the reference implementation the Spark op is
+# pinned against in test_r6_ops (no Spark session: the property is about
+# the ALGORITHM; engine parity is the other test's job)
+
+_WORDS = st.lists(
+    st.sampled_from([f"w{i}" for i in range(6)]), min_size=0, max_size=30
+)
+
+
+@given(a=_WORDS, b=_WORDS, run=st.integers(min_value=0, max_value=4))
+@SETTINGS
+def test_winnowing_guarantee_on_planted_shared_run(a, b, run):
+    """Any two token streams sharing a contiguous run of K+W-1 tokens must
+    share at least one selected fingerprint (Schleimer et al. 2003, §3) —
+    for ANY surrounding context, including adversarial repetition."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+    from tests.test_r6_ops import _py_winnow
+
+    shared = [f"s{(i + run) % 7}" for i in range(WINNOW_K + WINNOW_W - 1)]
+    fa = _py_winnow(a + shared + b)
+    fb = _py_winnow(b + shared + a)
+    assert fa & fb
+
+
+@given(toks=_WORDS)
+@SETTINGS
+def test_winnowing_selection_is_subset_of_kgram_hashes(toks):
+    import hashlib
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+    from tests.test_r6_ops import _py_winnow
+
+    fps = _py_winnow(toks)
+    if len(toks) < WINNOW_K + WINNOW_W - 1:
+        assert fps == set()
+        return
+    all_hashes = {
+        hashlib.md5(" ".join(toks[i : i + WINNOW_K]).encode()).hexdigest()[:8]
+        for i in range(len(toks) - WINNOW_K + 1)
+    }
+    assert fps <= all_hashes
+    assert fps  # at least one window ⇒ at least one selection
