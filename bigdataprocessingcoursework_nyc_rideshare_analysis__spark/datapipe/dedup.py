@@ -738,3 +738,91 @@ def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("contained_doc", "container_doc", "containment")
     )
+
+
+# --- exact duplicate n-gram spans (substring-level dedup) --------------------
+
+DUP_SPAN_N = 8  # tokens per span; Lee et al. use 50 BPE tokens — 8 words ≈ the same scale on word tokens
+
+_DUP_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{DUP_SPAN_N - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {DUP_SPAN_N - 2})) AS r(i)
+), dup AS (
+  SELECT gram FROM grams GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT DISTINCT g.doc_id, u.tok_idx
+  FROM grams g JOIN dup d USING (gram), UNNEST(range(g.pos, g.pos + {DUP_SPAN_N})) AS u(tok_idx)
+), agg AS (
+  SELECT doc_id, COUNT(*) AS dup_tokens FROM covered GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(t.t) AS dup_frac
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("duplicate_ngram_spans", oracle=_DUP_SPAN_ORACLE, tags=("datapipe", "dedup", "text"))
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup: per document, how many token positions
+    sit inside an N-gram (N=DUP_SPAN_N) that ALSO occurs verbatim in another document
+    (the cross-document repeated-span statistic behind ExactSubstr dedup —
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — whole-doc dedup misses boilerplate/quotation spans entirely).
+    Within-document repetition is deliberately out of scope here; that is
+    ``doc_repetition_score``'s axis (``datapipe/scrub.py``).
+
+    Pipeline (all JVM built-ins over the staged token frame):
+    (1) slide an N-token window per doc → (doc, pos, gram) via one
+    ``posexplode``; (2) one shuffle grouped on the gram finds grams seen in
+    ≥2 distinct docs; (3) duplicated positions re-join and expand to the
+    {n} covered token indices, deduped per doc so overlapping spans are
+    union-counted (the interval-union done as index-set distinct — exact,
+    and never materializes per-pair intervals); (4) left join back so
+    clean documents report 0.
+
+    100 TB: the gram groupBy is the one corpus-sized shuffle — production
+    would key it on ``xxhash64(gram)`` (8-byte keys vs ~50-byte strings;
+    collisions then verified against the text, same lossless-candidate
+    discipline as the LSH tiers).  The ×N position expansion applies only
+    to *duplicated* positions, a small corpus fraction.  The oracle mirrors
+    the construction exactly: Spark ``sequence`` 1-based shingles ==
+    DuckDB ``range`` end-exclusive slices (``functions/text.py``).
+    """
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    grams = feat.select(
+        "doc_id", F.posexplode(shingles_col(F.col("toks"), DUP_SPAN_N)).alias("pos", "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (DUP_SPAN_N - 1))).alias("tok_idx"),
+        )
+        .distinct()
+    )
+    agg = covered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_tokens"))
+    base = feat.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias("dup_tokens"),
+        (
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_frac"),
+    )

@@ -876,3 +876,101 @@ def q_events_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev")
     )
+
+
+# --- interval-overlap self-join: concurrency histogram -----------------------
+
+_OVERLAP_HIST_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN datediff('microsecond', lag(ts) OVER w, ts) IS NULL
+                OR datediff('microsecond', lag(ts) OVER w, ts) > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+             ROWS UNBOUNDED PRECEDING) AS sid,
+         ts
+  FROM flagged
+), spans AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e FROM sessions GROUP BY 1, 2
+), partner AS (
+  SELECT a.user_id, a.sid, COUNT(*) AS n_overlapping
+  FROM spans a JOIN spans b
+    ON a.s <= b.e AND b.s <= a.e
+   AND (a.user_id <> b.user_id OR a.sid <> b.sid)
+  GROUP BY 1, 2
+)
+SELECT CAST(COALESCE(p.n_overlapping, 0) AS BIGINT) AS n_overlapping,
+       COUNT(*) AS n_sessions
+FROM spans s LEFT JOIN partner p ON s.user_id = p.user_id AND s.sid = p.sid
+GROUP BY 1
+"""
+
+
+@register("session_overlap_histogram", oracle=_OVERLAP_HIST_ORACLE, tags=("window", "temporal", "session", "join"))
+def q_session_overlap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of session concurrency: for every session, how many
+    OTHER sessions' [start, end] intervals overlap it (inclusive ends, the
+    same tie rule the sweep-line in ``peak_concurrent_sessions`` encodes),
+    histogrammed as (n_overlapping, n_sessions) — sessions overlapping
+    nothing report bucket 0.
+
+    The interval self-join is the operator Spark lacks natively (DuckDB
+    plans it as an IEJoin — that IS the oracle).  Spark-first formulation:
+    **temporal binning** turns the non-equi range predicate into an
+    equi-join — each span explodes to the hour bins it covers
+    (``sequence(date_trunc(s), date_trunc(e), 1 hour)``), candidates meet
+    on the bin key, the true overlap predicate filters residually, and
+    each surviving pair is counted exactly once by the bin-ownership rule
+    ``bin == date_trunc(hour, greatest(a.s, b.s))`` (the overlap start lies
+    inside both spans, so exactly one shared bin owns the pair — no
+    ``distinct`` materialization).
+
+    100 TB: shuffle is keyed by time bin — cardinality ∝ corpus span ÷ bin
+    width, with per-bin fan-in ∝ concurrency, the quantity being measured;
+    a skewed hot hour is exactly an AQE skew-join split.  Bin width trades
+    explode factor (long sessions → more bins) against per-bin join fan-in;
+    hour ≈ the 30-min-gap session scale.  The histogram tail is bounded by
+    peak concurrency, so the final aggregate is tiny."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    spans = (
+        sessionize(ev, "user_id", "ts", SESSION_GAP_MIN)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    binned = spans.select(
+        "user_id",
+        "session_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"), F.date_trunc("hour", "e"), F.expr("interval 1 hour")
+            )
+        ).alias("bin"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    partner = (
+        a.join(
+            b,
+            (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e"))
+            & (
+                (F.col("a.user_id") != F.col("b.user_id"))
+                | (F.col("a.session_id") != F.col("b.session_id"))
+            )
+            & (F.col("a.bin") == F.date_trunc("hour", F.greatest(F.col("a.s"), F.col("b.s")))),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"), F.col("a.session_id").alias("session_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )
+    return (
+        spans.join(partner, ["user_id", "session_id"], "left")
+        .select(F.coalesce(F.col("n_overlapping"), F.lit(0).cast("long")).alias("n_overlapping"))
+        .groupBy("n_overlapping")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )

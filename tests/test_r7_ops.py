@@ -1,0 +1,156 @@
+"""Round-7-tier operator pins: duplicate n-gram spans and the interval
+self-join concurrency histogram, each against a brute-force pure-Python
+reference over the sf0.001 smoke tables, plus path-exercised assertions
+that the tricky invariant (span-union counting / multi-bin pair
+ownership) actually occurs in the smoke data rather than passing
+vacuously."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+from datetime import datetime
+
+import pandas as pd
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+    DUP_SPAN_N,
+    q_duplicate_ngram_spans,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events import (
+    SESSION_GAP_MIN,
+    q_session_overlap_histogram,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+
+
+# --- duplicate n-gram spans ---------------------------------------------------
+
+
+def _py_dup_spans() -> dict[int, tuple[int, int]]:
+    """(n_tokens, dup_tokens) per doc, brute force: every N-gram occurring in
+    >=2 distinct docs marks its N token positions covered; covered positions
+    are UNION-counted (overlapping duplicated grams share positions)."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    grams_by_doc: dict[int, tuple[int, list[tuple[str, int]]]] = {}
+    gram_docs: dict[str, set[int]] = defaultdict(set)
+    for _, r in docs.iterrows():
+        t = _tokens(r.text)
+        gs = [(" ".join(t[i : i + DUP_SPAN_N]), i) for i in range(len(t) - DUP_SPAN_N + 1)]
+        grams_by_doc[r.doc_id] = (len(t), gs)
+        for g, _i in gs:
+            gram_docs[g].add(r.doc_id)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    out = {}
+    for d, (n, gs) in grams_by_doc.items():
+        cov: set[int] = set()
+        for g, i in gs:
+            if g in dup:
+                cov.update(range(i, i + DUP_SPAN_N))
+        out[d] = (n, len(cov))
+    return out
+
+
+def test_duplicate_ngram_spans_matches_python_reference(spark):
+    expected = _py_dup_spans()
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac)
+        for r in q_duplicate_ngram_spans(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expected)
+    for d, (n, cov) in expected.items():
+        assert got[d][0] == n, d
+        assert got[d][1] == cov, d
+        assert abs(got[d][2] - cov / n) < 1e-12, d
+
+
+def test_duplicate_ngram_spans_union_path_actually_taken():
+    """At least one doc must contain OVERLAPPING duplicated grams (a shared
+    run longer than N tokens), or the index-set-distinct union step is
+    untested and a naive count(grams)*N implementation would also pass."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    gram_docs: dict[str, set[int]] = defaultdict(set)
+    per_doc: dict[int, list[tuple[str, int]]] = {}
+    for _, r in docs.iterrows():
+        t = _tokens(r.text)
+        gs = [(" ".join(t[i : i + DUP_SPAN_N]), i) for i in range(len(t) - DUP_SPAN_N + 1)]
+        per_doc[r.doc_id] = gs
+        for g, _i in gs:
+            gram_docs[g].add(r.doc_id)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    overlapping = 0
+    for d, gs in per_doc.items():
+        hits = sorted(i for g, i in gs if g in dup)
+        if any(b - a < DUP_SPAN_N for a, b in zip(hits, hits[1:])):
+            overlapping += 1
+    assert overlapping > 0
+
+
+# --- session overlap histogram ------------------------------------------------
+
+
+def _py_spans() -> list[tuple[pd.Timestamp, pd.Timestamp]]:
+    ev = (
+        pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    spans = []
+    for _uid, grp in ev.groupby("user_id"):
+        prev = None
+        for ts in grp["ts"]:
+            if prev is None or ts - prev > gap:
+                spans.append([ts, ts])
+            else:
+                spans[-1][1] = ts
+            prev = ts
+    return [(s, e) for s, e in spans]
+
+
+def test_session_overlap_histogram_matches_python_reference(spark):
+    spans = _py_spans()
+    counts = [
+        sum(1 for j, (s2, e2) in enumerate(spans) if i != j and s1 <= e2 and s2 <= e1)
+        for i, (s1, e1) in enumerate(spans)
+    ]
+    expected = Counter(counts)
+    got = {
+        r.n_overlapping: r.n_sessions
+        for r in q_session_overlap_histogram(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_session_overlap_multibin_pair_counted_once(spark, tmp_path):
+    """Hand case exercising the bin-ownership exactly-once rule (absent
+    from the sf0.001 smoke data, where no overlapping pair spans two hour
+    bins): session A [10:30, 12:10] and session B [11:50, 12:05] share TWO
+    hour bins (11:00 and 12:00) — a naive per-bin pair count would report
+    n_overlapping=2; the ownership rule (bin == hour(overlap start 11:50))
+    must count the pair exactly once.  User 3 is an isolated session
+    pinning the zero bucket."""
+    rows = []
+    eid = 0
+    for uid, times in (
+        (1, ["10:30", "10:55", "11:20", "11:45", "12:10"]),
+        (2, ["11:50", "12:05"]),
+        (3, ["03:00"]),
+    ):
+        for hm in times:
+            rows.append((eid, datetime.fromisoformat(f"2026-01-05 {hm}"), uid, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.n_overlapping: r.n_sessions
+        for r in q_session_overlap_histogram(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 1, 1: 2}
