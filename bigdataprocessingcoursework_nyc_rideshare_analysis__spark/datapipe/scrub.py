@@ -288,3 +288,123 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("cum") - 1) / budget).cast("long").alias("last_seq"),
         ((F.col("cum") - F.col("n_tokens")) % budget).cast("long").alias("seq_offset"),
     )
+
+
+# --- T5-style span corruption -------------------------------------------------
+
+#: span-corruption mask rule: token position p is masked iff p % SPAN_PERIOD
+#: lands inside [SPAN_OFFSET, SPAN_OFFSET + SPAN_LEN) — a 3-token span every
+#: 10 tokens = the ~15% corruption rate of Raffel et al. 2020, made
+#: positional so both engines (and the pytest round-trip) derive the same
+#: mask with no shared RNG.  Production would swap the rule for
+#: xxhash64(doc_id, span_id)-seeded sampling; the reassembly plan is
+#: identical.
+SPAN_PERIOD = 10
+SPAN_OFFSET = 2
+SPAN_LEN = 3
+
+_SPAN_CORRUPT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+), m AS (
+  SELECT doc_id, pos, tok, pos // {SPAN_PERIOD} AS span_id,
+         (pos % {SPAN_PERIOD}) >= {SPAN_OFFSET} AND (pos % {SPAN_PERIOD}) < {SPAN_OFFSET + SPAN_LEN} AS masked
+  FROM tok
+), spans AS (
+  SELECT doc_id, span_id, MIN(pos) AS span_start,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_id) - 1 AS k,
+         string_agg(tok, ' ' ORDER BY pos) AS span_text
+  FROM m WHERE masked GROUP BY doc_id, span_id
+), pieces AS (
+  SELECT doc_id, pos, tok AS piece FROM m WHERE NOT masked
+  UNION ALL
+  SELECT doc_id, span_start AS pos, '<extra_id_' || CAST(k AS VARCHAR) || '>' FROM spans
+), inp AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text FROM pieces GROUP BY 1
+), tgt AS (
+  SELECT doc_id,
+         string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' || span_text, ' ' ORDER BY k)
+           AS target_text
+  FROM spans GROUP BY 1
+)
+SELECT t.doc_id, i.input_text, COALESCE(g.target_text, '') AS target_text
+FROM toks t
+JOIN inp i USING (doc_id)
+LEFT JOIN tgt g USING (doc_id)
+"""
+
+
+@register("span_corruption_examples", oracle=_SPAN_CORRUPT_ORACLE, tags=("datapipe", "scrub", "text"))
+def q_span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption training pairs (Raffel et al. 2020 §3.1.4): mask
+    3-token spans at a fixed period, replace each in the input with a
+    sentinel ``<extra_id_K>`` (K densely numbered left-to-right per doc),
+    and emit the target as the sentinel-prefixed masked spans in order.
+    Docs too short to hit a mask position pass through with an empty
+    target.  The round-trip (interleave target spans back into input)
+    reconstructs the normalized document exactly — pinned in
+    ``tests/test_r7_ops.py``.
+
+    Plan: explode to (doc, pos, token) once; masked spans aggregate to
+    (span_start, span_text) with a per-doc ``row_number`` for dense sentinel
+    numbering; input reassembles by unioning unmasked tokens with sentinel
+    rows and sorting on position INSIDE an aggregate (``array_sort`` of
+    (pos, piece) structs — no global sort, no window over the token table).
+    Two shuffles on doc_id, both combiner-friendly.  At 100 TB this is the
+    same per-doc-bounded shape as ``pack_training_sequences``: state scales
+    with document length, never corpus size."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    tok = feat.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    m = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.floor(F.col("pos") / SPAN_PERIOD).alias("span_id"),
+        (
+            ((F.col("pos") % SPAN_PERIOD) >= SPAN_OFFSET)
+            & ((F.col("pos") % SPAN_PERIOD) < SPAN_OFFSET + SPAN_LEN)
+        ).alias("masked"),
+    )
+    ordered_text = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "piece"))), lambda x: x.piece),
+        " ",
+    )
+    spans = (
+        m.filter(F.col("masked"))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", F.col("tok").alias("piece")))),
+                    lambda x: x.piece,
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+        .withColumn(
+            "k",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("span_id")) - F.lit(1),
+        )
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">"))
+    pieces = (
+        m.filter(~F.col("masked")).select("doc_id", "pos", F.col("tok").alias("piece"))
+    ).unionByName(
+        spans.select("doc_id", F.col("span_start").alias("pos"), sentinel.alias("piece"))
+    )
+    inp = pieces.groupBy("doc_id").agg(ordered_text.alias("input_text"))
+    tgt = spans.select(
+        "doc_id", F.col("k").alias("pos"), F.concat(sentinel, F.lit(" "), F.col("span_text")).alias("piece")
+    ).groupBy("doc_id").agg(ordered_text.alias("target_text"))
+    return (
+        inp.join(tgt, "doc_id", "left")
+        .select("doc_id", "input_text", F.coalesce("target_text", F.lit("")).alias("target_text"))
+    )

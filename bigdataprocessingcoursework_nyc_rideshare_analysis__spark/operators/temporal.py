@@ -1170,3 +1170,122 @@ def q_daily_dow_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 9).alias("seasonal"),
         F.round(F.col("n_events") - F.col("trend") - F.col("seasonal"), 9).alias("residual"),
     )
+
+
+# --- Theil–Sen robust trend ---------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT CAST(day - MIN(day) OVER () AS BIGINT) AS x, CAST(n AS DOUBLE) AS y FROM daily
+), slopes AS (
+  SELECT (b.y - a.y) / (b.x - a.x) AS slope
+  FROM idx a JOIN idx b ON a.x < b.x
+), m AS (
+  SELECT quantile_cont(slope, 0.5) AS slope FROM slopes
+)
+SELECT m.slope AS slope,
+       (SELECT quantile_cont(y, 0.5) FROM idx)
+         - m.slope * (SELECT quantile_cont(x, 0.5) FROM idx) AS intercept,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_days
+FROM m
+"""
+
+
+@register("theilsen_daily_trend", oracle=_THEILSEN_ORACLE, tags=("temporal", "stats", "timeseries"))
+def q_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of the daily event-volume trend: the MEDIAN of
+    all pairwise slopes between day aggregates (x = day index from the first
+    observed day, y = count), with the standard median-based intercept
+    ``median(y) - slope * median(x)``.  Robust to ~29% outlier days, where
+    the OLS trend in ``event_volume_trend`` is dragged by a single burst —
+    the pair covers both estimators' semantics.
+
+    Scale shape: ONE corpus scan and ONE corpus shuffle (the daily count
+    aggregate); the day series then collapses to a single sorted array row
+    and the quadratic pair expansion happens as array ``transform``s on that
+    one row (3.6k slopes/decade of data, |days|²-bounded — never
+    corpus-sized).  The naive formulation (self-join of the daily frame +
+    three ``percentile`` branches) re-scans events SIX times because the
+    branch exchanges differ and nothing is reused; this form exists to
+    scan once.  Array medians reproduce interpolated ``quantile_cont``
+    exactly: sort, take the middle element (odd n) or the mean of the two
+    middles (even n)."""
+
+    def _median(arr: Column) -> Column:
+        s = F.array_sort(arr)
+        n = F.size(s)
+        mid = (n / 2).cast("int")
+        return F.when(
+            n % 2 == 1, F.element_at(s, mid + 1)
+        ).otherwise((F.element_at(s, mid) + F.element_at(s, mid + 1)) / 2.0)
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    packed = daily.agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("dy"))
+    first_day = F.col("dy")[0]["day"]
+    arrays = packed.select(
+        F.transform("dy", lambda d: F.datediff(d["day"], first_day).cast("double")).alias("xs"),
+        F.transform("dy", lambda d: d["y"]).alias("ys"),
+        F.size("dy").alias("n"),
+    )
+    # sequence(1, 0) would DESCEND — guard the n_days == 1 degenerate case
+    slopes = F.when(F.col("n") >= 2, F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.col("n")),
+                lambda j: (F.element_at("ys", j) - F.element_at("ys", i))
+                / (F.element_at("xs", j) - F.element_at("xs", i)),
+            ),
+        )
+    ))
+    return arrays.select(
+        _median(slopes).alias("slope"),
+        F.col("n").cast("long").alias("n_days"),
+        _median(F.col("ys")).alias("my"),
+        _median(F.col("xs")).alias("mx"),
+    ).select(
+        "slope",
+        (F.col("my") - F.col("slope") * F.col("mx")).alias("intercept"),
+        "n_days",
+    )
+
+
+# --- record-high days (running-max filter) ------------------------------------
+
+_RECORD_HIGH_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, n_events FROM (
+  SELECT day, n_events,
+         MAX(n_events) OVER (ORDER BY day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+  FROM daily
+) WHERE prior_max IS NULL OR n_events > prior_max
+"""
+
+
+@register("record_high_days", oracle=_RECORD_HIGH_ORACLE, tags=("temporal", "window", "timeseries"))
+def q_record_high_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event count strictly exceeds every earlier day's (the
+    running-max record filter; the first day is a record by definition).
+    Counterpart of the running-SUM pattern in ``monthly_revenue_running_total``
+    — same one-shuffle day aggregate, then a window over the model-sized
+    daily frame (|days| rows on one partition: bounded by corpus age in
+    days, not corpus size, so the unpartitioned window is safe here and
+    documented for the same reason as ``peak_concurrent_sessions``)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        daily.withColumn("prior_max", F.max("n_events").over(w))
+        .filter(F.col("prior_max").isNull() | (F.col("n_events") > F.col("prior_max")))
+        .select("day", "n_events")
+    )

@@ -1161,3 +1161,59 @@ def q_late_line_priority_mix(
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping-priority: top unshipped orders by open revenue at a date.
+# ---------------------------------------------------------------------------
+
+_UNSHIPPED_ORACLE = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("unshipped_orders_by_revenue", oracle=_UNSHIPPED_ORACLE, tags=("olap", "join", "topk", "tpch"))
+def q_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: orders from one market segment placed before a date
+    whose lineitems ship after it (revenue still in flight), top-10 by open
+    revenue.  The reference's output column is o_shippriority; the synthetic
+    orders table carries o_orderpriority instead — same shape, same plan.
+
+    Plan: the segment filter prunes customer BEFORE its broadcast (1/5 of
+    the dim); both date predicates are plain comparisons pushed to the
+    orders/lineitem scans.  The one big shuffle is the orderkey fact⋈fact
+    join; the aggregate reuses that partitioning (groupBy leads with
+    l_orderkey), and the top-10 plans TakeOrderedAndProject — per-partition
+    heaps, no global sort.  Ties broken (o_orderdate, l_orderkey) so the
+    10-row result is deterministic across engines and partitionings."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    ords = t["orders"].filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        ords.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )

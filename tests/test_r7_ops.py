@@ -154,3 +154,83 @@ def test_session_overlap_multibin_pair_counted_once(spark, tmp_path):
         for r in q_session_overlap_histogram(spark, str(tmp_path)).collect()
     }
     assert got == {0: 1, 1: 2}
+
+
+# --- span corruption ------------------------------------------------------------
+
+
+def test_span_corruption_round_trip(spark):
+    """Interleaving the target spans back into the input at their sentinels
+    must reconstruct the normalized document exactly, for every doc."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.scrub import (
+        q_span_corruption_examples,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    norm = {r.doc_id: " ".join(_tokens(r.text)) for _, r in docs.iterrows()}
+    rows = q_span_corruption_examples(spark, SF_SMOKE).collect()
+    assert {r.doc_id for r in rows} == set(norm)
+    corrupted = 0
+    for r in rows:
+        spans = {}
+        if r.target_text:
+            parts = re.split(r"<extra_id_(\d+)> ?", r.target_text)
+            # split yields ['', k0, text0, k1, text1, ...]
+            for k, text in zip(parts[1::2], parts[2::2]):
+                spans[int(k)] = text.rstrip()
+            corrupted += 1
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda mo: spans[int(mo.group(1))], r.input_text
+        )
+        assert rebuilt == norm[r.doc_id], r.doc_id
+        # dense sentinel numbering 0..n-1 in left-to-right input order
+        ks = [int(k) for k in re.findall(r"<extra_id_(\d+)>", r.input_text)]
+        assert ks == list(range(len(ks))), r.doc_id
+    assert corrupted > 0
+
+
+def test_span_corruption_rate_near_15pct(spark):
+    """On long documents the positional rule masks SPAN_LEN/SPAN_PERIOD of
+    tokens (the T5 corruption rate the constants encode)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.scrub import (
+        SPAN_LEN,
+        SPAN_PERIOD,
+        q_span_corruption_examples,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    long_ids = {r.doc_id: len(_tokens(r.text)) for _, r in docs.iterrows() if len(_tokens(r.text)) >= 60}
+    assert long_ids
+    got = {r.doc_id: r for r in q_span_corruption_examples(spark, SF_SMOKE).collect()}
+    for doc_id, n in long_ids.items():
+        # masked-token count read from the target: tokens after stripping sentinels
+        tgt_tokens = re.sub(r"<extra_id_\d+> ?", "", got[doc_id].target_text).split()
+        rate = len(tgt_tokens) / n
+        assert abs(rate - SPAN_LEN / SPAN_PERIOD) < 0.06, (doc_id, rate)
+
+
+# --- Theil–Sen -------------------------------------------------------------------
+
+
+def test_theilsen_matches_python_reference(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        q_theilsen_daily_trend,
+    )
+    import statistics
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    daily = ev.groupby(ev["ts"].dt.floor("D")).size().sort_index()
+    x0 = daily.index.min()
+    xs = [(d - x0).days for d in daily.index]
+    ys = [float(v) for v in daily.values]
+    slopes = [
+        (ys[j] - ys[i]) / (xs[j] - xs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    ]
+    slope = statistics.median(slopes)
+    intercept = statistics.median(ys) - slope * statistics.median(xs)
+    row = q_theilsen_daily_trend(spark, SF_SMOKE).collect()[0]
+    assert row.n_days == len(xs)
+    assert abs(row.slope - slope) < 1e-9
+    assert abs(row.intercept - intercept) < 1e-9
