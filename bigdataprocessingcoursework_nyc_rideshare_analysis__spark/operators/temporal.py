@@ -1289,3 +1289,74 @@ def q_record_high_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prior_max").isNull() | (F.col("n_events") > F.col("prior_max")))
         .select("day", "n_events")
     )
+
+
+# --- rolling cross-series correlation ------------------------------------------
+
+_ROLLING_CORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), r AS (
+  SELECT day,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy, SUM(x * y) OVER w AS sxy,
+         SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+         ROW_NUMBER() OVER (ORDER BY day ASC) AS rn
+  FROM daily
+  WINDOW w AS (ORDER BY day ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+            ELSE NULL END AS rolling_corr
+FROM r WHERE rn >= 7
+"""
+
+
+@register("rolling_corr_click_purchase", oracle=_ROLLING_CORR_ORACLE, tags=("temporal", "window", "stats", "timeseries"))
+def q_rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between the click and purchase
+    daily volumes — the co-movement monitor behind "did the purchase funnel
+    decouple from traffic this week?".  Frame semantics are ROWS (7 most
+    recent OBSERVED days), the right spec on a dense daily series; windows
+    shorter than 7 days are suppressed rather than emitting unstable
+    small-n correlations, and zero-variance windows yield NULL identically
+    in both engines (no 0/0 NaN leakage).
+
+    Exactness: x/y are integer counts in doubles, the six rolling sums are
+    7-term sums of exact products, and the closed form divides once at the
+    end with a pinned evaluation order — bit-identical across engines and
+    partitionings, same discipline as ``corr_value_hour_by_event_type``.
+    One corpus shuffle (conditional daily aggregate); all windows run over
+    the model-sized daily frame (|days| rows, same bounded-single-partition
+    note as ``record_high_days``)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("double").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("double").alias("y"),
+    )
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(-6, 0)
+    wn = Window.orderBy(F.col("day").asc())
+    r = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.row_number().over(wn).alias("rn"),
+    ).filter(F.col("rn") >= 7)
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return r.select(
+        "day",
+        F.when(
+            (vx > 0) & (vy > 0),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (F.sqrt(vx) * F.sqrt(vy)),
+        ).alias("rolling_corr"),
+    )
