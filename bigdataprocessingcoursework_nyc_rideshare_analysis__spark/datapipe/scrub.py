@@ -408,3 +408,63 @@ def q_span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         inp.join(tgt, "doc_id", "left")
         .select("doc_id", "input_text", F.coalesce("target_text", F.lit("")).alias("target_text"))
     )
+
+
+# --- text normalization audit ---------------------------------------------------
+
+_TEXT_NORM_ORACLE = """
+WITH per_doc AS (
+  SELECT source,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS ws_chars,
+         CASE WHEN regexp_matches(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]') THEN 1 ELSE 0 END AS has_control,
+         CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END AS has_non_ascii,
+         CASE WHEN text LIKE '%  %' THEN 1 ELSE 0 END AS has_double_space,
+         CASE WHEN text <> trim(text) THEN 1 ELSE 0 END AS has_edge_ws
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(has_control) AS BIGINT) AS docs_control_chars,
+       CAST(SUM(has_non_ascii) AS BIGINT) AS docs_non_ascii,
+       CAST(SUM(has_double_space) AS BIGINT) AS docs_double_space,
+       CAST(SUM(has_edge_ws) AS BIGINT) AS docs_edge_whitespace,
+       CAST(SUM(ws_chars) AS DOUBLE) / SUM(n_chars) AS ws_char_ratio
+FROM per_doc GROUP BY source
+"""
+
+
+@register("text_normalization_report", oracle=_TEXT_NORM_ORACLE, tags=("datapipe", "scrub", "dq", "text"))
+def q_text_normalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text-hygiene audit — the screen run BEFORE normalization
+    decides what cleaning a source needs: documents containing C0 control
+    characters, non-ASCII bytes, doubled spaces, or leading/trailing
+    whitespace, plus the corpus-level whitespace share of characters.
+
+    Exactness discipline: every rate is derived from INTEGER sufficient
+    sums with one final division (``SUM(ws_chars)/SUM(n_chars)``), never an
+    ``avg`` over per-doc doubles — float summation order would differ
+    between engines and partitionings.  Plan: stateless per-row regexes in
+    whole-stage codegen, one shuffle on ``source`` (|sources|-bounded
+    output).  At 100 TB this is a single pass that rides along any other
+    corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    per = docs.select(
+        "source",
+        F.length(t).alias("n_chars"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"\s", ""))).alias("ws_chars"),
+        flag(t.rlike(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")).alias("has_control"),
+        flag(t.rlike(r"[^\x00-\x7F]")).alias("has_non_ascii"),
+        flag(t.contains("  ")).alias("has_double_space"),
+        flag(t != F.trim(t)).alias("has_edge_ws"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("has_control").alias("docs_control_chars"),
+        F.sum("has_non_ascii").alias("docs_non_ascii"),
+        F.sum("has_double_space").alias("docs_double_space"),
+        F.sum("has_edge_ws").alias("docs_edge_whitespace"),
+        (F.sum("ws_chars").cast("double") / F.sum("n_chars")).alias("ws_char_ratio"),
+    )

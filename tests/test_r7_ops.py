@@ -234,3 +234,41 @@ def test_theilsen_matches_python_reference(spark):
     assert row.n_days == len(xs)
     assert abs(row.slope - slope) < 1e-9
     assert abs(row.intercept - intercept) < 1e-9
+
+
+# --- text normalization audit ------------------------------------------------
+
+
+def test_text_normalization_flags_fire_on_dirty_docs(spark, tmp_path):
+    """The synthetic corpus is clean (all flags zero — oracle parity is
+    vacuous for the flag columns), so pin each detector on constructed
+    dirty documents: control char, non-ASCII, doubled space, edge
+    whitespace, and the exact whitespace ratio from integer sums."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.scrub import (
+        q_text_normalization_report,
+    )
+
+    rows = [
+        (0, "clean text here", "s", "en", 15),
+        (1, "bell\x07inside", "s", "en", 11),          # control char
+        (2, "café latte", "s", "en", 10),          # non-ASCII
+        (3, "double  space", "s", "en", 13),            # doubled space
+        (4, " leading and trailing ", "s", "en", 22),   # edge whitespace
+    ]
+    df = spark.createDataFrame(
+        [(d, t, lang, src, n) for d, t, src, lang, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = q_text_normalization_report(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 5
+    assert r.docs_control_chars == 1
+    assert r.docs_non_ascii == 1
+    assert r.docs_double_space == 1
+    assert r.docs_edge_whitespace == 1
+    texts = [t for _, t, _, _, _ in rows]
+    ws = sum(sum(1 for ch in t if ch.isspace()) for t in texts)
+    total = sum(len(t) for t in texts)
+    assert abs(r.ws_char_ratio - ws / total) < 1e-12
