@@ -101,10 +101,17 @@ def main() -> None:
         staged_jaccard_pairs,
         staged_segments,
         staged_shingles,
+        staged_tfidf_topk,
     )
 
     start = time.perf_counter()
-    for build in (staged_features, staged_shingles, staged_jaccard_pairs, staged_segments):
+    for build in (
+        staged_features,
+        staged_shingles,
+        staged_jaccard_pairs,
+        staged_segments,
+        staged_tfidf_topk,
+    ):
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()
     stage_build_sec = round(time.perf_counter() - start, 4)
 

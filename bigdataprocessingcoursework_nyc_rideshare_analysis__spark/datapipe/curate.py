@@ -251,7 +251,7 @@ def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .stage import staged_features, staged_shingles
 
-    feat = staged_features(spark, sf_dir).persist()
+    feat = staged_features(spark, sf_dir)
     manifest = manifest_from_features(feat).select(
         "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
     )

@@ -191,13 +191,14 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
 @register("neardup_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("datapipe", "dedup"))
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle set feeds both join sides and the size table: read it from
-    # the staged parquet (tokenize/shingle/distinct ran exactly once, at
-    # stage-build — the "materialize to parquet" 100 TB shape) and persist
-    # the in-memory copy across the three consumers of this plan
+    # the shingle set feeds both join sides and the size table: every
+    # consumer re-reads the staged parquet (tokenize/shingle/distinct ran
+    # exactly once, at stage-build — the "materialize to parquet" 100 TB
+    # shape; an in-memory persist() here would leak a cached copy per
+    # invocation and could not hold a corpus-sized frame anyway)
     from .stage import staged_shingles
 
-    return jaccard_pairs(staged_shingles(spark, sf_dir).persist(), JACCARD_THRESHOLD)
+    return jaccard_pairs(staged_shingles(spark, sf_dir), JACCARD_THRESHOLD)
 
 
 # --- MinHash + LSH (scale path) ---------------------------------------------
@@ -259,7 +260,8 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of the exact oracle-checked one."""
     from .stage import staged_shingles
 
-    sh = staged_shingles(spark, sf_dir).persist()  # feeds signatures + the verify sets
+    # feeds signatures + the verify sets: both re-read the staged parquet
+    sh = staged_shingles(spark, sf_dir)
     candidates = lsh_candidate_pairs(minhash_signatures(sh))
     sets = sh.select("doc_id", F.xxhash64("shingle").alias("h")).groupBy("doc_id").agg(
         F.collect_set("h").alias("hs")
@@ -665,9 +667,7 @@ def q_neardup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's oracle verbatim, which IS the exactness claim."""
     from .stage import staged_shingles
 
-    return prefix_filter_jaccard(
-        staged_shingles(spark, sf_dir).persist(), JACCARD_THRESHOLD
-    )
+    return prefix_filter_jaccard(staged_shingles(spark, sf_dir), JACCARD_THRESHOLD)
 
 
 # --- asymmetric containment (derivation detection) ---------------------------
@@ -707,7 +707,7 @@ def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact division — bit-identical cross-engine, no rounding needed."""
     from .stage import staged_shingles
 
-    sh = staged_shingles(spark, sf_dir).persist()
+    sh = staged_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

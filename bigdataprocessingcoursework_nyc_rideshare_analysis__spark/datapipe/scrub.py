@@ -180,8 +180,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stage import staged_shingles
 
     # staged shingle frame feeds both splits (tokenize/shingle ran once, at
-    # stage-build; see datapipe.stage)
-    sh = staged_shingles(spark, sf_dir).persist()
+    # stage-build; see datapipe.stage — both splits re-read the staged
+    # parquet rather than persist()ing a leaked in-memory copy)
+    sh = staged_shingles(spark, sf_dir)
     return contamination_pairs(
         sh.filter(F.col("doc_id") % _EVAL_MOD != 0),
         sh.filter(F.col("doc_id") % _EVAL_MOD == 0),

@@ -157,8 +157,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, then exact cosine rank over candidates only.  Trades recall
     (pytest measures it vs brute force) for corpus-linear cost."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # bucket table feeds both the query and corpus sides — compute once
-    bucketed = lsh_buckets(emb, "embedding", LSH_TABLES, LSH_BITS, LSH_SEED).persist()
+    # bucket table feeds both the query and corpus sides; the projection is
+    # cheap enough to recompute per side (a persist() would leak a cached
+    # copy per invocation)
+    bucketed = lsh_buckets(emb, "embedding", LSH_TABLES, LSH_BITS, LSH_SEED)
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("table").alias("qtable"),

@@ -164,7 +164,54 @@ def staged_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float | No
     t = JACCARD_THRESHOLD if threshold is None else threshold
 
     def build() -> DataFrame:
-        return jaccard_pairs(staged_shingles(spark, sf_dir).persist(), t)
+        return jaccard_pairs(staged_shingles(spark, sf_dir), t)
 
     out = _ensure(f"jaccard_pairs_t{t}", sf_dir, build)
+    return spark.read.parquet(out)
+
+
+def staged_tfidf_topk(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+    """Each document's top-k TF-IDF terms (doc_id, term, df, w) — the sparse
+    lexical vector table the similarity tier consumes.  Staged (k in the
+    stage key) instead of ``persist()``-ed so the AllPairs query's four
+    consumers (norms, head/indexed split, and both verification sides)
+    share one materialization without leaking a session-lifetime cached
+    frame — same discipline as ``staged_segments``.  The weight is the
+    smoothed ratio IDF ``tf·(N+1)/(df+1)`` (exact-integer multiply + one
+    divide, bit-identical cross-engine; see ``tfidf_top_terms``)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens_of
+    from .textstats import TFIDF_TOP_K
+
+    kk = TFIDF_TOP_K if k is None else k
+
+    def build() -> DataFrame:
+        docs = staged_features(spark, sf_dir)
+        terms = docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
+        tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        scored = (
+            tf.join(F.broadcast(df), "term")
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "doc_id",
+                "term",
+                "df",
+                (
+                    F.col("tf").cast("double")
+                    * (F.col("n_docs") + F.lit(1))
+                    / (F.col("df") + F.lit(1))
+                ).alias("w"),
+            )
+        )
+        w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= kk)
+            .select("doc_id", "term", "df", "w")
+        )
+
+    out = _ensure(f"tfidf_topk_k{kk}", sf_dir, build)
     return spark.read.parquet(out)

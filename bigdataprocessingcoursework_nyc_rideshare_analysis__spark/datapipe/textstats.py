@@ -1008,32 +1008,12 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are order-sensitive in the last ulp."""
     from pyspark.sql import Window
 
-    from ..functions.text import tokens_of
-    from .stage import staged_features
+    from .stage import staged_tfidf_topk
 
-    docs = staged_features(spark, sf_dir)
-    terms = docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # broadcast 1-row corpus dimension — plan construction stays lazy
-    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "term",
-            "df",
-            (F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))).alias("w"),
-        )
-    )
-    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
-    topk = (
-        scored.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= TFIDF_TOP_K)
-        .select("doc_id", "term", "df", "w")
-        .persist()  # feeds norms, candidate generation, and both verify sides
-    )
+    # feeds norms, candidate generation, and both verify sides: staged to
+    # parquet (see staged_tfidf_topk) rather than persist()-ed, so the four
+    # consumers share one materialization without leaking a cached frame
+    topk = staged_tfidf_topk(spark, sf_dir)
     # Same doc-partition window: total squared mass and the cumulative
     # squared mass in canonical most-common-first order.  A term is
     # *indexed* iff the head strictly before it could still reach the

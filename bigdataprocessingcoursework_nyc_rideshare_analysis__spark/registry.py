@@ -140,11 +140,26 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   (Expand + two exchanges); round 4 rewrote it as two stacked
 #:   aggregations clustered on orderkey (bucket-compatible, no Expand) —
 #:   re-verify.
+#: - cache-discipline sweep (round 4, second pass): the per-invocation
+#:   ``persist()`` leaks flagged for boilerplate in round-3 advice existed
+#:   at six more sites; all now re-read staged parquet (or recompute a
+#:   cheap projection) instead.  Values are identical by construction —
+#:   caching never changes results — but the implementation-change rule is
+#:   mechanical, so every affected driver-verified query re-queues:
+#:   ``neardup_jaccard_pairs``, ``contamination_overlap``,
+#:   ``curate_training_corpus``, ``curate_pack_corpus``,
+#:   ``neardup_minhash_lsh``, ``ann_lsh_topk``.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "late_line_priority_mix",
     "peak_concurrent_sessions",
     "tfidf_top_terms",
     "sole_late_supplier_waits",
+    "neardup_jaccard_pairs",
+    "contamination_overlap",
+    "curate_training_corpus",
+    "curate_pack_corpus",
+    "neardup_minhash_lsh",
+    "ann_lsh_topk",
 })
 
 
