@@ -768,7 +768,7 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
-@register("duplicate_ngram_spans", oracle=_DUP_SPAN_ORACLE, tags=("datapipe", "dedup", "text"))
+@register("duplicate_ngram_spans", oracle=_DUP_SPAN_ORACLE, tags=("datapipe", "dedup", "text", "r7"))
 def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup: per document, how many token positions
     sit inside an N-gram (N=DUP_SPAN_N) that ALSO occurs verbatim in another document

@@ -340,7 +340,7 @@ LEFT JOIN tgt g USING (doc_id)
 """
 
 
-@register("span_corruption_examples", oracle=_SPAN_CORRUPT_ORACLE, tags=("datapipe", "scrub", "text"))
+@register("span_corruption_examples", oracle=_SPAN_CORRUPT_ORACLE, tags=("datapipe", "scrub", "text", "r7"))
 def q_span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 span-corruption training pairs (Raffel et al. 2020 §3.1.4): mask
     3-token spans at a fixed period, replace each in the input with a
@@ -417,7 +417,7 @@ _TEXT_NORM_ORACLE = """
 WITH per_doc AS (
   SELECT source,
          length(text) AS n_chars,
-         length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS ws_chars,
+         length(text) - length(regexp_replace(text, '[\\t\\n\\x0B\\f\\r ]', '', 'g')) AS ws_chars,
          CASE WHEN regexp_matches(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]') THEN 1 ELSE 0 END AS has_control,
          CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END AS has_non_ascii,
          CASE WHEN text LIKE '%  %' THEN 1 ELSE 0 END AS has_double_space,
@@ -435,7 +435,7 @@ FROM per_doc GROUP BY source
 """
 
 
-@register("text_normalization_report", oracle=_TEXT_NORM_ORACLE, tags=("datapipe", "scrub", "dq", "text"))
+@register("text_normalization_report", oracle=_TEXT_NORM_ORACLE, tags=("datapipe", "scrub", "dq", "text", "r7"))
 def q_text_normalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source text-hygiene audit — the screen run BEFORE normalization
     decides what cleaning a source needs: documents containing C0 control
@@ -455,7 +455,10 @@ def q_text_normalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.select(
         "source",
         F.length(t).alias("n_chars"),
-        (F.length(t) - F.length(F.regexp_replace(t, r"\s", ""))).alias("ws_chars"),
+        # explicit class, NOT \s: Java's \s includes \x0B, RE2's excludes
+        # it — on exactly the dirty input this audit exists to find, the
+        # shorthand silently diverges between the engines
+        (F.length(t) - F.length(F.regexp_replace(t, r"[\t\n\x0B\f\r ]", ""))).alias("ws_chars"),
         flag(t.rlike(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")).alias("has_control"),
         flag(t.rlike(r"[^\x00-\x7F]")).alias("has_non_ascii"),
         flag(t.contains("  ")).alias("has_double_space"),

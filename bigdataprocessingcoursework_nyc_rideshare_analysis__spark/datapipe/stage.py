@@ -179,38 +179,13 @@ def staged_tfidf_topk(spark: SparkSession, sf_dir: str, k: int | None = None) ->
     frame — same discipline as ``staged_segments``.  The weight is the
     smoothed ratio IDF ``tf·(N+1)/(df+1)`` (exact-integer multiply + one
     divide, bit-identical cross-engine; see ``tfidf_top_terms``)."""
-    from pyspark.sql import Window
-
-    from ..functions.text import tokens_of
-    from .textstats import TFIDF_TOP_K
+    from .textstats import TFIDF_TOP_K, tfidf_scored_topk
 
     kk = TFIDF_TOP_K if k is None else k
 
     def build() -> DataFrame:
-        docs = staged_features(spark, sf_dir)
-        terms = docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
-        tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-        scored = (
-            tf.join(F.broadcast(df), "term")
-            .crossJoin(F.broadcast(nd))
-            .select(
-                "doc_id",
-                "term",
-                "df",
-                (
-                    F.col("tf").cast("double")
-                    * (F.col("n_docs") + F.lit(1))
-                    / (F.col("df") + F.lit(1))
-                ).alias("w"),
-            )
-        )
-        w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w_rank))
-            .filter(F.col("rn") <= kk)
-            .select("doc_id", "term", "df", "w")
+        return tfidf_scored_topk(staged_features(spark, sf_dir), kk).select(
+            "doc_id", "term", "df", "w"
         )
 
     out = _ensure(f"tfidf_topk_k{kk}", sf_dir, build)

@@ -219,6 +219,40 @@ SELECT doc_id, term, tf, df, tfidf FROM (
 """
 
 
+def tfidf_scored_topk(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Each document's top-``k`` terms as (doc_id, term, tf, df, w) with the
+    smoothed ratio-IDF weight ``w = tf * (N + 1) / (df + 1)`` and the pinned
+    tie order (w desc, term asc).  THE single definition of the repo's
+    TF-IDF scoring — ``tfidf_top_terms`` (the registered query) and
+    ``stage.staged_tfidf_topk`` (the similarity tier's materialization)
+    both call it, so a smoothing or tie-break change cannot silently
+    diverge between the oracle-checked query and the staged frame.
+    Accepts raw ``documents`` or the staged feature frame (``tokens_of``)."""
+    from pyspark.sql import Window
+
+    terms = docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus dimension as a broadcast 1-row aggregate: building this plan
+    # launches no job (an eager .count() here would run the scan once per
+    # invocation before the query even executes)
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "w",
+            F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "df", "w")
+    )
+
+
 @register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("datapipe", "text"))
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} characteristic terms per document by TF-IDF.
@@ -231,29 +265,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk).  Plan shape: explode → two hash aggregations (term-frequency,
     doc-frequency) → broadcast-joinable df table → per-doc window top-k.
     At 100 TB the df table is |vocab|-sized (≪ corpus) and broadcasts."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    terms = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # corpus dimension as a broadcast 1-row aggregate: building this plan
-    # launches no job (an eager .count() here would run the scan once per
-    # invocation before the query even executes)
-    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(nd))
-        .withColumn(
-            "tfidf",
-            F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TFIDF_TOP_K)
-        .select("doc_id", "term", "tf", "df", "tfidf")
+    return tfidf_scored_topk(docs).select(
+        "doc_id", "term", "tf", "df", F.col("w").alias("tfidf")
     )
 
 
@@ -1045,7 +1059,7 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-joined candidates against the (doc, term, w) facts, exploding
     # |cand| x k rows through an extra shuffle-aggregate (measured 5.3 s
     # -> ~1.5 s at sf0.1 on 4.3 M candidates).  The compaction is
-    # scale-honest: vectors are bounded by k (25), never by vocabulary or
+    # scale-honest: vectors are bounded by k (TFIDF_TOP_K = 5), never by vocabulary or
     # corpus size, and the term-sorted fold makes the dot's float
     # summation order deterministic (the 9-dp round then absorbs the
     # engine-vs-engine ulp).

@@ -910,7 +910,7 @@ GROUP BY 1
 """
 
 
-@register("session_overlap_histogram", oracle=_OVERLAP_HIST_ORACLE, tags=("window", "temporal", "session", "join"))
+@register("session_overlap_histogram", oracle=_OVERLAP_HIST_ORACLE, tags=("window", "temporal", "session", "join", "r7"))
 def q_session_overlap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of session concurrency: for every session, how many
     OTHER sessions' [start, end] intervals overlap it (inclusive ends, the

@@ -1194,7 +1194,7 @@ FROM m
 """
 
 
-@register("theilsen_daily_trend", oracle=_THEILSEN_ORACLE, tags=("temporal", "stats", "timeseries"))
+@register("theilsen_daily_trend", oracle=_THEILSEN_ORACLE, tags=("temporal", "stats", "timeseries", "r7"))
 def q_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen estimator of the daily event-volume trend: the MEDIAN of
     all pairwise slopes between day aggregates (x = day index from the first
@@ -1272,7 +1272,7 @@ SELECT day, n_events FROM (
 """
 
 
-@register("record_high_days", oracle=_RECORD_HIGH_ORACLE, tags=("temporal", "window", "timeseries"))
+@register("record_high_days", oracle=_RECORD_HIGH_ORACLE, tags=("temporal", "window", "timeseries", "r7"))
 def q_record_high_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days whose event count strictly exceeds every earlier day's (the
     running-max record filter; the first day is a record by definition).
@@ -1317,7 +1317,7 @@ FROM r WHERE rn >= 7
 """
 
 
-@register("rolling_corr_click_purchase", oracle=_ROLLING_CORR_ORACLE, tags=("temporal", "window", "stats", "timeseries"))
+@register("rolling_corr_click_purchase", oracle=_ROLLING_CORR_ORACLE, tags=("temporal", "window", "stats", "timeseries", "r7"))
 def q_rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day Pearson correlation between the click and purchase
     daily volumes — the co-movement monitor behind "did the purchase funnel

@@ -1185,7 +1185,7 @@ LIMIT 10
 """
 
 
-@register("unshipped_orders_by_revenue", oracle=_UNSHIPPED_ORACLE, tags=("olap", "join", "topk", "tpch"))
+@register("unshipped_orders_by_revenue", oracle=_UNSHIPPED_ORACLE, tags=("olap", "join", "topk", "tpch", "r7"))
 def q_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: orders from one market segment placed before a date
     whose lineitems ship after it (revenue still in flight), top-10 by open

@@ -207,9 +207,16 @@ def load_all() -> dict[str, QuerySpec]:
             #    the strongest evidence there is, while a rows-only row only
             #    proves execution (which pytest already covers).
             # 3. Older additions before newer ("r4" then "r5" tags), so a
-            #    bounded verification window drains oldest-first.
+            #    bounded verification window drains oldest-first.  EVERY
+            #    post-r3 wave needs its term here, or its queries sort as
+            #    age 0 — AHEAD of older unverified work.
             spec = REGISTRY[name]
-            age = ("r4" in spec.tags) + 2 * ("r5" in spec.tags) + 3 * ("r6" in spec.tags)
+            age = (
+                ("r4" in spec.tags)
+                + 2 * ("r5" in spec.tags)
+                + 3 * ("r6" in spec.tags)
+                + 4 * ("r7" in spec.tags)
+            )
             return (0, name not in CHANGED_SINCE_VERIFIED, spec.oracle is None, age)
         return (1, 0, 0, DRIVER_VERIFIED[name])
 

@@ -332,11 +332,18 @@ def test_tfidf_plan_construction_launches_no_jobs(spark):
     broadcast 1-row aggregate: constructing the DataFrame must launch zero
     jobs (the staged-feature queries get their stage pre-built first —
     stage materialization is a separate, once-per-corpus cost)."""
-    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.stage import staged_features
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.stage import (
+        staged_features,
+        staged_tfidf_topk,
+    )
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
 
     registry = load_all()
-    staged_features(spark, SF_SMOKE)  # pre-build the stage outside the measurement
+    # pre-build the stages outside the measurement: on a cold stage root the
+    # similarity query's staged_tfidf_topk would otherwise run its multi-stage
+    # build job inside the measured window and fail the footer-read assertion
+    staged_features(spark, SF_SMOKE)
+    staged_tfidf_topk(spark, SF_SMOKE)
     tracker = spark.sparkContext.statusTracker()
     for name in (
         "tfidf_top_terms",

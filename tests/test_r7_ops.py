@@ -254,6 +254,7 @@ def test_text_normalization_flags_fire_on_dirty_docs(spark, tmp_path):
         (2, "café latte", "s", "en", 10),          # non-ASCII
         (3, "double  space", "s", "en", 13),            # doubled space
         (4, " leading and trailing ", "s", "en", 22),   # edge whitespace
+        (5, "vertical\x0btab text", "s", "en", 17),     # \x0B: ws AND control
     ]
     df = spark.createDataFrame(
         [(d, t, lang, src, n) for d, t, src, lang, n in rows],
@@ -263,8 +264,8 @@ def test_text_normalization_flags_fire_on_dirty_docs(spark, tmp_path):
     out = q_text_normalization_report(spark, str(tmp_path)).collect()
     assert len(out) == 1
     r = out[0]
-    assert r.n_docs == 5
-    assert r.docs_control_chars == 1
+    assert r.n_docs == 6
+    assert r.docs_control_chars == 2  # bell + vertical tab
     assert r.docs_non_ascii == 1
     assert r.docs_double_space == 1
     assert r.docs_edge_whitespace == 1
