@@ -826,3 +826,50 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens")
         ).alias("dup_frac"),
     )
+
+
+# --- cross-source near-dup contamination matrix -------------------------------
+
+_SOURCE_MATRIX_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM jpairs p
+JOIN documents da ON p.doc_a = da.doc_id
+JOIN documents db ON p.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("neardup_source_matrix", oracle=_SOURCE_MATRIX_ORACLE, tags=("datapipe", "dedup", "r7"))
+def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do near-duplicates come FROM: verified near-dup pairs rolled up
+    by unordered source pair — the mirror-site / cross-source syndication
+    report that decides which source to drop when two scrape the same
+    content.  Diagonal rows (source_a == source_b) measure intra-source
+    redundancy.
+
+    Consumes the STAGED pair set (detection ran once — same discipline as
+    the graph consumers in ``datapipe.cluster``) and joins the tiny
+    (doc_id, source) projection twice; the pair set is output-bounded, so
+    both joins broadcast at any corpus size where near-dup pairs fit the
+    driver — and degrade to shuffle joins on the same code if they don't.
+    Sources are normalized to unordered (LEAST/GREATEST) so the matrix is
+    upper-triangular regardless of doc-id assignment."""
+    from .stage import staged_jaccard_pairs
+
+    pairs = staged_jaccard_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1217,3 +1217,73 @@ def q_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS: discount elasticity of quantity per brand.
+# ---------------------------------------------------------------------------
+
+_ELASTICITY_ORACLE = """
+WITH s AS (
+  SELECT p.p_brand,
+         COUNT(*) AS n,
+         SUM(CAST(l.l_discount AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(l.l_discount AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS sxy,
+         SUM(CAST(l.l_discount AS DECIMAL(18,2)) * CAST(l.l_discount AS DECIMAL(18,2))) AS sxx
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n
+         AS intercept
+FROM s
+WHERE n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+"""
+
+
+@register("discount_quantity_elasticity_by_brand", oracle=_ELASTICITY_ORACLE, tags=("olap", "stats", "agg", "r7"))
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS: per brand, the least-squares slope (and intercept) of
+    order quantity on discount — "does discounting move volume, and for
+    which brands?".  The grouped counterpart of the corpus-wide sufficient-
+    stats correlation (``corr_value_hour_by_event_type``); the built-in
+    ``regr_slope`` would give the same numbers but accumulates streaming
+    covariances whose float reduction order varies by partitioning —
+    the four DECIMAL sums here are order-independent, so the slope is
+    bit-identical across engines and partition counts (the repo-wide
+    differential-testing discipline).
+
+    Plan: broadcast part (dim) into the lineitem scan, ONE shuffle for the
+    per-brand aggregate, closed-form division on the |brands|-sized result.
+    Zero-variance groups (all lineitems at one discount) are excluded
+    explicitly rather than emitting engine-dependent inf/NaN."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].select("l_partkey", "l_discount", "l_quantity")
+    pt = t["part"].select("p_partkey", "p_brand")
+    x = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_quantity").cast("decimal(18,2)")
+    s = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+    n = F.col("n")
+    sx, sy, sxy, sxx = (F.col(c).cast("double") for c in ("sx", "sy", "sxy", "sxx"))
+    var = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / var
+    return s.filter(var > 0).select(
+        "p_brand",
+        n.alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
