@@ -941,6 +941,14 @@ def q_session_overlap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
+    return interval_overlap_histogram(spans)
+
+
+def interval_overlap_histogram(spans: DataFrame) -> DataFrame:
+    """Core of ``session_overlap_histogram``, factored over an arbitrary
+    interval table (user_id, session_id, s, e) so the bin-ownership
+    exactly-once invariant is property-testable on generated intervals
+    (``tests/test_properties.py``), independent of sessionization."""
     binned = spans.select(
         "user_id",
         "session_id",

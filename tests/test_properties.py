@@ -436,3 +436,43 @@ def test_winnowing_selection_is_subset_of_kgram_hashes(toks):
     }
     assert fps <= all_hashes
     assert fps  # at least one window ⇒ at least one selection
+
+
+# --- interval overlap histogram ------------------------------------------------
+
+# hours 0..5 with minute offsets: intervals cross several hour bins, so
+# a pair can share MANY bins — the exactly-once ownership rule is load-bearing
+_INTERVAL = st.tuples(
+    st.integers(min_value=0, max_value=5),  # start hour
+    st.integers(min_value=0, max_value=59),  # start minute
+    st.integers(min_value=0, max_value=4),  # duration hours
+    st.integers(min_value=0, max_value=59),  # duration minutes
+)
+
+
+@given(ivs=st.lists(_INTERVAL, min_size=1, max_size=10))
+@SETTINGS
+def test_interval_overlap_histogram_matches_brute_force(spark, ivs):
+    from datetime import datetime, timedelta
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events import (
+        interval_overlap_histogram,
+    )
+
+    base = datetime(2026, 3, 1)
+    spans = []
+    for i, (h, m, dh, dm) in enumerate(ivs):
+        s = base + timedelta(hours=h, minutes=m)
+        spans.append((i, 0, s, s + timedelta(hours=dh, minutes=dm)))
+    df = spark.createDataFrame(spans, "user_id long, session_id long, s timestamp, e timestamp")
+    got = {
+        r.n_overlapping: r.n_sessions for r in interval_overlap_histogram(df).collect()
+    }
+    counts = [
+        sum(1 for j, (_, _, s2, e2) in enumerate(spans) if i != j and s1 <= e2 and s2 <= e1)
+        for i, (_, _, s1, e1) in enumerate(spans)
+    ]
+    want: dict[int, int] = {}
+    for c in counts:
+        want[c] = want.get(c, 0) + 1
+    assert got == want
