@@ -797,9 +797,16 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .stage import staged_features
 
-    feat = staged_features(spark, sf_dir)
+    return duplicate_span_stats(staged_features(spark, sf_dir), DUP_SPAN_N)
+
+
+def duplicate_span_stats(feat: DataFrame, n: int) -> DataFrame:
+    """Core of ``duplicate_ngram_spans`` over any (doc_id, toks) frame —
+    factored so the overlapping-span union count is property-testable on
+    generated tiny-vocabulary corpora (``tests/test_properties.py``), where
+    shared runs collide far more densely than real text."""
     grams = feat.select(
-        "doc_id", F.posexplode(shingles_col(F.col("toks"), DUP_SPAN_N)).alias("pos", "gram")
+        "doc_id", F.posexplode(shingles_col(F.col("toks"), n)).alias("pos", "gram")
     )
     dup = (
         grams.groupBy("gram")
@@ -811,7 +818,7 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.join(dup, "gram")
         .select(
             "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (DUP_SPAN_N - 1))).alias("tok_idx"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tok_idx"),
         )
         .distinct()
     )
@@ -821,9 +828,13 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias("dup_tokens"),
-        (
+        # tokenization never yields an empty array on real text ('' is one
+        # token), but the helper guards n_tokens == 0 anyway: ANSI mode
+        # (Spark 4 default) turns the division into a runtime error
+        F.when(
+            F.col("n_tokens") > 0,
             F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).cast("double")
-            / F.col("n_tokens")
+            / F.col("n_tokens"),
         ).alias("dup_frac"),
     )
 

@@ -476,3 +476,41 @@ def test_interval_overlap_histogram_matches_brute_force(spark, ivs):
     for c in counts:
         want[c] = want.get(c, 0) + 1
     assert got == want
+
+
+# --- duplicate n-gram spans ------------------------------------------------------
+
+# two-letter vocabulary, docs of 0..12 tokens, n=3: shared runs collide
+# densely, overlapping duplicated grams are the COMMON case, and docs
+# shorter than n must drop out via the shingle guard
+_DOC = st.lists(st.sampled_from(["a", "b"]), max_size=12)
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=6))
+@SETTINGS
+def test_duplicate_span_stats_match_brute_force(spark, docs):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        duplicate_span_stats,
+    )
+
+    n = 3
+    feat = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, toks array<string>"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in duplicate_span_stats(feat, n).collect()
+    }
+    gram_docs: dict[tuple, set] = {}
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - n + 1):
+            gram_docs.setdefault(tuple(toks[i : i + n]), set()).add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for d, toks in enumerate(docs):
+        cov: set[int] = set()
+        for i in range(len(toks) - n + 1):
+            if tuple(toks[i : i + n]) in dup:
+                cov.update(range(i, i + n))
+        want[d] = (len(toks), len(cov))
+    assert got == want
