@@ -982,3 +982,48 @@ def interval_overlap_histogram(spans: DataFrame) -> DataFrame:
         .groupBy("n_overlapping")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+# --- global sequence numbers without a global window ---------------------------
+
+_GLOBAL_SEQ_ORACLE = """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY ts ASC, event_id ASC) AS BIGINT) AS seq
+FROM events
+"""
+
+
+@register("events_global_sequence", oracle=_GLOBAL_SEQ_ORACLE, tags=("window", "events", "r7"))
+def q_events_global_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global sequence numbers in (ts, event_id) order — WITHOUT
+    the naive ``row_number() OVER (ORDER BY ...)`` whose empty PARTITION BY
+    drags the entire table through ONE task (the canonical global-ordering
+    scale trap; cf. the bounded-by-|days| exceptions documented on
+    ``record_high_days``).
+
+    Two-phase offset pattern: (1) range-repartition + sort within
+    partitions on the total order, so partition i holds a contiguous rank
+    range; (2) count rows per partition (|partitions|-row aggregate),
+    prefix-sum those counts into per-partition offsets on the driver-sized
+    frame, broadcast-join them back, and add the partition-local
+    ``row_number``.  Every partition then numbers its rows independently —
+    the only global coordination is the tiny offsets table.  Output is
+    independent of where the range boundaries land (ranks depend only on
+    the total order; (ts, event_id) is a total order because event_id is
+    unique).  This is how exports get stable line numbers at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_id")
+    parted = ev.repartitionByRange(ev.sparkSession.sparkContext.defaultParallelism, "ts", "event_id")
+    with_pid = parted.withColumn("pid", F.spark_partition_id())
+    counts = with_pid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_local = Window.partitionBy("pid").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        with_pid.join(F.broadcast(offsets), "pid")
+        .select(
+            "event_id",
+            (F.col("offset") + F.row_number().over(w_local)).cast("long").alias("seq"),
+        )
+    )
