@@ -184,9 +184,24 @@ def staged_tfidf_topk(spark: SparkSession, sf_dir: str, k: int | None = None) ->
     kk = TFIDF_TOP_K if k is None else k
 
     def build() -> DataFrame:
-        return tfidf_scored_topk(staged_features(spark, sf_dir), kk).select(
-            "doc_id", "term", "df", "w"
+        # spread the write across the session's parallelism: AQE coalesces
+        # the small top-k window shuffle into ONE partition, and a one-file
+        # stage is one ROWGROUP — unsplittable, so every consumer (norms,
+        # candidate self-join, both verify sides, the 4.3M-candidate
+        # distinct and the dot-product fold downstream of them) runs
+        # single-threaded (measured 3x the whole query's wall time at
+        # sf0.1).  Round-robin, NOT .repartition(par, "doc_id"): a hash
+        # repartition collapses into the window's identical required
+        # distribution and the AQE-coalescible shuffle is all that
+        # remains — the exact same trap with an extra step.  Same fix as
+        # the documents source in staged_features above.  "_p" in the
+        # stage name versions the layout so pre-fix stages rebuild.
+        par = spark.sparkContext.defaultParallelism
+        return (
+            tfidf_scored_topk(staged_features(spark, sf_dir), kk)
+            .select("doc_id", "term", "df", "w")
+            .repartition(par)
         )
 
-    out = _ensure(f"tfidf_topk_k{kk}", sf_dir, build)
+    out = _ensure(f"tfidf_topk_k{kk}_p", sf_dir, build)
     return spark.read.parquet(out)

@@ -1019,7 +1019,16 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     only over indexed terms, and verification re-joins the candidate
     pairs (output-bounded) against the tiny per-doc term sets.  Cosine is
     rounded once (9 dp, both engines) because the ≤k-term dot/norm sums
-    are order-sensitive in the last ulp."""
+    are order-sensitive in the last ulp.
+
+    BENCH VARIANCE NOTE (sf0.1, local[32]): this query's wall time swings
+    5-18 s run to run with NO plan change — it has the repo's deepest
+    stage DAG (12+ stages, 6 broadcasts), and at toy scale AQE's
+    per-stage materialization barriers dominate: the identical plan runs
+    ~10 s with AQE off, and the verify step alone is 2.5 s from
+    pre-materialized candidates.  The pin is therefore the least
+    meaningful in BASELINE.json; regressions here should be judged by
+    plan shape (candidate count, join strategies), not seconds."""
     from pyspark.sql import Window
 
     from .stage import staged_tfidf_topk
