@@ -461,3 +461,55 @@ def q_neardup_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select("doc_id")
     dist = bfs_hop_distance(edges, seeds, BFS_MAX_HOPS)
     return dist.select("doc_id", F.col("hop").cast("long").alias("hop"))
+
+
+# --- recursive CTE on Spark: bounded path counting ----------------------------
+
+PATH_MAX_LEN = 3
+
+_ASC_PATHS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+paths(origin, node, len) AS (
+  SELECT doc_a, doc_b, 1 FROM jpairs
+  UNION ALL
+  SELECT p.origin, e.doc_b, p.len + 1
+  FROM paths p JOIN jpairs e ON e.doc_a = p.node
+  WHERE p.len < {PATH_MAX_LEN}
+)
+SELECT len, CAST(COUNT(*) AS BIGINT) AS n_paths FROM paths GROUP BY len
+"""
+
+
+@register("neardup_ascending_paths", oracle=_ASC_PATHS_ORACLE, tags=("datapipe", "graph", "sql", "r7"))
+def q_neardup_ascending_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts of ascending-id paths of length 1..{PATH_MAX_LEN} through the
+    near-dup graph — executed as a RECURSIVE CTE *on Spark itself*
+    (``WITH RECURSIVE``, new SQL surface in Spark 4): the one declarative
+    recursion the engine now shares with the oracle dialect, so one SQL
+    text runs on both engines (the ``lateral`` / star-join demos' rule).
+    Length-2 path counts relate directly to ``neardup_triangles`` (every
+    triangle closes a length-2 path); densely duplicated clusters show up
+    as super-linear path growth with length.
+
+    Recursion safety: Spark supports only UNION ALL recursion (no
+    UNION-dedup fixpoint), which diverges on cyclic graphs — so the walk
+    runs on the ASCENDING-ID orientation (doc_a < doc_b by construction),
+    a DAG, with the depth cap as a second bound; path *multiplicity* is
+    exactly the statistic being computed, so UNION ALL semantics are the
+    point, not a workaround.  BFS/min-hop semantics (which need the dedup
+    the engine lacks) stay with the frontier loop in ``bfs_hop_distance``.
+    Consumes the STAGED pair set via a temp view; work is bounded by
+    Σ paths ≤ |pairs| · max-outdegree^{PATH_MAX_LEN - 1}."""
+    from .stage import staged_jaccard_pairs
+
+    staged_jaccard_pairs(spark, sf_dir).createOrReplaceTempView("neardup_pairs_v")
+    return spark.sql(f"""
+      WITH RECURSIVE paths(origin, node, len) AS (
+        SELECT doc_a, doc_b, 1 FROM neardup_pairs_v
+        UNION ALL
+        SELECT p.origin, e.doc_b, p.len + 1
+        FROM paths p JOIN neardup_pairs_v e ON e.doc_a = p.node
+        WHERE p.len < {PATH_MAX_LEN}
+      )
+      SELECT len, CAST(COUNT(*) AS BIGINT) AS n_paths FROM paths GROUP BY len
+    """)

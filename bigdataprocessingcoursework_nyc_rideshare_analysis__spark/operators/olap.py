@@ -267,3 +267,43 @@ def q_bloom_prefilter_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("revenue"),
         )
     )
+
+
+# --- parameterized SQL (named parameter markers) -------------------------------
+
+PARAM_MIN_TOTAL = 50_000.0
+PARAM_PRIORITY = "1-URGENT"
+
+_PARAM_SQL_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice >= {PARAM_MIN_TOTAL} AND o_orderpriority <> '{PARAM_PRIORITY}'
+GROUP BY 1
+"""
+
+
+@register("big_order_mix_param_sql", oracle=_PARAM_SQL_ORACLE, tags=("olap", "sql", "r7"))
+def q_big_order_mix_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order mix above a value threshold, excluding one priority class —
+    executed through Spark's PARAMETERIZED SQL surface
+    (``spark.sql(sql, args={{...}})``, named parameter markers): the
+    injection-safe way applications template queries, and the one SQL-API
+    surface the repo's verbatim-SQL demos didn't yet exercise.  The
+    parameters bind as typed literals in the plan (so constant folding and
+    scan pushdown see real values — same physical plan as inlining); the
+    oracle is the identical SQL with the literals inlined, which IS the
+    binding-correctness claim."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice >= :min_total AND o_orderpriority <> :excluded
+        GROUP BY 1
+        """,
+        args={"min_total": PARAM_MIN_TOTAL, "excluded": PARAM_PRIORITY},
+    )
