@@ -307,3 +307,41 @@ def q_big_order_mix_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_total": PARAM_MIN_TOTAL, "excluded": PARAM_PRIORITY},
     )
+
+
+# --- SQL UDF (CREATE FUNCTION ... RETURN expr) ---------------------------------
+
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY 1
+"""
+
+
+@register("revenue_by_flag_sql_udf", oracle=_SQL_UDF_ORACLE, tags=("olap", "sql", "r7"))
+def q_revenue_by_flag_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag, with the discount formula packaged as a SQL
+    UDF (``CREATE TEMPORARY FUNCTION ... RETURN expr`` — the declarative
+    UDF surface Spark 4 ships: shareable like a Python UDF but INLINED by
+    Catalyst into whole-stage codegen, so unlike a Python UDF it costs
+    nothing and pushes down like any expression).  The declared RETURNS
+    type must carry the product's full scale — DECIMAL(38,4), not (18,2):
+    a narrower declaration ROUNDS EVERY ROW before the sum (caught by the
+    oracle diff at the 4th decimal).  The oracle inlines the body —
+    identical results prove the function boundary is transparent.
+    Exact DECIMAL accumulation as everywhere else (``_revenue`` in
+    ``operators.tpch``)."""
+    register_views(spark, sf_dir, "lineitem")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_rev(p DECIMAL(18,2), d DECIMAL(18,2))
+           RETURNS DECIMAL(38,4) RETURN p * (1 - d)"""
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(disc_rev(CAST(l_extendedprice AS DECIMAL(18,2)),
+                                 CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY 1
+        """
+    )
