@@ -862,12 +862,17 @@ def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     redundancy.
 
     Consumes the STAGED pair set (detection ran once — same discipline as
-    the graph consumers in ``datapipe.cluster``) and joins the tiny
-    (doc_id, source) projection twice; the pair set is output-bounded, so
-    both joins broadcast at any corpus size where near-dup pairs fit the
-    driver — and degrade to shuffle joins on the same code if they don't.
-    Sources are normalized to unordered (LEAST/GREATEST) so the matrix is
-    upper-triangular regardless of doc-id assignment."""
+    the graph consumers in ``datapipe.cluster``) and joins the (doc_id,
+    source) projection twice.  The pair set is the OUTPUT-bounded side
+    (near-dup pairs, not the corpus), so the joins are left hint-free:
+    size-based planning + AQE broadcast the staged pair parquet (whose file
+    stats Spark reads) while the corpus-sized projection streams, and the
+    same code degrades to a doc_id shuffle join if pairs ever outgrow the
+    broadcast limit — a forced ``F.broadcast`` would instead hard-fail at
+    8 GB, and forcing it on the corpus projection (the one side that GROWS
+    with corpus size) would be exactly backwards.  Sources are normalized
+    to unordered (LEAST/GREATEST) so the matrix is upper-triangular
+    regardless of doc-id assignment."""
     from .stage import staged_jaccard_pairs
 
     pairs = staged_jaccard_pairs(spark, sf_dir)
@@ -875,8 +880,8 @@ def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"),

@@ -396,8 +396,15 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace_idx = np.arange(m)
 
     def adc_local_topk(batches):
+        # The shortlist is folded ACROSS Arrow batches (a partition arrives
+        # as ceil(rows / arrow.maxRecordsPerBatch) batches): emitting one
+        # shortlist per batch would multiply the candidate shuffle by the
+        # batch count and break the documented partitions×queries×shortlist
+        # bound.  Running state is (nq, ≤shortlist) — query-set-sized.
         import pandas as pd
 
+        best_d = None
+        best_i = None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -405,12 +412,19 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy()
             lookups = dt[:, subspace_idx, codes]  # (nq, n, m)
             approx = lookups.sum(axis=2)  # (nq, n)
+            cand_i = np.broadcast_to(ids, approx.shape)
+            if best_d is not None:
+                approx = np.concatenate([best_d, approx], axis=1)
+                cand_i = np.concatenate([best_i, cand_i], axis=1)
             k = min(shortlist, approx.shape[1])
-            top = np.argpartition(approx, k - 1, axis=1)[:, :k]  # (nq, k)
+            sel = np.argpartition(approx, k - 1, axis=1)[:, :k]  # (nq, k)
+            best_d = np.take_along_axis(approx, sel, axis=1)
+            best_i = np.take_along_axis(cand_i, sel, axis=1)
+        if best_i is not None:
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids, k),
-                    "neighbor_id": ids[top].ravel(),
+                    "query_id": np.repeat(qids, best_i.shape[1]),
+                    "neighbor_id": best_i.ravel(),
                 }
             )
 

@@ -794,17 +794,20 @@ def q_winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the corpus would contribute a quadratic per-fingerprint blowup
     while carrying no discriminative signal, so pairs are generated only
     through rare fingerprints.  Plan: fingerprint df aggregate (one
-    shuffle, |fingerprints|-bounded), broadcast-joined back as the rare
-    filter, self-join keyed on fingerprint (per-key fan-out ≤ cap²), pair
-    aggregate — corpus-linear outside the capped fan-out."""
+    shuffle, |fingerprints|-bounded), then a broadcast ANTI-join against
+    the HUB set — the tiny side: hubs are fingerprints in > {WINNOW_DF_CAP}
+    docs, a handful at any corpus size, while the rare set is nearly ALL
+    fingerprints and must never be the broadcast side — self-join keyed on
+    fingerprint (per-key fan-out ≤ cap²), pair aggregate — corpus-linear
+    outside the capped fan-out."""
     fps = q_winnowing_fingerprints(spark, sf_dir)
-    rare = (
+    hubs = (
         fps.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .filter(F.col("df") > WINNOW_DF_CAP)
         .select("fingerprint")
     )
-    rare_fps = fps.join(F.broadcast(rare), "fingerprint")
+    rare_fps = fps.join(F.broadcast(hubs), "fingerprint", "left_anti")
     a = rare_fps.select("fingerprint", F.col("doc_id").alias("doc_a"))
     b = rare_fps.select("fingerprint", F.col("doc_id").alias("doc_b"))
     return (

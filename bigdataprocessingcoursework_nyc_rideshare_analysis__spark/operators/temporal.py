@@ -1123,13 +1123,18 @@ WITH d AS (
   FROM spine s LEFT JOIN d ON s.day = d.day
 ), tr AS (
   SELECT day, n_events,
-         AVG(CAST(n_events AS DOUBLE)) OVER (ORDER BY day
-             ROWS BETWEEN {DECOMP_HALF_WIDTH} PRECEDING AND {DECOMP_HALF_WIDTH} FOLLOWING) AS trend
+         SUM(n_events) OVER w7 AS t7,
+         COUNT(*) OVER w7 AS c7
   FROM dense
+  WINDOW w7 AS (ORDER BY day
+      ROWS BETWEEN {DECOMP_HALF_WIDTH} PRECEDING AND {DECOMP_HALF_WIDTH} FOLLOWING)
 ), se AS (
-  SELECT day, n_events, trend,
-         AVG(n_events - trend) OVER (PARTITION BY isodow(day) - 1) AS seasonal
+  SELECT day, n_events,
+         CAST(t7 AS DOUBLE) / c7 AS trend,
+         CAST(SUM(420 * n_events - (420 * t7) // c7) OVER wd AS DOUBLE)
+           / (420.0 * COUNT(*) OVER wd) AS seasonal
   FROM tr
+  WINDOW wd AS (PARTITION BY isodow(day) - 1)
 )
 SELECT day, n_events, ROUND(trend, 9) AS trend, ROUND(seasonal, 9) AS seasonal,
        ROUND(n_events - trend - seasonal, 9) AS residual
@@ -1153,16 +1158,34 @@ def q_daily_dow_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented single-series cost (|days| rows — thousands, not billions —
     same bound as the EWMA/autocorrelation queries).  Day-of-week mapping
     pins Spark ``weekday()`` (0=Monday) to DuckDB ``isodow()-1`` so the
-    seasonal groups agree across engines."""
+    seasonal groups agree across engines.
+
+    Float-determinism discipline: a naive ``AVG(n - trend)`` over the
+    weekday partition would sum doubles in shuffle-arrival order —
+    nondeterministic and engine-divergent at the 9-dp rounding boundary.
+    Instead the detrended value is kept EXACT: trend = t7/c7 where t7 is
+    the integer window sum and c7 ∈ {4..7} all divide 420, so
+    420·(n − t7/c7) = 420·n − (420·t7) div c7 is an exact int64; the
+    seasonal mean is that integer sum (order-free) with ONE float division
+    at the end — bit-identical on any engine and any row order."""
     dense = daily_gapfilled(load_table(spark, sf_dir, "events"))
     w_trend = Window.orderBy("day").rowsBetween(-DECOMP_HALF_WIDTH, DECOMP_HALF_WIDTH)
     tr = dense.select(
         "day",
         "n_events",
-        F.avg(F.col("n_events").cast("double")).over(w_trend).alias("trend"),
+        F.sum("n_events").over(w_trend).alias("t7"),
+        F.count(F.lit(1)).over(w_trend).alias("c7"),
     )
     w_dow = Window.partitionBy(F.weekday("day"))
-    se = tr.withColumn("seasonal", F.avg(F.col("n_events") - F.col("trend")).over(w_dow))
+    se = tr.select(
+        "day",
+        "n_events",
+        (F.col("t7").cast("double") / F.col("c7")).alias("trend"),
+        (
+            F.sum(F.expr("420 * n_events - (420 * t7) div c7")).over(w_dow).cast("double")
+            / (F.count(F.lit(1)).over(w_dow) * F.lit(420.0))
+        ).alias("seasonal"),
+    )
     return se.select(
         "day",
         "n_events",

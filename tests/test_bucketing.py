@@ -123,10 +123,7 @@ def test_tpch_factxfact_tier_warehouse_path_is_exchange_free(spark):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            for fn, sort_key in (
-                (q_sole_late_suppliers, "s_name"),
-                (q_late_line_priority_mix, "l_linestatus"),
-            ):
+            for fn in (q_sole_late_suppliers, q_late_line_priority_mix):
                 wh_plan = plan_string(fn(spark, SF_SMOKE, use_warehouse=True))
                 raw_plan = plan_string(fn(spark, SF_SMOKE))
                 # one Exchange: the final rollup over a tiny key space

@@ -22,7 +22,7 @@ from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events 
     q_session_overlap_histogram,
 )
 
-SF_SMOKE = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE
 
 
 def _tokens(text: str) -> list[str]:
@@ -290,4 +290,6 @@ def test_cogroup_asof_identical_to_jvm_asof(spark):
     a = sorted(map(tuple, q_asof_cogroup(spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, q_asof(spark, SF_SMOKE).collect()))
     assert a == b
-    assert any(r[-1] is None for r in a) or True  # null matches allowed, not required
+    # the no-match → null path must actually occur in the smoke data, or
+    # the equality above would never exercise cogroup's unmatched branch
+    assert any(r[-1] is None for r in a)
