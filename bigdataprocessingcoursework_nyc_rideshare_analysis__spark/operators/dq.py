@@ -319,3 +319,37 @@ def q_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(share - benford, 9).alias("deviation"),
         )
     )
+
+
+# --- zero-extra-pass observed metrics ----------------------------------------
+
+
+def observe_audit(df: DataFrame, metrics: dict[str, Column], name: str = "audit"):
+    """Attach audit metrics that are collected DURING the consumer's own
+    action — ``df.observe`` inserts a ``CollectMetrics`` node into the plan,
+    so the aggregates ride along with whatever job materializes the frame
+    (write, collect, count) at zero additional scans.
+
+    This is the complement to ``run_checks``: the constraint suite is a
+    *dedicated* single-pass aggregation job you run to gate a promotion;
+    ``observe_audit`` is the always-on instrumentation a production sink
+    wraps around every write (row counts, null counts, value sums for
+    reconciliation) where a second scan of a 100 TB input purely for
+    metrics would double the pipeline's cost.  The driver-side
+    ``Observation`` handle blocks until the action finishes, then exposes
+    the metric row as a dict — compare against expectations and fail the
+    pipeline AFTER the write but BEFORE the commit/promote step.
+
+    Constraints inherited from Spark's observe contract: metric columns
+    must be aggregate expressions without distinct, and the metrics are
+    computed over exactly the rows the action consumed (a ``limit`` above
+    the observe sees only the limited rows — attach the observe at the
+    point whose row-flow you mean to measure).
+
+    Returns ``(instrumented_df, observation)``; read
+    ``observation.get`` after running an action on the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[m.alias(k) for k, m in metrics.items()]), obs

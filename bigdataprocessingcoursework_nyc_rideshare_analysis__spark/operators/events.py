@@ -589,6 +589,47 @@ def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_partitioned_running_sum(
+    df: DataFrame, order_cols: list[str], value_col: str, alias: str
+) -> DataFrame:
+    """Running SUM(``value_col``) over the total order given by
+    ``order_cols`` WITHOUT the single-partition global window (the
+    canonical scale trap: an empty PARTITION BY drags every row through
+    one task).
+
+    Two-phase offset pattern (same algebra as
+    ``q_events_global_sequence``'s rank numbering): (1) range-repartition
+    on the order so partition i holds a contiguous key range; (2) one
+    |partitions|-row aggregate of per-partition value totals, prefix-summed
+    into offsets (the only unpartitioned window — over P rows), broadcast
+    back; (3) partition-LOCAL running sums plus the offset.  Exact for
+    integer/decimal values — sum algebra is order-free, so the result is
+    independent of where the sampled range boundaries land.
+
+    Requires ``order_cols`` to be duplicate-free across rows (a total
+    order): range partitioning co-locates equal keys, but a running sum
+    has no defined per-row value on ties."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(par, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = parted.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .withColumn(alias, F.col("_off") + F.sum(value_col).over(w_local))
+        .drop("_pid", "_off")
+    )
+
+
 _PEAK_CONCURRENCY_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, ts,
@@ -631,12 +672,13 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed delta at t, identically on both engines), and a running sum
     over the time-ordered deltas is the live count whose max is the peak.
 
-    Scale: the unpartitioned running-sum window is the honest cost —
-    but it runs over |distinct boundary timestamps| rows (2 per session,
-    pre-collapsed by a distributed groupBy), orders of magnitude below
-    the fact table.  For corpora where even that overflows one partition,
-    range-partition by time and carry per-partition prefix sums — same
-    algebra, documented here, not needed at this tier."""
+    Scale: the running sum goes through ``range_partitioned_running_sum``
+    — partition-local prefix sums plus broadcast per-partition offsets —
+    so NO row of the boundary table ever funnels through one task: the
+    only unpartitioned window is over the P-row offsets frame.  The
+    boundary table is itself already small (2 rows per session,
+    pre-collapsed by a distributed groupBy), so this query stays shaped
+    for corpora where even |sessions| is cluster-sized."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     spans = (
         sessionize(ev, "user_id", "ts", SESSION_GAP_MIN)
@@ -647,8 +689,7 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
     )
     swept = bounds.groupBy("ts").agg(F.sum("delta").alias("d"))
-    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    running = swept.select("ts", F.sum("d").over(w).alias("live"))
+    running = range_partitioned_running_sum(swept, ["ts"], "d", "live").select("ts", "live")
     peak = running.agg(F.max("live").alias("mx"))
     return (
         running.join(F.broadcast(peak))

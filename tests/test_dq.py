@@ -61,3 +61,30 @@ def test_dq_single_aggregation_pass(spark):
     plan = plan_string(q_dq_orders(spark, SF_SMOKE))
     # one scan for the metrics agg + one for the anti-join probe + customer
     assert plan.count("orders.parquet") <= 2, plan
+
+
+def test_observe_audit_matches_dedicated_aggregation(spark):
+    """Observed metrics must equal a dedicated aggregation over the same
+    frame, arrive via the action itself (CollectMetrics in the plan), and
+    measure exactly the row-flow at the attach point (post-filter here)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.dq import (
+        observe_audit,
+        violations,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") > 1000)
+    metrics = {
+        "n_rows": F.count(F.lit(1)).cast("long"),
+        "null_cust": violations(F.col("o_custkey").isNull()),
+        "total_price": F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+    }
+    instrumented, obs = observe_audit(orders, metrics)
+    assert "CollectMetrics" in instrumented._jdf.queryExecution().toString()
+
+    n_consumed = instrumented.count()  # the action the metrics ride on
+    got = obs.get
+    want = orders.agg(*[m.alias(k) for k, m in metrics.items()]).collect()[0].asDict()
+    assert got["n_rows"] == n_consumed == want["n_rows"]
+    assert got["null_cust"] == want["null_cust"] == 0
+    assert got["total_price"] == want["total_price"]
