@@ -245,3 +245,103 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sort_key"), F.asc("doc_id"))
         .limit(WEIGHTED_SAMPLE_K)
     )
+
+
+# --- DSIR: hashed-n-gram importance weights -----------------------------------
+
+#: The curated target domain: importance weights rank raw docs by how
+#: target-like their hashed unigram profile is.
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+#: Hash-feature buckets (first two md5 hex chars → 256 buckets).
+DSIR_BUCKETS = 256
+#: Laplace smoothing mass per bucket.
+DSIR_ALPHA = 1.0
+
+_DSIR_SRC_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+_DSIR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, source, substr(md5(term), 1, 2) AS bucket, COUNT(*) AS c
+  FROM (SELECT doc_id, source, unnest(toks) AS term FROM t) x
+  GROUP BY 1, 2, 3
+),
+raw AS (SELECT bucket, SUM(c) AS rc FROM b GROUP BY 1),
+tgt AS (SELECT bucket, SUM(c) AS tc FROM b WHERE source IN ({_DSIR_SRC_SQL}) GROUP BY 1),
+tot AS (
+  SELECT (SELECT SUM(c) FROM b) AS rn,
+         (SELECT SUM(c) FROM b WHERE source IN ({_DSIR_SRC_SQL})) AS tn
+)
+SELECT b.doc_id,
+       MAX(b.source) AS source,
+       CAST(SUM(b.c) AS BIGINT) AS n_toks,
+       ROUND(SUM(b.c * (ln((COALESCE(tgt.tc, 0) + {DSIR_ALPHA}) / (tot.tn + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                        - ln((raw.rc + {DSIR_ALPHA}) / (tot.rn + {DSIR_ALPHA} * {DSIR_BUCKETS})))), 9)
+         AS dsir_logweight
+FROM b
+JOIN raw ON raw.bucket = b.bucket
+LEFT JOIN tgt ON tgt.bucket = b.bucket
+CROSS JOIN tot
+GROUP BY b.doc_id
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE, tags=("datapipe", "mixture", "selection", "r8"))
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023: Data Selection
+    via Importance Resampling): score every raw document by the
+    log-likelihood ratio of its HASHED unigram profile under a target-domain
+    bag-of-buckets LM vs the raw-corpus LM — the published recipe for
+    selecting pretraining data that "looks like" a curated domain without
+    training a classifier.  Features are md5-bucketed unigrams
+    ({DSIR_BUCKETS} buckets, first two hex chars — cross-engine stable, the
+    hashing trick bounds the LM at a constant size regardless of
+    vocabulary), both bucket LMs are Laplace-smoothed (α={DSIR_ALPHA}), and
+    log w(d) = Σ_b c_db·(ln p_target(b) − ln p_raw(b)).  Downstream,
+    ``mixture_resample_docs``'s content-hash gate applied to a
+    softmax/top-quantile of these weights IS the resampling step; the
+    weights table here is the reusable artifact.
+
+    Determinism: bucket counts are exact int64 on both engines (md5 on
+    identical normalized tokens); each log term is a fixed IEEE parse tree;
+    the per-doc sum is rounded once at 9 dp (``collocation_npmi_top``'s
+    ln-ulp discipline).  Scale shape: one explode→groupBy over (doc,
+    bucket) — output bounded by |docs|·{DSIR_BUCKETS}, not vocabulary —
+    then two {DSIR_BUCKETS}-row LM tables and a 1-row totals frame, all
+    broadcast back; no corpus-sized shuffle beyond the bucket-count
+    aggregate.  At 100 TB the LM tables are still {DSIR_BUCKETS} rows:
+    the method's whole point is that target-likeness scoring stays
+    embarrassingly parallel."""
+    docs = staged_features(spark, sf_dir)
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    b = (
+        docs.select("doc_id", "source", F.explode(tokens_of(docs)).alias("term"))
+        .withColumn("bucket", F.substring(F.md5("term"), 1, 2))
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw = b.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tgt = b.filter(is_target).groupBy("bucket").agg(F.sum("c").alias("tc"))
+    tot = b.agg(
+        F.sum("c").alias("rn"),
+        F.sum(F.when(is_target, F.col("c")).otherwise(F.lit(0))).alias("tn"),
+    )  # 1 row, broadcast, lazy
+    alpha, nb = DSIR_ALPHA, DSIR_BUCKETS
+    term = F.col("c") * (
+        F.log((F.coalesce(F.col("tc"), F.lit(0)) + alpha) / (F.col("tn") + alpha * nb))
+        - F.log((F.col("rc") + alpha) / (F.col("rn") + alpha * nb))
+    )
+    return (
+        b.join(F.broadcast(raw), "bucket")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.max("source").alias("source"),
+            F.sum("c").cast("long").alias("n_toks"),
+            F.round(F.sum(term), 9).alias("dsir_logweight"),
+        )
+    )

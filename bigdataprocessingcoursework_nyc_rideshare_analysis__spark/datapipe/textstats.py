@@ -1751,3 +1751,106 @@ def q_fighting_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term", "y1", "y2", F.round(delta / F.sqrt(var), 9).alias("z")
     )
     return scored.orderBy(F.abs(F.col("z")).desc(), "term").limit(LOGODDS_TOP_K)
+
+
+# --- BM25 ranked retrieval ----------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+_BM25_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), lens AS (SELECT doc_id, len(toks) AS dl FROM t),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+q(term) AS (VALUES {_RRF_TERMS_SQL}),
+hits AS (
+  SELECT x.doc_id, x.term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) x
+  JOIN q ON q.term = x.term
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id,
+         COUNT(*) AS matched_terms,
+         MAX(l.dl) AS dl,
+         SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * h.tf * ({BM25_K1} + 1)
+             / (h.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))) AS score
+  FROM hits h
+  JOIN df d ON d.term = h.term
+  JOIN lens l ON l.doc_id = h.doc_id
+  CROSS JOIN stats s
+  GROUP BY h.doc_id
+)
+SELECT doc_id, CAST(matched_terms AS BIGINT) AS matched_terms,
+       CAST(dl AS BIGINT) AS dl, ROUND(score, 9) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+@register("bm25_topk_docs", oracle=_BM25_ORACLE, tags=("datapipe", "text", "retrieval", "r8"))
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009) for the
+    standing query {RRF_QUERY_TERMS}: the lexical ranking function every
+    search/RAG retrieval stack defaults to, completing the retrieval tier
+    (``trigram_substring_search`` = recall, ``hybrid_search_rrf`` = fusion,
+    this = the canonical lexical scorer the fused rankers come from).
+    idf(t) = ln(1 + (N − df + ½)/(df + ½)); per-term gain saturates in tf
+    (k₁ = {BM25_K1}) and normalizes by document length against the corpus
+    mean (b = {BM25_B}) — the two properties (diminishing returns, length
+    fairness) raw TF-IDF lacks.
+
+    Determinism: tf/df/dl/N are exact int64; avgdl is a sum of small ints
+    in double (exact, order-free) over an exact count; the per-term score
+    is then a fixed IEEE parse tree, summed over ≤|query| terms and rounded
+    once (same ln-ulp discipline as ``collocation_npmi_top``); ties break
+    on doc_id.  Scale shape: inverted-index discipline — only documents
+    containing a query term survive the explode-filter (hits-sized, not
+    corpus-sized), df is a |query|-row broadcast, the length table joins
+    hits-sized rows, and the top-k is a TakeOrderedAndProject, never a
+    global sort.  The corpus-sized stats (N, avgdl) are a broadcast 1-row
+    aggregate off the staged token arrays."""
+    from .stage import staged_features
+
+    docs = staged_features(spark, sf_dir)
+    toks = tokens_of(docs)
+    lens = docs.select("doc_id", F.size(toks).alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks).cast("double")).alias("avgdl"),
+    )  # 1 row, broadcast, lazy
+    qterms = F.array(*[F.lit(t) for t in RRF_QUERY_TERMS])
+    hits = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.array_contains(qterms, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    gain = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        hits.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.max("dl").cast("long").alias("dl"),
+            F.round(F.sum(gain), 9).alias("bm25"),
+        )
+    )
+    return scored.select(
+        "doc_id", "matched_terms", "dl", "bm25"
+    ).orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)

@@ -479,3 +479,117 @@ def q_absorption_purchase_vs_error(spark: SparkSession, sf_dir: str) -> DataFram
         for s, probs in absorption_probabilities(ev)
     ]
     return spark.createDataFrame(rows, "start_state string, p_purchase double, p_error double")
+
+
+# --- CUPED variance-reduced experiment readout --------------------------------
+
+#: Pre-period / experiment-period boundary: the month's midpoint.
+CUPED_SPLIT = "2024-01-16"
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN instr('0123456789abcdef',
+                         substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                                THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DECIMAL(14,6)) AS x,
+         CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                                THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DECIMAL(14,6)) AS y
+  FROM events GROUP BY 1
+),
+stats AS (
+  -- widen one multiplicand so DuckDB's product runs on int128 (it would
+  -- otherwise overflow int64 at scale 12); Spark's (14,6)x(14,6) product
+  -- is already exact at scale 12, so both engines hold identical values
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(20,6)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(20,6)) * x) AS sxx
+  FROM per_user
+),
+th AS (
+  SELECT n, sx,
+         CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n = 0
+              THEN 0.0
+              ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) END AS theta
+  FROM stats
+)
+SELECT p.variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(p.y) AS DOUBLE) / COUNT(*), 9) AS mean_y,
+       ROUND(MAX(t.theta), 9) AS theta,
+       ROUND(CAST(SUM(p.y) AS DOUBLE) / COUNT(*)
+             - MAX(t.theta) * (CAST(SUM(p.x) AS DOUBLE) / COUNT(*)
+                               - CAST(MAX(t.sx) AS DOUBLE) / MAX(t.n)), 9) AS mean_y_cuped
+FROM per_user p CROSS JOIN th t
+GROUP BY 1
+"""
+
+
+@register("ab_test_cuped_value", oracle=_CUPED_ORACLE, tags=("behavior", "experiment", "r8"))
+def q_ab_test_cuped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM 2013):
+    per-user experiment-period value adjusted by the pre-period covariate,
+    y′ = y − θ·(x − x̄), θ = cov(x,y)/var(x) — the industry-standard way to
+    shrink A/B metric variance using pre-experiment behavior (same variants
+    and hash-assignment device as ``ab_test_purchase_conversion``; here the
+    metric is continuous value, not conversion).  On a synthetic corpus
+    with no treatment effect the adjusted means converge toward each other
+    — the variance-reduction null calibration.
+
+    Determinism without decimal-free covariance: per-user x/y are EXACT
+    decimal sums (order-free — float covar_samp would be partition-order
+    dependent), the moment sums Σx, Σy, Σxy, Σx² stay in decimal (exact
+    int128-backed accumulation on both engines), and θ is one fixed double
+    parse tree over their correctly-rounded casts, so every engine sees
+    bit-identical inputs.  Scale shape: one user-keyed aggregate over the
+    fact table, a 1-row broadcast moments frame, a 2-row variant rollup —
+    the same single-scan shape as the conversion readout; the decimal
+    moment sums bound the method at ~10³⁸ absolute mass, far past any real
+    corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    digit = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) - 1
+    )
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    val = F.col("value").cast("decimal(18,6)")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(digit < 8, "A").otherwise("B")).alias("variant"),
+            F.coalesce(F.sum(F.when(F.col("ts") < split, val)), F.lit(0))
+            .cast("decimal(14,6)")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(F.col("ts") >= split, val)), F.lit(0))
+            .cast("decimal(14,6)")
+            .alias("y"),
+        )
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    var_num = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+    cov_num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    th = stats.select(
+        "n",
+        "sx",
+        F.when(var_num == 0, F.lit(0.0)).otherwise(cov_num / var_num).alias("theta"),
+    )
+    mean_y = F.sum("y").cast("double") / F.count(F.lit(1))
+    mean_x = F.sum("x").cast("double") / F.count(F.lit(1))
+    grand_mean_x = F.max(F.col("sx").cast("double")) / F.max("n")
+    return (
+        per_user.crossJoin(F.broadcast(th))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(mean_y, 9).alias("mean_y"),
+            F.round(F.max("theta"), 9).alias("theta"),
+            F.round(mean_y - F.max("theta") * (mean_x - grand_mean_x), 9).alias("mean_y_cuped"),
+        )
+    )

@@ -216,6 +216,7 @@ def load_all() -> dict[str, QuerySpec]:
                 + 2 * ("r5" in spec.tags)
                 + 3 * ("r6" in spec.tags)
                 + 4 * ("r7" in spec.tags)
+                + 5 * ("r8" in spec.tags)
             )
             return (0, name not in CHANGED_SINCE_VERIFIED, spec.oracle is None, age)
         return (1, 0, 0, DRIVER_VERIFIED[name])
