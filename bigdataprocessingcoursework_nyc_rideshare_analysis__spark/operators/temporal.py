@@ -1445,3 +1445,125 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(clicks.groupBy("user_id"))
         .applyInPandas(merge, "user_id long, event_id long, ts timestamp, last_click_ts timestamp")
     )
+
+
+# --- Mann-Kendall monotonic-trend test -----------------------------------------
+
+#: two-sided 5% normal critical value (z_{0.975}), identical literal both engines.
+MK_Z_CRIT = 1.959963984540054
+
+_MANN_KENDALL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END), 0)
+              AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_sum
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY n) g
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+v AS (
+  SELECT nn.n_days, s.s_stat,
+         nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5) - ties.tie_sum AS var18
+  FROM nn CROSS JOIN s CROSS JOIN ties
+)
+SELECT n_days, s_stat,
+       ROUND(CAST(var18 AS DOUBLE) / 18, 9) AS var_s,
+       ROUND(CASE WHEN var18 = 0 OR s_stat = 0 THEN 0.0
+                  WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(CAST(var18 AS DOUBLE) / 18)
+                  ELSE (CAST(s_stat AS DOUBLE) + 1) / sqrt(CAST(var18 AS DOUBLE) / 18) END, 9) AS z,
+       CASE WHEN var18 = 0 OR s_stat = 0 THEN 'no trend'
+            WHEN s_stat > 0 AND (CAST(s_stat AS DOUBLE) - 1) / sqrt(CAST(var18 AS DOUBLE) / 18) > {MK_Z_CRIT}
+              THEN 'increasing'
+            WHEN s_stat < 0 AND (CAST(s_stat AS DOUBLE) + 1) / sqrt(CAST(var18 AS DOUBLE) / 18) < -{MK_Z_CRIT}
+              THEN 'decreasing'
+            ELSE 'no trend' END AS verdict
+FROM v
+"""
+
+
+@register(
+    "mann_kendall_daily_trend",
+    oracle=_MANN_KENDALL_ORACLE,
+    tags=("temporal", "stats", "timeseries", "r9"),
+)
+def q_mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric monotonic-trend test on the daily event
+    volume: S = Σ_{i<j} sign(n_j − n_i) over day-ordered counts, the
+    tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18,
+    and the continuity-corrected z = (S ∓ 1)/√Var(S) with a 5% two-sided
+    verdict.  The distribution-free significance companion to the
+    ``theilsen_daily_trend`` slope estimate (Theil-Sen says HOW steep,
+    Mann-Kendall says WHETHER the monotone trend is real) — together the
+    textbook robust-trend pair.
+
+    Scale shape mirrors Theil-Sen: ONE corpus scan and ONE shuffle (the
+    daily aggregate); the |days|-row series then collapses to a single
+    array row where the |days|²-bounded pair sweep and the per-element tie
+    multiplicities run as array transforms — never a corpus-sized join.
+    Exactness: counts, S, tie terms and the variance numerator are all
+    exact int64 (the per-element tie identity Σ_i (c_i−1)(2c_i+5) over
+    elements of each tie group equals Σ_t t(t−1)(2t+5) over groups); z is
+    the single double expression, rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    packed = daily.agg(F.array_sort(F.collect_list(F.struct("day", "n"))).alias("dn"))
+    arrays = packed.select(
+        F.transform("dn", lambda d: d["n"]).alias("ys"), F.size("dn").alias("n_days")
+    )
+    pair_signs = F.when(
+        F.col("n_days") >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_days") - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.col("n_days")),
+                    lambda j: F.when(F.element_at("ys", j) > F.element_at("ys", i), 1)
+                    .when(F.element_at("ys", j) < F.element_at("ys", i), -1)
+                    .otherwise(0),
+                ),
+            )
+        ),
+    ).otherwise(F.array())
+    s_stat = F.aggregate(pair_signs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # per-element tie identity: each element of a size-t tie group contributes
+    # (t-1)(2t+5), so the element sum equals the group sum Σ t(t-1)(2t+5)
+    tie_terms = F.transform(
+        "ys",
+        lambda y: (
+            F.size(F.filter("ys", lambda o: o == y)).cast("long") - 1
+        )
+        * (2 * F.size(F.filter("ys", lambda o: o == y)).cast("long") + 5),
+    )
+    tie_sum = F.aggregate(tie_terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nd = F.col("n_days").cast("long")
+    # alias the long n_days only AFTER the array exprs resolve: a same-select
+    # `.alias("n_days")` would shadow the int input via lateral column
+    # aliasing and coerce element_at's index to bigint (analysis error)
+    stats = arrays.select(
+        F.col("n_days").alias("nd_int"),
+        s_stat.alias("s_stat"),
+        (nd * (nd - 1) * (2 * nd + 5) - tie_sum).alias("var18"),
+    ).select(F.col("nd_int").cast("long").alias("n_days"), "s_stat", "var18")
+    var_d = F.col("var18").cast("double") / 18
+    z_raw = (
+        F.when((F.col("var18") == 0) | (F.col("s_stat") == 0), F.lit(0.0))
+        .when(F.col("s_stat") > 0, (F.col("s_stat").cast("double") - 1) / F.sqrt(var_d))
+        .otherwise((F.col("s_stat").cast("double") + 1) / F.sqrt(var_d))
+    )
+    return stats.select(
+        "n_days",
+        "s_stat",
+        F.round(var_d, 9).alias("var_s"),
+        F.round(z_raw, 9).alias("z"),
+        F.when((F.col("var18") == 0) | (F.col("s_stat") == 0), "no trend")
+        .when((F.col("s_stat") > 0) & (z_raw > MK_Z_CRIT), "increasing")
+        .when((F.col("s_stat") < 0) & (z_raw < -MK_Z_CRIT), "decreasing")
+        .otherwise("no trend")
+        .alias("verdict"),
+    )

@@ -173,7 +173,7 @@ def load_all() -> dict[str, QuerySpec]:
     the order is: (1) never-verified queries and queries changed since
     their green row (``CHANGED_SINCE_VERIFIED``), in module order; (2) the
     verified tier, oldest round first (stalest rows re-confirm first)."""
-    from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster, scrub, bpe, mixture, boilerplate, graphrank, pca, lm, kmeans, trainer  # noqa: F401
+    from .datapipe import dedup, similarity, textstats, multimodal, normalize, curate, cluster, scrub, bpe, mixture, boilerplate, graphrank, pca, lm, kmeans, trainer, evalmetrics  # noqa: F401
     from .sources import pydatasource  # noqa: F401
     from .operators import (  # noqa: F401
         behavior,
@@ -217,6 +217,7 @@ def load_all() -> dict[str, QuerySpec]:
                 + 3 * ("r6" in spec.tags)
                 + 4 * ("r7" in spec.tags)
                 + 5 * ("r8" in spec.tags)
+                + 6 * ("r9" in spec.tags)
             )
             return (0, name not in CHANGED_SINCE_VERIFIED, spec.oracle is None, age)
         return (1, 0, 0, DRIVER_VERIFIED[name])

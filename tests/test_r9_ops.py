@@ -1,0 +1,154 @@
+"""Round-9-tier operator pins: ROC AUC / calibration / source-calibration
+over the quality score, and the Mann-Kendall trend test — each against a
+brute-force pure-Python/pandas reference over the sf0.001 smoke tables,
+with non-vacuity assertions that the interesting paths (ties, both label
+classes, a non-degenerate S statistic) actually occur in the smoke data."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.evalmetrics import (
+    AUC_POSITIVE_LANG,
+    CALIBRATION_BINS,
+    q_quality_calibration_bins,
+    q_quality_score_auc,
+    q_source_score_calibration,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+    QUALITY_WEIGHTS,
+    STOPWORDS,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+    MK_Z_CRIT,
+    q_mann_kendall_daily_trend,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _scores() -> pd.DataFrame:
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    w0, w1, w2, w3 = QUALITY_WEIGHTS
+    rows = []
+    for _, r in docs.iterrows():
+        toks = re.sub(r"\s+", " ", r.text.strip().lower()).split(" ")
+        n_tok, n_stop, n_chars = len(toks), sum(t in STOPWORDS for t in toks), len(r.text)
+        score = ((w0 + w1 * float(n_tok)) + w2 * (n_stop / n_tok)) + w3 * (n_chars / n_tok)
+        rows.append((r.doc_id, r.lang, r.source, score))
+    return pd.DataFrame(rows, columns=["doc_id", "lang", "source", "score"])
+
+
+# --- ROC AUC --------------------------------------------------------------------
+
+
+def _py_auc(df: pd.DataFrame) -> tuple[int, int, float]:
+    pos = sorted(df.loc[df.lang == AUC_POSITIVE_LANG, "score"])
+    neg = sorted(df.loc[df.lang != AUC_POSITIVE_LANG, "score"])
+    num = 0.0
+    for p in pos:  # brute force: wins + half-ties over all pairs
+        for n in neg:
+            num += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return len(pos), len(neg), num / (len(pos) * len(neg))
+
+
+def test_quality_auc_matches_bruteforce_pairs(spark):
+    df = _scores()
+    n_pos, n_neg, auc = _py_auc(df)
+    row = q_quality_score_auc(spark, SF_SMOKE).collect()[0]
+    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    assert abs(row.auc - auc) < 1e-8
+    assert abs(row.gini - (2 * auc - 1)) < 1e-8
+    # non-vacuous: both classes present, score ties exist (midrank path), and
+    # the score genuinely discriminates the language label (in the smoke
+    # corpus the length features outweigh the English-stopword feature, so
+    # the direction is BELOW 0.5 — what matters is distance from coin-flip)
+    assert n_pos > 0 and n_neg > 0
+    assert df.score.duplicated().any()
+    assert abs(row.auc - 0.5) > 0.01
+
+
+# --- reliability bins -----------------------------------------------------------
+
+
+def test_calibration_bins_match_pandas(spark):
+    df = _scores()
+    df["prob"] = df.score / (1 + df.score.abs())
+    df["pos"] = (df.lang == AUC_POSITIVE_LANG).astype(int)
+    df["bin"] = (
+        ((df.prob + 1) * CALIBRATION_BINS / 2).apply(math.floor).clip(upper=CALIBRATION_BINS - 1)
+    )
+    got = {r.bin: r for r in q_quality_calibration_bins(spark, SF_SMOKE).collect()}
+    exp = df.groupby("bin").agg(n=("prob", "size"), mp=("prob", "mean"), fp=("pos", "mean"))
+    assert set(got) == set(exp.index)
+    for b, e in exp.iterrows():
+        assert got[b].n_docs == e.n
+        assert abs(got[b].mean_prob - e.mp) < 1e-9
+        assert abs(got[b].frac_positive - e.fp) < 1e-9
+    # non-vacuous: multiple bins occupied, counts cover the corpus
+    assert len(got) >= 2
+    assert sum(r.n_docs for r in got.values()) == len(df)
+    # mean predicted prob sits inside each bin's edges
+    for b, r in got.items():
+        lo, hi = 2 * b / CALIBRATION_BINS - 1, 2 * (b + 1) / CALIBRATION_BINS - 1
+        assert lo - 1e-12 <= r.mean_prob <= hi + 1e-12
+
+
+# --- cross-source calibration ---------------------------------------------------
+
+
+def test_source_calibration_matches_midrank_cdf(spark):
+    df = _scores().sort_values("score")
+    n = len(df)
+    counts = Counter(df.score)
+    below, cdf_at = 0, {}
+    for s in sorted(counts):
+        cdf_at[s] = (below + counts[s] / 2) / n
+        below += counts[s]
+    df["cdf"] = df.score.map(cdf_at)
+    got = {r.source: r for r in q_source_score_calibration(spark, SF_SMOKE).collect()}
+    exp = df.groupby("source").agg(n=("cdf", "size"), m=("cdf", "mean"),
+                                   lo=("cdf", "min"), hi=("cdf", "max"))
+    assert set(got) == set(exp.index)
+    for src, e in exp.iterrows():
+        assert got[src].n_docs == e.n
+        assert abs(got[src].mean_cdf - e.m) < 1e-9
+        assert abs(got[src].min_cdf - e.lo) < 1e-9
+        assert abs(got[src].max_cdf - e.hi) < 1e-9
+    # non-vacuous: several sources, and the doc-weighted mean CDF is 0.5
+    assert len(got) >= 3
+    pooled = sum(r.n_docs * r.mean_cdf for r in got.values()) / n
+    assert abs(pooled - 0.5) < 1e-6
+
+
+# --- Mann-Kendall ---------------------------------------------------------------
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    daily = ev.groupby(ev.ts.dt.floor("D")).size().sort_index().tolist()
+    n = len(daily)
+    s = sum(
+        (daily[j] > daily[i]) - (daily[j] < daily[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(daily)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var_s = var18 / 18
+    z = 0.0 if s == 0 or var18 == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var_s)
+    verdict = (
+        "increasing" if z > MK_Z_CRIT else "decreasing" if z < -MK_Z_CRIT else "no trend"
+    )
+    row = q_mann_kendall_daily_trend(spark, SF_SMOKE).collect()[0]
+    assert row.n_days == n
+    assert row.s_stat == s
+    assert abs(row.var_s - var_s) < 1e-6
+    assert abs(row.z - z) < 1e-8
+    assert row.verdict == verdict
+    # non-vacuous: a real series with a non-degenerate statistic
+    assert n >= 10 and s != 0
