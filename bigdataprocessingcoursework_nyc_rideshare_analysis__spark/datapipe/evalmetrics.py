@@ -1,5 +1,7 @@
-"""Classifier-evaluation metrics over the quality-score pipeline: ROC AUC,
-reliability (calibration) bins, and cross-source score calibration.
+"""Classifier-evaluation metrics over the curation pipeline: ROC AUC,
+reliability (calibration) bins, cross-source score calibration for the
+quality score, and confusion-matrix / classification-report / Cohen-κ
+evaluation of the language-ID predictor.
 
 A curation stack that scores documents (``quality_model_score``) needs the
 matching evaluation tier before anyone trusts the scores: does the score
@@ -246,4 +248,264 @@ def q_source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("mid2").cast("double") / (2.0 * F.max("n")), 9).alias("min_cdf"),
             F.round(F.max("mid2").cast("double") / (2.0 * F.max("n")), 9).alias("max_cdf"),
         )
+    )
+
+
+# --- language-ID classifier evaluation ------------------------------------------
+
+#: the fixed class set both engines iterate in the same order.
+LANG_CLASSES = ("de", "en", "es", "fr", "zh")
+
+
+def _lang_pred_sql() -> str:
+    from .textstats import _LANG_ORACLE
+
+    return _LANG_ORACLE
+
+
+_CONFUSION_ORACLE = f"""
+SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ({{pred}}) pred
+GROUP BY 1, 2
+"""
+
+
+def _confusion_oracle() -> str:
+    return _CONFUSION_ORACLE.format(pred=_lang_pred_sql())
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=_confusion_oracle(),
+    tags=("datapipe", "eval", "text", "r9"),
+)
+def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID predictor
+    (``lang_id``) against the labeled language: one row per
+    (labeled, predicted) pair with its document count — the raw error
+    anatomy every downstream metric (precision/recall/κ) is derived from,
+    and the artifact you inspect to see WHICH languages the heuristic
+    confuses (on this corpus the weak marker lists collapse most classes
+    into 'en'/'de', which is exactly what the report quantifies).  Scale
+    shape: the per-doc predictor is a stateless select; the matrix is one
+    ≤|classes|²-key aggregate — nothing here grows past 25 rows."""
+    from .textstats import q_lang_id
+
+    return (
+        q_lang_id(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+_REPORT_ORACLE_TEMPLATE = """
+WITH conf AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+  FROM ({pred}) p GROUP BY 1, 2
+),
+classes(lang) AS (VALUES {classes}),
+tm AS (SELECT labeled_lang AS lang, SUM(n) AS n_true FROM conf GROUP BY 1),
+pm AS (SELECT predicted_lang AS lang, SUM(n) AS n_pred FROM conf GROUP BY 1),
+dg AS (SELECT labeled_lang AS lang, SUM(n) AS tp FROM conf
+       WHERE labeled_lang = predicted_lang GROUP BY 1),
+j AS (
+  SELECT c.lang,
+         CAST(COALESCE(tm.n_true, 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(pm.n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(COALESCE(dg.tp, 0) AS BIGINT) AS tp
+  FROM classes c
+  LEFT JOIN tm ON tm.lang = c.lang
+  LEFT JOIN pm ON pm.lang = c.lang
+  LEFT JOIN dg ON dg.lang = c.lang
+)
+SELECT lang, n_true, n_pred, tp,
+       ROUND(CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pred END, 9) AS precision,
+       ROUND(CASE WHEN n_true = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_true END, 9) AS recall,
+       ROUND(CASE WHEN tp = 0 THEN 0.0
+             ELSE 2.0 * tp / (CAST(n_pred AS DOUBLE) + CAST(n_true AS DOUBLE)) END, 9) AS f1
+FROM j
+"""
+
+
+def _report_oracle() -> str:
+    classes = ", ".join(f"('{c}')" for c in LANG_CLASSES)
+    return _REPORT_ORACLE_TEMPLATE.format(pred=_lang_pred_sql(), classes=classes)
+
+
+@register(
+    "langid_classification_report",
+    oracle=_report_oracle(),
+    tags=("datapipe", "eval", "text", "r9"),
+)
+def q_langid_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the language-ID predictor —
+    the sklearn-style classification report, assembled from the confusion
+    margins.  Rows are driven by the FIXED class list (not the observed
+    labels) so an absent or never-predicted class still reports zeros on
+    both engines.  F1 uses the margin identity 2·tp/(n_pred + n_true) —
+    one division instead of a P/R compose, so no intermediate rounding.
+    All counts exact int64; three guarded divisions, each rounded once.
+    Scale shape: ONE corpus pass — all 15 margin counts come from a single
+    conditional-sum aggregate row (the three-branch margin-join alternative
+    re-ran the predictor scan per branch, 3× the cost), exploded into the
+    5-row report via an array of structs (the unpivot idiom)."""
+    from .textstats import q_lang_id
+
+    pred = q_lang_id(spark, sf_dir)
+    aggs = []
+    for c in LANG_CLASSES:
+        aggs += [
+            F.sum(F.when(F.col("labeled_lang") == c, 1).otherwise(0)).cast("long").alias(f"t_{c}"),
+            F.sum(F.when(F.col("predicted_lang") == c, 1).otherwise(0))
+            .cast("long")
+            .alias(f"p_{c}"),
+            F.sum(
+                F.when(
+                    (F.col("labeled_lang") == c) & (F.col("predicted_lang") == c), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"tp_{c}"),
+        ]
+    m = pred.agg(*aggs)  # one row, 15 exact counts
+    j = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("lang"),
+                        F.col(f"t_{c}").alias("n_true"),
+                        F.col(f"p_{c}").alias("n_pred"),
+                        F.col(f"tp_{c}").alias("tp"),
+                    )
+                    for c in LANG_CLASSES
+                ]
+            )
+        ).alias("r")
+    ).select("r.lang", "r.n_true", "r.n_pred", "r.tp")
+    return j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(
+            F.when(F.col("n_pred") == 0, 0.0).otherwise(
+                F.col("tp").cast("double") / F.col("n_pred")
+            ),
+            9,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_true") == 0, 0.0).otherwise(
+                F.col("tp").cast("double") / F.col("n_true")
+            ),
+            9,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("tp") == 0, 0.0).otherwise(
+                2.0 * F.col("tp") / (F.col("n_pred").cast("double") + F.col("n_true").cast("double"))
+            ),
+            9,
+        ).alias("f1"),
+    )
+
+
+def _kappa_oracle() -> str:
+    per_class = []
+    for c in LANG_CLASSES:
+        per_class.append(
+            f"CAST(SUM(CASE WHEN labeled_lang = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS t_{c},\n"
+            f"       CAST(SUM(CASE WHEN predicted_lang = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS p_{c},\n"
+            f"       CAST(SUM(CASE WHEN labeled_lang = '{c}' AND predicted_lang = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS tp_{c}"
+        )
+    pe_terms = " + ".join(
+        f"CAST(t_{c} AS DOUBLE) * CAST(p_{c} AS DOUBLE)" for c in LANG_CLASSES
+    )
+    f1_terms = " + ".join(
+        f"(CASE WHEN tp_{c} = 0 THEN 0.0 ELSE 2.0 * tp_{c} / (CAST(p_{c} AS DOUBLE) + CAST(t_{c} AS DOUBLE)) END)"
+        for c in LANG_CLASSES
+    )
+    return f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN labeled_lang = predicted_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       {", ".join(per_class)}
+  FROM ({_lang_pred_sql()}) p
+)
+SELECT n_docs, n_correct,
+       ROUND(CAST(n_correct AS DOUBLE) / n_docs, 9) AS accuracy,
+       ROUND(({pe_terms}) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 9) AS expected_agreement,
+       ROUND(CASE WHEN ({pe_terms}) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) = 1
+                  THEN 0.0
+                  ELSE (CAST(n_correct AS DOUBLE) / n_docs
+                        - ({pe_terms}) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                       / (1 - ({pe_terms}) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) END, 9) AS cohen_kappa,
+       ROUND(({f1_terms}) / {len(LANG_CLASSES)}, 9) AS macro_f1
+FROM m
+"""
+
+
+@register(
+    "langid_agreement_stats",
+    oracle=_kappa_oracle(),
+    tags=("datapipe", "eval", "text", "r9"),
+)
+def q_langid_agreement_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row agreement summary for the language-ID predictor: accuracy,
+    chance-expected agreement, Cohen's κ (chance-corrected agreement — the
+    honest headline when one class dominates predictions, as 'en' does
+    here), and macro-F1 (classes weighted equally, so the dominant class
+    cannot hide the others' failure).  Everything is derived from ONE
+    conditional-sum aggregate row: per-class true/predicted/diagonal
+    counts are exact int64, and κ / macro-F1 are single fixed parse trees
+    over those counts (a literal 5-term sum, NOT a float aggregation —
+    order-free by construction), each rounded once.  Scale shape: one
+    stateless predictor select + one 1-row aggregate; nothing downstream
+    exceeds one row."""
+    from .textstats import q_lang_id
+
+    pred = q_lang_id(spark, sf_dir)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("labeled_lang") == F.col("predicted_lang"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    ]
+    for c in LANG_CLASSES:
+        aggs += [
+            F.sum(F.when(F.col("labeled_lang") == c, 1).otherwise(0)).cast("long").alias(f"t_{c}"),
+            F.sum(F.when(F.col("predicted_lang") == c, 1).otherwise(0))
+            .cast("long")
+            .alias(f"p_{c}"),
+            F.sum(
+                F.when(
+                    (F.col("labeled_lang") == c) & (F.col("predicted_lang") == c), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"tp_{c}"),
+        ]
+    m = pred.agg(*aggs)
+    nd = F.col("n_docs").cast("double")
+    pe = None
+    for c in LANG_CLASSES:
+        term = F.col(f"t_{c}").cast("double") * F.col(f"p_{c}").cast("double")
+        pe = term if pe is None else pe + term
+    pe = pe / (nd * nd)
+    po = F.col("n_correct").cast("double") / F.col("n_docs")
+    f1_sum = None
+    for c in LANG_CLASSES:
+        f1 = F.when(F.col(f"tp_{c}") == 0, 0.0).otherwise(
+            2.0 * F.col(f"tp_{c}")
+            / (F.col(f"p_{c}").cast("double") + F.col(f"t_{c}").cast("double"))
+        )
+        f1_sum = f1 if f1_sum is None else f1_sum + f1
+    return m.select(
+        "n_docs",
+        "n_correct",
+        F.round(po, 9).alias("accuracy"),
+        F.round(pe, 9).alias("expected_agreement"),
+        F.round(F.when(pe == 1, 0.0).otherwise((po - pe) / (1 - pe)), 9).alias("cohen_kappa"),
+        F.round(f1_sum / len(LANG_CLASSES), 9).alias("macro_f1"),
     )

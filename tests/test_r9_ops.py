@@ -152,3 +152,78 @@ def test_mann_kendall_matches_bruteforce(spark):
     assert row.verdict == verdict
     # non-vacuous: a real series with a non-degenerate statistic
     assert n >= 10 and s != 0
+
+
+# --- language-ID evaluation -------------------------------------------------------
+
+
+def _py_langid() -> pd.DataFrame:
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        LANG_MARKERS,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = []
+    for _, r in docs.iterrows():
+        toks = set(re.sub(r"\s+", " ", r.text.strip().lower()).split(" "))
+        scores = {lang: len(toks & set(m)) for lang, m in LANG_MARKERS.items()}
+        best = max(scores.values())
+        pred = next(lang for lang in sorted(scores) if scores[lang] >= best)
+        rows.append((r.doc_id, r.lang, pred))
+    return pd.DataFrame(rows, columns=["doc_id", "labeled", "predicted"])
+
+
+def test_langid_confusion_matrix_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.evalmetrics import (
+        q_langid_confusion_matrix,
+    )
+
+    df = _py_langid()
+    exp = df.groupby(["labeled", "predicted"]).size()
+    got = {
+        (r.labeled_lang, r.predicted_lang): r.n_docs
+        for r in q_langid_confusion_matrix(spark, SF_SMOKE).collect()
+    }
+    assert got == exp.to_dict()
+    # non-vacuous: real misclassification exists (off-diagonal mass)
+    assert any(l != p for l, p in got)
+
+
+def test_langid_report_and_kappa_match_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.evalmetrics import (
+        LANG_CLASSES,
+        q_langid_agreement_stats,
+        q_langid_classification_report,
+    )
+
+    df = _py_langid()
+    n = len(df)
+    stats = {}
+    for c in LANG_CLASSES:
+        t = (df.labeled == c).sum()
+        p = (df.predicted == c).sum()
+        tp = ((df.labeled == c) & (df.predicted == c)).sum()
+        stats[c] = (int(t), int(p), int(tp))
+    rep = {r.lang: r for r in q_langid_classification_report(spark, SF_SMOKE).collect()}
+    assert set(rep) == set(LANG_CLASSES)
+    for c, (t, p, tp) in stats.items():
+        r = rep[c]
+        assert (r.n_true, r.n_pred, r.tp) == (t, p, tp)
+        assert abs(r.precision - (tp / p if p else 0.0)) < 1e-9
+        assert abs(r.recall - (tp / t if t else 0.0)) < 1e-9
+        assert abs(r.f1 - (2 * tp / (p + t) if tp else 0.0)) < 1e-9
+    row = q_langid_agreement_stats(spark, SF_SMOKE).collect()[0]
+    correct = int((df.labeled == df.predicted).sum())
+    po = correct / n
+    pe = sum(t * p for t, p, _ in stats.values()) / (n * n)
+    kappa = 0.0 if pe == 1 else (po - pe) / (1 - pe)
+    macro = sum(2 * tp / (p + t) if tp else 0.0 for t, p, tp in stats.values()) / len(LANG_CLASSES)
+    assert row.n_docs == n and row.n_correct == correct
+    assert abs(row.accuracy - po) < 1e-9
+    assert abs(row.expected_agreement - pe) < 1e-9
+    assert abs(row.cohen_kappa - kappa) < 1e-9
+    assert abs(row.macro_f1 - macro) < 1e-9
+    # non-vacuous: kappa is strictly below raw accuracy (chance correction
+    # bites when one class dominates predictions) and the matrix is imperfect
+    assert row.cohen_kappa < row.accuracy
+    assert correct < n
