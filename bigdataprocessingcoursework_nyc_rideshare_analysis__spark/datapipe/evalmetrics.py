@@ -509,3 +509,78 @@ def q_langid_agreement_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(pe == 1, 0.0).otherwise((po - pe) / (1 - pe)), 9).alias("cohen_kappa"),
         F.round(f1_sum / len(LANG_CLASSES), 9).alias("macro_f1"),
     )
+
+
+# --- ROC curve points -----------------------------------------------------------
+
+_ROC_ORACLE = f"""
+WITH {_SCORE_CTES},
+lab AS (
+  SELECT score, CASE WHEN lang = '{AUC_POSITIVE_LANG}' THEN 1 ELSE 0 END AS pos
+  FROM scored
+),
+g AS (
+  SELECT score, CAST(SUM(pos) AS BIGINT) AS p,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS q
+  FROM lab GROUP BY 1
+),
+c AS (
+  SELECT score,
+         CAST(SUM(p) OVER (ORDER BY score DESC) AS BIGINT) AS cum_tp,
+         CAST(SUM(q) OVER (ORDER BY score DESC) AS BIGINT) AS cum_fp
+  FROM g
+),
+tot AS (SELECT CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(q) AS BIGINT) AS nq FROM g)
+SELECT c.score AS threshold, c.cum_tp, c.cum_fp,
+       ROUND(CAST(c.cum_tp AS DOUBLE) / CAST(tot.np AS DOUBLE), 9) AS tpr,
+       ROUND(CAST(c.cum_fp AS DOUBLE) / CAST(tot.nq AS DOUBLE), 9) AS fpr,
+       ROUND(CAST(c.cum_tp AS DOUBLE) / (CAST(c.cum_tp AS DOUBLE) + CAST(c.cum_fp AS DOUBLE)), 9)
+         AS precision
+FROM c CROSS JOIN tot
+"""
+
+
+@register("quality_roc_points", oracle=_ROC_ORACLE, tags=("datapipe", "eval", "quality", "r9"))
+def q_quality_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ROC/PR operating-point table for the quality score against
+    the ``lang = '{AUC_POSITIVE_LANG}'`` label: one row per distinct score
+    threshold ("predict positive when score ≥ t") with cumulative tp/fp,
+    TPR, FPR and precision — the curve ``quality_score_auc`` integrates,
+    needed whenever someone picks an OPERATING threshold rather than
+    reporting a ranking summary.  Same sort-free lattice discipline as the
+    AUC: groupBy(score) is the only corpus shuffle, the cumulative window
+    runs over the collapsed score lattice, totals broadcast from a 1-row
+    aggregate.  Exactness: every cumulative count is int64; three
+    divisions of exact ints, each rounded once.  cum_tp + cum_fp ≥ 1 on
+    every emitted row (thresholds exist only at observed scores), so
+    precision never divides by zero."""
+    scored = _quality_score_frame(spark, sf_dir)
+    lab = scored.select(
+        "score",
+        F.when(F.col("lang") == AUC_POSITIVE_LANG, 1).otherwise(0).alias("pos"),
+    )
+    g = lab.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("q"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        F.col("score").alias("threshold"),
+        F.sum("p").over(w).cast("long").alias("cum_tp"),
+        F.sum("q").over(w).cast("long").alias("cum_fp"),
+    )
+    tot = g.agg(
+        F.sum("p").cast("long").alias("np"), F.sum("q").cast("long").alias("nq")
+    )  # 1 row, broadcast, lazy
+    return c.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "cum_tp",
+        "cum_fp",
+        F.round(F.col("cum_tp").cast("double") / F.col("np").cast("double"), 9).alias("tpr"),
+        F.round(F.col("cum_fp").cast("double") / F.col("nq").cast("double"), 9).alias("fpr"),
+        F.round(
+            F.col("cum_tp").cast("double")
+            / (F.col("cum_tp").cast("double") + F.col("cum_fp").cast("double")),
+            9,
+        ).alias("precision"),
+    )

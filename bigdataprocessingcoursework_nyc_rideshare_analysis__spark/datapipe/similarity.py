@@ -723,3 +723,94 @@ def q_embedding_int8_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(quantize, schema="vec_id long, scale double, q_csv string")
+
+
+# --- prefix-energy (Matryoshka truncation) audit -------------------------------
+
+#: prefix lengths audited (Matryoshka-style truncation budgets).
+PREFIX_DIMS = (4, 8, 16, 32, 64)
+
+_PREFIX_ENERGY_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS i, v[i + 1] AS q
+  FROM e, UNNEST(range(0, len(v))) AS u(i)
+),
+ks(k) AS (VALUES {", ".join(f"({k})" for k in PREFIX_DIMS)}),
+pv AS (
+  SELECT d.vec_id, ks.k,
+         CAST(SUM(CASE WHEN d.i < ks.k THEN d.q * d.q ELSE 0 END) AS BIGINT) AS pk,
+         CAST(SUM(d.q * d.q) AS BIGINT) AS tot
+  FROM d CROSS JOIN ks
+  GROUP BY 1, 2
+)
+SELECT CAST(k AS INTEGER) AS prefix_dims,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(pk) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE), 9) AS micro_energy,
+       ROUND(CAST(SUM(CAST(CASE WHEN tot = 0 THEN 0.0
+                                ELSE CAST(pk AS DOUBLE) / CAST(tot AS DOUBLE) END
+                           AS DECIMAL(14,12))) AS DOUBLE) / COUNT(*), 9) AS macro_energy
+FROM pv
+GROUP BY k
+"""
+
+
+@register(
+    "embedding_prefix_energy",
+    oracle=_PREFIX_ENERGY_ORACLE,
+    tags=("datapipe", "similarity", "stats", "r9"),
+)
+def q_embedding_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: for each prefix budget k, the fraction
+    of each vector's squared L2 mass retained by its first k dimensions —
+    corpus-pooled (micro: Σ prefix-energy / Σ total-energy) and
+    vector-averaged (macro: mean of per-vector fractions).  This is the
+    table you read before shipping truncated embeddings to a cheaper ANN
+    tier (Kusupati et al. 2022's Matryoshka evaluation reduced to the
+    storage question): a high micro at k=16 says the 4× smaller index
+    keeps most of the geometry; a macro far below micro says a subset of
+    vectors concentrates its energy in the tail and will degrade.
+
+    Exactness: components quantize to int64 millionths (module discipline),
+    so per-vector prefix/total squared sums are exact integers and their
+    ratio is one correctly-rounded double, identical on both engines; the
+    macro mean accumulates those ratios as DECIMAL(14,12) casts (exact,
+    order-free), the micro mean divides two exact integer sums.  Scale
+    shape: one stateless per-vector select (the k-fold fan-out is |K|×, a
+    constant) + one |K|-row aggregate — no shuffle wider than {len(PREFIX_DIMS)} keys."""
+    from ..functions.vector import quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_vec("embedding")
+    ssq = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    per_k = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                ssq(F.slice(q, 1, k)).alias("pk"),
+                ssq(q).alias("tot"),
+            )
+            for k in PREFIX_DIMS
+        ]
+    )
+    pv = emb.select(F.explode(per_k).alias("r")).select("r.k", "r.pk", "r.tot")
+    ratio = F.when(F.col("tot") == 0, F.lit(0.0)).otherwise(
+        F.col("pk").cast("double") / F.col("tot").cast("double")
+    )
+    return pv.groupBy(F.col("k").cast("int").alias("prefix_dims")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("pk").cast("decimal(38,0)")).cast("double")
+            / F.sum(F.col("tot").cast("decimal(38,0)")).cast("double"),
+            9,
+        ).alias("micro_energy"),
+        F.round(
+            F.sum(ratio.cast("decimal(14,12)")).cast("double") / F.count(F.lit(1)), 9
+        ).alias("macro_energy"),
+    )

@@ -1567,3 +1567,175 @@ def q_mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no trend")
         .alias("verdict"),
     )
+
+
+# --- autocorrelation function + Ljung-Box white-noise test ----------------------
+
+#: ACF lags reported / pooled by the portmanteau test.
+ACF_MAX_LAG = 7
+#: chi-square 95% critical value at ACF_MAX_LAG degrees of freedom.
+LJUNG_BOX_CRIT = 14.067140449340169
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t, y FROM daily),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s FROM idx),
+den AS (
+  SELECT CAST(SUM((nn.n * idx.y - nn.s) * (nn.n * idx.y - nn.s)) AS BIGINT) AS d
+  FROM idx CROSS JOIN nn
+),
+lags(k) AS (VALUES {", ".join(f"({k})" for k in range(1, ACF_MAX_LAG + 1))}),
+num AS (
+  SELECT l.k, CAST(SUM((nn.n * a.y - nn.s) * (nn.n * b.y - nn.s)) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM lags l
+  JOIN idx a ON TRUE
+  JOIN idx b ON b.t = a.t - l.k
+  CROSS JOIN nn
+  GROUP BY l.k
+)
+SELECT CAST(num.k AS INTEGER) AS lag, num.n_pairs,
+       ROUND(CAST(num.m AS DOUBLE) / CAST(den.d AS DOUBLE), 9) AS acf
+FROM num CROSS JOIN den
+"""
+
+
+def _acf_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One packed row: ys (day-ordered counts), n, and the integerized
+    centered sums — shared by the ACF table and the Ljung-Box statistic.
+
+    Integerization: r_k's numerator and denominator are computed on
+    n·y_t − S (all int64), i.e. the centered series scaled by n, so both
+    sums are EXACT integers on every engine and partition order — the
+    naive (y_t − ȳ) form sums doubles whose reduction order differs.
+    Magnitude bound: |n·y − S| < n·max(y), so the squared sums stay below
+    int64 for n·max(y) < ~3·10⁶·√n — years of daily buckets at millions of
+    events/day; past that the one-line upgrade is DECIMAL(38,0) folds."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("y"))
+    packed = daily.agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("dy"))
+    return packed.select(
+        F.transform("dy", lambda d: d["y"]).alias("ys"), F.size("dy").alias("n_days")
+    )
+
+
+def _acf_ratio(k: int):
+    """num_k / den as one double expression over the packed arrays row."""
+    n = F.col("n_days").cast("long")
+    s = F.aggregate("ys", F.lit(0).cast("long"), lambda acc, x: acc + x)
+    dev = lambda t: n * F.element_at("ys", t) - s  # exact int64 centered value
+    den = F.aggregate(
+        F.sequence(F.lit(1), F.col("n_days")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + dev(t) * dev(t),
+    )
+    num = F.when(
+        F.col("n_days") > k,
+        F.aggregate(
+            F.sequence(F.lit(k + 1), F.col("n_days")),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + dev(t) * dev(t - k),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return num.cast("double") / den.cast("double")
+
+
+@register("daily_acf", oracle=_ACF_ORACLE, tags=("temporal", "stats", "timeseries", "r9"))
+def q_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event volume at lags 1…{ACF_MAX_LAG}:
+    r_k = Σ(y_t − ȳ)(y_{t−k} − ȳ) / Σ(y_t − ȳ)² — the diagnostic behind
+    every seasonality decision already in the repo (the 7-day MA window in
+    ``daily_dow_decomposition``, the weekly lag in
+    ``seasonal_naive_forecast_error``): a weekly cycle shows up as a
+    positive spike at lag 7.  Scale shape mirrors Theil-Sen/Mann-Kendall:
+    ONE corpus scan + ONE shuffle (the daily aggregate), then the series
+    collapses to a packed array row where each lag's sum is an O(n) fold.
+    Exactness: the centered series is integerized as n·y_t − S (see
+    ``_acf_arrays``), so numerator and denominator are exact int64 sums on
+    both engines; one division per lag, rounded once."""
+    arrays = _acf_arrays(spark, sf_dir)
+    nd = F.col("n_days").cast("long")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.greatest(nd - k, F.lit(0).cast("long")).alias("n_pairs"),
+                F.round(_acf_ratio(k), 9).alias("acf"),
+            )
+            for k in range(1, ACF_MAX_LAG + 1)
+        ]
+    )
+    return (
+        arrays.select(F.explode(rows).alias("r"))
+        .select("r.lag", "r.n_pairs", "r.acf")
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
+_LJUNG_BOX_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t, y FROM daily),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s FROM idx),
+den AS (
+  SELECT CAST(SUM((nn.n * idx.y - nn.s) * (nn.n * idx.y - nn.s)) AS BIGINT) AS d
+  FROM idx CROSS JOIN nn
+),
+lags(k) AS (VALUES {", ".join(f"({k})" for k in range(1, ACF_MAX_LAG + 1))}),
+num AS (
+  SELECT l.k, CAST(SUM((nn.n * a.y - nn.s) * (nn.n * b.y - nn.s)) AS BIGINT) AS m
+  FROM lags l
+  JOIN idx a ON TRUE
+  JOIN idx b ON b.t = a.t - l.k
+  CROSS JOIN nn
+  GROUP BY l.k
+),
+r AS (
+  SELECT {", ".join(
+    f"MAX(CASE WHEN num.k = {k} THEN CAST(num.m AS DOUBLE) / CAST(den.d AS DOUBLE) END) AS r{k}"
+    for k in range(1, ACF_MAX_LAG + 1)
+  )},
+         MAX(nn.n) AS n
+  FROM num CROSS JOIN den CROSS JOIN nn
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST({ACF_MAX_LAG} AS INTEGER) AS lags,
+       ROUND(n * (n + 2.0) * ({" + ".join(f"(r{k} * r{k}) / (n - {k})" for k in range(1, ACF_MAX_LAG + 1))}), 9) AS q_stat,
+       CASE WHEN n * (n + 2.0) * ({" + ".join(f"(r{k} * r{k}) / (n - {k})" for k in range(1, ACF_MAX_LAG + 1))}) > {LJUNG_BOX_CRIT}
+            THEN 'autocorrelated' ELSE 'white noise' END AS verdict
+FROM r
+"""
+
+
+@register("ljung_box_daily", oracle=_LJUNG_BOX_ORACLE, tags=("temporal", "stats", "timeseries", "r9"))
+def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test pooling the first {ACF_MAX_LAG} daily
+    autocorrelations: Q = n(n+2)·Σ_k r_k²/(n−k), compared to the χ²({ACF_MAX_LAG})
+    95 % critical value — "is the daily series white noise at all?", the
+    gate you check before fitting any of the repo's trend/seasonal models.
+    Q is a FIXED {ACF_MAX_LAG}-term parse tree over the exact-integer-ratio
+    r_k values (a literal sum, not a float aggregation — order-free by
+    construction), evaluated on the same packed-array row as ``daily_acf``;
+    one round at the end.  Requires n_days > {ACF_MAX_LAG} (guaranteed by
+    any month of data; shorter series would divide by zero in the n−k
+    terms, which the oracle would equally refuse)."""
+    arrays = _acf_arrays(spark, sf_dir)
+    nd = F.col("n_days").cast("double")
+    q_stat = None
+    for k in range(1, ACF_MAX_LAG + 1):
+        r = _acf_ratio(k)
+        term = (r * r) / (nd - k)
+        q_stat = term if q_stat is None else q_stat + term
+    q_stat = nd * (nd + 2.0) * q_stat
+    return arrays.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.lit(ACF_MAX_LAG).cast("int").alias("lags"),
+        F.round(q_stat, 9).alias("q_stat"),
+        F.when(q_stat > LJUNG_BOX_CRIT, "autocorrelated")
+        .otherwise("white noise")
+        .alias("verdict"),
+    )

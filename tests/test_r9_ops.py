@@ -227,3 +227,118 @@ def test_langid_report_and_kappa_match_python(spark):
     # bites when one class dominates predictions) and the matrix is imperfect
     assert row.cohen_kappa < row.accuracy
     assert correct < n
+
+
+# --- ROC curve points -------------------------------------------------------------
+
+
+def test_roc_points_match_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.evalmetrics import (
+        q_quality_roc_points,
+    )
+
+    df = _scores()
+    df["pos"] = (df.lang == AUC_POSITIVE_LANG).astype(int)
+    g = df.groupby("score").agg(p=("pos", "sum"), n=("pos", "size")).sort_index(ascending=False)
+    g["q"] = g.n - g.p
+    np_, nq = int(g.p.sum()), int(g.q.sum())
+    cum_tp, cum_fp, exp = 0, 0, {}
+    for s, r in g.iterrows():
+        cum_tp += int(r.p)
+        cum_fp += int(r.q)
+        exp[s] = (cum_tp, cum_fp, cum_tp / np_, cum_fp / nq, cum_tp / (cum_tp + cum_fp))
+    got = {r.threshold: r for r in q_quality_roc_points(spark, SF_SMOKE).collect()}
+    assert set(got) == set(exp)
+    for s, (tp, fp, tpr, fpr, prec) in exp.items():
+        r = got[s]
+        assert (r.cum_tp, r.cum_fp) == (tp, fp)
+        assert abs(r.tpr - tpr) < 1e-9 and abs(r.fpr - fpr) < 1e-9
+        assert abs(r.precision - prec) < 1e-9
+    # non-vacuous: the curve actually moves (many thresholds, full sweep ends
+    # at (1,1)) and is monotone in both axes
+    assert len(got) > 10
+    pts = sorted((r.fpr, r.tpr) for r in got.values())
+    assert pts[-1] == (1.0, 1.0)
+    assert all(a[1] <= b[1] for a, b in zip(pts, pts[1:]))
+
+
+# --- ACF + Ljung-Box --------------------------------------------------------------
+
+
+def _py_acf(max_lag: int) -> tuple[int, dict[int, float]]:
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    y = ev.groupby(ev.ts.dt.floor("D")).size().sort_index().tolist()
+    n = len(y)
+    ybar = sum(y) / n
+    den = sum((v - ybar) ** 2 for v in y)
+    acf = {
+        k: sum((y[t] - ybar) * (y[t - k] - ybar) for t in range(k, n)) / den
+        for k in range(1, max_lag + 1)
+    }
+    return n, acf
+
+
+def test_daily_acf_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        ACF_MAX_LAG,
+        q_daily_acf,
+    )
+
+    n, acf = _py_acf(ACF_MAX_LAG)
+    rows = {r.lag: r for r in q_daily_acf(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(acf)
+    for k, r in rows.items():
+        assert r.n_pairs == n - k
+        assert abs(r.acf - acf[k]) < 1e-8
+    # non-vacuous: lag-1 autocorrelation is a real (nonzero) statistic and
+    # all |acf| <= 1
+    assert abs(rows[1].acf) > 1e-6
+    assert all(abs(r.acf) <= 1 + 1e-12 for r in rows.values())
+
+
+def test_ljung_box_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        ACF_MAX_LAG,
+        LJUNG_BOX_CRIT,
+        q_ljung_box_daily,
+    )
+
+    n, acf = _py_acf(ACF_MAX_LAG)
+    q = n * (n + 2.0) * sum(acf[k] ** 2 / (n - k) for k in range(1, ACF_MAX_LAG + 1))
+    row = q_ljung_box_daily(spark, SF_SMOKE).collect()[0]
+    assert row.n_days == n and row.lags == ACF_MAX_LAG
+    assert abs(row.q_stat - q) < 1e-6
+    assert row.verdict == ("autocorrelated" if q > LJUNG_BOX_CRIT else "white noise")
+    assert n > ACF_MAX_LAG  # the n-k denominators are all positive
+
+
+# --- embedding prefix energy --------------------------------------------------------
+
+
+def test_prefix_energy_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        PREFIX_DIMS,
+        q_embedding_prefix_energy,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qs = [[math.floor(float(x) * 1_000_000) for x in v] for v in emb.embedding]
+    exp = {}
+    for k in PREFIX_DIMS:
+        pks = [sum(x * x for x in v[:k]) for v in qs]
+        tots = [sum(x * x for x in v) for v in qs]
+        micro = sum(pks) / sum(tots)
+        macro = sum(p / t for p, t in zip(pks, tots) if t) / len(qs)
+        exp[k] = (len(qs), micro, macro)
+    got = {r.prefix_dims: r for r in q_embedding_prefix_energy(spark, SF_SMOKE).collect()}
+    assert set(got) == set(exp)
+    for k, (n, micro, macro) in exp.items():
+        r = got[k]
+        assert r.n_vecs == n
+        assert abs(r.micro_energy - micro) < 1e-8
+        assert abs(r.macro_energy - macro) < 1e-8
+    # non-vacuous: energy strictly increases with the budget and the full
+    # budget retains everything
+    ms = [got[k].micro_energy for k in sorted(got)]
+    assert all(a < b for a, b in zip(ms, ms[1:]))
+    assert got[max(PREFIX_DIMS)].micro_energy == 1.0
