@@ -1854,3 +1854,183 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "matched_terms", "dl", "bm25"
     ).orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
+
+
+# --- per-source corpus diversity -------------------------------------------------
+
+_SOURCE_ENTROPY_ORACLE = """
+WITH t AS (
+  SELECT source, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(toks) AS term FROM t) x
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,15))) AS sl
+  FROM tf GROUP BY 1
+)
+SELECT source, n_tokens, vocab_size,
+       ROUND(ln(CAST(n_tokens AS DOUBLE)) - CAST(sl AS DOUBLE) / n_tokens, 9) AS entropy,
+       ROUND(CASE WHEN vocab_size = 1 THEN 0.0
+                  ELSE (ln(CAST(n_tokens AS DOUBLE)) - CAST(sl AS DOUBLE) / n_tokens)
+                       / ln(CAST(vocab_size AS DOUBLE)) END, 9) AS norm_entropy
+FROM agg
+"""
+
+
+@register("source_token_entropy", oracle=_SOURCE_ENTROPY_ORACLE, tags=("datapipe", "text", "quality", "r9"))
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's unigram distribution via the
+    count identity H = ln N − (Σ c·ln c)/N, plus the ln(vocab)-normalized
+    form — the corpus-level diversity gauge a mixture audit reads next to
+    ``source_mixture_weights`` (a low-entropy source is templated/spammy
+    even when per-doc ``token_diversity`` looks fine, because repetition
+    lives ACROSS documents).  The vocab-sized float sum Σ c·ln c is made
+    order-free by casting each term to DECIMAL(28,15) — each cast is the
+    correctly-rounded image of an identical double parse tree on both
+    engines, and the decimal sum is exact, so partition order cannot move
+    the result (the same ln-ulp discipline as ``collocation_npmi_top``,
+    extended from per-row output to an aggregated sum).  Scale shape: one
+    explode → (source, term) aggregate (the corpus shuffle), then a
+    |sources|-row rollup."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    tf = (
+        feat.select("source", F.explode(tokens_of(feat)).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cl = F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+    agg = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(cl.cast("decimal(28,15)")).alias("sl"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("sl").cast("double") / F.col("n_tokens")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        F.round(h, 9).alias("entropy"),
+        F.round(
+            F.when(F.col("vocab_size") == 1, 0.0).otherwise(
+                h / F.log(F.col("vocab_size").cast("double"))
+            ),
+            9,
+        ).alias("norm_entropy"),
+    )
+
+
+_DISTINCT_NGRAM_ORACLE = """
+WITH t AS (
+  SELECT source, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+u AS (
+  -- COUNT(*) over the unnested rows, NOT SUM(len(toks)) next to unnest:
+  -- DuckDB repeats scalar columns per unnested row, which would sum len²
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS t1,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS d1
+  FROM (SELECT source, unnest(toks) AS term FROM t) x
+  GROUP BY 1
+),
+b AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN pos = 1 THEN greatest(n_toks - 1, 0) ELSE 0 END) AS BIGINT) AS t2,
+         CAST(COUNT(DISTINCT bigram) AS BIGINT) AS d2
+  FROM (
+    SELECT source, len(toks) AS n_toks, CAST(i AS INTEGER) AS pos,
+           toks[i] || ' ' || toks[i + 1] AS bigram
+    FROM t, UNNEST(range(1, len(toks))) AS u(i)
+  ) x
+  GROUP BY 1
+)
+SELECT u.source, u.t1 AS total_unigrams, u.d1 AS distinct_unigrams,
+       COALESCE(b.t2, 0) AS total_bigrams, COALESCE(b.d2, 0) AS distinct_bigrams,
+       ROUND(CAST(u.d1 AS DOUBLE) / u.t1, 9) AS distinct_1,
+       ROUND(CASE WHEN COALESCE(b.t2, 0) = 0 THEN 0.0
+                  ELSE CAST(b.d2 AS DOUBLE) / b.t2 END, 9) AS distinct_2
+FROM u LEFT JOIN b ON b.source = u.source
+"""
+
+
+@register("source_distinct_ngrams", oracle=_DISTINCT_NGRAM_ORACLE, tags=("datapipe", "text", "quality", "r9"))
+def q_source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (Li et al. 2016's distinct-1 /
+    distinct-2, applied corpus-side): unique-to-total unigram and bigram
+    ratios — the standard repetition/mode-collapse gauge for generated or
+    scraped text, complementing the entropy view with an n-gram one
+    (templated corpora crater distinct-2 long before distinct-1 moves).
+    All four counts are exact int64; two divisions, rounded once.  Scale
+    shape: two explode→aggregate passes (unigram and bigram lattices) over
+    the staged token arrays, joined on the |sources|-row key; COUNT
+    DISTINCT shuffles on (source, gram) exactly like the TF aggregates
+    everywhere else.  The bigram total counts max(len−1, 0) once per doc
+    (pos = 1 gate) rather than per exploded row."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    toks = tokens_of(feat)
+    u = (
+        feat.select("source", F.explode(toks).alias("term"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_unigrams"),
+            F.countDistinct("term").cast("long").alias("distinct_unigrams"),
+        )
+    )
+    n_toks = F.size(toks)
+    bi = feat.select(
+        "source",
+        n_toks.alias("n_toks"),
+        F.posexplode(
+            F.when(
+                n_toks >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n_toks - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("pos", "bigram"),
+    )
+    b = bi.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("pos") == 0, F.greatest(F.col("n_toks") - 1, F.lit(0))).otherwise(0)
+        )
+        .cast("long")
+        .alias("total_bigrams"),
+        F.countDistinct("bigram").cast("long").alias("distinct_bigrams"),
+    )
+    j = u.join(b, "source", "left").select(
+        "source",
+        "total_unigrams",
+        "distinct_unigrams",
+        F.coalesce("total_bigrams", F.lit(0)).cast("long").alias("total_bigrams"),
+        F.coalesce("distinct_bigrams", F.lit(0)).cast("long").alias("distinct_bigrams"),
+    )
+    return j.select(
+        "source",
+        "total_unigrams",
+        "distinct_unigrams",
+        "total_bigrams",
+        "distinct_bigrams",
+        F.round(
+            F.col("distinct_unigrams").cast("double") / F.col("total_unigrams"), 9
+        ).alias("distinct_1"),
+        F.round(
+            F.when(F.col("total_bigrams") == 0, 0.0).otherwise(
+                F.col("distinct_bigrams").cast("double") / F.col("total_bigrams")
+            ),
+            9,
+        ).alias("distinct_2"),
+    )

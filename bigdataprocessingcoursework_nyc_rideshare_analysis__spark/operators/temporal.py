@@ -1739,3 +1739,89 @@ def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("white noise")
         .alias("verdict"),
     )
+
+
+# --- binary-segmentation changepoint --------------------------------------------
+
+_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT day, y,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(SUM(y) OVER (ORDER BY day) AS BIGINT) AS sl
+  FROM daily
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s FROM daily),
+g AS (
+  SELECT idx.day, idx.t, idx.sl, nn.n, nn.s,
+         CAST(nn.n * idx.sl - idx.t * nn.s AS DOUBLE) AS num
+  FROM idx CROSS JOIN nn
+  WHERE idx.t < nn.n
+)
+SELECT day AS split_day, CAST(t AS BIGINT) AS split_index, CAST(n AS BIGINT) AS n_days,
+       ROUND(CAST(sl AS DOUBLE) / t, 9) AS mean_left,
+       ROUND(CAST(s - sl AS DOUBLE) / (n - t), 9) AS mean_right,
+       ROUND(CAST(s - sl AS DOUBLE) / (n - t) - CAST(sl AS DOUBLE) / t, 9) AS shift,
+       ROUND(num * num / (CAST(t AS DOUBLE) * (n - t)), 9) AS g_stat
+FROM g
+ORDER BY num * num / (CAST(t AS DOUBLE) * (n - t)) DESC, t ASC
+LIMIT 1
+"""
+
+
+@register("daily_changepoint", oracle=_CHANGEPOINT_ORACLE, tags=("temporal", "stats", "timeseries", "r9"))
+def q_daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection by binary segmentation on the daily
+    event volume: the split τ maximizing the between-segment sum of squares
+    B(τ) = τ(μ_L − ȳ)² + (n−τ)(μ_R − ȳ)², reduced to the integer form
+    g(τ) = (n·S_L(τ) − τ·S)² / (τ(n−τ)) so every candidate's score is one
+    double expression over exact int64 prefix sums — the retrospective
+    "WHEN did the level shift?" answer next to CUSUM's sequential "did it
+    shift?" alarm (recursing on the two halves is classic binary
+    segmentation; one level is the operator, the driver recursion is the
+    caller's loop).  Ties break on the earliest split.
+
+    Scale shape: one corpus scan + the daily aggregate shuffle; the
+    prefix-sum window and the argmax run over the |days|-row frame (a
+    bounded single-partition window, same budget as ``record_high_days``),
+    and the top-1 is a TakeOrderedAndProject.  Exactness: S_L, t·S are
+    exact int64 (|n·S_L| ≤ n·S bounds validity to n·S < 2⁵³ — decades at
+    billions of events/day); the score is a fixed parse tree, rounded
+    once for display but compared unrounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.sum("y").over(w).cast("long").alias("sl"),
+    )
+    nn = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("s")
+    )  # 1 row, broadcast, lazy
+    g = (
+        idx.crossJoin(F.broadcast(nn))
+        .filter(F.col("t") < F.col("n"))
+        .withColumn("num", (F.col("n") * F.col("sl") - F.col("t") * F.col("s")).cast("double"))
+        .withColumn(
+            "g_raw", F.col("num") * F.col("num") / (F.col("t").cast("double") * (F.col("n") - F.col("t")))
+        )
+    )
+    mean_left = F.col("sl").cast("double") / F.col("t")
+    mean_right = (F.col("s") - F.col("sl")).cast("double") / (F.col("n") - F.col("t"))
+    return (
+        g.orderBy(F.desc("g_raw"), F.asc("t"))
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("t").alias("split_index"),
+            F.col("n").alias("n_days"),
+            F.round(mean_left, 9).alias("mean_left"),
+            F.round(mean_right, 9).alias("mean_right"),
+            F.round(mean_right - mean_left, 9).alias("shift"),
+            F.round("g_raw", 9).alias("g_stat"),
+        )
+    )

@@ -31,6 +31,10 @@ from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.tempora
 from tests.conftest import SF_SMOKE
 
 
+def _tokens(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+
+
 def _scores() -> pd.DataFrame:
     docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
     w0, w1, w2, w3 = QUALITY_WEIGHTS
@@ -342,3 +346,90 @@ def test_prefix_energy_matches_python(spark):
     ms = [got[k].micro_energy for k in sorted(got)]
     assert all(a < b for a, b in zip(ms, ms[1:]))
     assert got[max(PREFIX_DIMS)].micro_energy == 1.0
+
+
+# --- changepoint ------------------------------------------------------------------
+
+
+def test_changepoint_matches_bruteforce(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        q_daily_changepoint,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    daily = ev.groupby(ev.ts.dt.floor("D")).size().sort_index()
+    y, days = daily.tolist(), daily.index.tolist()
+    n, s = len(y), sum(y)
+    best = None
+    sl = 0
+    for t in range(1, n):
+        sl += y[t - 1]
+        num = float(n * sl - t * s)
+        g = num * num / (t * (n - t))
+        if best is None or g > best[0]:
+            best = (g, t, sl)
+    g, t, sl = best
+    row = q_daily_changepoint(spark, SF_SMOKE).collect()[0]
+    assert row.n_days == n and row.split_index == t
+    assert row.split_day == days[t - 1].date()
+    assert abs(row.mean_left - sl / t) < 1e-9
+    assert abs(row.mean_right - (s - sl) / (n - t)) < 1e-9
+    assert abs(row.shift - ((s - sl) / (n - t) - sl / t)) < 1e-9
+    assert abs(row.g_stat - g) < 1e-4
+    # non-vacuous: the split is interior and the shift is a real level change
+    assert 1 <= t < n and abs(row.shift) > 0
+
+
+# --- per-source diversity -----------------------------------------------------------
+
+
+def test_source_entropy_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        q_source_token_entropy,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    agg: dict[str, Counter] = {}
+    for _, r in docs.iterrows():
+        agg.setdefault(r.source, Counter()).update(_tokens(r.text))
+    got = {r.source: r for r in q_source_token_entropy(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    for src, c in agg.items():
+        n, v = sum(c.values()), len(c)
+        h = math.log(n) - sum(k * math.log(k) for k in c.values()) / n
+        r = got[src]
+        assert (r.n_tokens, r.vocab_size) == (n, v)
+        assert abs(r.entropy - h) < 1e-8
+        assert abs(r.norm_entropy - (h / math.log(v) if v > 1 else 0.0)) < 1e-8
+    # non-vacuous: entropy is positive and below its ln(vocab) ceiling
+    assert all(0 < r.entropy < math.log(r.vocab_size) + 1e-9 for r in got.values())
+
+
+def test_source_distinct_ngrams_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        q_source_distinct_ngrams,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    uni: dict[str, list] = {}
+    big: dict[str, list] = {}
+    for _, r in docs.iterrows():
+        toks = _tokens(r.text)
+        uni.setdefault(r.source, []).extend(toks)
+        big.setdefault(r.source, []).extend(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    got = {r.source: r for r in q_source_distinct_ngrams(spark, SF_SMOKE).collect()}
+    assert set(got) == set(uni)
+    for src in uni:
+        r = got[src]
+        t1, d1 = len(uni[src]), len(set(uni[src]))
+        t2, d2 = len(big[src]), len(set(big[src]))
+        assert (r.total_unigrams, r.distinct_unigrams) == (t1, d1)
+        assert (r.total_bigrams, r.distinct_bigrams) == (t2, d2)
+        assert abs(r.distinct_1 - d1 / t1) < 1e-9
+        assert abs(r.distinct_2 - (d2 / t2 if t2 else 0.0)) < 1e-9
+    # non-vacuous: repetition exists (distinct_1 < 1) and bigrams diversify
+    # faster than unigrams on natural-ish text
+    assert all(r.distinct_1 < 1 for r in got.values())
+    assert all(r.distinct_2 > r.distinct_1 for r in got.values())
