@@ -106,3 +106,147 @@ def q_minmax_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     make per-group Python dispatch the dominant cost — 9× at sf0.1)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return minmax_normalize_window(ev)
+
+
+# --- cross-source quantile normalization ----------------------------------------
+
+
+_QN_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(n_chars AS DOUBLE)
+           / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM scored
+),
+g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY 1),
+lat AS (
+  SELECT score, CAST(SUM(c) OVER (ORDER BY score) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (ORDER BY score) - c AS BIGINT) AS below
+  FROM g
+),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+pos AS (
+  SELECT r.doc_id, r.source, r.score,
+         CASE WHEN r.ns = 1 THEN 0.5 ELSE CAST(r.i - 1 AS DOUBLE) / (r.ns - 1) END
+           * (nn.n - 1) AS p
+  FROM ranked r CROSS JOIN nn
+),
+j AS (
+  SELECT doc_id, source, score, p,
+         CAST(floor(p) + 1 AS BIGINT) AS jlo,
+         p - floor(p) AS frac
+  FROM pos
+),
+lo AS (
+  SELECT j.doc_id, j.source, j.score, j.frac, j.jlo, lat.score AS xlo
+  FROM j JOIN lat ON j.jlo > lat.below AND j.jlo <= lat.cum
+),
+hi AS (
+  SELECT lo.doc_id, lo.source, lo.score, lo.frac, lo.xlo,
+         CASE WHEN lo.frac = 0 THEN lo.xlo ELSE h.score END AS xhi
+  FROM lo LEFT JOIN lat h ON lo.frac <> 0 AND lo.jlo + 1 > h.below AND lo.jlo + 1 <= h.cum
+)
+SELECT doc_id, source, ROUND(score, 9) AS score,
+       ROUND(xlo * (1 - frac) + xhi * frac, 9) AS norm_score
+FROM hi
+"""
+
+
+@register("quantile_normalized_scores", oracle=_QN_ORACLE, tags=("datapipe", "normalize", "mixture", "r9"))
+def q_quantile_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a per-document score (here
+    chars-per-token, a verbosity proxy deliberately DIFFERENT per source):
+    each document's value is replaced by the POOLED distribution's
+    interpolated quantile at the document's source-local rank fraction —
+    after the transform every source has the same marginal distribution,
+    so one global threshold treats them identically (the microarray
+    normalization workhorse, Bolstad et al. 2003, applied to curation
+    scores; the transform ``source_score_calibration`` audits the need
+    for).  Rank fraction f = (i−1)/(n_s−1) (midpoint for singleton
+    sources); target = linear interpolation between pooled order
+    statistics x_(⌊f(N−1)⌋+1) and the next.
+
+    Scale shape: one window per source for local ranks (source-keyed
+    shuffle), the pooled order statistics come from the collapsed score
+    LATTICE (groupBy(score) + cumulative window over distinct values —
+    never a corpus-wide sort), and each doc fetches its two bracketing
+    order statistics via range joins against the broadcast lattice.
+    Exactness: ranks/cumulative counts are int64; f, p, frac and the
+    interpolation are fixed double parse trees over exact ints and
+    identical score doubles; ties in the local rank break on doc_id.  The
+    frac = 0 branch skips the upper lookup entirely (p lands exactly on an
+    order statistic), keeping the hi join's row count honest."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("score"),
+    )
+    wsrc = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(wsrc).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long").alias("ns"),
+    )
+    g = scored.groupBy("score").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wlat = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lat = g.select(
+        F.col("score").alias("xval"),
+        F.sum("c").over(wlat).cast("long").alias("cum"),
+        (F.sum("c").over(wlat) - F.col("c")).cast("long").alias("below"),
+    )
+    nn = g.agg(F.sum("c").cast("long").alias("n"))  # 1 row, broadcast, lazy
+    p = (
+        F.when(F.col("ns") == 1, F.lit(0.5)).otherwise(
+            (F.col("i") - 1).cast("double") / (F.col("ns") - 1)
+        )
+        * (F.col("n") - 1)
+    )
+    j = (
+        ranked.crossJoin(F.broadcast(nn))
+        .withColumn("p", p)
+        .withColumn("jlo", (F.floor("p") + 1).cast("long"))
+        .withColumn("frac", F.col("p") - F.floor("p"))
+    )
+    lo = j.join(
+        F.broadcast(lat),
+        (F.col("jlo") > F.col("below")) & (F.col("jlo") <= F.col("cum")),
+    ).select("doc_id", "source", "score", "frac", "jlo", F.col("xval").alias("xlo"))
+    hi_lat = lat.select(
+        F.col("xval").alias("xhi_val"), F.col("cum").alias("hcum"), F.col("below").alias("hbelow")
+    )
+    hi = lo.join(
+        F.broadcast(hi_lat),
+        (F.col("frac") != 0)
+        & (F.col("jlo") + 1 > F.col("hbelow"))
+        & (F.col("jlo") + 1 <= F.col("hcum")),
+        "left",
+    ).select(
+        "doc_id",
+        "source",
+        "score",
+        "frac",
+        "xlo",
+        F.when(F.col("frac") == 0, F.col("xlo")).otherwise(F.col("xhi_val")).alias("xhi"),
+    )
+    return hi.select(
+        "doc_id",
+        "source",
+        F.round("score", 9).alias("score"),
+        F.round(F.col("xlo") * (1 - F.col("frac")) + F.col("xhi") * F.col("frac"), 9).alias(
+            "norm_score"
+        ),
+    )

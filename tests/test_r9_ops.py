@@ -433,3 +433,45 @@ def test_source_distinct_ngrams_matches_python(spark):
     # faster than unigrams on natural-ish text
     assert all(r.distinct_1 < 1 for r in got.values())
     assert all(r.distinct_2 > r.distinct_1 for r in got.values())
+
+
+# --- quantile normalization ---------------------------------------------------------
+
+
+def test_quantile_normalization_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.normalize import (
+        q_quantile_normalized_scores,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    docs["score"] = [
+        r.n_chars / len(_tokens(r.text)) for _, r in docs.iterrows()
+    ]
+    pooled = sorted(docs.score)
+    n = len(pooled)
+    exp = {}
+    for src, g in docs.groupby("source"):
+        g = g.sort_values(["score", "doc_id"])
+        ns = len(g)
+        for i, (_, r) in enumerate(g.iterrows(), start=1):
+            f = 0.5 if ns == 1 else (i - 1) / (ns - 1)
+            p = f * (n - 1)
+            jlo = math.floor(p)
+            frac = p - jlo
+            xlo = pooled[jlo]
+            xhi = xlo if frac == 0 else pooled[jlo + 1]
+            exp[r.doc_id] = (src, xlo * (1 - frac) + xhi * frac)
+    rows = q_quantile_normalized_scores(spark, SF_SMOKE).collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        src, norm = exp[r.doc_id]
+        assert r.source == src
+        assert abs(r.norm_score - norm) < 1e-6
+    # non-vacuous: the transform genuinely aligns the sources — the spread of
+    # per-source means shrinks, and every source's max lands on the pooled max
+    got = pd.DataFrame([(r.source, r.score, r.norm_score) for r in rows],
+                       columns=["source", "score", "norm"])
+    before = got.groupby("source").score.mean()
+    after = got.groupby("source").norm.mean()
+    assert (after.max() - after.min()) < (before.max() - before.min())
+    assert (got.groupby("source").norm.max() - max(pooled)).abs().max() < 1e-9
