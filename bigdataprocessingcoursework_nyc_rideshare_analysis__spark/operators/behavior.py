@@ -593,3 +593,71 @@ def q_ab_test_cuped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mean_y - F.max("theta") * (mean_x - grand_mean_x), 9).alias("mean_y_cuped"),
         )
     )
+
+
+# --- sample-ratio-mismatch guardrail --------------------------------------------
+
+#: chi-square 95% critical value at 1 degree of freedom.
+SRM_CHI2_CRIT = 3.841458820694124
+
+_SRM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN instr('0123456789abcdef',
+                         substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+              THEN 1 ELSE 0 END AS is_a
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM per_user
+)
+SELECT n_a, n_b,
+       ROUND((n_a - n / 2.0) * (n_a - n / 2.0) / (n / 2.0)
+             + (n_b - n / 2.0) * (n_b - n / 2.0) / (n / 2.0), 9) AS chi2,
+       CASE WHEN (n_a - n / 2.0) * (n_a - n / 2.0) / (n / 2.0)
+                 + (n_b - n / 2.0) * (n_b - n / 2.0) / (n / 2.0) > 3.841458820694124
+            THEN 'mismatch' ELSE 'balanced' END AS verdict
+FROM m
+"""
+
+
+@register("ab_srm_check", oracle=_SRM_ORACLE, tags=("behavior", "experiment", "r9"))
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the hash-bucketed A/B assignment
+    (same first-md5-hex-digit device as ``ab_test_purchase_conversion`` /
+    ``ab_test_cuped_value``, designed 8/16 = 50/50): chi-square
+    goodness-of-fit of the observed arm sizes against the design ratio,
+    with the 5 % verdict.  SRM is the first thing experiment platforms
+    check — a significant imbalance means the ASSIGNMENT is broken
+    (redirect loss, bot filtering, logging bias) and every downstream
+    readout is invalid, CUPED included.
+
+    Exactness: arm counts are exact int64 off one user-keyed aggregate;
+    the statistic is a single fixed parse tree over them (n/2 is an exact
+    half-integer), rounded once.  Scale shape: the same single corpus
+    aggregate as the conversion readout, collapsed to one row."""
+    ev = load_table(spark, sf_dir, "events")
+    digit = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) - 1
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(digit < 8, 1).otherwise(0)).alias("is_a")
+    )
+    m = per_user.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    half = F.col("n") / 2.0
+    chi2 = (F.col("n_a") - half) * (F.col("n_a") - half) / half + (
+        F.col("n_b") - half
+    ) * (F.col("n_b") - half) / half
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 9).alias("chi2"),
+        F.when(chi2 > SRM_CHI2_CRIT, "mismatch").otherwise("balanced").alias("verdict"),
+    )
