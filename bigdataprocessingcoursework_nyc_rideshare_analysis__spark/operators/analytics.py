@@ -1154,99 +1154,3 @@ def q_revenue_weighted_median_discount(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.min("disc").alias("weighted_median_discount"))
     )
 
-
-# --- skyline (Pareto frontier) ---------------------------------------------------
-
-_PARETO_ORACLE = """
-WITH per_supp AS (
-  SELECT l.l_suppkey AS s_suppkey,
-         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS rev,
-         CAST(SUM(CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS disc_sum,
-         CAST(COUNT(*) AS BIGINT) AS n_lines
-  FROM lineitem l GROUP BY 1
-),
-pts AS (
-  SELECT s_suppkey, n_lines,
-         CAST(disc_sum AS DOUBLE) / n_lines AS avg_disc,
-         CAST(rev AS DOUBLE) AS revenue
-  FROM per_supp
-),
-dmax AS (SELECT avg_disc, MAX(revenue) AS maxrev FROM pts GROUP BY 1),
-sky AS (
-  SELECT avg_disc, maxrev,
-         MAX(maxrev) OVER (ORDER BY avg_disc
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
-  FROM dmax
-)
-SELECT p.s_suppkey, s.s_name, p.n_lines,
-       ROUND(p.avg_disc, 9) AS avg_disc, ROUND(p.revenue, 9) AS revenue
-FROM pts p
-JOIN sky ON sky.avg_disc = p.avg_disc AND p.revenue = sky.maxrev
-JOIN supplier s ON s.s_suppkey = p.s_suppkey
-WHERE sky.prevmax IS NULL OR sky.maxrev > sky.prevmax
-"""
-
-
-@register("supplier_pareto_frontier", oracle=_PARETO_ORACLE, tags=("olap", "analytics", "r9"))
-def q_supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skyline (Pareto frontier) of suppliers on (revenue ↑ good,
-    average discount ↓ good): the suppliers no other supplier beats on
-    both axes — Börzsönyi et al. 2001's SKYLINE OF operator, which Spark
-    has no keyword for, reduced to linear plan form.  The 2-D reduction:
-    collapse to the best revenue per distinct avg_disc, sweep that frame
-    in discount order keeping values whose best revenue strictly exceeds
-    the running max of every strictly-cheaper-discount point (strict
-    dominance on ties: an equal-revenue point at lower discount dominates;
-    equal points on BOTH axes are mutually non-dominated and all kept).
-
-    Scale shape: the corpus shuffle is the per-supplier aggregate; the
-    sweep's window runs over the DISTINCT avg_disc frame (bounded by the
-    value lattice, not suppliers) and the frontier joins back by exact
-    double equality — safe because both sides carry the identical parse
-    tree.  Versus the naive NOT-EXISTS anti-join (quadratic in suppliers),
-    this is one window.  Exactness: revenue/discount sums are exact
-    decimal, avg_disc is one division of exacts; output rounded once."""
-    t = load_tables(spark, sf_dir, "lineitem", "supplier")
-    per_supp = (
-        t["lineitem"]
-        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("decimal(38,4)")
-            .alias("rev"),
-            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("decimal(38,2)").alias("disc_sum"),
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-        )
-    )
-    pts = per_supp.select(
-        "s_suppkey",
-        "n_lines",
-        (F.col("disc_sum").cast("double") / F.col("n_lines")).alias("avg_disc"),
-        F.col("rev").cast("double").alias("revenue"),
-    )
-    dmax = pts.groupBy(F.col("avg_disc").alias("sky_disc")).agg(
-        F.max("revenue").alias("maxrev")
-    )
-    w = Window.orderBy("sky_disc").rowsBetween(Window.unboundedPreceding, -1)
-    sky = dmax.withColumn("prevmax", F.max("maxrev").over(w)).filter(
-        F.col("prevmax").isNull() | (F.col("maxrev") > F.col("prevmax"))
-    )
-    su = t["supplier"].select("s_suppkey", "s_name")
-    return (
-        pts.join(
-            F.broadcast(sky),
-            (F.col("avg_disc") == F.col("sky_disc")) & (F.col("revenue") == F.col("maxrev")),
-        )
-        .join(F.broadcast(su), "s_suppkey")
-        .select(
-            "s_suppkey",
-            "s_name",
-            "n_lines",
-            F.round("avg_disc", 9).alias("avg_disc"),
-            F.round("revenue", 9).alias("revenue"),
-        )
-    )

@@ -480,34 +480,6 @@ def test_quantile_normalization_matches_python(spark):
 # --- skyline / SRM -----------------------------------------------------------------
 
 
-def test_pareto_frontier_matches_bruteforce_dominance(spark):
-    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
-        q_supplier_pareto_frontier,
-    )
-    from decimal import Decimal
-
-    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
-    li["rev"] = [
-        Decimal(str(p)).quantize(Decimal("0.01")) * (1 - Decimal(str(d)).quantize(Decimal("0.01")))
-        for p, d in zip(li.l_extendedprice, li.l_discount)
-    ]
-    li["disc"] = [Decimal(str(d)).quantize(Decimal("0.01")) for d in li.l_discount]
-    g = li.groupby("l_suppkey").agg(rev=("rev", "sum"), disc=("disc", "sum"), n=("rev", "size"))
-    pts = {k: (float(r.disc) / r.n, float(r.rev)) for k, r in g.iterrows()}
-    # brute-force strict dominance
-    sky = {
-        k
-        for k, (d, r) in pts.items()
-        if not any(
-            (d2 <= d and r2 >= r and (d2 < d or r2 > r)) for k2, (d2, r2) in pts.items() if k2 != k
-        )
-    }
-    got = {r.s_suppkey for r in q_supplier_pareto_frontier(spark, SF_SMOKE).collect()}
-    assert got == sky
-    # non-vacuous: the frontier is a strict subset with more than one point
-    assert 1 < len(sky) < len(pts)
-
-
 def test_ab_srm_check_matches_python(spark):
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.behavior import (
         SRM_CHI2_CRIT,
