@@ -661,3 +661,169 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 9).alias("chi2"),
         F.when(chi2 > SRM_CHI2_CRIT, "mismatch").otherwise("balanced").alias("verdict"),
     )
+
+
+# --- index of dispersion (Fano factor) -------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS ssq
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, s AS total_events,
+       ROUND((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_days)
+             / n_days / (CAST(s AS DOUBLE) / n_days), 9) AS dispersion,
+       CASE WHEN (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_days)
+                 / n_days / (CAST(s AS DOUBLE) / n_days) > 1.5 THEN 'bursty'
+            WHEN (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_days)
+                 / n_days / (CAST(s AS DOUBLE) / n_days) < 0.5 THEN 'regular'
+            ELSE 'poisson-like' END AS verdict
+FROM m
+"""
+
+
+@register("event_type_dispersion", oracle=_DISPERSION_ORACLE, tags=("behavior", "stats", "r9"))
+def q_event_type_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor) of daily arrival counts per event
+    type: var/mean with the Poisson process as the unit baseline — >1 means
+    bursty/clustered arrivals, <1 regular/throttled, ≈1 memoryless — the
+    one-number arrival-process characterization behind capacity planning
+    and bot detection (a scripted client is suspiciously regular; a viral
+    spike is over-dispersed).  Coarse 1.5/0.5 verdict bands keep the label
+    deterministic.
+
+    Exactness: Σy and Σy² are exact int64 per type, variance and the ratio
+    are one fixed double parse tree over them (the population-variance
+    moment identity), rounded once.  Scale shape: one corpus shuffle for
+    the (type, day) aggregate, then a |types|-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ssq"),
+    )
+    var = (
+        F.col("ssq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n_days")
+    ) / F.col("n_days")
+    disp = var / (F.col("s").cast("double") / F.col("n_days"))
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("total_events"),
+        F.round(disp, 9).alias("dispersion"),
+        F.when(disp > 1.5, "bursty")
+        .when(disp < 0.5, "regular")
+        .otherwise("poisson-like")
+        .alias("verdict"),
+    )
+
+
+# --- jackknife CI for the purchase rate -------------------------------------------
+
+_JACKKNIFE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(c) AS BIGINT) AS cc FROM daily),
+loo AS (
+  SELECT daily.day, tot.d, tot.nn, tot.cc,
+         CAST(tot.cc - daily.c AS DOUBLE) / (tot.nn - daily.n) AS theta_i
+  FROM daily CROSS JOIN tot
+),
+jk AS (
+  SELECT MAX(d) AS d, MAX(nn) AS nn, MAX(cc) AS cc,
+         SUM(CAST(theta_i AS DECIMAL(20,18))) AS sum_t,
+         SUM(CAST(theta_i * theta_i AS DECIMAL(22,20))) AS sum_t2
+  FROM loo
+)
+SELECT CAST(d AS BIGINT) AS n_days, CAST(cc AS BIGINT) AS purchases, CAST(nn AS BIGINT) AS events,
+       ROUND(CAST(cc AS DOUBLE) / nn, 9) AS rate,
+       ROUND((d - 1.0) / d * (CAST(sum_t2 AS DOUBLE)
+             - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE) / d), 9) AS jk_var,
+       ROUND(CAST(cc AS DOUBLE) / nn
+             - 1.959963984540054 * sqrt((d - 1.0) / d * (CAST(sum_t2 AS DOUBLE)
+               - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE) / d)), 9) AS ci_lo,
+       ROUND(CAST(cc AS DOUBLE) / nn
+             + 1.959963984540054 * sqrt((d - 1.0) / d * (CAST(sum_t2 AS DOUBLE)
+               - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE) / d)), 9) AS ci_hi
+FROM jk
+"""
+
+
+@register("purchase_rate_jackknife_ci", oracle=_JACKKNIFE_ORACLE, tags=("behavior", "stats", "experiment", "r9"))
+def q_purchase_rate_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-DAY jackknife 95 % CI for the corpus purchase rate: the
+    resampling-based interval that respects within-day correlation, where
+    the i.i.d. binomial interval (``repeat_rate_wilson_ci``'s device) is
+    too narrow whenever events cluster by day — the block-jackknife every
+    metrics platform runs for ratio metrics.  θ_i drops day i entirely
+    (rate = (C−c_i)/(N−n_i)); Var_jk = (d−1)/d · Σ(θ_i − θ̄_·)², expanded
+    to the moment form so no second pass is needed.
+
+    Determinism: day totals are exact int64 and each θ_i is one division
+    of exacts; the d-sized float sums Σθ and Σθ² are made order-free by
+    casting each term to DECIMAL(20/22-scale) before the exact decimal
+    sum (the ``source_token_entropy`` discipline); the variance and CI are
+    single parse trees, each rounded once.  Scale shape: one corpus
+    shuffle (daily aggregate), a 1-row broadcast total, a |days|-row map
+    and one more 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("c").cast("long").alias("cc"),
+    )  # 1 row, broadcast, lazy
+    theta = (F.col("cc") - F.col("c")).cast("double") / (F.col("nn") - F.col("n"))
+    jk = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "nn",
+            "cc",
+            theta.alias("theta_i"),
+        )
+        .agg(
+            F.max("d").alias("d"),
+            F.max("nn").alias("nn"),
+            F.max("cc").alias("cc"),
+            F.sum(F.col("theta_i").cast("decimal(20,18)")).alias("sum_t"),
+            F.sum((F.col("theta_i") * F.col("theta_i")).cast("decimal(22,20)")).alias("sum_t2"),
+        )
+    )
+    dd = F.col("d").cast("double")
+    jk_var = (dd - 1.0) / dd * (
+        F.col("sum_t2").cast("double")
+        - F.col("sum_t").cast("double") * F.col("sum_t").cast("double") / dd
+    )
+    rate = F.col("cc").cast("double") / F.col("nn")
+    half = F.lit(1.959963984540054) * F.sqrt(jk_var)
+    return jk.select(
+        F.col("d").alias("n_days"),
+        F.col("cc").alias("purchases"),
+        F.col("nn").alias("events"),
+        F.round(rate, 9).alias("rate"),
+        F.round(jk_var, 9).alias("jk_var"),
+        F.round(rate - half, 9).alias("ci_lo"),
+        F.round(rate + half, 9).alias("ci_hi"),
+    )

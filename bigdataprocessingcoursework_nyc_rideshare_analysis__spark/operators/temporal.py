@@ -1825,3 +1825,84 @@ def q_daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("g_raw", 9).alias("g_stat"),
         )
     )
+
+
+# --- trailing robust (median/MAD) outlier band ----------------------------------
+
+#: trailing window width (days) and the MAD multiple that flags a day.
+ROBUST_BAND_WINDOW = 7
+ROBUST_BAND_K = 3
+
+_ROBUST_BAND_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT day, y,
+         list_sort(list(y) OVER (ORDER BY day
+                                 ROWS BETWEEN {ROBUST_BAND_WINDOW - 1} PRECEDING AND CURRENT ROW)) AS w
+  FROM daily
+),
+med AS (
+  SELECT day, y, w[(len(w) + 1) // 2] AS med
+  FROM win WHERE len(w) = {ROBUST_BAND_WINDOW}
+),
+mad AS (
+  SELECT m.day, m.y, m.med,
+         (SELECT d[(len(d) + 1) // 2] FROM (
+            SELECT list_sort(list(abs(w2.y - m.med))) AS d
+            FROM daily w2
+            WHERE w2.day > m.day - INTERVAL {ROBUST_BAND_WINDOW} DAY AND w2.day <= m.day
+          )) AS mad
+  FROM med m
+)
+SELECT day, y, CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+       y - med > {ROBUST_BAND_K} * mad OR med - y > {ROBUST_BAND_K} * mad AS is_outlier
+FROM mad
+"""
+
+
+@register("daily_robust_band", oracle=_ROBUST_BAND_ORACLE, tags=("temporal", "stats", "timeseries", "r9"))
+def q_daily_robust_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {W}-day robust outlier band on the daily event volume: each
+    day compared to the DISCRETE median and MAD of its own trailing window,
+    flagged when it leaves the ±{K}·MAD band — the rolling counterpart of
+    the global ``mad_outlier_events`` and the robust alternative to
+    ``daily_event_bursts``'s EWMA (a single extreme day poisons a trailing
+    mean; it moves a trailing median by one rank).  Warmup days with a
+    short window are suppressed so every verdict uses a full window.
+
+    Exactness: counts are int64, the trailing window materializes as a
+    sorted {W}-element array (collect_list over a ROWS frame), and the
+    lower median / MAD are rank selections — every value in the output is
+    an exact integer, the flag an exact integer comparison; no floats
+    anywhere.  Scale shape: one corpus shuffle (daily aggregate), then a
+    bounded single-partition window over the |days| frame with O({W})
+    state per row (same budget class as ``record_high_days``)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(-(ROBUST_BAND_WINDOW - 1), Window.currentRow)
+    win = daily.withColumn("w", F.array_sort(F.collect_list("y").over(w))).filter(
+        F.size("w") == ROBUST_BAND_WINDOW
+    )
+
+    def lower_median(arr):
+        n = F.size(arr)
+        return F.element_at(arr, ((n + 1) / 2).cast("int"))
+
+    med = win.withColumn("med", lower_median(F.col("w")))
+    mad_arr = F.array_sort(F.transform("w", lambda v: F.abs(v - F.col("med"))))
+    mad = med.withColumn("mad", lower_median(mad_arr))
+    dev = F.col("y") - F.col("med")
+    return mad.select(
+        "day",
+        "y",
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        ((dev > ROBUST_BAND_K * F.col("mad")) | (-dev > ROBUST_BAND_K * F.col("mad"))).alias(
+            "is_outlier"
+        ),
+    )

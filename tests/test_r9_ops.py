@@ -499,3 +499,80 @@ def test_ab_srm_check_matches_python(spark):
     assert row.verdict == ("mismatch" if chi2 > SRM_CHI2_CRIT else "balanced")
     # non-vacuous: both arms populated by a healthy assignment
     assert n_a > 0 and n_b > 0
+
+
+# --- robust band / dispersion / jackknife -------------------------------------------
+
+
+def test_daily_robust_band_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        ROBUST_BAND_K,
+        ROBUST_BAND_WINDOW,
+        q_daily_robust_band,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    daily = ev.groupby(ev.ts.dt.floor("D")).size().sort_index()
+    y, days = daily.tolist(), [d.date() for d in daily.index]
+    exp = {}
+    for i in range(ROBUST_BAND_WINDOW - 1, len(y)):
+        w = sorted(y[i - ROBUST_BAND_WINDOW + 1 : i + 1])
+        med = w[(len(w) + 1) // 2 - 1]
+        d = sorted(abs(v - med) for v in y[i - ROBUST_BAND_WINDOW + 1 : i + 1])
+        mad = d[(len(d) + 1) // 2 - 1]
+        exp[days[i]] = (y[i], med, mad, abs(y[i] - med) > ROBUST_BAND_K * mad)
+    rows = {r.day: r for r in q_daily_robust_band(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(exp)
+    for d, (yv, med, mad, flag) in exp.items():
+        r = rows[d]
+        assert (r.y, r.med, r.mad, r.is_outlier) == (yv, med, mad, flag)
+    # non-vacuous: warmup suppressed, full coverage afterwards
+    assert len(rows) == len(y) - (ROBUST_BAND_WINDOW - 1)
+
+
+def test_event_type_dispersion_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.behavior import (
+        q_event_type_dispersion,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    g = ev.groupby(["event_type", ev.ts.dt.floor("D")]).size()
+    rows = {r.event_type: r for r in q_event_type_dispersion(spark, SF_SMOKE).collect()}
+    for et, s in g.groupby(level=0):
+        y = s.tolist()
+        n = len(y)
+        mean = sum(y) / n
+        var = sum(v * v for v in y) / n - mean * mean
+        disp = var / mean
+        r = rows[et]
+        assert r.n_days == n and r.total_events == sum(y)
+        assert abs(r.dispersion - disp) < 1e-6
+        assert r.verdict == ("bursty" if disp > 1.5 else "regular" if disp < 0.5 else "poisson-like")
+    # non-vacuous: dispersion is a real positive statistic everywhere
+    assert all(r.dispersion > 0 for r in rows.values())
+
+
+def test_purchase_rate_jackknife_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.behavior import (
+        q_purchase_rate_jackknife_ci,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    g = ev.groupby(ev.ts.dt.floor("D")).agg(
+        n=("event_type", "size"),
+        c=("event_type", lambda s: (s == "purchase").sum()),
+    )
+    d, nn, cc = len(g), int(g.n.sum()), int(g.c.sum())
+    thetas = [(cc - int(r.c)) / (nn - int(r.n)) for _, r in g.iterrows()]
+    tbar = sum(thetas) / d
+    jk_var = (d - 1) / d * sum((t - tbar) ** 2 for t in thetas)
+    rate = cc / nn
+    row = q_purchase_rate_jackknife_ci(spark, SF_SMOKE).collect()[0]
+    assert (row.n_days, row.purchases, row.events) == (d, cc, nn)
+    assert abs(row.rate - rate) < 1e-9
+    assert abs(row.jk_var - jk_var) < 1e-9  # output is rounded at 9 dp
+    half = 1.959963984540054 * math.sqrt(jk_var)
+    assert abs(row.ci_lo - (rate - half)) < 1e-8
+    assert abs(row.ci_hi - (rate + half)) < 1e-8
+    # non-vacuous: the interval is a real nonzero-width band containing the rate
+    assert row.ci_lo < row.rate < row.ci_hi
