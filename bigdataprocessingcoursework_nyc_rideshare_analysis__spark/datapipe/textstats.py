@@ -2034,3 +2034,73 @@ def q_source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("distinct_2"),
     )
+
+
+# --- positional proximity search ---------------------------------------------------
+
+#: the proximity query: both terms within PROXIMITY_WINDOW tokens.
+PROXIMITY_TERMS = ("merge", "stream")
+PROXIMITY_WINDOW = 10
+
+_PROXIMITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks[i] AS term, CAST(i AS BIGINT) AS p
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+  WHERE toks[i] IN ('{PROXIMITY_TERMS[0]}', '{PROXIMITY_TERMS[1]}')
+),
+pairs AS (
+  SELECT a.doc_id,
+         CAST(MIN(abs(a.p - b.p)) AS BIGINT) AS min_dist,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND a.term = '{PROXIMITY_TERMS[0]}' AND b.term = '{PROXIMITY_TERMS[1]}'
+  GROUP BY 1
+)
+SELECT doc_id, min_dist, n_pairs
+FROM pairs
+WHERE min_dist <= {PROXIMITY_WINDOW}
+"""
+
+
+@register("proximity_phrase_search", oracle=_PROXIMITY_ORACLE, tags=("datapipe", "text", "retrieval", "r9"))
+def q_proximity_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional proximity search: documents where '{PROXIMITY_TERMS[0]}'
+    and '{PROXIMITY_TERMS[1]}' occur within {PROXIMITY_WINDOW} tokens of
+    each other, with the closest distance and the number of occurrence
+    pairs — the NEAR/k operator of classic IR engines (and the building
+    block of phrase search at k=1), which bag-of-words scorers like
+    ``bm25_topk_docs`` cannot express because they discard positions.
+
+    Scale shape: the positional posting extraction keeps ONLY the two
+    query terms' occurrences (hits-sized, not corpus-sized — the same
+    inverted-index discipline as BM25's explode-filter), and the pair
+    join is per-document between two short position lists, bounded by
+    occurrences², never documents².  Exactness: positions and distances
+    are exact int64 throughout; no floats anywhere."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    pos = (
+        feat.select("doc_id", F.posexplode(tokens_of(feat)).alias("p0", "term"))
+        .filter(F.col("term").isin(*PROXIMITY_TERMS))
+        .select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("p"))
+    )
+    a = pos.filter(F.col("term") == PROXIMITY_TERMS[0]).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = pos.filter(F.col("term") == PROXIMITY_TERMS[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")
+    )
+    pairs = (
+        a.join(b, F.col("doc_id") == F.col("doc_b"))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    return pairs.filter(F.col("min_dist") <= PROXIMITY_WINDOW)

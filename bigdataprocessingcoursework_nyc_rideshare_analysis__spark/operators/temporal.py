@@ -1906,3 +1906,68 @@ def q_daily_robust_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+# --- cohort cumulative value (LTV curve) -----------------------------------------
+
+_LTV_ORACLE = """
+WITH fd AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+),
+cs AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fd GROUP BY 1),
+dv AS (
+  SELECT fd.cohort_day,
+         CAST(datediff('day', fd.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+         CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS day_value
+  FROM events e JOIN fd ON fd.user_id = e.user_id
+  GROUP BY 1, 2
+)
+SELECT dv.cohort_day, dv.day_offset, cs.cohort_size,
+       ROUND(CAST(SUM(dv.day_value) OVER (PARTITION BY dv.cohort_day ORDER BY dv.day_offset)
+                  AS DOUBLE) / cs.cohort_size, 9) AS cum_value_per_user
+FROM dv JOIN cs ON cs.cohort_day = dv.cohort_day
+"""
+
+
+@register("cohort_ltv_curve", oracle=_LTV_ORACLE, tags=("temporal", "cohort", "r9"))
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative value per user by days since first
+    seen, one row per (cohort_day, offset) — the monetized companion to
+    ``user_retention_cohorts`` (retention says who comes back; this says
+    what the average cohort member has been WORTH by day k, the curve
+    payback-period and CAC decisions read).
+
+    Scale shape: the first-seen table and the per-(cohort, offset) value
+    rollup share the user-keyed shuffle; the cumulative window then runs
+    per cohort over ≤|days| offsets (cohort-keyed partitions, no global
+    sort).  Exactness: day values accumulate as exact decimal, the running
+    sum is a window over exact decimals, and the per-user division is the
+    single double step, rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    cs = fd.groupBy("cohort_day").agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    dv = (
+        ev.join(fd, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("day_value"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dv.withColumn("cum", F.sum("day_value").over(w))
+        .join(F.broadcast(cs), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_size",
+            F.round(F.col("cum").cast("double") / F.col("cohort_size"), 9).alias(
+                "cum_value_per_user"
+            ),
+        )
+    )

@@ -576,3 +576,71 @@ def test_purchase_rate_jackknife_matches_python(spark):
     assert abs(row.ci_hi - (rate + half)) < 1e-8
     # non-vacuous: the interval is a real nonzero-width band containing the rate
     assert row.ci_lo < row.rate < row.ci_hi
+
+
+# --- proximity search / cohort LTV ---------------------------------------------------
+
+
+def test_proximity_search_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        PROXIMITY_TERMS,
+        PROXIMITY_WINDOW,
+        q_proximity_phrase_search,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    exp = {}
+    for _, r in docs.iterrows():
+        toks = _tokens(r.text)
+        pa = [i for i, t in enumerate(toks, 1) if t == PROXIMITY_TERMS[0]]
+        pb = [i for i, t in enumerate(toks, 1) if t == PROXIMITY_TERMS[1]]
+        if pa and pb:
+            dists = [abs(x - y) for x in pa for y in pb]
+            if min(dists) <= PROXIMITY_WINDOW:
+                exp[r.doc_id] = (min(dists), len(dists))
+    got = {r.doc_id: (r.min_dist, r.n_pairs) for r in q_proximity_phrase_search(spark, SF_SMOKE).collect()}
+    assert got == exp
+    # non-vacuous: proximity is selective — hits exist but bag-of-words
+    # co-occurrence alone would admit more docs
+    both = sum(
+        1
+        for _, r in docs.iterrows()
+        if PROXIMITY_TERMS[0] in _tokens(r.text) and PROXIMITY_TERMS[1] in _tokens(r.text)
+    )
+    assert 0 < len(got) < both
+
+
+def test_cohort_ltv_matches_pandas(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        q_cohort_ltv_curve,
+    )
+    from decimal import Decimal
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["day"] = ev.ts.dt.floor("D").dt.date
+    fd = ev.groupby("user_id").day.min().rename("cohort_day")
+    ev = ev.join(fd, on="user_id")
+    ev["off"] = [(d - c).days for d, c in zip(ev.day, ev.cohort_day)]
+    ev["v"] = [Decimal(str(v)).quantize(Decimal("0.000001")) for v in ev.value]
+    sizes = fd.value_counts()
+    dv = ev.groupby(["cohort_day", "off"]).v.sum().sort_index()
+    exp = {}
+    for cohort, g in dv.groupby(level=0):
+        cum = Decimal(0)
+        for (c, off), val in g.items():
+            cum += val
+            exp[(c, off)] = float(cum) / sizes[cohort]
+    got = {
+        (r.cohort_day, r.day_offset): (r.cohort_size, r.cum_value_per_user)
+        for r in q_cohort_ltv_curve(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(exp)
+    for k, (size, cum) in got.items():
+        assert size == sizes[k[0]]
+        assert abs(cum - exp[k]) < 1e-6
+    # non-vacuous: curves are non-decreasing in offset within each cohort
+    import itertools
+
+    for cohort, grp in itertools.groupby(sorted(got), key=lambda k: k[0]):
+        vals = [got[k][1] for k in grp]
+        assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
