@@ -1971,3 +1971,192 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Mann-Whitney rank-sum: weekday vs weekend ------------------------------------
+
+_RANKSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+lab AS (
+  SELECT y, CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend
+  FROM daily
+),
+g AS (
+  SELECT y, CAST(SUM(is_weekend) AS BIGINT) AS w,
+         CAST(COUNT(*) - SUM(is_weekend) AS BIGINT) AS d
+  FROM lab GROUP BY 1
+),
+c AS (
+  SELECT w, d,
+         CAST(SUM(w + d) OVER (ORDER BY y) - (w + d) AS BIGINT) AS below
+  FROM g
+),
+s AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS nw, CAST(SUM(d) AS BIGINT) AS nd,
+         SUM(CAST(w AS DOUBLE) * (CAST(below AS DOUBLE) + (CAST(w AS DOUBLE) + d) / 2 + 0.5)) AS rw,
+         SUM(CAST((w + d) AS DOUBLE) * (w + d) * (w + d) - (w + d)) AS tie3
+  FROM c
+)
+SELECT nw AS n_weekend, nd AS n_weekday,
+       ROUND(rw, 9) AS weekend_ranksum,
+       ROUND(rw - nw * (nw + 1.0) / 2, 9) AS u_stat,
+       ROUND(CASE WHEN nw = 0 OR nd = 0 THEN 0.0 ELSE
+         (rw - nw * (nw + nd + 1.0) / 2)
+         / sqrt(CAST(nw AS DOUBLE) * nd / 12
+                * ((nw + nd + 1.0) - tie3 / (CAST(nw + nd AS DOUBLE) * (nw + nd - 1)))) END, 9) AS z
+FROM s
+"""
+
+
+@register("weekend_volume_ranksum", oracle=_RANKSUM_ORACLE, tags=("temporal", "stats", "r9"))
+def q_weekend_volume_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon-Mann-Whitney rank-sum test of weekend vs weekday daily
+    volume: the weekend group's midrank sum, the U statistic, and the
+    tie-corrected normal z — the distribution-free two-sample test that
+    answers "are weekends a DIFFERENT population?" where
+    ``daily_dow_decomposition`` only estimates by how much (same
+    machinery family as ``quality_score_auc``: U/(n₁n₂) IS an AUC).
+
+    Sort-free exactness, same lattice discipline as the AUC: collapse to
+    one row per distinct count, cumulative window over the collapsed
+    frame; each group's midrank contribution w·(below + (w+d)/2 + ½) is a
+    sum of exact multiples of 0.5 (order-free below 2⁵²); the tie term
+    Σ(t³−t) is exact integer arithmetic in double (t ≤ |days|).  One z
+    expression, rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("y"))
+    lab = daily.select(
+        "y", F.when(F.dayofweek("day").isin(1, 7), 1).otherwise(0).alias("is_weekend")
+    )
+    g = lab.groupBy("y").agg(
+        F.sum("is_weekend").cast("long").alias("w"),
+        (F.count(F.lit(1)) - F.sum("is_weekend")).cast("long").alias("d"),
+    )
+    wlat = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.withColumn(
+        "below", (F.sum(F.col("w") + F.col("d")).over(wlat) - (F.col("w") + F.col("d"))).cast("long")
+    )
+    t = (F.col("w") + F.col("d")).cast("double")
+    s = c.agg(
+        F.sum("w").cast("long").alias("nw"),
+        F.sum("d").cast("long").alias("nd"),
+        F.sum(
+            F.col("w").cast("double")
+            * (F.col("below").cast("double") + (F.col("w").cast("double") + F.col("d")) / 2 + 0.5)
+        ).alias("rw"),
+        F.sum(t * t * t - t).alias("tie3"),
+    )
+    nw, nd = F.col("nw").cast("double"), F.col("nd").cast("double")
+    z = F.when((F.col("nw") == 0) | (F.col("nd") == 0), F.lit(0.0)).otherwise(
+        (F.col("rw") - nw * (nw + nd + 1.0) / 2)
+        / F.sqrt(
+            nw * nd / 12 * ((nw + nd + 1.0) - F.col("tie3") / ((nw + nd) * (nw + nd - 1)))
+        )
+    )
+    return s.select(
+        F.col("nw").alias("n_weekend"),
+        F.col("nd").alias("n_weekday"),
+        F.round("rw", 9).alias("weekend_ranksum"),
+        F.round(F.col("rw") - nw * (nw + 1.0) / 2, 9).alias("u_stat"),
+        F.round(z, 9).alias("z"),
+    )
+
+
+# --- Kendall tau-b between two daily series ---------------------------------------
+
+_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+         CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+SELECT nn.n AS n_days, p.conc AS concordant, p.disc AS discordant,
+       ROUND(CASE WHEN p.conc + p.disc + p.tx = 0 OR p.conc + p.disc + p.ty = 0 THEN 0.0
+             ELSE (p.conc - p.disc)
+                  / sqrt(CAST(p.conc + p.disc + p.tx AS DOUBLE) * (p.conc + p.disc + p.ty)) END, 9)
+         AS tau_b
+FROM p CROSS JOIN nn
+"""
+
+
+@register("kendall_tau_click_purchase", oracle=_KENDALL_ORACLE, tags=("temporal", "stats", "timeseries", "r9"))
+def q_kendall_tau_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between the daily click and purchase volumes:
+    (concordant − discordant) / √((C+D+Tx)(C+D+Ty)) over all day pairs,
+    with the tie adjustment in each margin — the robust, outlier-immune
+    companion to ``rolling_corr_click_purchase``'s Pearson view (one
+    viral spike day can manufacture Pearson correlation; it contributes
+    exactly n−1 concordances to τ).
+
+    Scale shape mirrors Mann-Kendall: ONE corpus scan + the daily
+    two-counter aggregate, then the |days|²-bounded pair sweep as array
+    transforms on a single packed row.  Exactness: every pair classifies
+    by exact integer comparisons; C, D, Tx, Ty are exact int64; one
+    guarded division, rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long").alias("y"),
+    )
+    packed = daily.agg(F.array_sort(F.collect_list(F.struct("day", "x", "y"))).alias("dxy"))
+    arrays = packed.select(
+        F.transform("dxy", lambda d: d["x"]).alias("xs"),
+        F.transform("dxy", lambda d: d["y"]).alias("ys"),
+        F.size("dxy").alias("n_days"),
+    )
+
+    def pair_count(cond):
+        return F.aggregate(
+            F.when(
+                F.col("n_days") >= 2,
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("n_days") - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, F.col("n_days")),
+                            lambda j: F.when(cond(i, j), 1).otherwise(0),
+                        ),
+                    )
+                ),
+            ).otherwise(F.array()),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    dx = lambda i, j: F.element_at("xs", j) - F.element_at("xs", i)
+    dy = lambda i, j: F.element_at("ys", j) - F.element_at("ys", i)
+    # same-select `.alias("n_days")` would lateral-shadow the int input and
+    # coerce element_at's index to bigint (see q_mann_kendall_daily_trend)
+    stats = arrays.select(
+        F.col("n_days").alias("nd_int"),
+        pair_count(lambda i, j: dx(i, j) * dy(i, j) > 0).alias("concordant"),
+        pair_count(lambda i, j: dx(i, j) * dy(i, j) < 0).alias("discordant"),
+        pair_count(lambda i, j: (dx(i, j) == 0) & (dy(i, j) != 0)).alias("tx"),
+        pair_count(lambda i, j: (dy(i, j) == 0) & (dx(i, j) != 0)).alias("ty"),
+    ).select(
+        F.col("nd_int").cast("long").alias("n_days"), "concordant", "discordant", "tx", "ty"
+    )
+    cd = F.col("concordant") - F.col("discordant")
+    d1 = (F.col("concordant") + F.col("discordant") + F.col("tx")).cast("double")
+    d2 = (F.col("concordant") + F.col("discordant") + F.col("ty")).cast("double")
+    return stats.select(
+        "n_days",
+        "concordant",
+        "discordant",
+        F.round(
+            F.when((d1 == 0) | (d2 == 0), 0.0).otherwise(cd.cast("double") / F.sqrt(d1 * d2)), 9
+        ).alias("tau_b"),
+    )

@@ -644,3 +644,72 @@ def test_cohort_ltv_matches_pandas(spark):
     for cohort, grp in itertools.groupby(sorted(got), key=lambda k: k[0]):
         vals = [got[k][1] for k in grp]
         assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+# --- rank-sum / Kendall tau ----------------------------------------------------------
+
+
+def test_weekend_ranksum_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        q_weekend_volume_ranksum,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    daily = ev.groupby(ev.ts.dt.floor("D")).size().sort_index()
+    vals = [(d.dayofweek >= 5, y) for d, y in daily.items()]  # pandas: Sat=5, Sun=6
+    ys = sorted(y for _, y in vals)
+    midrank = {}
+    i = 0
+    while i < len(ys):
+        j = i
+        while j < len(ys) and ys[j] == ys[i]:
+            j += 1
+        for _ in range(i, j):
+            midrank.setdefault(ys[i], (i + 1 + j) / 2)
+        i = j
+    weekend = [y for we, y in vals if we]
+    weekday = [y for we, y in vals if not we]
+    nw, nd = len(weekend), len(weekday)
+    rw = sum(midrank[y] for y in weekend)
+    ties = Counter(ys)
+    tie3 = sum(t**3 - t for t in ties.values())
+    n = nw + nd
+    z = (rw - nw * (n + 1) / 2) / math.sqrt(nw * nd / 12 * ((n + 1) - tie3 / (n * (n - 1))))
+    row = q_weekend_volume_ranksum(spark, SF_SMOKE).collect()[0]
+    assert (row.n_weekend, row.n_weekday) == (nw, nd)
+    assert abs(row.weekend_ranksum - rw) < 1e-9
+    assert abs(row.u_stat - (rw - nw * (nw + 1) / 2)) < 1e-9
+    assert abs(row.z - z) < 1e-8
+    # non-vacuous: both groups populated
+    assert nw > 0 and nd > 0
+
+
+def test_kendall_tau_matches_python(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        q_kendall_tau_click_purchase,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    g = ev.groupby([ev.ts.dt.floor("D"), "event_type"]).size().unstack(fill_value=0)
+    x = g.get("click").sort_index().tolist()
+    y = g.get("purchase").sort_index().tolist()
+    n = len(x)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = x[j] - x[i], y[j] - y[i]
+            if a * b > 0:
+                conc += 1
+            elif a * b < 0:
+                disc += 1
+            elif a == 0 and b != 0:
+                tx += 1
+            elif b == 0 and a != 0:
+                ty += 1
+    tau = (conc - disc) / math.sqrt((conc + disc + tx) * (conc + disc + ty))
+    row = q_kendall_tau_click_purchase(spark, SF_SMOKE).collect()[0]
+    assert row.n_days == n
+    assert (row.concordant, row.discordant) == (conc, disc)
+    assert abs(row.tau_b - tau) < 1e-8
+    # non-vacuous: both concordant and discordant pairs occur
+    assert conc > 0 and disc > 0
