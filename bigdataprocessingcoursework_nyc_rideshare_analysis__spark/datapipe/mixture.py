@@ -323,20 +323,25 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    raw = b.groupBy("bucket").agg(F.sum("c").alias("rc"))
-    tgt = b.filter(is_target).groupBy("bucket").agg(F.sum("c").alias("tc"))
-    tot = b.agg(
-        F.sum("c").alias("rn"),
-        F.sum(F.when(is_target, F.col("c")).otherwise(F.lit(0))).alias("tn"),
-    )  # 1 row, broadcast, lazy
+    # ONE conditional aggregate builds both LMs (raw + target) from b, and
+    # the totals roll up from the 256-row LM frame — separate raw/tgt/tot
+    # branches would recompute the corpus explode per branch (8 shuffles,
+    # 4 corpus passes in the earlier plan; now 2 passes over b's lineage)
+    lm = b.groupBy("bucket").agg(
+        F.sum("c").alias("rc"),
+        F.sum(F.when(is_target, F.col("c")).otherwise(F.lit(0))).alias("tc"),
+    )
+    tot = lm.agg(
+        F.sum("rc").alias("rn"),
+        F.sum("tc").alias("tn"),
+    )  # 1 row off the {DSIR_BUCKETS}-row LM frame, broadcast, lazy
     alpha, nb = DSIR_ALPHA, DSIR_BUCKETS
     term = F.col("c") * (
-        F.log((F.coalesce(F.col("tc"), F.lit(0)) + alpha) / (F.col("tn") + alpha * nb))
+        F.log((F.col("tc") + alpha) / (F.col("tn") + alpha * nb))
         - F.log((F.col("rc") + alpha) / (F.col("rn") + alpha * nb))
     )
     return (
-        b.join(F.broadcast(raw), "bucket")
-        .join(F.broadcast(tgt), "bucket", "left")
+        b.join(F.broadcast(lm), "bucket")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
