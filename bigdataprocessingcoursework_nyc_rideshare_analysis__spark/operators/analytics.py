@@ -763,29 +763,47 @@ def q_basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     core of FP-growth-style affinity analysis, done as plain relational
     algebra.
 
-    Scale shape: the self-join is keyed on l_orderkey, and baskets are
-    naturally bounded (≤ 7 lines/order here, ≤ tens anywhere), so the pair
-    explosion is C(basket,2)-per-order — LINEAR in the fact table with a
-    small constant, never |parts|².  One shuffle builds distinct basket
-    items, one keys the pair self-join, one aggregates pairs; the per-part
-    counts are |parts|-sized and joined back broadcast.  Every metric is a
-    single division of exact int64 counts rounded to 9 dp, so both engines
-    agree bitwise.  The final top-K is a TakeOrderedAndProject, not a
-    global sort."""
+    Scale shape: baskets materialize as per-order DISTINCT part ARRAYS
+    (one orderkey-keyed shuffle), and the C(basket,2) pair fan-out runs
+    MAP-SIDE as a nested array transform over each sorted basket — baskets
+    are naturally bounded (≤ 7 lines/order here, ≤ tens anywhere), so the
+    expansion is LINEAR in the fact table with a small constant, never
+    |parts|², and no self-join exchange exists at all (the earlier
+    items⋈items formulation re-shuffled both sides on orderkey).  One
+    more shuffle aggregates pairs; the per-part counts are |parts|-sized
+    and joined back broadcast.  Every metric is a single division of
+    exact int64 counts rounded to 9 dp, so both engines agree bitwise.
+    The final top-K is a TakeOrderedAndProject, not a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_baskets = items.select(F.countDistinct("l_orderkey").alias("baskets"))
-    item_counts = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a, b = items.alias("a"), items.alias("b")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("baskets"))
+    item_counts = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.size("parts")
+    pairs = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n),
+                    lambda j: F.struct(
+                        F.element_at("parts", i).alias("part_a"),
+                        F.element_at("parts", j).alias("part_b"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array())
     pair_counts = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= BASKET_MIN_PAIR_COUNT)
     )

@@ -131,6 +131,9 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   SUM/MAX columns were uncast, so DuckDB typed them HUGEINT (int128)
 #:   and the driver's Arrow-type-sensitive hash mismatched.  Fixed by
 #:   ``CAST(... AS BIGINT)`` (tpch.py / events.py); re-verify first.
+#:   (peak_concurrent_sessions additionally folded its peak + first-peak-ts
+#:   readout into one struct-max aggregation later in round 4 — 24→12
+#:   shuffles, same values — while already queued here.)
 #:   (The r3 staged-dedup entries all went green in CORRECTNESS_r03 and
 #:   moved to ``DRIVER_VERIFIED`` round 3.)
 #: - ``tfidf_top_terms``: r2-verified with an eager ``docs.count()`` at
