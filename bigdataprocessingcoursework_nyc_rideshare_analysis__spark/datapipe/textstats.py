@@ -1375,23 +1375,31 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    lex = hits.groupBy("doc_id").agg(F.sum("tf").alias("lex_score"))
-    tfidf = (
+    # BOTH rankers' scores come out of ONE per-doc aggregation over the
+    # joined candidate frame (the earlier separate lex/tfidf branches
+    # recomputed the corpus explode per ranker and joined the rank frames
+    # back together — 3 hits computations and an extra join for nothing;
+    # the candidate sets are identical by construction)
+    scored = (
         hits.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(nd))
         .groupBy("doc_id")
         .agg(
+            F.sum("tf").alias("lex_score"),
             F.round(
                 F.sum(F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))),
                 9,
-            ).alias("tfidf_score")
+            ).alias("tfidf_score"),
         )
     )
     w1 = Window.orderBy(F.desc("lex_score"), F.asc("doc_id"))
     w2 = Window.orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
-    r1 = lex.select("doc_id", "lex_score", F.row_number().over(w1).alias("lex_rank"))
-    r2 = tfidf.select("doc_id", F.row_number().over(w2).alias("tfidf_rank"))
-    fused = r1.join(r2, "doc_id").select(
+    fused = scored.select(
+        "doc_id",
+        "lex_score",
+        F.row_number().over(w1).alias("lex_rank"),
+        F.row_number().over(w2).alias("tfidf_rank"),
+    ).select(
         "doc_id",
         "lex_score",
         "lex_rank",
