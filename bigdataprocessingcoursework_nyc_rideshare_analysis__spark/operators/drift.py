@@ -365,12 +365,22 @@ def q_psi_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # collapse the 9 edges to ONE sorted array row and assign bins as a
+    # map-side array scan: bin = 1 + |{edges < value}|.  The previous form
+    # expanded every fact row 9× (crossJoin) and re-grouped per row id —
+    # a corpus-sized shuffle per side that carried no information the
+    # broadcast array doesn't.
+    edge_arr = edges.agg(F.sort_array(F.collect_list("edge")).alias("earr"))
+
     def binned(side: DataFrame, out: str) -> DataFrame:
-        tagged = side.withColumn("_rid", F.monotonically_increasing_id())
         return (
-            tagged.crossJoin(F.broadcast(edges))
-            .groupBy("_rid")
-            .agg((F.lit(1) + F.count(F.when(F.col("value") > F.col("edge"), 1))).alias("bin"))
+            side.crossJoin(F.broadcast(edge_arr))
+            .select(
+                (
+                    F.lit(1)
+                    + F.size(F.filter("earr", lambda e: F.col("value") > e))
+                ).alias("bin")
+            )
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias(out))
         )
