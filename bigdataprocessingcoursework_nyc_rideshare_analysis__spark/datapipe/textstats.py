@@ -1580,34 +1580,38 @@ def q_ndcg_tfidf_vs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    lex = hits.groupBy("doc_id").agg(F.sum("tf").alias("rel"))
-    tfidf = (
+    # ONE per-doc aggregation yields both the relevance and the system
+    # score, and BOTH rankings' row numbers attach to that single frame —
+    # the earlier lex/tfidf branch pair re-derived the corpus hits per
+    # ranking and joined them back (9 shuffles vs 5, same values)
+    scored = (
         hits.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(nd))
         .groupBy("doc_id")
         .agg(
+            F.sum("tf").alias("rel"),
             F.round(
                 F.sum(F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))),
                 9,
-            ).alias("score")
+            ).alias("score"),
         )
     )
-    gain = F.col("rel") / F.log2(F.col("rn") + F.lit(1.0))
-    sys_rn = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    sys_dcg = (
-        tfidf.join(lex, "doc_id")
-        .withColumn("rn", F.row_number().over(sys_rn))
-        .filter(F.col("rn") <= NDCG_K)
-        .agg(F.sum(gain).alias("dcg"))
-    )
-    ideal_rn = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
-    ideal_dcg = (
-        lex.withColumn("rn", F.row_number().over(ideal_rn))
-        .filter(F.col("rn") <= NDCG_K)
-        .agg(F.sum(gain).alias("idcg"))
+    ranked = scored.select(
+        "rel",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rn_sys"),
+        F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("doc_id"))).alias("rn_ideal"),
     )
     return (
-        sys_dcg.crossJoin(ideal_dcg)
+        ranked.agg(
+            F.sum(
+                F.when(F.col("rn_sys") <= NDCG_K, F.col("rel") / F.log2(F.col("rn_sys") + F.lit(1.0)))
+            ).alias("dcg"),
+            F.sum(
+                F.when(
+                    F.col("rn_ideal") <= NDCG_K, F.col("rel") / F.log2(F.col("rn_ideal") + F.lit(1.0))
+                )
+            ).alias("idcg"),
+        )
         .select(
             F.lit(NDCG_K).alias("k"),
             F.round(F.col("dcg"), 9).alias("dcg"),
