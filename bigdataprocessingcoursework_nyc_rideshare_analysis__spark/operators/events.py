@@ -444,13 +444,19 @@ def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     active on day d−1 but not on d (attributed to d, capped at the last
     observed day).  The product-analytics identity DAU_d = new + retained
     + resurrected and ΔDAU = new + resurrected − churned follows directly.
-    One distinct + one user-partitioned lag window + day-keyed counts; the
-    churn side is an anti-join of consecutive activity days."""
+    One distinct + one user-partitioned window carrying BOTH lag and lead
+    (same WindowExec, zero extra cost) + day-keyed counts; churn reads the
+    lead column — a user's day with no next-day activity churns at day+1 —
+    instead of the earlier activity⋈activity anti-join, which re-derived
+    the distinct frame and shuffled it a second time."""
     ev = load_table(spark, sf_dir, "events")
     activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     w = Window.partitionBy("user_id").orderBy("day")
     flagged = activity.select(
-        "user_id", "day", F.lag("day").over(w).alias("prev_day")
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
     )
     status = (
         F.when(F.col("prev_day").isNull(), "new")
@@ -461,11 +467,10 @@ def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     max_day = activity.agg(F.max("day").alias("max_day"))
-    next_day_active = activity.select(
-        "user_id", F.date_sub("day", 1).alias("day")
-    )  # (user, d): user active on d+1
     churn = (
-        flagged.join(next_day_active, ["user_id", "day"], "left_anti")
+        flagged.filter(
+            F.col("next_day").isNull() | (F.datediff("next_day", "day") > 1)
+        )
         .select(F.date_add("day", 1).alias("day"))
         .join(F.broadcast(max_day))
         .filter(F.col("day") <= F.col("max_day"))
