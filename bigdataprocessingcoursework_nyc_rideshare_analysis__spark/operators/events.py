@@ -507,18 +507,40 @@ JOIN sizes sb ON sb.event_type = i.type_b
 def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap between event types: shared distinct
     users and Jaccard similarity per (type_a < type_b) pair — the audience
-    segmentation matrix.  The self-join keys on user_id (each user carries
-    ≤|types| rows, so the pair fan-out per user is bounded by |types|²);
-    output is |types|²-sized.  Same set-similarity arithmetic as the
-    document dedup tier, applied to behavioral cohorts."""
+    segmentation matrix.  Each user collapses to ONE sorted type array
+    (a single user-keyed shuffle) and the ≤C(|types|,2) pair fan-out runs
+    map-side as a nested array transform — no aud⋈aud self-join exchange
+    (the basket-mining shape, ``q_basket_part_pair_lift``); output is
+    |types|²-sized.  Same set-similarity arithmetic as the document dedup
+    tier, applied to behavioral cohorts."""
     ev = load_table(spark, sf_dir, "events")
-    aud = ev.select("event_type", "user_id").distinct()
-    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
-    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    sizes = (
+        per_user.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nt = F.size("types")
+    pair_arr = F.when(
+        nt >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), nt - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, nt),
+                    lambda j: F.struct(
+                        F.element_at("types", i).alias("type_a"),
+                        F.element_at("types", j).alias("type_b"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array())
     inter = (
-        a.join(b, "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
+        per_user.select(F.explode(pair_arr).alias("p"))
+        .select("p.type_a", "p.type_b")
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
