@@ -258,14 +258,23 @@ def q_event_daypart_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "daypart")
         .agg(F.count(F.lit(1)).alias("observed"))
     )
-    rows_ = cells.groupBy("event_type").agg(F.sum("observed").alias("r_tot"))
-    cols_ = cells.groupBy("daypart").agg(F.sum("observed").alias("c_tot"))
-    tot = cells.agg(F.sum("observed").alias("n"))
+    # margins as WINDOW sums over the |types|×|dayparts| cells frame — the
+    # separate rows_/cols_/tot rollups re-derived the corpus aggregate per
+    # branch (4 corpus passes statically); windows keep it at ONE, and the
+    # window exchanges move ≤20 rows
+    from pyspark.sql import Window
+
+    margined = cells.select(
+        "event_type",
+        "daypart",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("event_type")).alias("r_tot"),
+        F.sum("observed").over(Window.partitionBy("daypart")).alias("c_tot"),
+        F.sum("observed").over(Window.partitionBy()).alias("n"),
+    )
     expected = (F.col("r_tot") * F.col("c_tot")).cast("double") / F.col("n")
     return (
-        cells.join(F.broadcast(rows_), "event_type")
-        .join(F.broadcast(cols_), "daypart")
-        .crossJoin(F.broadcast(tot))
+        margined
         .select(
             "event_type",
             "daypart",
