@@ -794,26 +794,39 @@ def q_winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the corpus would contribute a quadratic per-fingerprint blowup
     while carrying no discriminative signal, so pairs are generated only
     through rare fingerprints.  Plan: fingerprint df aggregate (one
-    shuffle, |fingerprints|-bounded), then a broadcast ANTI-join against
-    the HUB set — the tiny side: hubs are fingerprints in > {WINNOW_DF_CAP}
-    docs, a handful at any corpus size, while the rare set is nearly ALL
-    fingerprints and must never be the broadcast side — self-join keyed on
-    fingerprint (per-key fan-out ≤ cap²), pair aggregate — corpus-linear
-    outside the capped fan-out."""
+    shuffle, |fingerprints|-bounded) collecting each fingerprint's sorted
+    POSTING LIST; the hub cut (> {WINNOW_DF_CAP} occurrences) is a size
+    filter on that same row — no separate df aggregate, no anti-join, no
+    posting self-join — and the ≤C(cap,2) pair fan-out per surviving
+    fingerprint runs map-side as a nested array transform (the
+    basket-mining shape, multiplicities preserved exactly as the
+    self-join counted them); pair aggregate — corpus-linear outside the
+    capped fan-out."""
     fps = q_winnowing_fingerprints(spark, sf_dir)
-    hubs = (
+    postings = (
         fps.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > WINNOW_DF_CAP)
-        .select("fingerprint")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs").between(2, WINNOW_DF_CAP))
     )
-    rare_fps = fps.join(F.broadcast(hubs), "fingerprint", "left_anti")
-    a = rare_fps.select("fingerprint", F.col("doc_id").alias("doc_a"))
-    b = rare_fps.select("fingerprint", F.col("doc_id").alias("doc_b"))
+    n = F.size("docs")
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n),
+                    lambda j: F.struct(
+                        F.element_at("docs", i).alias("doc_a"),
+                        F.element_at("docs", j).alias("doc_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] != p["doc_b"],  # same-doc repeats pair with others, not themselves
+    )
     return (
-        a.join(b, "fingerprint")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        postings.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= WINNOW_SHARED_MIN)
     )
