@@ -257,6 +257,28 @@ def q_source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANG_CLASSES = ("de", "en", "es", "fr", "zh")
 
 
+def _per_class_margin_aggs() -> list:
+    """The 15 conditional-sum margin aggregates (t_/p_/tp_ per class) the
+    classification report and the κ summary both build their metrics from
+    — shared so the count definitions can never drift between the two."""
+    aggs = []
+    for c in LANG_CLASSES:
+        aggs += [
+            F.sum(F.when(F.col("labeled_lang") == c, 1).otherwise(0)).cast("long").alias(f"t_{c}"),
+            F.sum(F.when(F.col("predicted_lang") == c, 1).otherwise(0))
+            .cast("long")
+            .alias(f"p_{c}"),
+            F.sum(
+                F.when(
+                    (F.col("labeled_lang") == c) & (F.col("predicted_lang") == c), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"tp_{c}"),
+        ]
+    return aggs
+
+
 def _lang_pred_sql() -> str:
     from .textstats import _LANG_ORACLE
 
@@ -352,22 +374,7 @@ def q_langid_classification_report(spark: SparkSession, sf_dir: str) -> DataFram
     from .textstats import q_lang_id
 
     pred = q_lang_id(spark, sf_dir)
-    aggs = []
-    for c in LANG_CLASSES:
-        aggs += [
-            F.sum(F.when(F.col("labeled_lang") == c, 1).otherwise(0)).cast("long").alias(f"t_{c}"),
-            F.sum(F.when(F.col("predicted_lang") == c, 1).otherwise(0))
-            .cast("long")
-            .alias(f"p_{c}"),
-            F.sum(
-                F.when(
-                    (F.col("labeled_lang") == c) & (F.col("predicted_lang") == c), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias(f"tp_{c}"),
-        ]
-    m = pred.agg(*aggs)  # one row, 15 exact counts
+    m = pred.agg(*_per_class_margin_aggs())  # one row, 15 exact counts
     j = m.select(
         F.explode(
             F.array(
@@ -471,21 +478,7 @@ def q_langid_agreement_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_correct"),
-    ]
-    for c in LANG_CLASSES:
-        aggs += [
-            F.sum(F.when(F.col("labeled_lang") == c, 1).otherwise(0)).cast("long").alias(f"t_{c}"),
-            F.sum(F.when(F.col("predicted_lang") == c, 1).otherwise(0))
-            .cast("long")
-            .alias(f"p_{c}"),
-            F.sum(
-                F.when(
-                    (F.col("labeled_lang") == c) & (F.col("predicted_lang") == c), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias(f"tp_{c}"),
-        ]
+    ] + _per_class_margin_aggs()
     m = pred.agg(*aggs)
     nd = F.col("n_docs").cast("double")
     pe = None

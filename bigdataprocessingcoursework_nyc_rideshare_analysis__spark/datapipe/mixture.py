@@ -278,8 +278,9 @@ tot AS (
 SELECT b.doc_id,
        MAX(b.source) AS source,
        CAST(SUM(b.c) AS BIGINT) AS n_toks,
-       ROUND(SUM(b.c * (ln((COALESCE(tgt.tc, 0) + {DSIR_ALPHA}) / (tot.tn + {DSIR_ALPHA} * {DSIR_BUCKETS}))
-                        - ln((raw.rc + {DSIR_ALPHA}) / (tot.rn + {DSIR_ALPHA} * {DSIR_BUCKETS})))), 9)
+       ROUND(CAST(SUM(CAST(b.c * (ln((COALESCE(tgt.tc, 0) + {DSIR_ALPHA}) / (tot.tn + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                                  - ln((raw.rc + {DSIR_ALPHA}) / (tot.rn + {DSIR_ALPHA} * {DSIR_BUCKETS})))
+                       AS DECIMAL(28,15))) AS DOUBLE), 9)
          AS dsir_logweight
 FROM b
 JOIN raw ON raw.bucket = b.bucket
@@ -306,9 +307,11 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights table here is the reusable artifact.
 
     Determinism: bucket counts are exact int64 on both engines (md5 on
-    identical normalized tokens); each log term is a fixed IEEE parse tree;
-    the per-doc sum is rounded once at 9 dp (``collocation_npmi_top``'s
-    ln-ulp discipline).  Scale shape: one explode→groupBy over (doc,
+    identical normalized tokens); each log term is a fixed IEEE parse tree,
+    CAST to DECIMAL(28,15) per term so the per-doc sum is an exact decimal
+    accumulation — order-free regardless of partial-aggregation order (the
+    ``source_token_entropy`` discipline; a raw double SUM would depend on
+    shuffle arrival order) — then rounded once at 9 dp.  Scale shape: one explode→groupBy over (doc,
     bucket) — output bounded by |docs|·{DSIR_BUCKETS}, not vocabulary —
     then two {DSIR_BUCKETS}-row LM tables and a 1-row totals frame, all
     broadcast back; no corpus-sized shuffle beyond the bucket-count
@@ -347,6 +350,8 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("source").alias("source"),
             F.sum("c").cast("long").alias("n_toks"),
-            F.round(F.sum(term), 9).alias("dsir_logweight"),
+            F.round(F.sum(term.cast("decimal(28,15)")).cast("double"), 9).alias(
+                "dsir_logweight"
+            ),
         )
     )

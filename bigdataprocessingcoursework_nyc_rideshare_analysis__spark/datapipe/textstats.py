@@ -799,33 +799,19 @@ def q_winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter on that same row — no separate df aggregate, no anti-join, no
     posting self-join — and the ≤C(cap,2) pair fan-out per surviving
     fingerprint runs map-side as a nested array transform (the
-    basket-mining shape, multiplicities preserved exactly as the
-    self-join counted them); pair aggregate — corpus-linear outside the
-    capped fan-out."""
+    basket-mining shape; the upstream frame is (doc, fingerprint)-distinct,
+    so posting lists carry each doc at most once); pair aggregate —
+    corpus-linear outside the capped fan-out."""
     fps = q_winnowing_fingerprints(spark, sf_dir)
     postings = (
         fps.groupBy("fingerprint")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs").between(2, WINNOW_DF_CAP))
     )
-    n = F.size("docs")
-    pair_arr = F.filter(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, n),
-                    lambda j: F.struct(
-                        F.element_at("docs", i).alias("doc_a"),
-                        F.element_at("docs", j).alias("doc_b"),
-                    ),
-                ),
-            )
-        ),
-        lambda p: p["doc_a"] != p["doc_b"],  # same-doc repeats pair with others, not themselves
-    )
+    from ..functions.arrays import ordered_pairs
+
     return (
-        postings.select(F.explode(pair_arr).alias("p"))
+        postings.select(F.explode(ordered_pairs("docs", "doc_a", "doc_b")).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= WINNOW_SHARED_MIN)
@@ -1802,9 +1788,10 @@ scored AS (
   SELECT h.doc_id,
          COUNT(*) AS matched_terms,
          MAX(l.dl) AS dl,
-         SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-             * h.tf * ({BM25_K1} + 1)
-             / (h.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))) AS score
+         CAST(SUM(CAST(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * h.tf * ({BM25_K1} + 1)
+                       / (h.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+                  AS DECIMAL(28,15))) AS DOUBLE) AS score
   FROM hits h
   JOIN df d ON d.term = h.term
   JOIN lens l ON l.doc_id = h.doc_id
@@ -1833,8 +1820,9 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: tf/df/dl/N are exact int64; avgdl is a sum of small ints
     in double (exact, order-free) over an exact count; the per-term score
-    is then a fixed IEEE parse tree, summed over ≤|query| terms and rounded
-    once (same ln-ulp discipline as ``collocation_npmi_top``); ties break
+    is then a fixed IEEE parse tree, CAST to DECIMAL(28,15) per term so
+    the ≤|query|-term sum accumulates exactly (order-free — the
+    ``source_token_entropy`` discipline) and rounded once; ties break
     on doc_id.  Scale shape: inverted-index discipline — only documents
     containing a query term survive the explode-filter (hits-sized, not
     corpus-sized), df is a |query|-row broadcast, the length table joins
@@ -1873,7 +1861,7 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("matched_terms"),
             F.max("dl").cast("long").alias("dl"),
-            F.round(F.sum(gain), 9).alias("bm25"),
+            F.round(F.sum(gain.cast("decimal(28,15)")).cast("double"), 9).alias("bm25"),
         )
     )
     return scored.select(

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_table, load_tables
+from ..sources import load_table
 
 
 _CUBE_ORACLE = """
@@ -785,24 +785,10 @@ def q_basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n = F.size("parts")
-    pairs = F.when(
-        n >= 2,
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, n),
-                    lambda j: F.struct(
-                        F.element_at("parts", i).alias("part_a"),
-                        F.element_at("parts", j).alias("part_b"),
-                    ),
-                ),
-            )
-        ),
-    ).otherwise(F.array())
+    from ..functions.arrays import ordered_pairs
+
     pair_counts = (
-        baskets.select(F.explode(pairs).alias("p"))
+        baskets.select(F.explode(ordered_pairs("parts", "part_a", "part_b")).alias("p"))
         .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= BASKET_MIN_PAIR_COUNT)

@@ -600,7 +600,7 @@ def q_ab_test_cuped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: chi-square 95% critical value at 1 degree of freedom.
 SRM_CHI2_CRIT = 3.841458820694124
 
-_SRM_ORACLE = """
+_SRM_ORACLE = f"""
 WITH per_user AS (
   SELECT user_id,
          CASE WHEN instr('0123456789abcdef',
@@ -618,7 +618,7 @@ SELECT n_a, n_b,
        ROUND((n_a - n / 2.0) * (n_a - n / 2.0) / (n / 2.0)
              + (n_b - n / 2.0) * (n_b - n / 2.0) / (n / 2.0), 9) AS chi2,
        CASE WHEN (n_a - n / 2.0) * (n_a - n / 2.0) / (n / 2.0)
-                 + (n_b - n / 2.0) * (n_b - n / 2.0) / (n / 2.0) > 3.841458820694124
+                 + (n_b - n / 2.0) * (n_b - n / 2.0) / (n / 2.0) > {SRM_CHI2_CRIT}
             THEN 'mismatch' ELSE 'balanced' END AS verdict
 FROM m
 """

@@ -522,24 +522,10 @@ def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    nt = F.size("types")
-    pair_arr = F.when(
-        nt >= 2,
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), nt - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, nt),
-                    lambda j: F.struct(
-                        F.element_at("types", i).alias("type_a"),
-                        F.element_at("types", j).alias("type_b"),
-                    ),
-                ),
-            )
-        ),
-    ).otherwise(F.array())
+    from ..functions.arrays import ordered_pairs
+
     inter = (
-        per_user.select(F.explode(pair_arr).alias("p"))
+        per_user.select(F.explode(ordered_pairs("types", "type_a", "type_b")).alias("p"))
         .select("p.type_a", "p.type_b")
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -1516,36 +1516,32 @@ def q_mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays = packed.select(
         F.transform("dn", lambda d: d["n"]).alias("ys"), F.size("dn").alias("n_days")
     )
-    pair_signs = F.when(
-        F.col("n_days") >= 2,
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_days") - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, F.col("n_days")),
-                    lambda j: F.when(F.element_at("ys", j) > F.element_at("ys", i), 1)
-                    .when(F.element_at("ys", j) < F.element_at("ys", i), -1)
-                    .otherwise(0),
-                ),
-            )
+    from ..functions.arrays import ordered_pairs
+
+    s_stat = F.aggregate(
+        F.transform(
+            ordered_pairs("ys"),
+            lambda p: F.when(p["b"] > p["a"], 1).when(p["b"] < p["a"], -1).otherwise(0),
         ),
-    ).otherwise(F.array())
-    s_stat = F.aggregate(pair_signs, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    # per-element tie identity: each element of a size-t tie group contributes
-    # (t-1)(2t+5), so the element sum equals the group sum Σ t(t-1)(2t+5)
-    tie_terms = F.transform(
-        "ys",
-        lambda y: (
-            F.size(F.filter("ys", lambda o: o == y)).cast("long") - 1
-        )
-        * (2 * F.size(F.filter("ys", lambda o: o == y)).cast("long") + 5),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    tie_sum = F.aggregate(tie_terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # per-element tie identity: each element of a size-t tie group contributes
+    # (t-1)(2t+5), so the element sum equals the group sum Σ t(t-1)(2t+5);
+    # the multiplicity column materializes ONCE so the fold reads it, not
+    # re-evaluates the O(n) filter per factor
+    with_cnts = arrays.withColumn(
+        "cnts",
+        F.transform("ys", lambda y: F.size(F.filter("ys", lambda o: o == y)).cast("long")),
+    )
+    tie_sum = F.aggregate(
+        "cnts", F.lit(0).cast("long"), lambda acc, c: acc + (c - 1) * (2 * c + 5)
+    )
     nd = F.col("n_days").cast("long")
     # alias the long n_days only AFTER the array exprs resolve: a same-select
     # `.alias("n_days")` would shadow the int input via lateral column
     # aliasing and coerce element_at's index to bigint (analysis error)
-    stats = arrays.select(
+    stats = with_cnts.select(
         F.col("n_days").alias("nd_int"),
         s_stat.alias("s_stat"),
         (nd * (nd - 1) * (2 * nd + 5) - tie_sum).alias("var18"),
@@ -1845,17 +1841,16 @@ win AS (
   FROM daily
 ),
 med AS (
-  SELECT day, y, w[(len(w) + 1) // 2] AS med
+  SELECT day, y, w, w[(len(w) + 1) // 2] AS med
   FROM win WHERE len(w) = {ROBUST_BAND_WINDOW}
 ),
 mad AS (
-  SELECT m.day, m.y, m.med,
-         (SELECT d[(len(d) + 1) // 2] FROM (
-            SELECT list_sort(list(abs(w2.y - m.med))) AS d
-            FROM daily w2
-            WHERE w2.day > m.day - INTERVAL {ROBUST_BAND_WINDOW} DAY AND w2.day <= m.day
-          )) AS mad
-  FROM med m
+  -- deviations over the SAME ROWS-based window list as the median (a
+  -- calendar-interval rescan would see fewer rows whenever a day has no
+  -- events, diverging from the rows-frame the engine side uses)
+  SELECT day, y, med,
+         list_sort(list_transform(w, v -> abs(v - med)))[(len(w) + 1) // 2] AS mad
+  FROM med
 )
 SELECT day, y, CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
        y - med > {ROBUST_BAND_K} * mad OR med - y > {ROBUST_BAND_K} * mad AS is_outlier
@@ -1870,8 +1865,11 @@ def q_daily_robust_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged when it leaves the ±{K}·MAD band — the rolling counterpart of
     the global ``mad_outlier_events`` and the robust alternative to
     ``daily_event_bursts``'s EWMA (a single extreme day poisons a trailing
-    mean; it moves a trailing median by one rank).  Warmup days with a
-    short window are suppressed so every verdict uses a full window.
+    mean; it moves a trailing median by one rank).  The window is the last
+    {W} OBSERVED days (a ROWS frame), not a calendar interval — zero-event
+    days don't shrink it, and the oracle mirrors the same rows semantics.
+    Warmup days with a short window are suppressed so every verdict uses a
+    full window.
 
     Exactness: counts are int64, the trailing window materializes as a
     sorted {W}-element array (collect_list over a ROWS frame), and the
@@ -2118,36 +2116,34 @@ def q_kendall_tau_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("dxy").alias("n_days"),
     )
 
-    def pair_count(cond):
+    from ..functions.arrays import ordered_pairs
+
+    # ONE pair sweep classifies every (i<j) pair into a code (concordant /
+    # discordant / x-tie / y-tie / both-tie); the four counts then fold over
+    # the MATERIALIZED codes array — the earlier per-statistic pair_count
+    # calls rebuilt the O(n²) nested expansion four times
+    code = lambda p: (
+        F.when((p["b"]["xs"] - p["a"]["xs"]) * (p["b"]["ys"] - p["a"]["ys"]) > 0, 0)
+        .when((p["b"]["xs"] - p["a"]["xs"]) * (p["b"]["ys"] - p["a"]["ys"]) < 0, 1)
+        .when((p["b"]["xs"] == p["a"]["xs"]) & (p["b"]["ys"] != p["a"]["ys"]), 2)
+        .when((p["b"]["ys"] == p["a"]["ys"]) & (p["b"]["xs"] != p["a"]["xs"]), 3)
+        .otherwise(4)
+    )
+    coded = arrays.withColumn(
+        "codes", F.transform(ordered_pairs(F.arrays_zip("xs", "ys")), code)
+    )
+
+    def count_code(k: int):
         return F.aggregate(
-            F.when(
-                F.col("n_days") >= 2,
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.col("n_days") - 1),
-                        lambda i: F.transform(
-                            F.sequence(i + 1, F.col("n_days")),
-                            lambda j: F.when(cond(i, j), 1).otherwise(0),
-                        ),
-                    )
-                ),
-            ).otherwise(F.array()),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+            "codes", F.lit(0).cast("long"), lambda acc, c: acc + F.when(c == k, 1).otherwise(0)
         )
 
-    dx = lambda i, j: F.element_at("xs", j) - F.element_at("xs", i)
-    dy = lambda i, j: F.element_at("ys", j) - F.element_at("ys", i)
-    # same-select `.alias("n_days")` would lateral-shadow the int input and
-    # coerce element_at's index to bigint (see q_mann_kendall_daily_trend)
-    stats = arrays.select(
-        F.col("n_days").alias("nd_int"),
-        pair_count(lambda i, j: dx(i, j) * dy(i, j) > 0).alias("concordant"),
-        pair_count(lambda i, j: dx(i, j) * dy(i, j) < 0).alias("discordant"),
-        pair_count(lambda i, j: (dx(i, j) == 0) & (dy(i, j) != 0)).alias("tx"),
-        pair_count(lambda i, j: (dy(i, j) == 0) & (dx(i, j) != 0)).alias("ty"),
-    ).select(
-        F.col("nd_int").cast("long").alias("n_days"), "concordant", "discordant", "tx", "ty"
+    stats = coded.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        count_code(0).alias("concordant"),
+        count_code(1).alias("discordant"),
+        count_code(2).alias("tx"),
+        count_code(3).alias("ty"),
     )
     cd = F.col("concordant") - F.col("discordant")
     d1 = (F.col("concordant") + F.col("discordant") + F.col("tx")).cast("double")
