@@ -1326,7 +1326,7 @@ n AS (SELECT COUNT(*) AS n_docs FROM documents),
 lex AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS lex_score FROM hits GROUP BY 1),
 tfidf AS (
   SELECT h.doc_id,
-         ROUND(SUM(CAST(h.tf AS DOUBLE) * (n.n_docs + 1) / (d.df + 1)), 9) AS tfidf_score
+         ROUND(CAST(SUM(CAST(CAST(h.tf AS DOUBLE) * (n.n_docs + 1) / (d.df + 1) AS DECIMAL(28,15))) AS DOUBLE), 9) AS tfidf_score
   FROM hits h JOIN df d ON d.term = h.term CROSS JOIN n
   GROUP BY 1
 ),
@@ -1386,7 +1386,10 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("tf").alias("lex_score"),
             F.round(
-                F.sum(F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))),
+                F.sum(
+                    (F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)))
+                    .cast("decimal(28,15)")
+                ).cast("double"),
                 9,
             ).alias("tfidf_score"),
         )
@@ -1534,7 +1537,7 @@ n AS (SELECT COUNT(*) AS n_docs FROM documents),
 lex AS (SELECT doc_id, SUM(tf) AS rel FROM hits GROUP BY 1),
 tfidf AS (
   SELECT h.doc_id,
-         ROUND(SUM(CAST(h.tf AS DOUBLE) * (n.n_docs + 1) / (d.df + 1)), 9) AS score
+         ROUND(CAST(SUM(CAST(CAST(h.tf AS DOUBLE) * (n.n_docs + 1) / (d.df + 1) AS DECIMAL(28,15))) AS DOUBLE), 9) AS score
   FROM hits h JOIN df d ON d.term = h.term CROSS JOIN n GROUP BY 1
 ),
 sys AS (
@@ -1590,7 +1593,10 @@ def q_ndcg_tfidf_vs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("tf").alias("rel"),
             F.round(
-                F.sum(F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))),
+                F.sum(
+                    (F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)))
+                    .cast("decimal(28,15)")
+                ).cast("double"),
                 9,
             ).alias("score"),
         )
