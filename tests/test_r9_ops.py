@@ -713,3 +713,28 @@ def test_kendall_tau_matches_python(spark):
     assert abs(row.tau_b - tau) < 1e-8
     # non-vacuous: both concordant and discordant pairs occur
     assert conc > 0 and disc > 0
+
+
+# --- ordered_pairs helper -------------------------------------------------------------
+
+
+def test_ordered_pairs_property(spark):
+    """The shared pair fan-out helper matches itertools.combinations on
+    generated arrays, including duplicates (positional pairs) and the
+    n < 2 empty guard."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.arrays import (
+        ordered_pairs,
+    )
+
+    cases = [[], [7], [1, 2], [3, 3], [1, 2, 2, 5], list(range(8)), [5, 1, 5, 1, 5]]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, arr array<int>")
+    rows = {
+        r.i: [(p.a, p.b) for p in r.pairs]
+        for r in df.select("i", ordered_pairs("arr").alias("pairs")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert rows[i] == list(itertools.combinations(c, 2)), (i, c)
