@@ -827,3 +827,124 @@ def q_purchase_rate_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate - half, 9).alias("ci_lo"),
         F.round(rate + half, 9).alias("ci_hi"),
     )
+
+
+# --- one-pass user feature vector ------------------------------------------------
+
+#: fixed event-type vocabulary for the per-type feature columns.
+FEATURE_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_FEATURE_TYPE_COUNTS = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+    for t in FEATURE_EVENT_TYPES
+)
+_FEATURE_ENTROPY_TERMS = " + ".join(
+    f"(CASE WHEN n_{t} = 0 THEN 0.0 ELSE CAST(n_{t} AS DOUBLE) * ln(CAST(n_{t} AS DOUBLE)) END)"
+    for t in FEATURE_EVENT_TYPES
+)
+_FEATURE_MODAL = "CASE " + " ".join(
+    f"WHEN n_{t} >= greatest({', '.join('n_' + u for u in FEATURE_EVENT_TYPES)}) THEN '{t}'"
+    for t in FEATURE_EVENT_TYPES
+) + " END"
+
+_USER_FEATURES_ORACLE = f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         {_FEATURE_TYPE_COUNTS}
+  FROM events GROUP BY 1
+),
+sess AS (
+  SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+  FROM (
+    SELECT user_id,
+           CASE WHEN datediff('microsecond', lag(ts) OVER w, ts) IS NULL
+                  OR datediff('microsecond', lag(ts) OVER w, ts) > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+  ) GROUP BY 1
+),
+mx AS (SELECT MAX(ts) AS corpus_max FROM events)
+SELECT b.user_id, b.n_events, b.n_active_days, s.n_sessions,
+       CAST(b.value_sum AS DOUBLE) AS value_sum,
+       CAST(epoch_us(mx.corpus_max) - epoch_us(b.last_ts) AS BIGINT) AS recency_us,
+       CAST(epoch_us(b.last_ts) - epoch_us(b.first_ts) AS BIGINT) AS tenure_us,
+       {", ".join(f"b.n_{t}" for t in FEATURE_EVENT_TYPES)},
+       ROUND(CASE WHEN b.n_events = 0 THEN 0.0
+             ELSE ln(CAST(b.n_events AS DOUBLE)) - ({_FEATURE_ENTROPY_TERMS}) / b.n_events END, 9)
+         AS type_entropy,
+       {_FEATURE_MODAL} AS modal_type
+FROM base b JOIN sess s ON s.user_id = b.user_id CROSS JOIN mx
+"""
+
+
+@register("user_feature_vector", oracle=_USER_FEATURES_ORACLE, tags=("behavior", "features", "r9"))
+def q_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store extraction: ONE wide row per user with the features a
+    churn/propensity model trains on — activity volume (events, active
+    days, sessions), monetary mass, recency and tenure in exact epoch-µs,
+    per-type counts over the FIXED type vocabulary, type-mix Shannon
+    entropy, and the modal event type (alphabetical tie-break) — the
+    event-side sibling of ``customer_rfm_segments`` and the assembled form
+    of ``user_event_entropy`` / ``modal_event_type_per_user``, produced in
+    a single pass instead of one query per feature.
+
+    Scale shape: one user-keyed conditional-sum aggregate carries every
+    per-type column (wide aggregation beats |types| separate passes), the
+    sessionizer's window shares the same user-keyed exchange, the join is
+    co-partitioned on user_id, and the corpus max is a broadcast 1-row
+    aggregate.  Exactness: counts/µs are int64, value mass is exact
+    decimal, and entropy/modal are FIXED {len(FEATURE_EVENT_TYPES)}-term
+    parse trees over the exact per-type counts (literal sums, not float
+    aggregations — order-free by construction), rounded once."""
+    from . import events as events_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_active_days"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    ] + [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long").alias(f"n_{t}")
+        for t in FEATURE_EVENT_TYPES
+    ]
+    base = ev.groupBy("user_id").agg(*aggs)
+    sess = (
+        events_ops.sessionize(ev, "user_id", "ts", events_ops.SESSION_GAP_MIN)
+        .groupBy("user_id")
+        .agg(F.max("session_id").cast("long").alias("n_sessions"))
+    )
+    mx = ev.agg(F.max("ts").alias("corpus_max"))  # 1 row, broadcast, lazy
+    ent_terms = None
+    for t in FEATURE_EVENT_TYPES:
+        c = F.col(f"n_{t}")
+        term = F.when(c == 0, 0.0).otherwise(c.cast("double") * F.log(c.cast("double")))
+        ent_terms = term if ent_terms is None else ent_terms + term
+    entropy = F.when(
+        F.col("n_events") == 0, 0.0
+    ).otherwise(F.log(F.col("n_events").cast("double")) - ent_terms / F.col("n_events"))
+    best = F.greatest(*[F.col(f"n_{t}") for t in FEATURE_EVENT_TYPES])
+    modal = F.when(F.col(f"n_{FEATURE_EVENT_TYPES[0]}") >= best, FEATURE_EVENT_TYPES[0])
+    for t in FEATURE_EVENT_TYPES[1:]:
+        modal = modal.when(F.col(f"n_{t}") >= best, t)
+    return (
+        base.join(sess, "user_id")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "n_events",
+            "n_active_days",
+            "n_sessions",
+            F.col("value_sum").cast("double").alias("value_sum"),
+            (F.unix_micros("corpus_max") - F.unix_micros("last_ts")).cast("long").alias("recency_us"),
+            (F.unix_micros("last_ts") - F.unix_micros("first_ts")).cast("long").alias("tenure_us"),
+            *[F.col(f"n_{t}") for t in FEATURE_EVENT_TYPES],
+            F.round(entropy, 9).alias("type_entropy"),
+            modal.alias("modal_type"),
+        )
+    )

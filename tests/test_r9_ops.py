@@ -738,3 +738,42 @@ def test_ordered_pairs_property(spark):
     }
     for i, c in enumerate(cases):
         assert rows[i] == list(itertools.combinations(c, 2)), (i, c)
+
+
+# --- user feature vector ---------------------------------------------------------------
+
+
+def test_user_feature_vector_matches_pandas(spark):
+    from decimal import Decimal
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.behavior import (
+        FEATURE_EVENT_TYPES,
+        q_user_feature_vector,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    corpus_max = ev.ts.max()
+    rows = {r.user_id: r for r in q_user_feature_vector(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(ev.user_id.unique())
+    gap = pd.Timedelta(minutes=30)
+    for uid, g in ev.groupby("user_id"):
+        r = rows[uid]
+        assert r.n_events == len(g)
+        assert r.n_active_days == g.ts.dt.floor("D").nunique()
+        sessions = 1 + (g.ts.diff() > gap).sum()
+        assert r.n_sessions == sessions
+        vs = sum(Decimal(str(v)).quantize(Decimal("0.000001")) for v in g.value)
+        assert abs(r.value_sum - float(vs)) < 1e-6
+        assert r.recency_us == int((corpus_max - g.ts.max()).value // 1000)
+        assert r.tenure_us == int((g.ts.max() - g.ts.min()).value // 1000)
+        counts = {t: int((g.event_type == t).sum()) for t in FEATURE_EVENT_TYPES}
+        for t, c in counts.items():
+            assert getattr(r, f"n_{t}") == c
+        n = len(g)
+        h = math.log(n) - sum(c * math.log(c) for c in counts.values() if c) / n
+        assert abs(r.type_entropy - h) < 1e-8
+        best = max(counts.values())
+        assert r.modal_type == next(t for t in FEATURE_EVENT_TYPES if counts[t] >= best)
+    # non-vacuous: multi-session users and entropy spread both exist
+    assert any(r.n_sessions > 1 for r in rows.values())
+    assert len({round(r.type_entropy, 3) for r in rows.values()}) > 5
