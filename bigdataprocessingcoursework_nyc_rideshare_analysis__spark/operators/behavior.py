@@ -882,7 +882,9 @@ FROM base b JOIN sess s ON s.user_id = b.user_id CROSS JOIN mx
 
 
 @register("user_feature_vector", oracle=_USER_FEATURES_ORACLE, tags=("behavior", "features", "r9"))
-def q_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_user_feature_vector(
+    spark: SparkSession, sf_dir: str, use_warehouse: bool = False
+) -> DataFrame:
     """Feature-store extraction: ONE wide row per user with the features a
     churn/propensity model trains on — activity volume (events, active
     days, sessions), monetary mass, recency and tenure in exact epoch-µs,
@@ -899,10 +901,21 @@ def q_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  Exactness: counts/µs are int64, value mass is exact
     decimal, and entropy/modal are FIXED {len(FEATURE_EVENT_TYPES)}-term
     parse trees over the exact per-type counts (literal sums, not float
-    aggregations — order-free by construction), rounded once."""
+    aggregations — order-free by construction), rounded once.
+
+    ``use_warehouse=True`` reads the user-bucketed events warehouse
+    (``sources.warehouse.build_events_warehouse``) instead of raw parquet:
+    the wide aggregate, the sessionizer's window, AND the join then all
+    inherit the user_id distribution from the scan — zero user-keyed
+    exchanges (pinned in ``tests/test_bucketing.py``)."""
     from . import events as events_ops
 
-    ev = load_table(spark, sf_dir, "events")
+    if use_warehouse:
+        from ..sources.warehouse import events_warehouse_name
+
+        ev = spark.table(events_warehouse_name(sf_dir))
+    else:
+        ev = load_table(spark, sf_dir, "events")
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.countDistinct(F.to_date("ts")).cast("long").alias("n_active_days"),

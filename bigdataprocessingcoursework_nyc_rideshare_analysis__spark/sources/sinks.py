@@ -47,7 +47,12 @@ def write_partitioned_parquet(
 
 
 def write_bucketed_table(
-    df: DataFrame, table: str, bucket_by: str, n_buckets: int = 32, mode: str = "overwrite"
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+    sort_by: list[str] | None = None,
 ) -> None:
     """Bucketed managed table: pre-shuffles rows into ``n_buckets`` files by
     hash of ``bucket_by`` at WRITE time, so every later equi-join or
@@ -56,12 +61,13 @@ def write_bucketed_table(
 
     This is how the fact×fact edges (lineitem⋈orders on orderkey) drop
     their shuffle at 100 TB: pay the partition once at ingest, amortize it
-    over every downstream query.  Also sorts within buckets by the key so
-    merge joins skip their sort."""
+    over every downstream query.  Also sorts within buckets — by the bucket
+    key by default, or by ``sort_by`` (e.g. ``[user_id, ts]`` so downstream
+    per-key WINDOWS inherit their sort too, not just joins)."""
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, bucket_by)
-        .sortBy(bucket_by)
+        .sortBy(*(sort_by or [bucket_by]))
         .saveAsTable(table)
     )
 

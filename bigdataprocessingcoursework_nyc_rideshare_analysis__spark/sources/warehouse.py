@@ -82,3 +82,38 @@ def _remove_stray_location(spark: SparkSession, table: str) -> None:
     loc = os.path.join(wh.path or wh.netloc, table.lower())
     if os.path.exists(loc):
         shutil.rmtree(loc, ignore_errors=True)
+
+
+# --- user-bucketed events warehouse ---------------------------------------------
+
+def events_warehouse_name(sf_dir: str) -> str:
+    return f"wh_events_{_suffix(sf_dir)}"
+
+
+def events_warehouse_exists(spark: SparkSession, sf_dir: str) -> bool:
+    return spark.catalog.tableExists(events_warehouse_name(sf_dir))
+
+
+def build_events_warehouse(
+    spark: SparkSession, sf_dir: str, n_buckets: int = DEFAULT_BUCKETS, force: bool = False
+) -> str:
+    """One-time ingest of the events fact bucketed by ``user_id`` and
+    sorted within buckets by ``(user_id, ts, event_id)`` — the behavioral
+    tier's counterpart to the orderkey trip warehouse.  Every user-keyed
+    aggregation (feature vectors, retention, growth accounting) drops its
+    Exchange, and user-partitioned WINDOWS (sessionize, transitions, lag
+    features) inherit both the distribution and the sort from the scan —
+    the two heaviest recurring costs of the events tier, paid once.
+    Idempotent; returns the managed-table name."""
+    name = events_warehouse_name(sf_dir)
+    if force or not spark.catalog.tableExists(name):
+        if not spark.catalog.tableExists(name):
+            _remove_stray_location(spark, name)
+        write_bucketed_table(
+            load_table(spark, sf_dir, "events"),
+            name,
+            "user_id",
+            n_buckets,
+            sort_by=["user_id", "ts", "event_id"],
+        )
+    return name

@@ -143,3 +143,44 @@ def test_tpch_factxfact_tier_warehouse_path_is_exchange_free(spark):
     finally:
         for name in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --- user-bucketed events warehouse ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events_warehouse(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.warehouse import (
+        build_events_warehouse,
+        events_warehouse_name,
+    )
+
+    name = build_events_warehouse(spark, SF_SMOKE, n_buckets=8, force=True)
+    assert name == events_warehouse_name(SF_SMOKE)
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_events_warehouse_user_agg_is_exchange_free(spark, events_warehouse):
+    """A user-keyed aggregation over the bucketed events table must not
+    shuffle: the scan's bucket distribution satisfies the aggregate."""
+    agg = (
+        spark.table(events_warehouse)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _exchanges(plan_string(agg)) == 0
+
+
+def test_feature_vector_warehouse_path_matches_raw(spark, events_warehouse):
+    """use_warehouse=True must produce byte-identical features with fewer
+    user-keyed exchanges than the raw-parquet plan."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.behavior import (
+        q_user_feature_vector,
+    )
+
+    raw = q_user_feature_vector(spark, SF_SMOKE)
+    wh = q_user_feature_vector(spark, SF_SMOKE, use_warehouse=True)
+    key = lambda r: r.user_id
+    assert sorted(raw.collect(), key=key) == sorted(wh.collect(), key=key)
+    assert _exchanges(plan_string(wh)) < _exchanges(plan_string(raw))
