@@ -160,6 +160,25 @@ def main() -> None:
             "bucketed": bucketed,
         }
 
+        # user-bucketed EVENTS warehouse: same amortized-shuffle story for
+        # the behavioral tier (user-keyed aggs/windows/joins inherit the
+        # scan distribution — tests/test_bucketing.py pins the plans)
+        from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.warehouse import (
+            build_events_warehouse,
+        )
+
+        start = time.perf_counter()
+        build_events_warehouse(spark, sf_dir, force=True)
+        warehouse["events_build_sec"] = round(time.perf_counter() - start, 4)
+        start = time.perf_counter()
+        registry["user_feature_vector"].fn(spark, sf_dir, use_warehouse=True).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        warehouse["events_bucketed"] = {
+            "user_feature_vector": round(time.perf_counter() - start, 4)
+        }
+        warehouse["events_raw"] = {"user_feature_vector": timings["user_feature_vector"]}
+
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
 
     # Full per-query map goes to a file; stdout gets ONE compact line (the
