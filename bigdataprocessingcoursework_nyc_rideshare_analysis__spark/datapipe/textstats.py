@@ -2123,3 +2123,57 @@ def q_proximity_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.filter(F.col("min_dist") <= PROXIMITY_WINDOW)
+
+
+# --- tokenizer fertility ------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_ws,
+         len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS n_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 9) AS fertility,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 9) AS chars_per_token
+FROM t GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility_by_lang", oracle=_FERTILITY_ORACLE, tags=("datapipe", "text", "eval", "r9"))
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace word
+    (and chars per token) — THE cross-lingual tokenizer-equity metric
+    (Rust et al. 2021): a language whose fertility is 2× pays twice the
+    sequence length for the same text, which inflates its training cost
+    and shrinks its effective context.  Uses the deterministic regex
+    segmenter ({BPE_PATTERN!r}) whose counts ``token_counts`` already
+    exposes per doc; this is the corpus-level readout a vocab designer
+    compares across languages before rebalancing merges.
+
+    Exactness: both token counts and chars are exact int64 sums per
+    language; two divisions of exact ints, each rounded once.  Scale
+    shape: one stateless map over the corpus + a |langs|-row aggregate —
+    no shuffle wider than the language key."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("n_words"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 9).alias("fertility"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 9).alias("chars_per_token"),
+    )
