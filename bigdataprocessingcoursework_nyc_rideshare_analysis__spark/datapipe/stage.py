@@ -74,11 +74,14 @@ def _source_key(sf_dir: str, table: str = "documents") -> str:
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
 
 
-def _ensure(name: str, sf_dir: str, build) -> str:
+def _ensure(name: str, sf_dir: str, build, table: str = "documents") -> str:
     """Materialize ``build()`` under the stage key unless already present
     (parquet ``_SUCCESS`` marker = committed write; a torn earlier write
-    without the marker is simply overwritten)."""
-    out = os.path.join(stage_root(), _source_key(sf_dir), name)
+    without the marker is simply overwritten).  ``table`` picks which source
+    parquet's content hash keys the stage (stages over ``embeddings`` must
+    not survive an embeddings regeneration just because ``documents`` is
+    unchanged)."""
+    out = os.path.join(stage_root(), _source_key(sf_dir, table), name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         build().write.mode("overwrite").parquet(out)
     return out
@@ -204,4 +207,30 @@ def staged_tfidf_topk(spark: SparkSession, sf_dir: str, k: int | None = None) ->
         )
 
     out = _ensure(f"tfidf_topk_k{kk}_p", sf_dir, build)
+    return spark.read.parquet(out)
+
+
+def staged_ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute-force cosine top-k ground truth (query_id, neighbor_id,
+    cos_sim, rank) over the standard query set — the most expensive leg of
+    every ANN evaluation, staged so index-quality monitors read it instead
+    of re-running the quadratic scan.
+
+    In production this is exactly how recall monitoring works: the exact
+    top-k for a fixed query panel is computed once per corpus snapshot
+    (offline, quadratic, the cost you pay deliberately) and every index
+    build / nightly health check joins against that table.
+    ``ann_cosine_topk`` (the ground-truth query itself) does NOT read this
+    stage — it IS the computation being measured.  Query-set geometry
+    (N_QUERIES, TOP_K) is part of the stage key; the source key hashes
+    ``embeddings.parquet``, so a regenerated corpus invalidates it."""
+    from .similarity import N_QUERIES, TOP_K, cosine_topk
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), TOP_K)
+
+    out = _ensure(
+        f"ann_exact_topk_q{N_QUERIES}_k{TOP_K}", sf_dir, build, table="embeddings"
+    )
     return spark.read.parquet(out)

@@ -1023,17 +1023,24 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded once (9 dp, both engines) because the ≤k-term dot/norm sums
     are order-sensitive in the last ulp.
 
-    BENCH VARIANCE NOTE (sf0.1, local[32]): this query's wall time swings
+    BENCH VARIANCE (resolved r5): this query's wall time used to swing
     5-18 s run to run with NO plan change — it has the repo's deepest
     stage DAG (12+ stages, 6 broadcasts), and at toy scale AQE's
-    per-stage materialization barriers dominate: the identical plan runs
-    ~10 s with AQE off, and the verify step alone is 2.5 s from
-    pre-materialized candidates.  The pin is therefore the least
-    meaningful in BASELINE.json; regressions here should be judged by
-    plan shape (candidate count, join strategies), not seconds."""
+    per-stage materialization barriers dominated.  The plan is static
+    (every join strategy is forced: broadcasts are explicit, the
+    candidate join's build side is the bounded indexed-term table) and
+    already the one we want, so AQE buys nothing here; the query now
+    runs on an AQE-off session CLONE (``session.aqe_off_clone`` — conf
+    scoped to this query, the sweep's other 264 queries keep AQE).
+    At 100 TB you would re-enable AQE for the candidate join only if
+    the corpus' term skew defeats the prefix filter; the clone keeps
+    that a one-line choice."""
     from pyspark.sql import Window
 
+    from ..session import aqe_off_clone
     from .stage import staged_tfidf_topk
+
+    spark = aqe_off_clone(spark)
 
     # feeds norms, candidate generation, and both verify sides: staged to
     # parquet (see staged_tfidf_topk, pre-built in bench warmup) rather

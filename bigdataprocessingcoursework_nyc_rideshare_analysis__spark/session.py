@@ -55,6 +55,30 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def aqe_off_clone(spark: SparkSession) -> SparkSession:
+    """A cloned session (shared SparkContext, isolated SQLConf) with AQE
+    disabled — for queries whose plan is STATIC and already optimal, where
+    AQE's per-stage materialization barriers only add latency/variance.
+
+    Scoping matters: disabling AQE on the caller's session would leak into
+    every subsequent query in a sweep (AQE is the right default — skew-join
+    splitting and partition coalescing are load-bearing at 100 TB).
+    ``newSession()`` gives the one query its own conf; DataFrames built on
+    the clone execute under it, and the parent session is untouched.  The
+    clone re-applies the engine's runtime confs and inherits the parent's
+    shuffle-partition sizing (``newSession`` resets runtime-set confs to the
+    SparkConf base, which may differ from what the caller's harness set)."""
+    clone = configure(spark.newSession())
+    try:
+        clone.conf.set(
+            "spark.sql.shuffle.partitions", spark.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        pass
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    return clone
+
+
 def get_spark(
     app_name: str = "bdpc-nyc-rideshare-spark",
     master: str | None = None,
