@@ -60,19 +60,118 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to HxWxC uint8.  STUB: the container has no
-    image codec; a deployment wires Pillow/libvips here."""
-    raise NotImplementedError("image codecs not available in this environment")
+def _build_image_codec():
+    """Factory for the pure-Python image codec: binary PPM (P6) encode/decode,
+    24-bit uncompressed BMP decode, and nearest-neighbor resize.  No external
+    codec library — header parsing, row padding, and channel order are
+    implemented over raw bytes + NumPy, so the decode seam is EXECUTABLE in
+    this container (compressed formats — JPEG/PNG/H.264 — remain the
+    documented deployment seam in ``sample_frames``).
+
+    Returned as closure-defined functions rather than plain module-level
+    ``def``s because they run inside Spark Python workers: cloudpickle
+    serializes module-level functions BY REFERENCE (workers would need this
+    package importable — it isn't when the driver imports the engine from an
+    arbitrary cwd), but ``<locals>`` functions are pickled BY VALUE, closure
+    cells and all.  Everything they touch is stdlib/NumPy."""
+    import numpy as np
+
+    def encode_ppm(arr) -> bytes:
+        """HxWx3 uint8 array → binary PPM (P6, maxval 255)."""
+        a = np.asarray(arr, dtype=np.uint8)
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError(f"expected HxWx3 array, got shape {a.shape}")
+        h, w, _ = a.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+    def _ppm_tokens(buf: bytes, n: int, pos: int) -> tuple[list[int], int]:
+        """Read ``n`` whitespace-separated ASCII ints starting at ``pos``,
+        skipping ``#`` comments (the PPM spec allows them anywhere in the
+        header).  Returns (values, position-after-last-token)."""
+        vals: list[int] = []
+        while len(vals) < n:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(buf) and buf[pos] == ord("#"):
+                while pos < len(buf) and buf[pos] != ord("\n"):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and buf[pos : pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                raise ValueError("malformed PPM header")
+            vals.append(int(buf[start:pos]))
+        return vals, pos
+
+    def _decode_ppm(buf: bytes):
+        (w, h, maxval), pos = _ppm_tokens(buf, 3, 2)
+        if maxval != 255:
+            raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+        pos += 1  # exactly ONE whitespace byte separates header from raster
+        need = w * h * 3
+        raster = buf[pos : pos + need]
+        if len(raster) != need:
+            raise ValueError(f"truncated PPM raster: {len(raster)} of {need} bytes")
+        return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+    def _decode_bmp(buf: bytes):
+        if len(buf) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = int.from_bytes(buf[10:14], "little")
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        compression = int.from_bytes(buf[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BMP supported (bpp={bpp}, compression={compression})"
+            )
+        bottom_up = h > 0
+        h = abs(h)
+        stride = ((w * 3 + 3) // 4) * 4  # rows pad to 4-byte boundaries
+        need = stride * h
+        raster = buf[data_off : data_off + need]
+        if len(raster) != need:
+            raise ValueError(f"truncated BMP raster: {len(raster)} of {need} bytes")
+        rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return img[::-1] if bottom_up else img
+
+    def decode_image(payload: bytes):
+        """Decode an image payload to an HxWx3 uint8 array.  Dispatches on
+        magic bytes: ``P6`` (binary PPM) and ``BM`` (24-bit uncompressed
+        BMP) decode here; compressed formats raise ``NotImplementedError``
+        (the deployment seam for Pillow/libvips)."""
+        buf = bytes(payload)
+        if buf[:2] == b"P6":
+            return _decode_ppm(buf)
+        if buf[:2] == b"BM":
+            return _decode_bmp(buf)
+        raise NotImplementedError(
+            f"unsupported image format (magic {buf[:2]!r}); wire a codec library here"
+        )
+
+    def resize_image(payload: bytes, width: int, height: int) -> bytes:
+        """Nearest-neighbor resize: decode, index-map (src = floor(dst·n/m),
+        the standard floor mapping), re-encode as binary PPM."""
+        img = decode_image(payload)
+        h_in, w_in = img.shape[:2]
+        ys = (np.arange(height) * h_in) // height
+        xs = (np.arange(width) * w_in) // width
+        return encode_ppm(img[ys][:, xs])
+
+    return encode_ppm, decode_image, resize_image
 
 
-def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload.  STUB (see ``decode_image``)."""
-    raise NotImplementedError("image codecs not available in this environment")
+encode_ppm, decode_image, resize_image = _build_image_codec()
 
 
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
-    """Sample frames from a video payload.  STUB (see ``decode_image``)."""
+    """Sample frames from a video payload.  STUB: compressed video needs a
+    codec library not present in this container; a deployment wires
+    PyAV/ffmpeg here.  The 1→N frame-expansion plumbing this feeds is real
+    and oracle-checked (``media_frame_manifest``)."""
     raise NotImplementedError("video codecs not available in this environment")
 
 
@@ -241,4 +340,134 @@ def q_media_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.count(F.lit(1)) - 1) * F.any_value("chunk_chars")).cast("bigint").alias("saved_chars"),
         )
         .filter(F.col("n_copies") >= 2)
+    )
+
+
+# --- executable image decode (PPM codec, no external library) -----------------
+
+IMG_W = 16
+IMG_H = 16
+RESIZE_W = 8
+RESIZE_H = 8
+
+#: flat byte j of media m's raster is ``(m * 31 + j) % 256`` — a closed form
+#: both engines can state independently, so the ORACLE never runs the codec:
+#: Spark's path is formula → PPM bytes → header-parsing decode → stats, and
+#: any decoder defect (offset, shape, channel order) breaks the hash match.
+_PIXEL_FORMULA = "({m} * 31 + {j}) % 256"
+
+
+def _img_channel_sums_sql(alias: str, npx: int, flat_pixel: str) -> str:
+    """SQL fragment: per-media channel sums over ``npx`` pixels whose flat
+    pixel index is ``flat_pixel`` (an expression in ``i``)."""
+    terms = []
+    for ch, name in enumerate("rgb"):
+        val = _PIXEL_FORMULA.format(m="doc_id", j=f"(3 * ({flat_pixel}) + {ch})")
+        terms.append(f"SUM({val}) AS s{name}")
+    return (
+        f"{alias} AS (SELECT doc_id AS media_id, {', '.join(terms)} "
+        f"FROM documents, UNNEST(range({npx})) AS u(i) GROUP BY doc_id)"
+    )
+
+
+_IMAGE_STATS_ORACLE = f"""
+WITH {_img_channel_sums_sql("full_px", IMG_W * IMG_H, "i")},
+{_img_channel_sums_sql(
+    "r8_px",
+    RESIZE_W * RESIZE_H,
+    f"((i // {RESIZE_W}) * {IMG_H} // {RESIZE_H}) * {IMG_W} + ((i % {RESIZE_W}) * {IMG_W} // {RESIZE_W})",
+)}
+SELECT f.media_id, CAST({IMG_W} AS INTEGER) AS width, CAST({IMG_H} AS INTEGER) AS height,
+       CAST(f.sr AS DOUBLE) / {IMG_W * IMG_H} AS mean_r,
+       CAST(f.sg AS DOUBLE) / {IMG_W * IMG_H} AS mean_g,
+       CAST(f.sb AS DOUBLE) / {IMG_W * IMG_H} AS mean_b,
+       CAST(r.sr AS DOUBLE) / {RESIZE_W * RESIZE_H} AS r8_mean_r,
+       CAST(r.sg AS DOUBLE) / {RESIZE_W * RESIZE_H} AS r8_mean_g,
+       CAST(r.sb AS DOUBLE) / {RESIZE_W * RESIZE_H} AS r8_mean_b
+FROM full_px f JOIN r8_px r USING (media_id)
+"""
+
+
+def synthesize_ppm_payloads(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, payload) rows: a deterministic {IMG_W}x{IMG_H} RGB raster
+    per id, encoded as REAL binary PPM bytes inside an Arrow-batched
+    ``mapInPandas`` — the ingest half of the executable decode path.  The
+    raster is the closed-form byte pattern the oracle states in SQL."""
+    enc = encode_ppm
+    w, h = IMG_W, IMG_H
+
+    def generate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        j = np.arange(h * w * 3, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                enc(((int(mid) * 31 + j) % 256).astype(np.uint8).reshape(h, w, 3))
+                for mid in pdf[id_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return ids.select(F.col(id_col)).mapInPandas(
+        generate, schema="media_id long, payload binary"
+    )
+
+
+@register(
+    "media_image_stats",
+    oracle=_IMAGE_STATS_ORACLE,
+    tags=("datapipe", "multimodal", "r10"),
+)
+def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTABLE image decode end-to-end (round-5 brief: make one decode
+    path real): per-media dimensions + per-channel means of a binary PPM
+    payload, plus the means after a nearest-neighbor {RESIZE_W}x{RESIZE_H}
+    resize — decode → transform → re-decode, all through the pure-Python
+    codec (``decode_image`` / ``resize_image``), no codec library.
+
+    Differential design: payloads are real PPM **bytes** built from a
+    closed-form pixel pattern; Spark's stats come from PARSING those bytes
+    (magic, header tokens, raster offset, shape), while the DuckDB oracle
+    evaluates the closed form directly and never sees the codec — so a
+    header-offset bug, a shape transpose, or a channel swap in either
+    decode or the resize index map breaks the hash match.  Means divide an
+    exact integer sum once (same association both engines).
+
+    Scale: two stateless ``mapInPandas`` stages (encode / decode+stats)
+    with only scalars surviving the second — payload bytes cross one Arrow
+    boundary and are dropped before any shuffle, the discipline that
+    matters when payloads are MBs: zero shuffles in the whole plan."""
+    dec, rsz = decode_image, resize_image
+    rw, rh = RESIZE_W, RESIZE_H
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = dec(payload)
+                small = dec(rsz(payload, rw, rh))
+                fm = img.astype(np.int64).sum(axis=(0, 1)) / (img.shape[0] * img.shape[1])
+                rm = small.astype(np.int64).sum(axis=(0, 1)) / (rw * rh)
+                rows.append(
+                    (mid, img.shape[1], img.shape[0], fm[0], fm[1], fm[2], rm[0], rm[1], rm[2])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                    "r8_mean_r", "r8_mean_g", "r8_mean_b",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    payloads = synthesize_ppm_payloads(docs)
+    return payloads.mapInPandas(
+        stats,
+        schema=(
+            "media_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double, "
+            "r8_mean_r double, r8_mean_g double, r8_mean_b double"
+        ),
     )
