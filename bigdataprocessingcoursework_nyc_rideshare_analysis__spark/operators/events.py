@@ -28,6 +28,22 @@ from ..sources import load_table
 SESSION_GAP_MIN = 30
 
 
+def load_events(spark: SparkSession, sf_dir: str, use_warehouse: bool = False) -> DataFrame:
+    """The events fact: raw parquet by default; with ``use_warehouse=True``
+    the user-bucketed, (user_id, ts, event_id)-sorted managed table from
+    ``sources.warehouse.build_events_warehouse`` — user-keyed aggregations
+    then inherit their distribution from the scan (no Exchange) and
+    user-partitioned windows inherit the sort too (no Sort), which is the
+    whole point of paying the bucketing shuffle once at ingest.  Same
+    opt-in discipline as ``enriched_trips(use_warehouse=...)``: registered
+    queries default to raw parquet (the driver's harness owns no warehouse)."""
+    if use_warehouse:
+        from ..sources.warehouse import events_warehouse_name
+
+        return spark.table(events_warehouse_name(sf_dir))
+    return load_table(spark, sf_dir, "events")
+
+
 _HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
@@ -94,8 +110,14 @@ FROM sessions GROUP BY 1, 2
 
 
 @register("events_sessionize", oracle=_SESSIONS_ORACLE, tags=("window", "temporal"))
-def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+def q_events_sessions(
+    spark: SparkSession, sf_dir: str, use_warehouse: bool = False
+) -> DataFrame:
+    """Gap sessionization + per-session rollup.  ``use_warehouse=True``
+    drops BOTH the window's Exchange and its Sort: the bucketed table is
+    hash-distributed on user_id and sorted (user_id, ts, event_id) — the
+    window's exact required ordering (pinned in ``test_bucketing.py``)."""
+    ev = load_events(spark, sf_dir, use_warehouse).select("user_id", "ts", "event_id")
     sess = sessionize(ev, "user_id", "ts", SESSION_GAP_MIN)
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -379,14 +401,18 @@ GROUP BY user_id
 
 
 @register("user_session_stats", oracle=_SESSION_STATS_ORACLE, tags=("events", "temporal", "r4"))
-def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_user_session_stats(
+    spark: SparkSession, sf_dir: str, use_warehouse: bool = False
+) -> DataFrame:
     """Per-user session rollup over the gap-sessionized stream: session
     count, total events, longest session, total engaged time, and bounce
     (single-event) sessions — the product-analytics engagement summary.
     Composes ``sessionize`` (already user-partitioned) with one further
     user-keyed aggregation: the second groupBy re-uses the same hash
-    partitioning, so AQE plans no extra exchange."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    partitioning, so AQE plans no extra exchange.  ``use_warehouse=True``
+    removes even the first exchange AND the window sort — the whole query
+    then has zero user-keyed Exchanges (pinned in ``test_bucketing.py``)."""
+    ev = load_events(spark, sf_dir, use_warehouse).select("user_id", "ts", "event_id")
     per_session = (
         sessionize(ev, "user_id", "ts", SESSION_GAP_MIN)
         .groupBy("user_id", "session_id")
@@ -437,7 +463,9 @@ SELECT day, status, CAST(n AS BIGINT) AS n FROM churn
 
 
 @register("user_growth_accounting", oracle=_GROWTH_ACCOUNTING_ORACLE, tags=("events", "temporal", "r4"))
-def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_user_growth_accounting(
+    spark: SparkSession, sf_dir: str, use_warehouse: bool = False
+) -> DataFrame:
     """Growth accounting over daily activity: each active (user, day) is
     classified new (first ever day), retained (also active the previous
     day), or resurrected (returning after a gap); churned counts users
@@ -448,8 +476,13 @@ def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same WindowExec, zero extra cost) + day-keyed counts; churn reads the
     lead column — a user's day with no next-day activity churns at day+1 —
     instead of the earlier activity⋈activity anti-join, which re-derived
-    the distinct frame and shuffled it a second time."""
-    ev = load_table(spark, sf_dir, "events")
+    the distinct frame and shuffled it a second time.
+
+    ``use_warehouse=True``: the (user_id, day) distinct and the user window
+    both inherit the bucketed scan's user_id distribution — the only
+    remaining exchange is the tiny day-keyed count (pinned in
+    ``test_bucketing.py``)."""
+    ev = load_events(spark, sf_dir, use_warehouse)
     activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     w = Window.partitionBy("user_id").orderBy("day")
     flagged = activity.select(

@@ -33,6 +33,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # bucketed scans REPORT their within-bucket sort order, so windows and
+    # sort-merge joins over warehouse tables drop their Sort, not just the
+    # Exchange.  Gated since Spark 3.0 behind this "legacy" flag because the
+    # order only holds with one file per bucket — which Spark still verifies
+    # at planning (multi-file buckets fall back to sorting), and our
+    # write_bucketed_table guarantees by repartitioning to one writer task
+    # per bucket.  Pinned in tests/test_bucketing.py.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     # runtime bloom-filter pruning on shuffle joins: the probe side drops
     # rows that can't match before the exchange — the big lever for the
     # fact×fact joins (lineitem⋈orders) at 100 TB.  Default-on in Spark 4;

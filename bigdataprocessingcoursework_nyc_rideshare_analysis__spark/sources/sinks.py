@@ -63,9 +63,22 @@ def write_bucketed_table(
     their shuffle at 100 TB: pay the partition once at ingest, amortize it
     over every downstream query.  Also sorts within buckets — by the bucket
     key by default, or by ``sort_by`` (e.g. ``[user_id, ts]`` so downstream
-    per-key WINDOWS inherit their sort too, not just joins)."""
+    per-key WINDOWS inherit their sort too, not just joins).
+
+    The input is repartitioned to ONE writer task per bucket first
+    (``repartition(n, key)`` hashes with the same murmur3 ``pmod`` Spark's
+    bucket assignment uses, so each task holds exactly one bucket's rows).
+    Without it every input partition emits a file per bucket, and a scan of
+    a multi-file bucket forfeits the SORT guarantee (Catalyst only trusts
+    bucket order with at most one file per bucket) — the window queries
+    would keep paying their Sort.  At 100 TB this is also the small-files
+    fix (n_input × n_buckets files otherwise); size ``n_buckets`` so one
+    bucket ≈ 128 MB–1 GB."""
+    from pyspark.sql import functions as F
+
     (
-        df.write.mode(mode)
+        df.repartition(n_buckets, F.col(bucket_by))
+        .write.mode(mode)
         .bucketBy(n_buckets, bucket_by)
         .sortBy(*(sort_by or [bucket_by]))
         .saveAsTable(table)

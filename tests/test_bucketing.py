@@ -184,3 +184,57 @@ def test_feature_vector_warehouse_path_matches_raw(spark, events_warehouse):
     key = lambda r: r.user_id
     assert sorted(raw.collect(), key=key) == sorted(wh.collect(), key=key)
     assert _exchanges(plan_string(wh)) < _exchanges(plan_string(raw))
+
+
+def _sorts(plan: str) -> int:
+    return len(re.findall(r"^\(\d+\) Sort", plan, flags=re.MULTILINE))
+
+
+def test_sessionize_warehouse_drops_exchange_and_sort(spark, events_warehouse):
+    """The sessionizer's window requires distribution on user_id and order
+    (user_id, ts, event_id) — exactly the warehouse's bucket + sort spec,
+    so the bucketed plan needs NEITHER an Exchange NOR a Sort, and the
+    downstream (user_id, session_id) groupBy is satisfied by the same
+    distribution: zero exchanges in the whole query."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events import (
+        q_events_sessions,
+    )
+
+    raw = q_events_sessions(spark, SF_SMOKE)
+    wh = q_events_sessions(spark, SF_SMOKE, use_warehouse=True)
+    wh_plan = plan_string(wh)
+    assert _exchanges(wh_plan) == 0, wh_plan
+    assert _sorts(wh_plan) == 0, wh_plan
+    key = lambda r: (r.user_id, r.session_id)
+    assert sorted(raw.collect(), key=key) == sorted(wh.collect(), key=key)
+
+
+def test_user_session_stats_warehouse_is_exchange_free(spark, events_warehouse):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events import (
+        q_user_session_stats,
+    )
+
+    raw = q_user_session_stats(spark, SF_SMOKE)
+    wh = q_user_session_stats(spark, SF_SMOKE, use_warehouse=True)
+    wh_plan = plan_string(wh)
+    assert _exchanges(wh_plan) == 0, wh_plan
+    assert _sorts(wh_plan) == 0, wh_plan
+    key = lambda r: r.user_id
+    assert sorted(raw.collect(), key=key) == sorted(wh.collect(), key=key)
+
+
+def test_growth_accounting_warehouse_keeps_only_day_exchange(spark, events_warehouse):
+    """The (user_id, day) distinct and the user window inherit the bucketed
+    distribution (HashPartitioning(user_id) satisfies clustering on the
+    superset key); only the |days × statuses|-sized count and the 1-row
+    max-day aggregate may exchange."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events import (
+        q_user_growth_accounting,
+    )
+
+    raw = q_user_growth_accounting(spark, SF_SMOKE)
+    wh = q_user_growth_accounting(spark, SF_SMOKE, use_warehouse=True)
+    raw_plan, wh_plan = plan_string(raw), plan_string(wh)
+    assert _exchanges(wh_plan) < _exchanges(raw_plan), wh_plan
+    key = lambda r: (r.day, r.status)
+    assert sorted(raw.collect(), key=key) == sorted(wh.collect(), key=key)
