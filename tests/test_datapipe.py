@@ -223,3 +223,95 @@ def test_prefix_filter_equals_ground_truth_jaccard(spark):
         for r in reg["neardup_prefix_filter"].fn(spark, SF_SMOKE).collect()
     }
     assert got == truth
+
+
+# --- sf0.001 golden rows for queries with no SQL oracle -----------------------
+#
+# The driver's hash gate never covers these (LSH banding / sketches have no
+# SQL form; the driver records rows-only), so their correctness rests on the
+# recall/invariant pytest pins — which a refactor that silently changes the
+# banding geometry, hash seed, or candidate-verify threshold could satisfy
+# while changing every emitted row.  These goldens pin the EXACT output at
+# sf0.001 (deterministic: seeded hyperplanes, md5/xxhash term hashing,
+# quantized-integer cosine with pinned tie order; all partition-count
+# independent — regenerate only on a deliberate semantic change).
+
+_GOLDEN_MINHASH = [
+    (0, 50, 0.952380952), (0, 82, 0.954545455), (5, 450, 0.975609756),
+    (8, 12, 0.973684211), (8, 120, 0.986486486), (8, 360, 0.986666667),
+    (12, 120, 0.960526316), (12, 360, 0.986842105), (16, 369, 0.988235294),
+    (26, 176, 0.988505747), (33, 436, 0.888888889), (45, 487, 0.964285714),
+    (50, 82, 0.909090909), (56, 157, 0.981481481), (77, 459, 0.987179487),
+    (89, 114, 0.928571429), (99, 174, 0.988095238), (110, 467, 0.989130435),
+    (119, 425, 0.971428571), (120, 360, 0.973333333), (144, 161, 0.988636364),
+    (211, 404, 0.984615385), (229, 263, 0.956521739), (260, 391, 0.988764045),
+    (270, 329, 0.988095238), (328, 428, 0.974358974), (349, 411, 0.980769231),
+    (474, 498, 0.989361702),
+]
+
+_GOLDEN_SIMHASH = [
+    (8, 12, 1), (8, 120, 2), (8, 360, 1), (12, 120, 3), (12, 360, 0),
+    (16, 369, 3), (26, 176, 2), (56, 157, 2), (77, 459, 2), (99, 174, 1),
+    (120, 360, 3), (144, 161, 1), (211, 404, 3), (260, 391, 1), (270, 329, 2),
+    (328, 428, 2), (474, 498, 1),
+]
+
+_GOLDEN_ANN_LSH = [
+    (0, 1, 225, 0.315127956), (0, 2, 483, 0.300451758), (0, 3, 73, 0.297238655),
+    (0, 4, 212, 0.28139979), (0, 5, 347, 0.274508254),
+    (1, 1, 257, 0.39176277), (1, 2, 129, 0.351480878), (1, 3, 376, 0.304812114),
+    (1, 4, 183, 0.246153288), (1, 5, 208, 0.236210016),
+    (2, 1, 62, 0.28999639), (2, 2, 246, 0.289768502), (2, 3, 234, 0.277687619),
+    (2, 4, 441, 0.253965886), (2, 5, 488, 0.238606354),
+    (3, 1, 223, 0.340916724), (3, 2, 212, 0.319721647), (3, 3, 426, 0.315099065),
+    (3, 4, 72, 0.308942252), (3, 5, 380, 0.219033986),
+    (4, 1, 345, 0.374941548), (4, 2, 57, 0.298747666), (4, 3, 357, 0.295447367),
+    (4, 4, 229, 0.267757516), (4, 5, 472, 0.266340895),
+    (5, 1, 113, 0.364432515), (5, 2, 118, 0.273542276), (5, 3, 143, 0.236488257),
+    (5, 4, 109, 0.224228697), (5, 5, 219, 0.221852311),
+    (6, 1, 78, 0.29407356), (6, 2, 467, 0.264865289), (6, 3, 444, 0.256030481),
+    (6, 4, 486, 0.235413933), (6, 5, 438, 0.210513923),
+    (7, 1, 466, 0.324004385), (7, 2, 18, 0.285971033), (7, 3, 198, 0.25728906),
+    (7, 4, 249, 0.256072669), (7, 5, 341, 0.252291434),
+    (8, 1, 20, 0.33007872), (8, 2, 385, 0.326576673), (8, 3, 61, 0.249005673),
+    (8, 4, 209, 0.247477026), (8, 5, 407, 0.240301085),
+    (9, 1, 107, 0.329678451), (9, 2, 216, 0.272537392), (9, 3, 327, 0.259396181),
+    (9, 4, 314, 0.250929141), (9, 5, 305, 0.236176418),
+]
+
+_GOLDEN_HEAVY_HITTERS = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def test_golden_minhash_lsh_rows(spark):
+    got = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in q_neardup_minhash(spark, SF_SMOKE).collect()
+    )
+    assert got == _GOLDEN_MINHASH
+
+
+def test_golden_simhash_rows(spark):
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming) for r in q_dedup_simhash(spark, SF_SMOKE).collect()
+    )
+    assert got == _GOLDEN_SIMHASH
+
+
+def test_golden_ann_lsh_rows(spark):
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cos_sim, 9))
+        for r in q_ann_lsh_topk(spark, SF_SMOKE).collect()
+    )
+    assert got == _GOLDEN_ANN_LSH
+
+
+def test_golden_heavy_hitter_terms(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    fn = load_all()["approx_heavy_hitter_terms"].fn
+    assert sorted(r.term for r in fn(spark, SF_SMOKE).collect()) == _GOLDEN_HEAVY_HITTERS
