@@ -631,35 +631,35 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stage import staged_ann_exact_topk
 
     exact = staged_ann_exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    per_method = []
+    # one tagged union → ONE broadcast-join against the (query-set-sized)
+    # truth → ONE (method, query) aggregation, instead of a per-method
+    # groupBy/left-join chain (3× the exchanges for the same result)
+    tagged = None
     for method, topk_df in (
         ("lsh", q_ann_lsh_topk(spark, sf_dir)),
         ("ivf", q_ann_ivf_topk(spark, sf_dir)),
         ("pq", q_ann_pq_topk(spark, sf_dir)),
     ):
-        approx = topk_df.select("query_id", "neighbor_id")
-        hits = (
-            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
+        t = topk_df.select(
+            F.lit(method).alias("method"), "query_id", "neighbor_id"
         )
-        per_query = (
-            exact.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_true"))
-            .join(hits, "query_id", "left")
-            .select(
-                F.lit(method).alias("method"),
-                "query_id",
-                (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_true")).alias(
-                    "recall"
-                ),
-            )
-        )
-        per_method.append(per_query)
-    allq = per_method[0]
-    for extra in per_method[1:]:
-        allq = allq.unionByName(extra)
-    return allq.groupBy("method").agg(
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (
+        tagged.join(F.broadcast(exact), ["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_true = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    methods = spark.createDataFrame([("lsh",), ("ivf",), ("pq",)], "method string")
+    # (method × query) grid keeps zero-hit queries in the denominator;
+    # both sides are model-sized → broadcast nested loop, no exchange
+    grid = F.broadcast(methods).crossJoin(F.broadcast(n_true))
+    per_query = grid.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_true")).alias("recall"),
+    )
+    return per_query.groupBy("method").agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.round(F.avg("recall"), 9).alias("mean_recall"),
         F.min("recall").alias("min_recall"),
