@@ -170,14 +170,22 @@ def main() -> None:
         start = time.perf_counter()
         build_events_warehouse(spark, sf_dir, force=True)
         warehouse["events_build_sec"] = round(time.perf_counter() - start, 4)
-        start = time.perf_counter()
-        registry["user_feature_vector"].fn(spark, sf_dir, use_warehouse=True).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        warehouse["events_bucketed"] = {
-            "user_feature_vector": round(time.perf_counter() - start, 4)
-        }
-        warehouse["events_raw"] = {"user_feature_vector": timings["user_feature_vector"]}
+        ev_tier = (
+            "user_feature_vector",
+            # the window tier: bucketed+sorted scan drops Exchange AND Sort
+            "events_sessionize",
+            "user_session_stats",
+            "user_growth_accounting",
+        )
+        warehouse["events_bucketed"] = {}
+        for name in ev_tier:
+            start = time.perf_counter()
+            registry[name].fn(spark, sf_dir, use_warehouse=True).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            warehouse["events_bucketed"][name] = round(time.perf_counter() - start, 4)
+            spark.catalog.clearCache()
+        warehouse["events_raw"] = {name: timings[name] for name in ev_tier}
 
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
 

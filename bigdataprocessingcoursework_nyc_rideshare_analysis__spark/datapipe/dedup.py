@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ..functions.text import shingles_col, tokens_col
+from ..functions.text import shingles_col, tokens_col, tokens_of
 from ..registry import register
 from ..sources import load_table
 
@@ -889,3 +889,111 @@ def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --- exact-substring dedup (Lee et al. 2021) ----------------------------------
+
+#: duplicate-window length in tokens.  Lee et al. ("Deduplicating Training
+#: Data Makes Language Models Better", ACL 2022) use 50 BPE tokens on
+#: web-scale corpora; the synthetic docs run ~40-90 whitespace tokens, so 20
+#: keeps the operator meaningfully sub-document at this fixture scale.
+EXSUB_L = 20
+
+_EXSUB_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(list_slice(toks, i, i + {EXSUB_L} - 1), ' ')) AS h
+  FROM t, UNNEST(range(1, len(toks) - {EXSUB_L} + 2)) AS u(i)
+), flagged AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt FROM w
+), pos AS (
+  SELECT doc_id, pos FROM flagged WHERE cnt >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {EXSUB_L}
+              THEN 1 ELSE 0 END AS new_island
+  FROM pos
+), g AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + {EXSUB_L} - 1 AS INTEGER) AS span_end,
+       CAST(MAX(pos) + {EXSUB_L} - MIN(pos) AS INTEGER) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM g GROUP BY doc_id, island
+"""
+
+
+@register("dup_substring_spans", oracle=_EXSUB_ORACLE, tags=("datapipe", "dedup", "r10"))
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr pass):
+    every {EXSUB_L}-token window whose exact text occurs ≥2 times ANYWHERE
+    in the corpus is a duplicate window; per document, overlapping/adjacent
+    duplicate windows merge into maximal spans (start/end token index,
+    1-based) — the byte ranges that pass cuts from the training text,
+    complementing document-level dedup (repeated boilerplate, licenses,
+    quotations survive document-level near-dup because the HOST documents
+    differ).
+
+    The reference paper builds a corpus-wide suffix array; the Spark-native
+    equivalent is window hashing: fixed-length windows lose "maximal match"
+    granularity below L but find every duplicate of length ≥ L (any such
+    match contains a duplicated L-window at each offset), and the span merge
+    reconstructs the maximal duplicated REGION per document exactly.
+
+    Plan: one stateless window explode off the staged token arrays (fan-out
+    ×~n_toks, same shape as the shingle family), one hash-keyed window count
+    (duplicate test — no join-back: the count rides the same exchange), one
+    doc-keyed window + aggregate for the island merge.  3 shuffles total;
+    window hashes are md5 of the joined text, so the DuckDB oracle replays
+    the identical computation.  At 100 TB the h-keyed exchange moves
+    (doc_id, pos, 32-byte hash) rows — never the text — and uniform md5
+    keys can't skew."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    toks = tokens_of(feat)
+    L = EXSUB_L
+    idx = F.when(
+        F.size(toks) >= L, F.sequence(F.lit(1), F.size(toks) - L + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    windows = feat.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, L))).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    dup_pos = (
+        windows.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    new_island = F.when(
+        F.lag("pos").over(w_doc).isNull() | (F.col("pos") > F.lag("pos").over(w_doc) + L), 1
+    ).otherwise(0)
+    islands = dup_pos.withColumn("new_island", new_island).withColumn(
+        "island",
+        F.sum("new_island").over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + L - 1).cast("int").alias("span_end"),
+        (F.max("pos") + L - F.min("pos")).cast("int").alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
+    ).drop("island")

@@ -816,3 +816,107 @@ def q_embedding_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ratio.cast("decimal(14,12)")).cast("double") / F.count(F.lit(1)), 9
         ).alias("macro_energy"),
     )
+
+
+# --- IVF-PQ composite index ----------------------------------------------------
+
+
+@register("ann_ivfpq_topk", oracle=None, tags=("datapipe", "similarity", "ivf", "pq", "r10"))
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite IVF-PQ approximate top-k — the production index shape
+    (FAISS ``IVFx,PQy``; Jégou et al. 2011 §V): the corpus is inverted into
+    IVF lists AND stored as PQ codes, a query touches only its
+    {IVF_NPROBE}/{IVF_LISTS} probed lists, scans them with ADC table
+    lookups, and exact-re-ranks a per-partition shortlist.  IVF bounds the
+    COMPUTE (fraction of corpus scanned), PQ bounds the MEMORY (codes, not
+    floats) — multiplicative with each other, which is why this is the
+    trillion-vector layout.
+
+    This variant encodes raw vectors, not per-list residuals (residual
+    encoding needs a codebook conditioned on the coarse centroid; at 16
+    lists the fidelity gain doesn't justify doubling the training surface —
+    documented deliberately).  List assignment and PQ encoding happen in
+    ONE Arrow pass (one kernel emits ``vec_id, list_id, codes``), so the
+    index build adds no join and no extra corpus scan over plain PQ.
+    Rows-only at the driver (no SQL form); pytest floors recall against the
+    brute-force truth and pins determinism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb)
+    books = train_pq_codebooks(emb)
+    m, ksub, dsub = books.shape
+
+    qpdf = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").toPandas()
+    qids = qpdf["vec_id"].to_numpy()
+    qvecs = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qnorm = qvecs / np.linalg.norm(qvecs, axis=1, keepdims=True)
+    # per-query probed coarse lists (IVF_NPROBE nearest centroids)
+    probe = np.argsort(-(qnorm @ centroids.T), axis=1)[:, :IVF_NPROBE]  # (nq, nprobe)
+    # ADC distance tables, same geometry as ann_pq_topk
+    dt = np.empty((len(qids), m, ksub))
+    for j in range(m):
+        sub = qnorm[:, j * dsub : (j + 1) * dsub]
+        cent = books[j]
+        dt[:, j, :] = (sub * sub).sum(1, keepdims=True) - 2 * sub @ cent.T + (cent * cent).sum(1)
+    shortlist = PQ_SHORTLIST * TOP_K
+    subspace_idx = np.arange(m)
+
+    def index_rows(batches):
+        # one pass: coarse assignment + PQ encode per Arrow batch
+        import pandas as pd
+
+        for pdf in batches:
+            raw = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            unit = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+            list_id = np.argmax(unit @ centroids.T, axis=1).astype(np.int64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = unit[:, j * dsub : (j + 1) * dsub]
+                cent = books[j]
+                d = (sub * sub).sum(1, keepdims=True) - 2 * sub @ cent.T + (cent * cent).sum(1)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "list_id": list_id, "codes": list(codes)}
+            )
+
+    def adc_probed_topk(batches):
+        # same cross-batch shortlist fold as ann_pq_topk, but each query
+        # scores ONLY rows whose coarse list it probes — the IVF pruning
+        import pandas as pd
+
+        best_d = None
+        best_i = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            lists = pdf["list_id"].to_numpy()
+            lookups = dt[:, subspace_idx, codes]  # (nq, n, m)
+            approx = lookups.sum(axis=2)  # (nq, n)
+            probed = (lists[None, :, None] == probe[:, None, :]).any(axis=2)  # (nq, n)
+            approx = np.where(probed, approx, np.inf)
+            cand_i = np.broadcast_to(ids, approx.shape)
+            if best_d is not None:
+                approx = np.concatenate([best_d, approx], axis=1)
+                cand_i = np.concatenate([best_i, cand_i], axis=1)
+            k = min(shortlist, approx.shape[1])
+            sel = np.argpartition(approx, k - 1, axis=1)[:, :k]
+            best_d = np.take_along_axis(approx, sel, axis=1)
+            best_i = np.take_along_axis(cand_i, sel, axis=1)
+        if best_i is not None:
+            keep = np.isfinite(best_d)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, best_i.shape[1])[keep.ravel()],
+                    "neighbor_id": best_i.ravel()[keep.ravel()],
+                }
+            )
+
+    candidates = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(index_rows, schema="vec_id long, list_id long, codes array<int>")
+        .mapInPandas(adc_probed_topk, schema="query_id long, neighbor_id long")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    return exact_rank_candidates(emb, candidates, TOP_K)

@@ -1,0 +1,161 @@
+"""Round-5 (r10 tag) operators: exact-substring dedup spans and the IVF-PQ
+composite ANN index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+    EXSUB_L,
+    q_dup_substring_spans,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+    N_QUERIES,
+    TOP_K,
+    q_ann_cosine_topk,
+    q_ann_ivfpq_topk,
+    q_ann_pq_topk,
+)
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.text import tokens_col
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+# --- exact-substring duplicate spans ------------------------------------------
+
+
+def test_substring_spans_invariants(spark):
+    """Spans are within doc bounds, at least L tokens, per-doc disjoint with
+    ≥1-token gaps (maximality of the island merge), and window counts agree
+    with span geometry."""
+    spans = q_dup_substring_spans(spark, SF_SMOKE).collect()
+    assert spans, "fixture corpus has known near-duplicate docs; spans expected"
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(tokens_col("text")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        assert r["span_end"] - r["span_start"] + 1 == r["span_tokens"]
+        assert r["span_tokens"] >= EXSUB_L
+        assert 1 <= r["span_start"] <= r["span_end"] <= n_toks[r["doc_id"]]
+        # islands merge every window within L: windows inside one span are
+        # the positions span_start..span_end-L+1, but only duplicated ones
+        # are counted, so n_dup_windows is bounded by the span's window slots
+        assert 1 <= r["n_dup_windows"] <= r["span_tokens"] - EXSUB_L + 1
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for doc_id, ivs in by_doc.items():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            # merged islands: next span starts strictly AFTER a gap that no
+            # single duplicate window could bridge
+            assert s2 > e1 + 1, (doc_id, ivs)
+
+
+def test_substring_spans_cover_known_near_duplicates(spark):
+    """The fixture corpus has no EXACT duplicate documents (verified — the
+    dedup family works off near-dups), but its closest near-dup pairs share
+    long verbatim runs, which is precisely what the substring pass exists
+    to catch where document-level dedup wouldn't fire.  Both sides of the
+    corpus's highest-Jaccard pairs must carry a duplicate span, and
+    near-identical docs (12↔360: simhash hamming 0, jaccard 0.987) must be
+    flagged over most of their length."""
+    spans: dict[int, int] = {}
+    for r in q_dup_substring_spans(spark, SF_SMOKE).collect():
+        spans[r["doc_id"]] = spans.get(r["doc_id"], 0) + r["span_tokens"]
+    for doc in (12, 360, 110, 467, 474, 498):  # golden near-dup pairs (test_datapipe)
+        assert doc in spans, doc
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id").isin(12, 360))
+        .select("doc_id", F.size(tokens_col("text")).alias("n"))
+        .collect()
+    }
+    for doc in (12, 360):
+        assert spans[doc] >= int(0.8 * n_toks[doc])
+
+
+def test_substring_spans_cross_doc_only_span(spark):
+    """A synthetic corpus where two docs share an interior run of exactly
+    L+2 tokens (hosts otherwise unique) must yield one span of L+2 tokens
+    in each, at the right offsets — and a third unique doc yields none."""
+    import shutil
+    import tempfile
+
+    shared = " ".join(f"shared{i}" for i in range(EXSUB_L + 2))
+    rows = [
+        (0, f"alpha0 alpha1 alpha2 {shared} omega0 omega1", "en", "s", 0),
+        (1, f"beta0 {shared} gamma0 gamma1 gamma2 gamma3", "en", "s", 0),
+        (2, " ".join(f"unique{i}" for i in range(EXSUB_L + 10)), "en", "s", 0),
+    ]
+    d = tempfile.mkdtemp(prefix="exsub_")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_windows"])
+            for r in q_dup_substring_spans(spark, d).collect()
+        }
+        # doc 0: shared run occupies tokens 4..L+5 (3 leading tokens)
+        assert got[0] == (4, EXSUB_L + 5, 3)
+        # doc 1: shared run occupies tokens 2..L+3 (1 leading token)
+        assert got[1] == (2, EXSUB_L + 3, 3)
+        assert 2 not in got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# --- IVF-PQ composite ANN -------------------------------------------------------
+
+
+def test_ivfpq_topk_shape_recall_and_determinism(spark):
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    got1 = q_ann_ivfpq_topk(spark, SF_SMOKE).collect()
+    got2 = q_ann_ivfpq_topk(spark, SF_SMOKE).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))  # deterministic
+    per_q: dict[int, int] = {}
+    for r in got1:
+        assert 1 <= r["rank"] <= TOP_K
+        assert r["query_id"] != r["neighbor_id"]
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert set(per_q) == set(range(N_QUERIES))
+    hits = sum(1 for r in got1 if (r["query_id"], r["neighbor_id"]) in truth)
+    recall = hits / len(truth)
+    # IVF pruning caps recall below plain PQ; on the near-uniform synthetic
+    # embeddings nprobe/lists = 1/4 of the corpus is scanned — floor well
+    # below the PQ bar but far above chance (5/500 ≈ 0.01)
+    assert recall >= 0.2, recall
+
+
+def test_ivfpq_candidates_respect_probed_lists(spark):
+    """Every IVF-PQ result must come from a coarse list its query probes —
+    the pruning contract that makes the index sublinear."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        IVF_NPROBE,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = train_ivf_centroids(emb)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sims = vecs @ centroids.T
+    assign = {int(i): int(np.argmax(sims[k])) for k, i in enumerate(ids)}
+    order = np.argsort(-sims, axis=1)
+    probes = {int(i): set(map(int, order[k][:IVF_NPROBE])) for k, i in enumerate(ids)}
+    for r in q_ann_ivfpq_topk(spark, SF_SMOKE).collect():
+        assert assign[r["neighbor_id"]] in probes[r["query_id"]], r

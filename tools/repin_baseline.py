@@ -1,8 +1,14 @@
-"""Re-pin BASELINE.json's per-query bench baselines from the latest
-BENCH_DETAIL.json (run bench.py SOLO first — concurrent Spark sessions
-inflate timings ~15-20%).
+"""Re-pin BASELINE.json's per-query bench baselines from BENCH_DETAIL.json.
 
-Usage: python tools/repin_baseline.py [round_label]
+Run bench.py (the exact sweep the driver runs) with the machine otherwise
+quiet — pins must be recorded under sweep-identical conditions so a
+future BENCH_rN line is comparable number-for-number.  To absorb sweep
+noise, pass several BENCH_DETAIL files (copies from consecutive runs):
+the pin for each query is the element-wise MAX across runs, so the 2×
+regression gate only fires on something no observed run exhibited.
+
+Usage: python tools/repin_baseline.py [round_label] [detail.json ...]
+       (defaults to the single latest BENCH_DETAIL.json)
 """
 
 from __future__ import annotations
@@ -16,7 +22,18 @@ REPO = Path(__file__).resolve().parent.parent
 
 def main() -> None:
     label = sys.argv[1] if len(sys.argv) > 1 else "r4"
-    detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
+    paths = [Path(p) for p in sys.argv[2:]] or [REPO / "BENCH_DETAIL.json"]
+    details = [json.loads(p.read_text()) for p in paths]
+    detail = details[-1]
+    if len(details) > 1:
+        merged = {}
+        for d in details:
+            for q, sec in d["queries"].items():
+                merged[q] = max(merged.get(q, 0.0), sec)
+        detail = dict(detail)
+        detail["queries"] = merged
+        detail["value"] = round(sum(merged.values()), 4)
+        detail["n_queries"] = len(merged)
     baseline_path = REPO / "BASELINE.json"
     baseline = json.loads(baseline_path.read_text())
     pins = baseline.setdefault("bench_pins", {})
@@ -26,11 +43,13 @@ def main() -> None:
     pins["stage_build_sec"] = detail.get("stage_build_sec")
     if "warehouse" in detail:
         pins["warehouse"] = detail["warehouse"]
+    runs = max(1, len(paths))
     pins["comment"] = (
         f"Per-query regression pins (seconds, sf{detail.get('sf')}, local[32], cold cache "
         f"per query, staging+warehouse built during warmup — their costs are "
         f"stage_build_sec / warehouse.build_sec, not query time).  perquery_sec recorded at "
-        f"END of round {label[1:]} on shipped code ({detail.get('n_queries')} queries, run solo). "
+        f"END of round {label[1:]} on shipped code ({detail.get('n_queries')} queries) under "
+        f"SWEEP-IDENTICAL conditions (full bench.py, element-wise max over {runs} run(s)). "
         f"Previous pinned total: {prev_total}.  A query >2x its pin without a plan-change "
         f"justification is a regression."
     )
