@@ -295,3 +295,122 @@ def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("cum") - 1) / budget).cast("long").alias("last_seq"),
         ((F.col("cum") - F.col("n_tokens")) % budget).cast("long").alias("seq_offset"),
     )
+
+
+# --- dataset card -------------------------------------------------------------
+
+_DATASHEET_ORACLE = """
+WITH {exsub_ctes}, base AS (
+  SELECT d.doc_id, d.lang, d.source, CAST(len(t.toks) AS BIGINT) AS n_toks
+  FROM documents d JOIN t USING (doc_id)
+), src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+  FROM base GROUP BY source
+), lc AS (
+  SELECT source, lang, COUNT(*) AS n FROM base GROUP BY 1, 2
+), tl AS (
+  SELECT source, lang, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+  FROM lc
+), sp AS (
+  SELECT b.source,
+         CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_spanned_docs,
+         CAST(SUM(s.span_tokens) AS BIGINT) AS dup_tokens
+  FROM spans s JOIN base b USING (doc_id) GROUP BY 1
+)
+SELECT src.source, src.n_docs, src.total_tokens,
+       CAST(src.total_tokens AS DOUBLE) / src.n_docs AS avg_tokens,
+       tl.lang AS top_lang,
+       CAST(tl.n AS DOUBLE) / src.n_docs AS top_lang_share,
+       COALESCE(sp.n_spanned_docs, 0) AS n_spanned_docs,
+       ROUND(CAST(COALESCE(sp.dup_tokens, 0) AS DOUBLE) / src.total_tokens, 9)
+         AS dup_token_share
+FROM src
+JOIN tl ON tl.source = src.source AND tl.rn = 1
+LEFT JOIN sp ON sp.source = src.source
+"""
+
+
+@register(
+    "corpus_datasheet_by_source",
+    oracle=None,  # set below: the CTE chain lives in datapipe.dedup
+    tags=("datapipe", "pipeline", "r10"),
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card ("Datasheets for Datasets", Gebru et al. 2021,
+    reduced to its computable table): per-source corpus composition —
+    document/token volume, dominant language and its share, and duplication
+    exposure (documents carrying an exact-substring duplicate span, share of
+    tokens inside spans).  This is the table a data-governance review reads
+    before a source is admitted to a training mix, and the denominator
+    table DSIR/quota resampling starts from.
+
+    Plan: everything keys on ``source`` (|sources| groups): one aggregate
+    for volume, one (source, lang) count + struct-argmax for the dominant
+    language (no window, same trick as ``modal_event_type_per_user``), and
+    the span frame (3 shuffles, shared detection logic in
+    ``datapipe.dedup.duplicate_substring_spans``) collapsing to a per-source
+    pair of sums.  Ratios divide exact int64 sums once — bit-identical
+    cross-engine."""
+    from .dedup import duplicate_substring_spans
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    base = feat.select(
+        "doc_id", "lang", "source", F.size(F.col("toks")).cast("long").alias("n_toks")
+    )
+    src = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )
+    top_lang = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("source")
+        .agg(F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("lang").alias("lang"))).alias("b"))
+        .select("source", F.col("b.lang").alias("top_lang"), (-F.col("b.neg_n")).alias("tn"))
+    )
+    sp = (
+        duplicate_substring_spans(feat)
+        .join(base.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_spanned_docs"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        )
+    )
+    return (
+        src.join(top_lang, "source")
+        .join(sp, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avg_tokens"),
+            "top_lang",
+            (F.col("tn").cast("double") / F.col("n_docs")).alias("top_lang_share"),
+            F.coalesce(F.col("n_spanned_docs"), F.lit(0)).cast("long").alias("n_spanned_docs"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("total_tokens"),
+                9,
+            ).alias("dup_token_share"),
+        )
+    )
+
+
+def _wire_datasheet_oracle() -> None:
+    """The datasheet oracle embeds the exact-substring CTE chain owned by
+    ``datapipe.dedup``; wiring it post-definition avoids a curate→dedup
+    import at module-import time (dedup imports stage, which imports
+    curate's featurizer)."""
+    from ..registry import REGISTRY
+    from .dedup import _EXSUB_CTES
+
+    REGISTRY["corpus_datasheet_by_source"].oracle = _DATASHEET_ORACLE.format(
+        exsub_ctes=_EXSUB_CTES
+    )
+
+
+_wire_datasheet_oracle()

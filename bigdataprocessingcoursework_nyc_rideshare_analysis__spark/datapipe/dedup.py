@@ -899,8 +899,9 @@ def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: keeps the operator meaningfully sub-document at this fixture scale.
 EXSUB_L = 20
 
-_EXSUB_ORACLE = f"""
-WITH t AS (
+#: shared CTE chain: tokenize → L-window hashes → duplicated positions →
+#: gaps-and-islands merge → per-doc maximal spans (see q_dup_substring_spans)
+_EXSUB_CTES = f"""t AS (
   SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
   FROM documents
 ), w AS (
@@ -922,13 +923,18 @@ WITH t AS (
          SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
                                ROWS UNBOUNDED PRECEDING) AS island
   FROM isl
-)
-SELECT doc_id,
-       CAST(MIN(pos) AS INTEGER) AS span_start,
-       CAST(MAX(pos) + {EXSUB_L} - 1 AS INTEGER) AS span_end,
-       CAST(MAX(pos) + {EXSUB_L} - MIN(pos) AS INTEGER) AS span_tokens,
-       CAST(COUNT(*) AS BIGINT) AS n_dup_windows
-FROM g GROUP BY doc_id, island
+), spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS INTEGER) AS span_start,
+         CAST(MAX(pos) + {EXSUB_L} - 1 AS INTEGER) AS span_end,
+         CAST(MAX(pos) + {EXSUB_L} - MIN(pos) AS INTEGER) AS span_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+  FROM g GROUP BY doc_id, island
+)"""
+
+_EXSUB_ORACLE = f"""
+WITH {_EXSUB_CTES}
+SELECT doc_id, span_start, span_end, span_tokens, n_dup_windows FROM spans
 """
 
 
@@ -960,9 +966,15 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys can't skew."""
     from .stage import staged_features
 
-    feat = staged_features(spark, sf_dir)
+    return duplicate_substring_spans(staged_features(spark, sf_dir))
+
+
+def duplicate_substring_spans(feat: DataFrame, L: int = EXSUB_L) -> DataFrame:
+    """Merged duplicate-span frame (doc_id, span_start, span_end,
+    span_tokens, n_dup_windows) — the detection stage shared by the span
+    report and the span-cut transform (see ``q_dup_substring_spans`` for
+    semantics and scale analysis)."""
     toks = tokens_of(feat)
-    L = EXSUB_L
     idx = F.when(
         F.size(toks) >= L, F.sequence(F.lit(1), F.size(toks) - L + 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -997,3 +1009,66 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + L - F.min("pos")).cast("int").alias("span_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
     ).drop("island")
+
+
+_EXSUB_CUT_ORACLE = f"""
+WITH {_EXSUB_CTES}, pt AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[i] AS tok
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+), kept AS (
+  SELECT pt.doc_id, pt.pos, pt.tok FROM pt
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = pt.doc_id
+                      AND pt.pos BETWEEN s.span_start AND s.span_end)
+)
+SELECT t.doc_id,
+       COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+       CAST(len(any_value(t.toks)) - COUNT(k.tok) AS BIGINT) AS n_removed_tokens
+FROM t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id
+"""
+
+
+@register("dedup_cut_substrings", oracle=_EXSUB_CUT_ORACLE, tags=("datapipe", "dedup", "r10"))
+def q_dedup_cut_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM half of exact-substring dedup (Lee et al. 2021 cut the
+    duplicated bytes from the training text rather than dropping documents):
+    every document is emitted with its merged duplicate spans removed —
+    (doc_id, clean_text, n_removed_tokens), one row per input document,
+    spanless documents passing through verbatim (normalized tokenization).
+
+    Plan: the span frame (3 shuffles, see ``duplicate_substring_spans``)
+    collapses to ONE row per spanned document (collect_list of ≤n_spans
+    structs — bounded by doc length, never corpus), left-joined back to the
+    corpus on doc_id; the cut itself is a per-row JVM lambda over the token
+    array (filter on span containment + concat_ws), so no shuffle carries
+    text except the final doc-keyed join, and documents without spans carry
+    a NULL span array through the same expression.  The oracle replays the
+    cut relationally (position anti-join + ordered string_agg) — agreement
+    pins both the span geometry and the reassembly order."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    spans = duplicate_substring_spans(feat)
+    span_arrs = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = tokens_of(feat)
+    src = feat.select("doc_id", toks.alias("toks")).join(span_arrs, "doc_id", "left")
+    pos_toks = F.transform(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: F.struct(i.alias("pos"), F.element_at("toks", i).alias("tok")),
+    )
+    safe_spans = F.coalesce(F.col("spans"), F.array().cast("array<struct<span_start:int,span_end:int>>"))
+    kept = F.filter(
+        pos_toks,
+        lambda pt: ~F.exists(
+            safe_spans,
+            lambda s: (pt["pos"] >= s["span_start"]) & (pt["pos"] <= s["span_end"]),
+        ),
+    )
+    return src.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda pt: pt["tok"])).alias("clean_text"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )

@@ -639,6 +639,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", q_ann_lsh_topk(spark, sf_dir)),
         ("ivf", q_ann_ivf_topk(spark, sf_dir)),
         ("pq", q_ann_pq_topk(spark, sf_dir)),
+        ("ivfpq", q_ann_ivfpq_topk(spark, sf_dir)),
     ):
         t = topk_df.select(
             F.lit(method).alias("method"), "query_id", "neighbor_id"
@@ -650,7 +651,9 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     n_true = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
-    methods = spark.createDataFrame([("lsh",), ("ivf",), ("pq",)], "method string")
+    methods = spark.createDataFrame(
+        [("lsh",), ("ivf",), ("pq",), ("ivfpq",)], "method string"
+    )
     # (method × query) grid keeps zero-hit queries in the denominator;
     # both sides are model-sized → broadcast nested loop, no exchange
     grid = F.broadcast(methods).crossJoin(F.broadcast(n_true))

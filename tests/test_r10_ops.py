@@ -159,3 +159,59 @@ def test_ivfpq_candidates_respect_probed_lists(spark):
     probes = {int(i): set(map(int, order[k][:IVF_NPROBE])) for k, i in enumerate(ids)}
     for r in q_ann_ivfpq_topk(spark, SF_SMOKE).collect():
         assert assign[r["neighbor_id"]] in probes[r["query_id"]], r
+
+
+# --- span-cut transform ---------------------------------------------------------
+
+
+def test_cut_substrings_consistent_with_spans(spark):
+    """One output row per document; n_removed_tokens equals the summed span
+    widths; clean token count + removed = original; spanless docs pass
+    through with their normalized text intact."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        q_dedup_cut_substrings,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.text import (
+        normalize_text,
+    )
+
+    docs = {
+        r["doc_id"]: (r["norm"], r["n"])
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id",
+            normalize_text("text").alias("norm"),
+            F.size(tokens_col("text")).alias("n"),
+        )
+        .collect()
+    }
+    span_sum: dict[int, int] = {}
+    for r in q_dup_substring_spans(spark, SF_SMOKE).collect():
+        span_sum[r["doc_id"]] = span_sum.get(r["doc_id"], 0) + r["span_tokens"]
+    out = q_dedup_cut_substrings(spark, SF_SMOKE).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        norm, n = docs[r["doc_id"]]
+        assert r["n_removed_tokens"] == span_sum.get(r["doc_id"], 0)
+        n_clean = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
+        assert n_clean + r["n_removed_tokens"] == n
+        if r["doc_id"] not in span_sum:
+            assert r["clean_text"] == norm
+
+
+def test_corpus_datasheet_totals(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.curate import (
+        q_corpus_datasheet,
+    )
+
+    rows = q_corpus_datasheet(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert {r["source"] for r in rows} == {
+        r["source"] for r in docs.select("source").distinct().collect()
+    }
+    for r in rows:
+        assert 0 < r["top_lang_share"] <= 1.0
+        assert 0 <= r["n_spanned_docs"] <= r["n_docs"]
+        assert 0.0 <= r["dup_token_share"] < 1.0
+        assert abs(r["avg_tokens"] - r["total_tokens"] / r["n_docs"]) < 1e-12

@@ -415,7 +415,7 @@ def test_ann_recall_report_bounds_and_determinism(spark):
 
     rows1 = {r["method"]: r for r in q_ann_recall_report(spark, SF_SMOKE).collect()}
     rows2 = {r["method"]: r for r in q_ann_recall_report(spark, SF_SMOKE).collect()}
-    assert set(rows1) == {"lsh", "ivf", "pq"}
+    assert set(rows1) == {"lsh", "ivf", "pq", "ivfpq"}
     for m in rows1:
         r = rows1[m]
         assert r["n_queries"] == N_QUERIES
@@ -430,6 +430,9 @@ def test_ann_recall_report_bounds_and_determinism(spark):
     assert rows1["lsh"]["mean_recall"] >= 0.2
     assert rows1["ivf"]["mean_recall"] >= 0.3
     assert rows1["pq"]["mean_recall"] >= 0.5
+    # composite: IVF pruning caps PQ's recall (scans nprobe/lists of the
+    # corpus) but must stay far above chance — same bar as test_r10_ops
+    assert rows1["ivfpq"]["mean_recall"] >= 0.2
 
 
 # --- runtime bloom-filter join pruning ---------------------------------------
