@@ -96,6 +96,108 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HyperLogLog from first principles (re-aggregatable registers) -----------
+
+HLL_M = 64  # registers (b = 6 index bits)
+HLL_HASH_BITS = 60  # 15 md5 hex chars → non-negative 60-bit hash
+HLL_RHO_MAX = HLL_HASH_BITS - 6 + 1  # 55: rho of an all-zero remainder
+#: alpha_m · m² · 2^55 folded into ONE double literal so the estimate is a
+#: single int64→double conversion + one division on both engines
+_HLL_C = 1.046802484394006e20  # 0.7213/(1+1.079/64) · 64² · 2^55
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+), reg AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         MAX(CASE WHEN (h >> 6) = 0 THEN {HLL_RHO_MAX}
+                  ELSE {HLL_RHO_MAX} - length(bin(h >> 6)) END) AS rho
+  FROM h GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - rho)) AS BIGINT)
+           + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_RHO_MAX}) AS s_int,
+         CAST({HLL_M} - COUNT(*) AS BIGINT) AS n_empty
+  FROM reg GROUP BY 1
+), est AS (
+  SELECT event_type,
+         CASE WHEN {_HLL_C!r} / CAST(s_int AS DOUBLE) <= 2.5 * {HLL_M} AND n_empty > 0
+              THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / n_empty)
+              ELSE {_HLL_C!r} / CAST(s_int AS DOUBLE) END AS e
+  FROM s
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY 1
+)
+SELECT ex.event_type, ex.n_exact,
+       ROUND(est.e, 9) AS hll_estimate,
+       ROUND((est.e - ex.n_exact) / ex.n_exact, 9) AS rel_err
+FROM ex JOIN est USING (event_type)
+"""
+
+
+@register("hll_distinct_users_from_scratch", oracle=_HLL_ORACLE, tags=("agg", "approx", "sketch", "r10"))
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog implemented from first principles (Flajolet et al. 2007)
+    as DATA, not as an opaque aggregate: per event_type, 64 registers
+    M_j = max leading-zero-rank of a 60-bit md5-derived hash, raw estimate
+    α·m²/Σ2^(−M_j), reported against the exact distinct count.
+
+    The register TABLE is the point — unlike ``approx_count_distinct``
+    (HLL++ sealed inside an agg buffer), explicit registers are
+    RE-AGGREGATABLE data: daily register tables merge by ``max`` per bucket
+    into weekly/monthly cardinalities without touching raw events — the
+    sketch-rollup pattern a 100 TB metrics pipeline stores, and the same
+    reason ``cms_heavy_hitter_estimates`` materializes its counter matrix.
+
+    Unlike the builtin (whose xxhash64 register layout has no SQL twin),
+    every step here is deterministic and engine-neutral, so the driver
+    hash-checks the ESTIMATES bit-for-bit: Σ2^(−M_j) is kept as the exact
+    integer Σ2^(55−M_j) (≤ 64·2^55 < 2^63 — no float accumulation), and
+    the estimate is one literal-constant division.  Plan: one (type,
+    bucket)-keyed aggregate (≤ |types|·64 groups), one |types| rollup, and
+    the exact-count twin for the error column; the sketch side never holds
+    more than m longs per group."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    rem = F.shiftright(h, 6)
+    rho = F.when(rem == 0, HLL_RHO_MAX).otherwise(
+        HLL_RHO_MAX - F.length(F.conv(rem, 10, 2))
+    )
+    reg = (
+        ev.select("event_type", (h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # shiftleft with a COLUMN shift amount: only the SQL form accepts it
+    # (the PySpark wrapper pins numBits to a Python int)
+    s = reg.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - rho)"))
+            + (HLL_M - F.count(F.lit(1))) * F.lit(1 << HLL_RHO_MAX).cast("long")
+        ).cast("long").alias("s_int"),
+        (HLL_M - F.count(F.lit(1))).cast("long").alias("n_empty"),
+    )
+    raw = F.lit(_HLL_C) / F.col("s_int").cast("double")
+    # Flajolet small-range (linear-counting) correction: raw HLL saturates
+    # low cardinalities toward α·m²/Σ≈m·log-ish bias, while the count of
+    # still-empty registers is a near-sufficient statistic there
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("n_empty") > 0),
+        HLL_M * F.log(F.lit(float(HLL_M)) / F.col("n_empty")),
+    ).otherwise(raw)
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return ex.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round(est, 9).alias("hll_estimate"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 9).alias("rel_err"),
+    )
+
+
 _MEDIAN_ORACLE = """
 WITH ranked AS (
   SELECT event_type, value,

@@ -215,3 +215,45 @@ def test_corpus_datasheet_totals(spark):
         assert 0 <= r["n_spanned_docs"] <= r["n_docs"]
         assert 0.0 <= r["dup_token_share"] < 1.0
         assert abs(r["avg_tokens"] - r["total_tokens"] / r["n_docs"]) < 1e-12
+
+
+# --- from-scratch HyperLogLog ----------------------------------------------------
+
+
+def test_hll_from_scratch_error_bound_and_merge(spark):
+    """The raw-HLL estimate at m=64 (rsd ≈ 1.04/√64 = 13%) must land within
+    a few standard errors of the exact count, and the registers must be
+    re-aggregatable: union-max of per-half register tables equals the
+    registers of the union — the sketch-merge identity."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+        q_hll_distinct_users,
+    )
+
+    for r in q_hll_distinct_users(spark, SF_SMOKE).collect():
+        assert abs(r["rel_err"]) <= 0.5, r
+        assert r["hll_estimate"] > 0
+        assert abs(r["hll_estimate"] / r["n_exact"] - 1.0 - r["rel_err"]) < 1e-6
+    # merge identity on raw registers (max per bucket distributes over union)
+    ev = load_table(spark, SF_SMOKE, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    rho = F.when(F.shiftright(h, 6) == 0, 55).otherwise(
+        55 - F.length(F.conv(F.shiftright(h, 6), 10, 2))
+    )
+    base = ev.select((h % 64).alias("bucket"), rho.alias("rho"), "event_id")
+    full = {
+        (r["bucket"],): r["m"]
+        for r in base.groupBy("bucket").agg(F.max("rho").alias("m")).collect()
+    }
+    halves = []
+    for pred in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        halves.append(
+            {
+                r["bucket"]: r["m"]
+                for r in base.filter(pred).groupBy("bucket").agg(F.max("rho").alias("m")).collect()
+            }
+        )
+    merged = {
+        b: max(halves[0].get(b, 0), halves[1].get(b, 0))
+        for b in set(halves[0]) | set(halves[1])
+    }
+    assert {(b,): m for b, m in merged.items()} == full
