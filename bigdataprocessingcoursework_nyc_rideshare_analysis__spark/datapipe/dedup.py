@@ -1072,3 +1072,136 @@ def q_dedup_cut_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.transform(kept, lambda pt: pt["tok"])).alias("clean_text"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )
+
+
+# --- Bloom-filter contamination screen (membership sketch as data) -------------
+
+BLOOM_M = 1024  # bits
+BLOOM_K = 3  # hash functions
+BLOOM_EVAL_MOD = 5  # doc_id % 5 == 0 plays the eval/holdout set
+
+_BLOOM_HASH = (
+    "CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || fp), 1, 8)) AS BIGINT) % "
+    + str(BLOOM_M)
+)
+
+_BLOOM_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), train AS (SELECT * FROM f WHERE doc_id % {BLOOM_EVAL_MOD} <> 0),
+eval AS (SELECT * FROM f WHERE doc_id % {BLOOM_EVAL_MOD} = 0),
+train_pos AS (
+  SELECT DISTINCT source, {_BLOOM_HASH.format(i='i')} AS pos
+  FROM train, UNNEST(range({BLOOM_K})) AS u(i)
+), eval_pos AS (
+  SELECT doc_id, fp, CAST(i AS INTEGER) AS i, {_BLOOM_HASH.format(i='i')} AS pos
+  FROM eval, UNNEST(range({BLOOM_K})) AS u(i)
+), flagged AS (
+  SELECT e.doc_id, t.source
+  FROM eval_pos e JOIN train_pos t USING (pos)
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT e.i) = {BLOOM_K}
+), truth AS (
+  SELECT DISTINCT e.doc_id, t.source FROM eval e JOIN train t ON e.fp = t.fp
+), n_eval AS (SELECT COUNT(*) AS n FROM eval)
+SELECT s.source,
+       CAST((SELECT n FROM n_eval) AS BIGINT) AS n_eval_docs,
+       CAST(COUNT(DISTINCT fl.doc_id) AS BIGINT) AS n_flagged,
+       CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_true_overlap,
+       CAST(COUNT(DISTINCT fl.doc_id) - COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_false_pos
+FROM (SELECT DISTINCT source FROM train) s
+LEFT JOIN flagged fl ON fl.source = s.source
+LEFT JOIN truth tr ON tr.source = s.source
+GROUP BY s.source
+"""
+
+
+@register(
+    "bloom_contamination_screen",
+    oracle=_BLOOM_ORACLE,
+    tags=("datapipe", "dedup", "sketch", "r10"),
+)
+def q_bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screening (Bloom 1970), built as DATA like
+    the engine's HLL and count-min tiers: each training SOURCE keeps a
+    {BLOOM_M}-bit filter of its document fingerprints ({BLOOM_K} md5-derived
+    hashes); every holdout/eval document tests its {BLOOM_K} positions
+    against each source's filter and is flagged where all are set.  Reported
+    per source against the exact fingerprint join: flagged, true overlaps,
+    and false positives — the sketch's measured FP cost at this geometry.
+
+    This is the decontamination SCREEN a training pipeline runs before the
+    expensive n-gram pass (``contamination_overlap``): the filter is
+    |sources|×{BLOOM_M} bits of state — broadcastable at any corpus size —
+    so the screen never joins eval against the corpus itself; only
+    screen-positives proceed to exact verification.  Completes the sketch
+    tier: HLL (cardinality), count-min (frequency), Bloom (membership).
+
+    Plan: the per-source position sets aggregate to ≤ |sources|·{BLOOM_M}
+    rows → broadcast hash join against the eval positions (k rows per eval
+    doc); the exact-truth twin is a fingerprint-keyed join for the error
+    columns.  Every hash is md5-derived, so the DuckDB oracle replays the
+    filter bit-for-bit."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir).select("doc_id", "source", "fingerprint")
+    train = feat.filter(F.col("doc_id") % BLOOM_EVAL_MOD != 0)
+    ev = feat.filter(F.col("doc_id") % BLOOM_EVAL_MOD == 0)
+
+    def positions(df: DataFrame) -> DataFrame:
+        i = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i")
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("fingerprint"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M
+        )
+        return df.select("doc_id", "source", "fingerprint", i).withColumn("pos", pos)
+
+    train_pos = positions(train).select("source", "pos").distinct()
+    eval_pos = positions(ev).select("doc_id", "i", "pos")
+    flagged = (
+        eval_pos.join(
+            F.broadcast(train_pos.withColumnRenamed("source", "t_source")),
+            "pos",
+        )
+        .groupBy("doc_id", "t_source")
+        .agg(F.countDistinct("i").alias("k_hit"))
+        .filter(F.col("k_hit") == BLOOM_K)
+        .select("doc_id", F.col("t_source").alias("source"))
+    )
+    truth = (
+        ev.select("doc_id", "fingerprint")
+        .join(train.select("fingerprint", F.col("source").alias("t_source")), "fingerprint")
+        .select("doc_id", F.col("t_source").alias("source"))
+        .distinct()
+    )
+    # 1-row aggregate attached via broadcast (NOT an eager .count(): plan
+    # construction must launch zero jobs — the bloom-filter/registry-wide
+    # discipline pinned in test_plans.py)
+    n_eval = ev.agg(F.count(F.lit(1)).cast("long").alias("n_eval_docs"))
+    sources = train.select("source").distinct()
+    fl = flagged.groupBy("source").agg(F.countDistinct("doc_id").alias("n_flagged"))
+    tr = truth.groupBy("source").agg(F.countDistinct("doc_id").alias("n_true_overlap"))
+    return (
+        sources.join(fl, "source", "left")
+        .join(tr, "source", "left")
+        .crossJoin(F.broadcast(n_eval))
+        .select(
+            "source",
+            "n_eval_docs",
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias("n_flagged"),
+            F.coalesce(F.col("n_true_overlap"), F.lit(0)).cast("long").alias("n_true_overlap"),
+            (
+                F.coalesce(F.col("n_flagged"), F.lit(0))
+                - F.coalesce(F.col("n_true_overlap"), F.lit(0))
+            ).cast("long").alias("n_false_pos"),
+        )
+    )

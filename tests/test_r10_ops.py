@@ -257,3 +257,38 @@ def test_hll_from_scratch_error_bound_and_merge(spark):
         for b in set(halves[0]) | set(halves[1])
     }
     assert {(b,): m for b, m in merged.items()} == full
+
+
+# --- Bloom contamination screen & tokenizer fertility -----------------------------
+
+
+def test_bloom_screen_no_false_negatives_and_fp_accounting(spark):
+    """A Bloom filter can false-positive but NEVER false-negative: every
+    true fingerprint overlap must be flagged, so n_flagged >= n_true_overlap
+    and n_false_pos is their exact gap; counts bounded by the eval set."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        q_bloom_contamination_screen,
+    )
+
+    rows = q_bloom_contamination_screen(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_flagged"] >= r["n_true_overlap"]
+        assert r["n_false_pos"] == r["n_flagged"] - r["n_true_overlap"]
+        assert 0 <= r["n_flagged"] <= r["n_eval_docs"]
+
+
+def test_tokenizer_fertility_ratios(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        q_tokenizer_fertility,
+    )
+
+    rows = q_tokenizer_fertility(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        # the BPE-ish regex splits punctuation off words, so it can only
+        # produce at least as many segments as whitespace words
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] > 1.0
+        assert abs(r["fertility"] - r["bpe_tokens"] / r["ws_tokens"]) < 1e-12
