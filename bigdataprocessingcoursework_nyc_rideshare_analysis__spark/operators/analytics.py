@@ -1260,3 +1260,138 @@ def q_revenue_weighted_median_discount(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.min("disc").alias("weighted_median_discount"))
     )
 
+
+
+# --- Poisson-bootstrap confidence intervals -----------------------------------
+
+BOOT_B = 32  # resamples
+BOOT_LO_RANK = 4  # 4th / 29th of 32 sorted resample means ≈ central 80% CI
+BOOT_HI_RANK = 29
+#: Poisson(1) CDF as exact double literals (inverse-CDF sampling thresholds)
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+_U52 = float(1 << 52)  # 13 md5 hex chars → exact 52-bit uniform numerator
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
+
+
+_BOOT_ORACLE = f"""
+WITH draws AS (
+  SELECT event_type, CAST(b AS INTEGER) AS b,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         {_pois_case_sql(
+             "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) / " + repr(_U52)
+         )} AS w
+  FROM events, UNNEST(range({BOOT_B})) AS u(b)
+), rs AS (
+  SELECT event_type, b,
+         CAST(SUM(w * v) AS DOUBLE) / SUM(w) AS m
+  FROM draws GROUP BY 1, 2 HAVING SUM(w) > 0
+), ranked AS (
+  SELECT event_type, m, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_rs
+  FROM rs
+), ci AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = {BOOT_LO_RANK} THEN m END) AS lo,
+         MIN(CASE WHEN rn = {BOOT_HI_RANK} THEN m END) AS hi,
+         MIN(n_rs) AS n_resamples
+  FROM ranked GROUP BY 1
+), base AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value
+  FROM events GROUP BY 1
+)
+SELECT base.event_type, base.n_events,
+       ROUND(base.mean_value, 9) AS mean_value,
+       ROUND(ci.lo, 9) AS ci_lo,
+       ROUND(ci.hi, 9) AS ci_hi,
+       CAST(ci.n_resamples AS BIGINT) AS n_resamples
+FROM base JOIN ci USING (event_type)
+"""
+
+
+@register("bootstrap_mean_ci", oracle=_BOOT_ORACLE, tags=("agg", "stats", "r10"))
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-type mean value —
+    the one-pass bootstrap a distributed system can actually run (Chamandy
+    et al. 2012, "Estimating Uncertainty for Massive Data Streams"):
+    sampling WITH replacement needs coordinated global draws, but Poisson(1)
+    weights per (row, resample) approximate it with independent per-row
+    randomness, so all {BOOT_B} resamples ride ONE map-side pass.
+
+    Determinism (the engine's sketch-tier discipline): the uniform is 13
+    md5 hex chars over 2^52 (both exact in a double), the Poisson inverse
+    CDF is a literal threshold chain, resample sums are exact DECIMAL /
+    int64, and each mean is one division — so the DuckDB oracle reproduces
+    every resample bit-for-bit and the driver hash-checks the CI itself.
+    The CI is rank-based: the {BOOT_LO_RANK}th/{BOOT_HI_RANK}th of the
+    {BOOT_B} sorted resample means (central ~80%).
+
+    Plan: {BOOT_B}× row fan-out collapsing immediately into a
+    (type, resample)-keyed partial aggregate — cardinality |types|·{BOOT_B}
+    — then a |types|-sized rank selection; the fan-out never survives an
+    exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id").cast("string"), F.col("b").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_U52)
+    )
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], k).otherwise(w)
+    draws = (
+        ev.select("event_id", "event_type", b, F.col("value").cast("decimal(18,6)").alias("v"))
+        .withColumn("w", w)
+        .drop("event_id")
+    )
+    rs = (
+        draws.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("event_type", (F.col("swv").cast("double") / F.col("sw")).alias("m"))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("m")
+    ranked = rs.withColumn("rn", F.row_number().over(w_rank))
+    ci = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == BOOT_LO_RANK, F.col("m"))).alias("lo"),
+        F.min(F.when(F.col("rn") == BOOT_HI_RANK, F.col("m"))).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_value"
+        ),
+    )
+    return base.join(F.broadcast(ci), "event_type").select(
+        "event_type",
+        "n_events",
+        F.round("mean_value", 9).alias("mean_value"),
+        F.round("lo", 9).alias("ci_lo"),
+        F.round("hi", 9).alias("ci_hi"),
+        "n_resamples",
+    )

@@ -292,3 +292,21 @@ def test_tokenizer_fertility_ratios(spark):
         assert r["fertility"] >= 1.0
         assert r["chars_per_token"] > 1.0
         assert abs(r["fertility"] - r["bpe_tokens"] / r["ws_tokens"]) < 1e-12
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+        BOOT_B,
+        q_bootstrap_mean_ci,
+    )
+
+    rows1 = {r["event_type"]: r for r in q_bootstrap_mean_ci(spark, SF_SMOKE).collect()}
+    rows2 = {r["event_type"]: r for r in q_bootstrap_mean_ci(spark, SF_SMOKE).collect()}
+    assert rows1.keys() == rows2.keys()
+    for t, r in rows1.items():
+        assert r["ci_lo"] <= r["ci_hi"]
+        # the resample distribution centers on the observed mean; with the
+        # central-80% rank CI the point estimate lies inside at this n
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], r
+        assert r["n_resamples"] == BOOT_B
+        assert tuple(rows2[t]) == tuple(r)  # bit-deterministic
