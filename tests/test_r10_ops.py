@@ -310,3 +310,35 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
         assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], r
         assert r["n_resamples"] == BOOT_B
         assert tuple(rows2[t]) == tuple(r)  # bit-deterministic
+
+
+def test_theilsen_recovers_planted_trend(spark):
+    """On a synthetic series y = 3x + 10 with one wild outlier day, the
+    median-of-slopes estimate must recover slope 3 exactly (the outlier
+    perturbs fewer than half the pairwise slopes) while OLS would not."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
+        q_theilsen_trend,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(11):
+        v = 3.0 * d + 10.0 if d != 5 else 1000.0  # day 5 is the outlier
+        rows.append((eid, datetime(2024, 4, 1 + d, 12, 0), 1, "click", v, "{}"))
+        eid += 1
+    tmp = tempfile.mkdtemp(prefix="ts_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        r = q_theilsen_trend(spark, tmp).collect()[0]
+        assert r["n_days"] == 11
+        assert r["slope"] == 3.0
+        assert r["intercept"] == 10.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
