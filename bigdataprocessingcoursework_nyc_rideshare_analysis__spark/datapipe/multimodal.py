@@ -9,11 +9,14 @@ Design (the piece that must be real even where codecs are stubbed):
   as pandas batches, Python touches bytes only inside the batch loop, and
   the output schema is declared up front (required for Catalyst to plan
   downstream ops).
-- actual codec work (JPEG decode, resampling, frame sampling) needs
-  libraries not present in this container → ``decode_image`` and friends
-  raise ``NotImplementedError`` with the intended contract; the deterministic
-  byte-level features (size, digest) are real and oracle-checked, proving the
-  schema/partitioning/UDF-signature path end-to-end.
+- uncompressed formats decode FOR REAL with pure-Python codecs (image:
+  binary PPM + 24-bit BMP incl. nearest-neighbor resize; audio: WAV/PCM
+  RIFF parsing) — `media_image_stats` / `media_audio_stats` drive them
+  end-to-end against closed-form oracles that never see the codec.
+  Compressed formats (JPEG/PNG, MP3, H.264 frame sampling) need libraries
+  not present in this container → those paths raise ``NotImplementedError``
+  with the intended contract, and the deterministic byte-level features
+  (size, digest, frame manifests) remain oracle-checked regardless.
 
 Scale: payload bytes dominate — partition count must track *bytes* not rows
 (``spark.sql.files.maxPartitionBytes``); never collect payloads; features
@@ -470,4 +473,158 @@ def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_r double, mean_g double, mean_b double, "
             "r8_mean_r double, r8_mean_g double, r8_mean_b double"
         ),
+    )
+
+
+# --- executable audio decode (WAV/PCM, no external library) --------------------
+
+AUDIO_N_SAMPLES = 256
+AUDIO_RATE = 8000  # Hz
+
+
+def _build_audio_codec():
+    """Factory for the pure-Python WAV (RIFF/PCM) codec — same closure
+    discipline as ``_build_image_codec`` (pickled by value for Spark
+    workers).  Parses the actual chunk structure (RIFF header, ``fmt ``
+    chunk fields, ``data`` chunk scan past any extra chunks) rather than
+    assuming a fixed 44-byte layout."""
+    import numpy as np
+    import struct
+
+    def encode_wav(samples, rate: int) -> bytes:
+        """int16 mono PCM → WAV bytes (canonical 44-byte header)."""
+        pcm = np.asarray(samples, dtype="<i2").tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+
+    def decode_audio(payload: bytes):
+        """WAV payload → (samples: int16 ndarray, rate).  16-bit mono PCM
+        only; compressed codecs raise NotImplementedError (the deployment
+        seam, like JPEG/H.264 on the image/video side)."""
+        buf = bytes(payload)
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise NotImplementedError(
+                f"unsupported audio container (magic {buf[:4]!r}); wire a codec library here"
+            )
+        pos = 12
+        rate = None
+        channels = None
+        bits = None
+        audio_fmt = None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+            elif cid == b"data":
+                if audio_fmt != 1 or channels != 1 or bits != 16:
+                    raise NotImplementedError(
+                        f"only 16-bit mono PCM supported (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                    )
+                if len(body) != size:
+                    raise ValueError(f"truncated WAV data chunk: {len(body)} of {size} bytes")
+                return np.frombuffer(body, dtype="<i2"), rate
+            pos += 8 + size + (size & 1)  # chunks pad to even offsets
+        raise ValueError("no data chunk found in WAV payload")
+
+    return encode_wav, decode_audio
+
+
+encode_wav, decode_audio = _build_audio_codec()
+
+
+#: sample i of media m is ``((m * 7 + i * 13) % 65536) - 32768`` — the same
+#: differential design as the image tier: Spark parses real RIFF bytes, the
+#: oracle evaluates the closed form and never sees the codec.
+_AUDIO_STATS_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id AS media_id,
+         ((doc_id * 7 + i * 13) % 65536) - 32768 AS v
+  FROM documents, UNNEST(range({AUDIO_N_SAMPLES})) AS u(i)
+)
+SELECT media_id,
+       CAST({AUDIO_N_SAMPLES} AS BIGINT) AS n_samples,
+       CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+       CAST({AUDIO_N_SAMPLES} * 1000000 / {AUDIO_RATE} AS BIGINT) AS duration_us,
+       CAST(SUM(v) AS BIGINT) AS sum_pcm,
+       CAST(MAX(abs(v)) AS INTEGER) AS peak,
+       sqrt(CAST(SUM(v * v) AS DOUBLE) / {AUDIO_N_SAMPLES}) AS rms
+FROM s GROUP BY media_id
+"""
+
+
+@register(
+    "media_audio_stats",
+    oracle=_AUDIO_STATS_ORACLE,
+    tags=("datapipe", "multimodal", "r10"),
+)
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTABLE audio decode end-to-end: per-media sample count, duration,
+    peak, DC sum, and RMS of a 16-bit mono PCM WAV payload — real RIFF
+    chunk parsing (fmt/data scan, even-offset padding) through the
+    pure-Python codec, completing the multimodal tier's executable paths
+    (image: PPM/BMP; audio: WAV/PCM; video codecs remain the documented
+    seam).
+
+    Differential design as ``media_image_stats``: payloads are real WAV
+    BYTES from a closed-form sample pattern; Spark's stats come from
+    parsing those bytes, the oracle evaluates the closed form — a chunk
+    offset/endianness/signedness bug breaks the hash.  RMS is sqrt (IEEE
+    correctly-rounded) of an exact int64 mean; everything else is exact
+    integers.  Zero shuffles: two stateless mapInPandas stages, payloads
+    dropped before any exchange."""
+    enc, dec = encode_wav, decode_audio
+    n, rate = AUDIO_N_SAMPLES, AUDIO_RATE
+
+    def generate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                enc((((int(mid) * 7 + i * 13) % 65536) - 32768).astype("<i2"), rate)
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, r = dec(payload)
+                x = samples.astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        len(x),
+                        r,
+                        len(x) * 1_000_000 // r,
+                        int(x.sum()),
+                        int(np.abs(x).max()),
+                        float(np.sqrt((x * x).sum() / len(x))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sample_rate", "duration_us",
+                    "sum_pcm", "peak", "rms",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return (
+        docs.mapInPandas(generate, schema="media_id long, payload binary")
+        .mapInPandas(
+            stats,
+            schema=(
+                "media_id long, n_samples long, sample_rate int, duration_us long, "
+                "sum_pcm long, peak int, rms double"
+            ),
+        )
     )

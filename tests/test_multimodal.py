@@ -159,3 +159,68 @@ def test_media_image_stats_query(spark):
         assert r["mean_b"] == img[:, :, 2].sum() / (IMG_W * IMG_H)
         small = img[(np.arange(8) * IMG_H) // 8][:, (np.arange(8) * IMG_W) // 8]
         assert r["r8_mean_g"] == small[:, :, 1].sum() / 64
+
+
+# --- pure-Python WAV codec ------------------------------------------------------
+
+
+def test_wav_round_trip_and_chunk_scan():
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    samples = rng.randint(-32768, 32768, size=200).astype("<i2")
+    out, rate = decode_audio(encode_wav(samples, 16000))
+    assert rate == 16000
+    assert np.array_equal(out, samples)
+    # decoder must SCAN chunks, not assume a 44-byte layout: inject a LIST
+    # chunk (odd size → even padding) between fmt and data
+    buf = bytearray(encode_wav(samples, 8000))
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"  # pad to even
+    patched = bytes(buf[:fmt_end]) + extra + bytes(buf[fmt_end:])
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    out2, rate2 = decode_audio(patched)
+    assert rate2 == 8000
+    assert np.array_equal(out2, samples)
+
+
+def test_wav_rejects_unsupported_variants():
+    import struct
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    with pytest.raises(NotImplementedError, match="container"):
+        decode_audio(b"\xff\xfb\x90\x00mp3-ish")
+    buf = bytearray(encode_wav(np.zeros(4, dtype="<i2"), 8000))
+    buf[22:24] = struct.pack("<H", 2)  # stereo
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_audio(bytes(buf))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_audio(bytes(encode_wav(np.zeros(4, dtype="<i2"), 8000))[:-3])
+
+
+def test_media_audio_stats_query(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        AUDIO_N_SAMPLES,
+        AUDIO_RATE,
+        q_media_audio_stats,
+    )
+
+    rows = {r["media_id"]: r for r in q_media_audio_stats(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == docs
+    i = np.arange(AUDIO_N_SAMPLES, dtype=np.int64)
+    for mid in list(rows)[:5]:
+        x = ((mid * 7 + i * 13) % 65536) - 32768
+        r = rows[mid]
+        assert r["n_samples"] == AUDIO_N_SAMPLES
+        assert r["duration_us"] == AUDIO_N_SAMPLES * 1_000_000 // AUDIO_RATE
+        assert r["sum_pcm"] == int(x.sum())
+        assert r["peak"] == int(np.abs(x).max())
+        assert r["rms"] == float(np.sqrt((x * x).sum() / AUDIO_N_SAMPLES))
