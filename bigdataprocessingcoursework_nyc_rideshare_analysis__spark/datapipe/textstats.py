@@ -2238,3 +2238,127 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("fertility"),
         (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias("chars_per_token"),
     )
+
+
+# --- readability (Flesch) -------------------------------------------------------
+
+_READABILITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+         GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  s -> length(trim(s)) > 0)), 1) AS n_sentences
+  FROM documents
+), w AS (
+  SELECT doc_id, n_sentences,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks,
+                w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS BIGINT)
+           AS n_syllables
+  FROM t
+)
+SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences, n_words, n_syllables,
+       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 9) AS flesch,
+       ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 9) AS fk_grade
+FROM w
+"""
+
+
+@register("doc_readability", oracle=_READABILITY_ORACLE, tags=("datapipe", "text", "quality", "r10"))
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document (Kincaid et
+    al. 1975) — the readability band filter classic curation recipes (e.g.
+    C4-style heuristics) apply alongside stopword/length gates: documents
+    far outside human-prose readability are usually boilerplate, tables, or
+    generated noise.  Syllables are approximated as vowel groups (min 1 per
+    word) and sentences as [.!?]+ segments — the standard cheap heuristics,
+    identical in both engines.
+
+    Plan: stateless per-row expressions only (regex splits + a higher-order
+    sum over the token array), zero shuffles; the two scores are fixed
+    arithmetic over exact integer ratios, written in the same association
+    order in both engines and rounded once."""
+    from ..functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split("text", r"[.!?]+"),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ),
+        F.lit(1),
+    )
+    toks = tokens_col("text")
+    syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)),
+    )
+    d = docs.select(
+        "doc_id",
+        sentences.cast("long").alias("n_sentences"),
+        F.size(toks).cast("long").alias("n_words"),
+        syll.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return d.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 9).alias("flesch"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 9).alias("fk_grade"),
+    )
+
+
+# --- compression-ratio quality signal -----------------------------------------
+
+ZLIB_LEVEL = 6
+
+
+@register("doc_compression_ratio", oracle=None, tags=("datapipe", "text", "quality", "r10"))
+def q_doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the repetition/diversity signal
+    web-scale curation recipes use alongside the n-gram repetition score
+    (RefinedWeb/MassiveText report it as a cheap proxy: templated or
+    looping text compresses far below human prose, random noise barely
+    compresses at all).  Emitted as (doc_id, n_bytes, n_compressed, ratio)
+    with ratio = compressed/raw — LOW is repetitive, ~1 is incompressible.
+
+    Rows-only at the driver: DEFLATE output depends on the compressor
+    implementation, so there is no SQL twin — pytest pins the invariants
+    instead (bounds, repetitive ≪ prose < noise ordering, determinism).
+    Plan: one stateless mapInPandas (zlib is stdlib, level pinned); at
+    100 TB this is the cheapest quality gate per byte since the codec runs
+    at memory bandwidth and nothing shuffles."""
+    import zlib
+
+    level = ZLIB_LEVEL
+
+    def compress_stats(batches):
+        import pandas as pd  # worker-side: the enclosing module isn't importable there
+
+        for pdf in batches:
+            raw = pdf["text"].map(lambda t: t.encode("utf-8"))
+            n_raw = raw.map(len)
+            n_comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_raw.astype("int64"),
+                    "n_compressed": n_comp.astype("int64"),
+                    "ratio": (n_comp / n_raw.where(n_raw > 0, 1)).astype("float64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        compress_stats,
+        schema="doc_id long, n_bytes long, n_compressed long, ratio double",
+    )

@@ -2157,89 +2157,3 @@ def q_kendall_tau_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tau_b"),
     )
 
-
-# --- Theil-Sen robust trend -----------------------------------------------------
-
-_THEILSEN_ORACLE = """
-WITH d AS (
-  SELECT CAST(ts AS DATE) AS day,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS y
-  FROM events GROUP BY 1
-), x AS (
-  SELECT day, y,
-         CAST(day - (SELECT MIN(day) FROM d) AS BIGINT) AS xi
-  FROM d
-), slopes AS (
-  SELECT CAST(b.y - a.y AS DOUBLE) / (b.xi - a.xi) AS s
-  FROM x a JOIN x b ON a.xi < b.xi
-), ms AS (
-  SELECT s FROM (
-    SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, COUNT(*) OVER () AS n
-    FROM slopes
-  ) WHERE rn = (n + 1) // 2
-), icpts AS (
-  SELECT CAST(x.y AS DOUBLE) - (SELECT s FROM ms) * x.xi AS i0 FROM x
-), mi AS (
-  SELECT i0 FROM (
-    SELECT i0, ROW_NUMBER() OVER (ORDER BY i0) AS rn, COUNT(*) OVER () AS n
-    FROM icpts
-  ) WHERE rn = (n + 1) // 2
-)
-SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
-       ROUND((SELECT s FROM ms), 9) AS slope,
-       ROUND((SELECT i0 FROM mi), 9) AS intercept
-"""
-
-
-@register("theilsen_daily_value_trend", oracle=_THEILSEN_ORACLE, tags=("temporal", "stats", "robust", "r10"))
-def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen robust trend of daily event value (Sen 1968): slope =
-    lower median of all pairwise day-to-day slopes, intercept = lower
-    median of per-day residual intercepts — 29%-breakdown-point regression
-    that a single anomalous day can't bend, the estimator monitoring
-    pipelines prefer over OLS for drift lines.
-
-    Scale shape: the pairwise stage is quadratic IN DAYS, not in events —
-    the corpus collapses to one |days|-row frame first (exact DECIMAL sums),
-    and |days|² pairs of a time dimension stay trivially bounded at any
-    corpus size (a decade ≈ 6.7M pairs).  Medians are exact lower-median
-    rank selections (no interpolation); the slope divides an exact decimal
-    difference by an exact int — deterministic both engines, 9dp round
-    absorbing the final double ulp."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("y")
-    )
-    min_day = d.agg(F.min("day").alias("d0"))
-    x = d.crossJoin(F.broadcast(min_day)).select(
-        F.datediff("day", "d0").cast("long").alias("xi"), "y"
-    )
-    a = x.select(F.col("xi").alias("xa"), F.col("y").alias("ya"))
-    b = x.select(F.col("xi").alias("xb"), F.col("y").alias("yb"))
-    slopes = (
-        a.join(b, F.col("xa") < F.col("xb"))
-        .select(((F.col("yb") - F.col("ya")).cast("double") / (F.col("xb") - F.col("xa"))).alias("s"))
-    )
-    w = Window.orderBy("s")
-    ms = (
-        slopes.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
-        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        .select(F.col("s").alias("slope"))
-    )
-    icpts = x.crossJoin(F.broadcast(ms)).select(
-        (F.col("y").cast("double") - F.col("slope") * F.col("xi")).alias("i0")
-    )
-    wi = Window.orderBy("i0")
-    mi = (
-        icpts.withColumn("rn", F.row_number().over(wi))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
-        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        .select(F.col("i0").alias("intercept"))
-    )
-    n_days = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    return (
-        n_days.crossJoin(F.broadcast(ms))
-        .crossJoin(F.broadcast(mi))
-        .select("n_days", F.round("slope", 9).alias("slope"), F.round("intercept", 9).alias("intercept"))
-    )

@@ -313,32 +313,73 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
 
 
 def test_theilsen_recovers_planted_trend(spark):
-    """On a synthetic series y = 3x + 10 with one wild outlier day, the
-    median-of-slopes estimate must recover slope 3 exactly (the outlier
-    perturbs fewer than half the pairwise slopes) while OLS would not."""
+    """On a planted series (day d has 3d+10 events, one wild 1000-event
+    outlier day), the median-of-pairwise-slopes estimate must recover slope
+    3 exactly — only 10 of 55 pairs touch the outlier — where OLS would be
+    dragged.  The median-based intercept evaluates to 13 here (the median-y
+    day is x=6, giving 28 − 3·5): the standard estimator's quirk, asserted
+    exactly."""
     import shutil
     import tempfile
     from datetime import datetime
 
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.temporal import (
-        q_theilsen_trend,
+        q_theilsen_daily_trend,
     )
 
     rows = []
     eid = 0
     for d in range(11):
-        v = 3.0 * d + 10.0 if d != 5 else 1000.0  # day 5 is the outlier
-        rows.append((eid, datetime(2024, 4, 1 + d, 12, 0), 1, "click", v, "{}"))
-        eid += 1
+        n = 3 * d + 10 if d != 5 else 1000  # day 5 is the outlier
+        for k in range(n):
+            rows.append((eid, datetime(2024, 4, 1 + d, 8 + (k % 12)), 1, "click", 1.0, "{}"))
+            eid += 1
     tmp = tempfile.mkdtemp(prefix="ts_")
     try:
         spark.createDataFrame(
             rows,
             "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
         ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
-        r = q_theilsen_trend(spark, tmp).collect()[0]
+        r = q_theilsen_daily_trend(spark, tmp).collect()[0]
         assert r["n_days"] == 11
         assert r["slope"] == 3.0
-        assert r["intercept"] == 10.0
+        assert r["intercept"] == 13.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compression_ratio_orders_repetition_prose_noise(spark):
+    """The signal's reason to exist: looping text compresses far below
+    prose, and random noise barely compresses at all — plus bounds and
+    determinism on the real corpus."""
+    import shutil
+    import string
+    import tempfile
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        q_doc_compression_ratio,
+    )
+
+    rng = np.random.RandomState(0)
+    noise = "".join(rng.choice(list(string.ascii_letters + string.digits), 2000))
+    rows = [
+        (0, "spam and eggs " * 150, "en", "s", 0),  # repetitive
+        (1, ("the quick brown fox jumps over the lazy dog while rain in "
+             "spain falls mainly on the plain and every sentence differs "
+             "slightly in wording, rhythm, vocabulary and clause order ") * 10, "en", "s", 0),
+        (2, noise, "en", "s", 0),  # incompressible
+    ]
+    d = tempfile.mkdtemp(prefix="zr_")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {r["doc_id"]: r for r in q_doc_compression_ratio(spark, d).collect()}
+        assert got[0]["ratio"] < got[1]["ratio"] < got[2]["ratio"]
+        assert got[0]["ratio"] < 0.1  # pure repetition collapses
+        assert got[2]["ratio"] > 0.6  # noise barely compresses
+        for r in got.values():
+            assert 0 < r["n_compressed"] and 0 < r["ratio"] <= 1.5
+            assert r["n_bytes"] == len(rows[r["doc_id"]][1].encode())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
