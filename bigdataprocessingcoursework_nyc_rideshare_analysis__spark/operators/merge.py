@@ -300,3 +300,58 @@ def q_rollup_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey", "n_orders", F.col("rev_dec").cast("double").alias("revenue")
     )
+
+
+# --- right-to-be-forgotten cascade (decremental maintenance) -------------------
+
+FORGET_MOD = 97  # user_id % 97 == 0 is the deletion request set
+
+_FORGET_ORACLE = f"""
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+WHERE user_id % {FORGET_MOD} <> 0
+GROUP BY 1, 2
+"""
+
+
+@register("forget_users_cascade", oracle=_FORGET_ORACLE, tags=("merge", "privacy", "ivm", "r10"))
+def q_forget_users_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade into derived aggregates, maintained
+    DECREMENTALLY: given a deletion-request set (``user_id % {FORGET_MOD}
+    == 0`` stands in for the GDPR/CCPA queue), the daily per-type rollup is
+    corrected by SUBTRACTING only the deleted users' contributions from the
+    standing aggregate — never re-scanning the surviving corpus — while the
+    oracle recomputes from the filtered fact table, so the driver's hash
+    check IS the differential proof that the cheap path equals the rebuild.
+
+    This is the compliance shape at 100 TB: deletion sets are tiny relative
+    to the corpus, so the erasure sweep touches (a) the fact rows of the
+    deleted users (a broadcast-semi-join scan) and (b) |affected groups|
+    delta rows — not the petabyte of everyone else's aggregates.  Exact
+    DECIMAL sums make subtraction lossless (float sums would drift from the
+    rebuild); groups whose count reaches zero drop out entirely, leaving no
+    tombstone of the deleted users' existence."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id") % FORGET_MOD == 0
+    dec = "decimal(18,6)"
+    base = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast(dec)).alias("v_dec"),
+    )
+    removed = ev.filter(key).groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.sum(F.col("value").cast(dec)).alias("dv"),
+    )
+    zero = F.lit(0).cast(dec)
+    return (
+        base.join(removed, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            (F.col("n_events") - F.coalesce(F.col("dn"), F.lit(0))).cast("long").alias("n_events"),
+            (F.col("v_dec") - F.coalesce(F.col("dv"), zero)).cast("double").alias("value_sum"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
