@@ -1119,3 +1119,83 @@ def q_events_global_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.row_number().over(w_local)).cast("long").alias("seq"),
         )
     )
+
+
+# --- top session paths -----------------------------------------------------------
+
+PATH_PREFIX_LEN = 3
+PATH_TOP_K = 20
+
+_SESSION_PATHS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN datediff('microsecond', lag(ts) OVER w, ts) IS NULL
+                OR datediff('microsecond', lag(ts) OVER w, ts) > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+), ranked AS (
+  SELECT user_id, session_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM sessions
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {PATH_PREFIX_LEN}
+  GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""
+
+
+@register("top_session_paths", oracle=_SESSION_PATHS_ORACLE, tags=("events", "temporal", "path", "r10"))
+def q_top_session_paths(
+    spark: SparkSession, sf_dir: str, use_warehouse: bool = False
+) -> DataFrame:
+    """Top session entry paths: the first {PATH_PREFIX_LEN} event types of
+    each gap-session, joined ``a>b>c``, ranked by session count — the
+    "how do sessions start" table behind every product-analytics path/Sankey
+    view (full-path mining explodes combinatorially; prefix paths are the
+    standard bounded form).
+
+    Plan: the sessionizer's user-keyed window (free of Exchange AND Sort
+    under ``use_warehouse=True``, like the rest of the family), one
+    (user, session)-keyed aggregate that ASSEMBLES the prefix in-row
+    (array_sort over (rn, type) structs — no second ordered aggregation
+    pass), then a |distinct paths|-keyed count and a top-k
+    TakeOrderedAndProject.  Deterministic: event order pins on
+    (ts, event_id), ties in the ranking pin on path text."""
+    ev = load_events(spark, sf_dir, use_warehouse).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = sessionize(ev, "user_id", "ts", SESSION_GAP_MIN)
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = sess.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= PATH_PREFIX_LEN
+    )
+    paths = (
+        ranked.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("rn", "event_type"))).alias("steps")
+        )
+        .select(
+            F.concat_ws(">", F.transform("steps", lambda s: s["event_type"])).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
