@@ -124,6 +124,16 @@ def main() -> None:
         # drop those blocks between measurements so no query's timing
         # inherits the previous queries' executor-memory pressure
         spark.catalog.clearCache()
+        # ... and return the heap to a common baseline OUTSIDE the timed
+        # window: 250+ queries in one JVM accumulate garbage, and a query
+        # that lands mid-collection pays multi-second tails (observed: the
+        # same static plan at 2s solo vs 31s late in a sweep).  The
+        # headline metric sums per-query times, so this costs nothing it
+        # measures.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     # raw-vs-bucketed-warehouse deltas for the enriched-view tier (opt-out)
     warehouse = None
