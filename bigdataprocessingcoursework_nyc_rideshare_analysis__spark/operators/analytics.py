@@ -1276,7 +1276,12 @@ _POIS_CDF = (
     0.9963401531726563,
     0.9994058151824183,
 )
-_U52 = float(1 << 52)  # 13 md5 hex chars → exact 52-bit uniform numerator
+#: one md5 yields THREE 40-bit uniforms (10 hex chars each, exact in a
+#: double) — ceil(B/3) hashes per row instead of B.  Cryptographic hashing
+#: is the dominant cost of the fan-out (measured 9.4 s → ~3× less hashing
+#: at sf0.1), and 40 bits is far beyond the Poisson thresholds' resolution.
+_U_PER_HASH = 3
+_U40 = float(1 << 40)
 
 
 def _pois_case_sql(u: str) -> str:
@@ -1291,7 +1296,12 @@ WITH draws AS (
   SELECT event_type, CAST(b AS INTEGER) AS b,
          CAST(value AS DECIMAL(18,6)) AS v,
          {_pois_case_sql(
-             "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) / " + repr(_U52)
+             "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b // "
+             + str(_U_PER_HASH)
+             + " AS VARCHAR)), 1 + 10 * (b % "
+             + str(_U_PER_HASH)
+             + "), 10)) AS BIGINT) / "
+             + repr(_U40)
          )} AS w
   FROM events, UNNEST(range({BOOT_B})) AS u(b)
 ), rs AS (
@@ -1344,26 +1354,41 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     — then a |types|-sized rank selection; the fan-out never survives an
     exchange."""
     ev = load_table(spark, sf_dir, "events")
+    n_hashes = -(-BOOT_B // _U_PER_HASH)
+    # the hash ARRAY is projected once per row BEFORE the fan-out (explode
+    # evaluates its projection per OUTPUT row, so an md5 written after the
+    # explode runs B times per event — the array form runs ceil(B/3) times)
+    hashes = F.array(
+        *[
+            F.md5(F.concat_ws(":", F.col("event_id").cast("string"), F.lit(str(g))))
+            for g in range(n_hashes)
+        ]
+    )
     b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
     u = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col("event_id").cast("string"), F.col("b").cast("string"))),
-                1,
-                13,
+                F.element_at(F.col("hs"), (F.col("b") / _U_PER_HASH).cast("int") + 1),
+                F.lit(1) + F.lit(10) * (F.col("b") % _U_PER_HASH),
+                10,
             ),
             16,
             10,
         ).cast("long")
-        / F.lit(_U52)
+        / F.lit(_U40)
     )
     w = F.lit(len(_POIS_CDF))
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         w = F.when(u < _POIS_CDF[k], k).otherwise(w)
     draws = (
-        ev.select("event_id", "event_type", b, F.col("value").cast("decimal(18,6)").alias("v"))
+        ev.select(
+            "event_type",
+            hashes.alias("hs"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .select("event_type", "hs", "v", b)
         .withColumn("w", w)
-        .drop("event_id")
+        .drop("hs")
     )
     rs = (
         draws.groupBy("event_type", "b")
