@@ -238,3 +238,20 @@ def test_growth_accounting_warehouse_keeps_only_day_exchange(spark, events_wareh
     assert _exchanges(wh_plan) < _exchanges(raw_plan), wh_plan
     key = lambda r: (r.day, r.status)
     assert sorted(raw.collect(), key=key) == sorted(wh.collect(), key=key)
+
+
+def test_top_session_paths_warehouse_drops_user_exchange(spark, events_warehouse):
+    """The path query's only remaining exchanges under the warehouse are the
+    tiny |distinct paths| count and the top-k — the user-keyed window and
+    the (user, session) aggregate ride the bucketed scan."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.events import (
+        q_top_session_paths,
+    )
+
+    raw = q_top_session_paths(spark, SF_SMOKE)
+    wh = q_top_session_paths(spark, SF_SMOKE, use_warehouse=True)
+    raw_plan, wh_plan = plan_string(raw), plan_string(wh)
+    assert _exchanges(wh_plan) < _exchanges(raw_plan), wh_plan
+    assert _sorts(wh_plan) < _sorts(raw_plan), wh_plan
+    key = lambda r: (-r.n_sessions, r.path)
+    assert sorted(raw.collect(), key=key) == sorted(wh.collect(), key=key)
