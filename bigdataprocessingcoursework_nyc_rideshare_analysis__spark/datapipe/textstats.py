@@ -2186,60 +2186,6 @@ def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-# --- tokenizer fertility by language -----------------------------------------
-
-_FERTILITY_ORACLE = f"""
-WITH c AS (
-  SELECT lang,
-         CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_ws,
-         CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe,
-         CAST(length(text) AS BIGINT) AS n_chars
-  FROM documents
-)
-SELECT lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
-       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
-       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-       CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS fertility,
-       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe) AS chars_per_token
-FROM c GROUP BY lang
-"""
-
-
-@register("tokenizer_fertility_by_lang", oracle=_FERTILITY_ORACLE, tags=("datapipe", "text", "r10"))
-def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer fertility per language — subword segments per whitespace
-    word and characters per segment, the two numbers that decide a
-    multilingual tokenizer's fate (a language whose fertility runs 2-3×
-    English pays that factor in sequence length, training cost, and
-    effective context window; tracked in every multilingual-model card
-    since mBERT).  Here "subword" is the engine's BPE-ish pre-tokenizer
-    regex — the same segmentation ``token_counts`` and the curation
-    manifest budget with, so the ratios are consistent corpus-wide.
-
-    Plan: one stateless per-row count projection + one |langs|-keyed
-    aggregate; ratios divide exact int64 sums once (bit-identical
-    cross-engine)."""
-    from ..functions.text import tokens_col
-
-    docs = load_table(spark, sf_dir, "documents")
-    c = docs.select(
-        "lang",
-        F.size(tokens_col("text")).cast("long").alias("n_ws"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).cast("long").alias("n_bpe"),
-        F.length("text").cast("long").alias("n_chars"),
-    )
-    return c.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_ws").cast("long").alias("ws_tokens"),
-        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
-        F.sum("n_chars").cast("long").alias("n_chars"),
-        (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("fertility"),
-        (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias("chars_per_token"),
-    )
-
-
 # --- readability (Flesch) -------------------------------------------------------
 
 _READABILITY_ORACLE = """

@@ -2157,48 +2157,3 @@ def q_kendall_tau_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tau_b"),
     )
 
-
-# --- rolling 7-day distinct users ----------------------------------------------
-
-_ROLLING_DAU_ORACLE = """
-WITH au AS (
-  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
-), days AS (
-  SELECT DISTINCT day FROM au
-)
-SELECT d.day,
-       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau7
-FROM days d JOIN au a ON a.day BETWEEN d.day - 6 AND d.day
-GROUP BY d.day
-"""
-
-
-@register("rolling_7day_distinct_users", oracle=_ROLLING_DAU_ORACLE, tags=("temporal", "window", "distinct", "r10"))
-def q_rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day distinct users per day (the WAU-by-day engagement
-    series).  DISTINCT does not compose with window frames — no engine can
-    run ``COUNT(DISTINCT) OVER (RANGE 7 days)`` because distinctness isn't
-    a distributive accumulator — so the standard shape is: dedupe to
-    (day, user) activity pairs once (events → |active days × users|, a huge
-    reduction), then fan each activity pair out to the ≤7 window anchors it
-    supports and count distinct per anchor day.
-
-    Scale: the corpus-sized work is the one distinct over (day, user); the
-    7× fan-out applies to the REDUCED activity frame, and the final
-    aggregate keys on day — time-bounded.  At 100 TB with tight latency
-    you'd swap the exact distinct for the engine's HLL register table
-    (``hll_distinct_users_from_scratch``) and merge registers across the
-    window instead — by-bucket max is exactly window-composable where raw
-    DISTINCT is not."""
-    ev = load_table(spark, sf_dir, "events")
-    au = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    anchors = au.select(
-        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("anchor"),
-        "user_id",
-    )
-    days = au.select(F.col("day").alias("obs_day")).distinct()
-    return (
-        anchors.join(days, anchors["anchor"] == days["obs_day"], "left_semi")
-        .groupBy(F.col("anchor").alias("day"))
-        .agg(F.countDistinct("user_id").cast("long").alias("wau7"))
-    )

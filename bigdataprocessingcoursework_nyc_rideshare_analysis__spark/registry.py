@@ -29,9 +29,21 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    """Decorator: add a query to the registry."""
+    """Decorator: add a query to the registry.
+
+    Duplicate names are an ERROR, not an overwrite: a silent overwrite
+    shadows the earlier operator everywhere downstream (driver contract,
+    oracle checks, bench, DRIVER_VERIFIED bookkeeping) while its code and
+    tests keep passing — exactly the failure mode this guard caught once
+    (a round-5 re-implementation of ``rolling_7day_distinct_users``
+    silently replaced the driver-verified round-4 operator)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(
+                f"query {name!r} is already registered by "
+                f"{REGISTRY[name].fn.__module__}.{REGISTRY[name].fn.__qualname__}"
+            )
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
         return fn
 

@@ -280,10 +280,10 @@ def test_bloom_screen_no_false_negatives_and_fp_accounting(spark):
 
 def test_tokenizer_fertility_ratios(spark):
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
-        q_tokenizer_fertility,
+        q_tokenizer_fertility_by_lang,
     )
 
-    rows = q_tokenizer_fertility(spark, SF_SMOKE).collect()
+    rows = q_tokenizer_fertility_by_lang(spark, SF_SMOKE).collect()
     docs = load_table(spark, SF_SMOKE, "documents")
     assert sum(r["n_docs"] for r in rows) == docs.count()
     for r in rows:
@@ -291,7 +291,7 @@ def test_tokenizer_fertility_ratios(spark):
         # produce at least as many segments as whitespace words
         assert r["fertility"] >= 1.0
         assert r["chars_per_token"] > 1.0
-        assert abs(r["fertility"] - r["bpe_tokens"] / r["ws_tokens"]) < 1e-12
+        assert abs(r["fertility"] - round(r["n_tokens"] / r["n_words"], 9)) < 1e-12
 
 
 def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
