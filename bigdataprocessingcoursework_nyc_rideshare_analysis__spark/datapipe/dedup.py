@@ -776,7 +776,10 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     Better" — whole-doc dedup misses boilerplate/quotation spans entirely).
     Within-document repetition is deliberately out of scope here; that is
-    ``doc_repetition_score``'s axis (``datapipe/scrub.py``).
+    ``doc_repetition_score``'s axis (``datapipe/scrub.py``).  The span
+    GEOMETRY (merged offsets) and the text transform that consumes it live
+    in ``dup_substring_spans`` / ``dedup_cut_substrings`` below — this
+    query is the triage statistic of that family.
 
     Pipeline (all JVM built-ins over the staged token frame):
     (1) slide an N-token window per doc → (doc, pos, gram) via one
@@ -955,6 +958,14 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity below L but find every duplicate of length ≥ L (any such
     match contains a duplicated L-window at each offset), and the span merge
     reconstructs the maximal duplicated REGION per document exactly.
+
+    Family division of labour: ``duplicate_ngram_spans`` (r7) reports the
+    per-document coverage STATISTIC (how many positions sit in a span that
+    another document also contains — cross-doc only, the triage number);
+    this query emits the span GEOMETRY (merged start/end offsets, global
+    count ≥ 2 so within-doc repeats qualify too) that the cut transform
+    consumes; ``dedup_cut_substrings`` applies the cut.  Statistic → spans
+    → transform, each oracle-checked.
 
     Plan: one stateless window explode off the staged token arrays (fan-out
     ×~n_toks, same shape as the shingle family), one hash-keyed window count

@@ -1165,7 +1165,10 @@ def q_top_session_paths(
     each gap-session, joined ``a>b>c``, ranked by session count — the
     "how do sessions start" table behind every product-analytics path/Sankey
     view (full-path mining explodes combinatorially; prefix paths are the
-    standard bounded form).
+    standard bounded form).  Complements ``top_event_paths``
+    (``operators/behavior.py``): that query mines ALL consecutive trigrams
+    across each user's whole timeline; this one asks specifically how
+    sessions BEGIN — same display, different question.
 
     Plan: the sessionizer's user-keyed window (free of Exchange AND Sort
     under ``use_warehouse=True``, like the rest of the family), one
