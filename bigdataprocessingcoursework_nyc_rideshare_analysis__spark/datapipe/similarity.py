@@ -923,3 +923,97 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return exact_rank_candidates(emb, candidates, TOP_K)
+
+
+# --- label outliers (mislabel candidates) --------------------------------------
+
+OUTLIER_TOP_K = 5
+
+_LABEL_OUTLIER_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), flat AS (
+  SELECT vec_id, label, CAST(i AS INTEGER) AS pos, v[i + 1] AS q
+  FROM e, UNNEST(range(0, len(v))) AS u(i)
+), s AS (
+  SELECT label, pos,
+         CAST(SUM(q) AS BIGINT) AS sumq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM flat GROUP BY 1, 2
+), d AS (
+  SELECT f.vec_id, f.label, MIN(s.n) AS n,
+         SUM(CAST(f.q * s.n - s.sumq AS HUGEINT)
+             * CAST(f.q * s.n - s.sumq AS HUGEINT)) AS num
+  FROM flat f JOIN s ON s.label = f.label AND s.pos = f.pos
+  GROUP BY 1, 2
+), scored AS (
+  SELECT label, vec_id,
+         CAST(num AS DOUBLE) / (1000000000000.0 * n * n) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY CAST(num AS DOUBLE) / (1000000000000.0 * n * n) DESC,
+                                     vec_id) AS rank
+  FROM d
+)
+SELECT label, vec_id, ROUND(dist2, 9) AS dist2, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= {OUTLIER_TOP_K}
+"""
+
+
+@register(
+    "label_outlier_vectors",
+    oracle=_LABEL_OUTLIER_ORACLE,
+    tags=("datapipe", "similarity", "quality", "r10"),
+)
+def q_label_outlier_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the {OUTLIER_TOP_K} vectors FURTHEST
+    from their own class centroid — the first-pass mislabel/contamination
+    candidates a labeled-data audit reviews (the distance-to-prototype
+    heart of confident-learning-style label cleaning, kept assumption-free).
+    Consumes the same class prototypes ``label_centroids`` exposes, but
+    keeps the arithmetic in the exact-integer scheme end-to-end.
+
+    Exactness: with centroid c = sumq/n, the squared distance satisfies
+    dist² = Σ(q_i·n − sumq_i)² / (10¹²·n²) — the numerator is a sum of
+    exact integer squares (DECIMAL(38,0) on Spark, HUGEINT in the oracle;
+    q·n ≈ 5·10⁹ squares to ~10¹⁹, far over int64), so the per-vector score
+    is ONE huge-int→double conversion and one division: bit-identical
+    cross-engine with no float accumulation anywhere, unlike a naive
+    Σ(q/10⁶ − c)² whose result depends on summation order.
+
+    Plan: the per-(label, pos) sufficient statistics are |labels|×dim rows
+    → broadcast; each vector's numerator folds IN-ROW over the zipped
+    (component, stats) arrays (no per-dimension shuffle back); the only
+    exchange after the stats is the |labels|-partitioned top-k window."""
+    from ..functions.vector import quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_vec("embedding")
+    stats = (
+        emb.select("label", F.posexplode(q).alias("pos", "qv"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").cast("long").alias("sumq"), F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    packed = stats.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "sumq"))).alias("ss"),
+        F.min("n").cast("long").alias("n"),
+    )
+    joined = emb.select("vec_id", "label", q.alias("qv")).join(F.broadcast(packed), "label")
+    diff2 = F.zip_with(
+        F.col("qv"),
+        F.col("ss"),
+        lambda qi, s: (
+            (qi * F.col("n") - s["sumq"]).cast("decimal(38,0)")
+            * (qi * F.col("n") - s["sumq"]).cast("decimal(38,0)")
+        ),
+    )
+    num = F.aggregate(diff2, F.lit(0).cast("decimal(38,0)"), lambda a, x: a + x)
+    dist2 = num.cast("double") / (F.lit(1e12) * F.col("n") * F.col("n"))
+    scored = joined.select("label", "vec_id", dist2.alias("dist2"))
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= OUTLIER_TOP_K)
+        .select("label", "vec_id", F.round("dist2", 9).alias("dist2"), "rank")
+    )

@@ -383,3 +383,47 @@ def test_compression_ratio_orders_repetition_prose_noise(spark):
             assert r["n_bytes"] == len(rows[r["doc_id"]][1].encode())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_label_outliers_flag_planted_mislabel(spark):
+    """A vector planted far from its own class centroid (near the OPPOSITE
+    of the class mean direction) must surface as that label's rank-1
+    outlier, and every label reports exactly OUTLIER_TOP_K rows with
+    descending distances."""
+    import shutil
+    import tempfile
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        OUTLIER_TOP_K,
+        q_label_outlier_vectors,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    base = {0: rng.randn(8) * 0.05 + 0.5, 1: rng.randn(8) * 0.05 - 0.5}
+    vid = 0
+    for label in (0, 1):
+        for _ in range(20):
+            v = base[label] + rng.randn(8) * 0.02
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    planted = vid
+    rows.append((planted, [float(-x) for x in base[0]], 0))  # mislabeled into class 0
+    d = tempfile.mkdtemp(prefix="lo_")
+    try:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label long"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = q_label_outlier_vectors(spark, d).collect()
+        by_label = {}
+        for r in got:
+            by_label.setdefault(r["label"], []).append(r)
+        for label, rs in by_label.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert len(rs) == OUTLIER_TOP_K
+            dists = [r["dist2"] for r in rs]
+            assert dists == sorted(dists, reverse=True)
+        assert by_label[0][0]["vec_id"] == planted
+        assert by_label[0][0]["dist2"] > 3 * by_label[0][1]["dist2"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
