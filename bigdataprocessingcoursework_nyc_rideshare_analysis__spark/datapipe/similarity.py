@@ -1017,3 +1017,98 @@ def q_label_outlier_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= OUTLIER_TOP_K)
         .select("label", "vec_id", F.round("dist2", 9).alias("dist2"), "rank")
     )
+
+
+# --- k-center coreset selection -------------------------------------------------
+
+KCENTER_K = 8
+
+
+@register("coreset_kcenter_sample", oracle=None, tags=("datapipe", "similarity", "selection", "r10"))
+def q_coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985, the 2-approximation): start
+    from vec_id 0, repeatedly add the point FURTHEST from the chosen set —
+    the diverse-subset selection active-learning and data-pruning pipelines
+    use when they want coverage rather than density (SemDeDup prunes what's
+    redundant; k-center picks what's irreplaceable).  Emits one row per
+    selection round: (round, vec_id, dist2_to_set) where dist2_to_set is
+    the covering radius at selection time — its monotone decrease is the
+    coverage-vs-budget curve.
+
+    Iterative like the engine's k-means/IRLS tiers: {KCENTER_K} rounds,
+    each ONE distributed pass (Arrow-batched int64 GEMM-free kernel:
+    per-batch min-distance to the ≤k broadcast centers + per-batch argmax,
+    then a 1-row global max_by) with a 1-row collect — driver state is k
+    center vectors, never corpus-sized.  Distances are EXACT integer
+    squared-L2 over the quantized components (diffs ≤ 2·10⁶ square to
+    4·10¹², ×64 dims < 2⁶³), tie-broken on vec_id, so the greedy choice —
+    and therefore every later round — is bit-deterministic; pytest pins a
+    NumPy replay.  Rows-only at the driver: a k-step greedy argmax has no
+    SQL form."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def quantized(df):
+        def kernel(batches):
+            import pandas as pd  # worker-side
+
+            for pdf in batches:
+                q = (
+                    np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1_000_000)
+                ).astype(np.int64)
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "q": list(q)})
+
+        return df.mapInPandas(kernel, schema="vec_id long, q array<long>")
+
+    qdf = quantized(emb)
+    first = qdf.filter(F.col("vec_id") == 0).toPandas()
+    centers = [np.array(first["q"][0], dtype=np.int64)]
+    chosen = [(0, 0, None)]
+    for rnd in range(1, KCENTER_K):
+        cmat = np.stack(centers)  # (r, dim) int64
+
+        def furthest(batches):
+            import pandas as pd  # worker-side
+
+            best_d = -1
+            best_i = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, dim)
+                # exact integer dmin: per center, sum of squared int diffs
+                dmin = None
+                for c in cmat:
+                    diff = x - c
+                    d = (diff * diff).sum(axis=1)
+                    dmin = d if dmin is None else np.minimum(dmin, d)
+                ids = pdf["vec_id"].to_numpy()
+                k = int(np.lexsort((ids, -dmin))[0])  # max dist, min id tiebreak
+                if (int(dmin[k]), -int(ids[k])) > (best_d, -(best_i if best_i is not None else 1 << 62)):
+                    best_d, best_i = int(dmin[k]), int(ids[k])
+            if best_i is not None:
+                yield pd.DataFrame({"vec_id": [best_i], "dmin": [best_d]})
+
+        cand = (
+            qdf.mapInPandas(furthest, schema="vec_id long, dmin long")
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )[0]
+        chosen.append((rnd, cand["vec_id"], cand["dmin"]))
+        cvec = qdf.filter(F.col("vec_id") == cand["vec_id"]).toPandas()
+        centers.append(np.array(cvec["q"][0], dtype=np.int64))
+
+    out = pd.DataFrame(
+        {
+            "round": [r for r, _, _ in chosen],
+            "vec_id": [v for _, v, _ in chosen],
+            "dist2_to_set": [d for _, _, d in chosen],
+        }
+    )
+    return spark.createDataFrame(out.astype({"round": "int64", "vec_id": "int64", "dist2_to_set": "float64"})).select(
+        F.col("round").cast("int").alias("round"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("dist2_to_set").cast("long").alias("dist2_to_set"),
+    )

@@ -427,3 +427,44 @@ def test_label_outliers_flag_planted_mislabel(spark):
         assert by_label[0][0]["dist2"] > 3 * by_label[0][1]["dist2"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kcenter_coreset_matches_numpy_greedy(spark):
+    """The distributed greedy must replay the NumPy reference exactly
+    (same quantization, same max-dist/min-id tie rule), and the covering
+    radius must be non-increasing."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        KCENTER_K,
+        q_coreset_kcenter_sample,
+    )
+
+    pdf = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = pdf["vec_id"].to_numpy()
+    q = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1_000_000).astype(
+        np.int64
+    )
+    centers = [q[ids == 0][0]]
+    expect = [(0, 0, None)]
+    for rnd in range(1, KCENTER_K):
+        dmin = None
+        for c in centers:
+            diff = q - c
+            d = (diff * diff).sum(axis=1)
+            dmin = d if dmin is None else np.minimum(dmin, d)
+        k = int(np.lexsort((ids, -dmin))[0])
+        expect.append((rnd, int(ids[k]), int(dmin[k])))
+        centers.append(q[k])
+    got = sorted(
+        ((r["round"], r["vec_id"], r["dist2_to_set"]) for r in
+         q_coreset_kcenter_sample(spark, SF_SMOKE).collect())
+    )
+    assert got == expect
+    radii = [d for _, _, d in got[1:]]
+    assert radii == sorted(radii, reverse=True) or all(
+        radii[i] >= radii[i + 1] for i in range(len(radii) - 1)
+    )
