@@ -170,14 +170,6 @@ def _build_image_codec():
 encode_ppm, decode_image, resize_image = _build_image_codec()
 
 
-def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
-    """Sample frames from a video payload.  STUB: compressed video needs a
-    codec library not present in this container; a deployment wires
-    PyAV/ffmpeg here.  The 1→N frame-expansion plumbing this feeds is real
-    and oracle-checked (``media_frame_manifest``)."""
-    raise NotImplementedError("video codecs not available in this environment")
-
-
 def byte_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads: size + sha-free
     md5 digest (deterministic, codec-free).  The pattern — mapInPandas with a
@@ -626,5 +618,183 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_id long, n_samples long, sample_rate int, duration_us long, "
                 "sum_pcm long, peak int, rms double"
             ),
+        )
+    )
+
+
+# --- executable video frame sampling (Y4M container, no external library) ------
+
+VID_W = 4
+VID_H = 4
+VID_N_FRAMES = 6
+VID_STRIDE = 2  # keep every 2nd frame
+_Y4M_FRAME_BYTES = VID_W * VID_H * 3 // 2  # C420: Y + U/4 + V/4
+
+
+def _build_video_codec():
+    """Factory for the pure-Python Y4M (YUV4MPEG2) demuxer — the
+    uncompressed video container (plain-text stream header, per-frame
+    ``FRAME`` markers, raw planar YUV).  Same closure discipline as the
+    image/audio codecs.  This makes ``sample_frames`` EXECUTABLE for raw
+    video; compressed codecs (H.264 etc.) remain the deployment seam."""
+
+    def parse_y4m(payload: bytes):
+        """Y4M payload → (width, height, [frame_bytes...]).  C420 only."""
+        buf = bytes(payload)
+        if not buf.startswith(b"YUV4MPEG2"):
+            raise NotImplementedError(
+                f"unsupported video container (magic {buf[:9]!r}); wire a codec library here"
+            )
+        nl = buf.index(b"\n")
+        w = h = None
+        colorspace = "C420"
+        for tok in buf[9:nl].split():
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"C":
+                colorspace = tok.decode()
+        if w is None or h is None:
+            raise ValueError("Y4M header missing W/H")
+        if not colorspace.startswith("C420"):
+            raise NotImplementedError(f"only C420 Y4M supported, got {colorspace}")
+        frame_bytes = w * h * 3 // 2
+        frames = []
+        pos = nl + 1
+        while pos < len(buf):
+            if buf[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"expected FRAME marker at byte {pos}")
+            fnl = buf.index(b"\n", pos)
+            start = fnl + 1
+            frame = buf[start : start + frame_bytes]
+            if len(frame) != frame_bytes:
+                raise ValueError(
+                    f"truncated frame: {len(frame)} of {frame_bytes} bytes at {start}"
+                )
+            frames.append(frame)
+            pos = start + frame_bytes
+        return w, h, frames
+
+    def encode_y4m(frames, w: int, h: int) -> bytes:
+        out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
+        for f in frames:
+            assert len(f) == w * h * 3 // 2
+            out += b"FRAME\n" + bytes(f)
+        return out
+
+    def sample_frames_y4m(payload: bytes, every_n: int):
+        _w, _h, frames = parse_y4m(payload)
+        return [f for i, f in enumerate(frames) if i % every_n == 0]
+
+    return parse_y4m, encode_y4m, sample_frames_y4m
+
+
+parse_y4m, encode_y4m, _sample_frames_y4m = _build_video_codec()
+
+
+def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
+    """Sample frames from a video payload.  EXECUTABLE for raw Y4M/C420
+    (pure-Python demux above); compressed codecs raise NotImplementedError
+    (a deployment wires PyAV/ffmpeg here).  This replaced the former
+    always-raising stub — the uncompressed container exercises the real
+    demux semantics (stream header, frame markers, plane sizes)."""
+    return _sample_frames_y4m(payload, every_n)
+
+
+#: byte k of frame f of media m is ``(m*11 + f*17 + k*5) % 256`` — the same
+#: differential design as the image/audio tiers.
+_VIDEO_STATS_ORACLE = f"""
+WITH grid AS (
+  SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx
+  FROM documents, UNNEST(range({VID_N_FRAMES})) AS u(f)
+  WHERE f % {VID_STRIDE} = 0
+), px AS (
+  SELECT media_id, frame_idx, CAST(k AS BIGINT) AS k,
+         (media_id * 11 + frame_idx * 17 + k * 5) % 256 AS v
+  FROM grid, UNNEST(range({_Y4M_FRAME_BYTES})) AS u(k)
+)
+SELECT media_id, frame_idx,
+       CAST(SUM(CASE WHEN k < {VID_W * VID_H} THEN v ELSE 0 END) AS DOUBLE)
+         / {VID_W * VID_H} AS y_mean,
+       CAST(SUM(CASE WHEN k >= {VID_W * VID_H} AND k < {VID_W * VID_H + VID_W * VID_H // 4}
+                     THEN v ELSE 0 END) AS DOUBLE) / {VID_W * VID_H // 4} AS u_mean,
+       CAST(SUM(CASE WHEN k >= {VID_W * VID_H + VID_W * VID_H // 4} THEN v ELSE 0 END) AS DOUBLE)
+         / {VID_W * VID_H // 4} AS v_mean
+FROM px GROUP BY 1, 2
+"""
+
+
+@register(
+    "media_video_frame_stats",
+    oracle=_VIDEO_STATS_ORACLE,
+    tags=("datapipe", "multimodal", "r10"),
+)
+def q_media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTABLE video path end-to-end: a raw Y4M/C420 clip per media is
+    DEMUXED for real (stream-header parse, FRAME markers, C420 plane
+    arithmetic), every {VID_STRIDE}nd frame sampled via the now-executable
+    ``sample_frames``, and per-plane means emitted per kept frame — the
+    1→N binary expansion of ``media_frame_manifest`` upgraded from byte
+    slicing to true container semantics.  With this, all three modalities
+    have an executable decode tier (PPM/BMP, WAV/PCM, Y4M/C420); only
+    COMPRESSED codecs remain deployment seams.
+
+    Differential design: payloads are real container bytes from a
+    closed-form pattern; Spark parses them, the oracle evaluates the
+    closed form — a header-length, frame-offset, or plane-boundary bug
+    breaks the hash.  Plane means divide exact int sums once.  Zero
+    shuffles: generate and demux are stateless mapInPandas stages."""
+    # capture the factory-LOCAL demuxer, not the module-level sample_frames
+    # wrapper: module-level defs pickle by reference and workers can't
+    # import this package (the /tmp bare-session drive catches this)
+    samp = _sample_frames_y4m
+    w, h, nf, stride = VID_W, VID_H, VID_N_FRAMES, VID_STRIDE
+    fb = _Y4M_FRAME_BYTES
+    enc = encode_y4m
+
+    def generate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        k = np.arange(fb, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                frames = [
+                    ((int(mid) * 11 + f * 17 + k * 5) % 256).astype(np.uint8).tobytes()
+                    for f in range(nf)
+                ]
+                payloads.append(enc(frames, w, h))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ylen = w * h
+        clen = ylen // 4
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, frame in enumerate(samp(payload, stride)):
+                    x = np.frombuffer(frame, dtype=np.uint8).astype(np.int64)
+                    rows.append(
+                        (
+                            mid,
+                            i * stride,
+                            x[:ylen].sum() / ylen,
+                            x[ylen : ylen + clen].sum() / clen,
+                            x[ylen + clen :].sum() / clen,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "y_mean", "u_mean", "v_mean"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return (
+        docs.mapInPandas(generate, schema="media_id long, payload binary")
+        .mapInPandas(
+            stats,
+            schema="media_id long, frame_idx int, y_mean double, u_mean double, v_mean double",
         )
     )

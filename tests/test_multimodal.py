@@ -224,3 +224,62 @@ def test_media_audio_stats_query(spark):
         assert r["sum_pcm"] == int(x.sum())
         assert r["peak"] == int(np.abs(x).max())
         assert r["rms"] == float(np.sqrt((x * x).sum() / AUDIO_N_SAMPLES))
+
+
+# --- pure-Python Y4M video demux -------------------------------------------------
+
+
+def test_y4m_round_trip_and_sampling():
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        encode_y4m,
+        parse_y4m,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(5)
+    w, h = 4, 2
+    frames = [rng.bytes(w * h * 3 // 2) for _ in range(7)]
+    buf = encode_y4m(frames, w, h)
+    pw, ph, got = parse_y4m(buf)
+    assert (pw, ph) == (w, h)
+    assert got == frames
+    assert sample_frames(buf, 3) == [frames[0], frames[3], frames[6]]
+
+
+def test_y4m_rejects_unsupported_and_truncated():
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        encode_y4m,
+        parse_y4m,
+        sample_frames,
+    )
+
+    # compressed video stays the deployment seam
+    with pytest.raises(NotImplementedError, match="container"):
+        sample_frames(b"\x00\x00\x00\x18ftypmp42", 2)
+    buf = encode_y4m([b"\x00" * 6], 2, 2)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_y4m(buf[:-2])
+    c422 = buf.replace(b"C420", b"C422")
+    with pytest.raises(NotImplementedError, match="C420"):
+        parse_y4m(c422)
+
+
+def test_media_video_frame_stats_query(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        VID_N_FRAMES,
+        VID_STRIDE,
+        _Y4M_FRAME_BYTES,
+        q_media_video_frame_stats,
+    )
+
+    rows = q_media_video_frame_stats(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").count()
+    kept = len([f for f in range(VID_N_FRAMES) if f % VID_STRIDE == 0])
+    assert len(rows) == docs * kept
+    k = np.arange(_Y4M_FRAME_BYTES, dtype=np.int64)
+    sample = [r for r in rows if r["media_id"] == 7 and r["frame_idx"] == 2]
+    assert len(sample) == 1
+    x = (7 * 11 + 2 * 17 + k * 5) % 256
+    assert sample[0]["y_mean"] == x[:16].sum() / 16
+    assert sample[0]["u_mean"] == x[16:20].sum() / 4
+    assert sample[0]["v_mean"] == x[20:].sum() / 4
