@@ -210,6 +210,32 @@ def staged_tfidf_topk(spark: SparkSession, sf_dir: str, k: int | None = None) ->
     return spark.read.parquet(out)
 
 
+def staged_ann_method_topk(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    """One ANN tier's top-k result table (query_id, neighbor_id, cos_sim,
+    rank) over the standard query panel, staged — the nightly index-build
+    output a recall monitor consumes.
+
+    In production each index build (LSH / IVF / PQ / IVF-PQ) writes its
+    panel results as a table; quality monitoring joins those tables against
+    the staged exact truth — it does NOT re-probe every index per report
+    run.  The per-method registry queries (``ann_lsh_topk`` …) deliberately
+    do NOT read this stage: each IS the index probe being measured.  The
+    stage key folds the query-panel geometry AND every index constant
+    (tables/bits/seeds, lists/nprobe, codebook shape/iters/caps) via
+    ``similarity.ann_geometry_key`` so retuning any tier invalidates only
+    its own staged results; the source key hashes ``embeddings.parquet``."""
+    from .similarity import ANN_METHODS, ann_geometry_key
+
+    fn = dict(ANN_METHODS)[method]
+    out = _ensure(
+        f"ann_{method}_topk_{ann_geometry_key()}",
+        sf_dir,
+        lambda: fn(spark, sf_dir),
+        table="embeddings",
+    )
+    return spark.read.parquet(out)
+
+
 def staged_ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The brute-force cosine top-k ground truth (query_id, neighbor_id,
     cos_sim, rank) over the standard query set — the most expensive leg of

@@ -1276,12 +1276,19 @@ _POIS_CDF = (
     0.9963401531726563,
     0.9994058151824183,
 )
-#: one md5 yields THREE 40-bit uniforms (10 hex chars each, exact in a
-#: double) — ceil(B/3) hashes per row instead of B.  Cryptographic hashing
-#: is the dominant cost of the fan-out (measured 9.4 s → ~3× less hashing
-#: at sf0.1), and 40 bits is far beyond the Poisson thresholds' resolution.
-_U_PER_HASH = 3
-_U40 = float(1 << 40)
+#: ONE md5 per row yields a 32-bit seed; each of the B uniforms is then a
+#: cheap integer mix of (seed, b) — a 32-bit multiply-xor-shift finalizer
+#: (two rounds of ``x ^= x>>16; x *= 0x45d9f3b`` over ``seed + b·Knuth``,
+#: everything reduced mod 2^32 so no signed-64 overflow on either engine).
+#: Cryptographic hashing was the dominant fan-out cost (round-4: B md5s per
+#: row, 9.4 s; round-5: ceil(B/3) via 3 uniforms per hash, 6.4 s); one hash
+#: plus B integer mixes removes it from the per-draw path entirely.  32
+#: bits is far beyond the Poisson thresholds' resolution, and the division
+#: by 2^32 is one exact double op — bit-identical cross-engine.
+_MIX_KNUTH = 2654435761  # Knuth's 32-bit multiplicative constant
+_MIX_MUL = 0x45D9F3B  # lowbias32-style finalizer multiplier (< 2^27)
+_MOD32 = 1 << 32
+_U32 = float(1 << 32)
 
 
 def _pois_case_sql(u: str) -> str:
@@ -1292,18 +1299,22 @@ def _pois_case_sql(u: str) -> str:
 
 
 _BOOT_ORACLE = f"""
-WITH draws AS (
-  SELECT event_type, CAST(b AS INTEGER) AS b,
-         CAST(value AS DECIMAL(18,6)) AS v,
-         {_pois_case_sql(
-             "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b // "
-             + str(_U_PER_HASH)
-             + " AS VARCHAR)), 1 + 10 * (b % "
-             + str(_U_PER_HASH)
-             + "), 10)) AS BIGINT) / "
-             + repr(_U40)
-         )} AS w
-  FROM events, UNNEST(range({BOOT_B})) AS u(b)
+WITH seeds AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS seed
+  FROM events
+), m0 AS (
+  SELECT event_type, v, CAST(b AS INTEGER) AS b,
+         (seed + b * {_MIX_KNUTH}) % {_MOD32} AS x0
+  FROM seeds, UNNEST(range({BOOT_B})) AS u(b)
+), m1 AS (
+  SELECT event_type, v, b, (xor(x0, x0 >> 16) * {_MIX_MUL}) % {_MOD32} AS x1 FROM m0
+), m2 AS (
+  SELECT event_type, v, b, (xor(x1, x1 >> 16) * {_MIX_MUL}) % {_MOD32} AS x2 FROM m1
+), draws AS (
+  SELECT event_type, b, v,
+         {_pois_case_sql(f"(CAST(xor(x2, x2 >> 16) AS DOUBLE) / {_U32!r})")} AS w
+  FROM m2
 ), rs AS (
   SELECT event_type, b,
          CAST(SUM(w * v) AS DOUBLE) / SUM(w) AS m
@@ -1341,11 +1352,16 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights per (row, resample) approximate it with independent per-row
     randomness, so all {BOOT_B} resamples ride ONE map-side pass.
 
-    Determinism (the engine's sketch-tier discipline): the uniform is 13
-    md5 hex chars over 2^52 (both exact in a double), the Poisson inverse
-    CDF is a literal threshold chain, resample sums are exact DECIMAL /
-    int64, and each mean is one division — so the DuckDB oracle reproduces
-    every resample bit-for-bit and the driver hash-checks the CI itself.
+    Determinism (the engine's sketch-tier discipline): ONE md5 per row
+    seeds a 32-bit integer; each (row, resample) uniform is a multiply-
+    xor-shift finalizer over (seed + b·Knuth) reduced mod 2^32 at every
+    step (no signed-64 overflow on either engine, no ANSI-mode hazard),
+    divided once by 2^32 — exact in a double, so the DuckDB oracle
+    reproduces every resample bit-for-bit and the driver hash-checks the
+    CI itself.  (Round-5 carried ceil(B/3) md5s per row as the #2 sweep
+    cost; the crypto hash is now per-ROW, the per-DRAW work is four
+    integer ops.)  The Poisson inverse CDF is a literal threshold chain,
+    resample sums are exact DECIMAL / int64, each mean one division.
     The CI is rank-based: the {BOOT_LO_RANK}th/{BOOT_HI_RANK}th of the
     {BOOT_B} sorted resample means (central ~80%).
 
@@ -1354,41 +1370,29 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     — then a |types|-sized rank selection; the fan-out never survives an
     exchange."""
     ev = load_table(spark, sf_dir, "events")
-    n_hashes = -(-BOOT_B // _U_PER_HASH)
-    # the hash ARRAY is projected once per row BEFORE the fan-out (explode
-    # evaluates its projection per OUTPUT row, so an md5 written after the
-    # explode runs B times per event — the array form runs ceil(B/3) times)
-    hashes = F.array(
-        *[
-            F.md5(F.concat_ws(":", F.col("event_id").cast("string"), F.lit(str(g))))
-            for g in range(n_hashes)
-        ]
+    # the md5 seed is projected once per row BEFORE the fan-out (explode
+    # evaluates its projection per OUTPUT row, so a hash written after the
+    # explode would run B times per event)
+    seed = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
     )
     b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
-    u = (
-        F.conv(
-            F.substring(
-                F.element_at(F.col("hs"), (F.col("b") / _U_PER_HASH).cast("int") + 1),
-                F.lit(1) + F.lit(10) * (F.col("b") % _U_PER_HASH),
-                10,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(_U40)
-    )
+    x0 = (F.col("seed") + F.col("b") * F.lit(_MIX_KNUTH)) % F.lit(_MOD32)
+    x1 = (x0.bitwiseXOR(F.shiftright(x0, 16)) * F.lit(_MIX_MUL)) % F.lit(_MOD32)
+    x2 = (x1.bitwiseXOR(F.shiftright(x1, 16)) * F.lit(_MIX_MUL)) % F.lit(_MOD32)
+    u = x2.bitwiseXOR(F.shiftright(x2, 16)).cast("double") / F.lit(_U32)
     w = F.lit(len(_POIS_CDF))
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         w = F.when(u < _POIS_CDF[k], k).otherwise(w)
     draws = (
         ev.select(
             "event_type",
-            hashes.alias("hs"),
+            seed.alias("seed"),
             F.col("value").cast("decimal(18,6)").alias("v"),
         )
-        .select("event_type", "hs", "v", b)
+        .select("event_type", "seed", "v", b)
         .withColumn("w", w)
-        .drop("hs")
+        .drop("seed")
     )
     rs = (
         draws.groupBy("event_type", "b")

@@ -130,6 +130,52 @@ DRIVER_VERIFIED.update(dict.fromkeys((
     "time_weighted_avg_per_user", "scd2_segment_at_order",
     "neardup_minhash_lsh", "dedup_simhash", "approx_heavy_hitter_terms",
 ), 3))
+DRIVER_VERIFIED.update(dict.fromkeys((
+    # CORRECTNESS_r04.json: 48 hash-green + 2 rows-only with driver rows
+    # (neardup_minhash_lsh, ann_lsh_topk — no SQL form by design).
+    "neardup_jaccard_pairs", "tfidf_top_terms", "curate_training_corpus",
+    "curate_pack_corpus", "contamination_overlap", "sole_late_supplier_waits",
+    "late_line_priority_mix", "peak_concurrent_sessions", "neardup_minhash_lsh",
+    "ann_lsh_topk", "daily_event_growth", "rolling_7day_distinct_users",
+    "neardup_prefix_filter", "per_lang_top_terms", "collocation_npmi_top",
+    "tfidf_doc_similarity_pairs", "media_chunk_dedup", "source_mixture_weights",
+    "mixture_resample_docs", "training_shard_manifest", "weighted_doc_sample",
+    "boilerplate_segment_dedup", "boilerplate_hot_segments",
+    "unigram_logppl_docs", "vocab_coverage_docs", "user_event_entropy",
+    "event_transition_probs", "geo_mean_value_by_event_type",
+    "ks_drift_click_vs_purchase", "zipf_slope_terms", "event_volume_trend",
+    "daily_autocorrelation", "fuzzy_customer_pairs", "rollup_apply_cdc",
+    "user_session_stats", "user_growth_accounting", "audience_overlap_matrix",
+    "order_skyline_price_date", "customer_abc_classes", "daily_event_bursts",
+    "daily_ewma_counts", "late_data_backfill", "doc_containment_pairs",
+    "embedding_int8_export", "chunk_docs_overlap", "hybrid_search_rrf",
+    "per_source_sample_topk", "kwic_concordance", "ndcg_tfidf_vs_overlap",
+    "hashing_trick_doc_vectors",
+), 4))
+DRIVER_VERIFIED.update(dict.fromkeys((
+    # CORRECTNESS_r05.json: 48 hash-green + the same 2 rows-only.  The r5
+    # window re-sampled 40 r4-green queries because this bookkeeping wasn't
+    # updated after round 4 — keep these dicts current every round or the
+    # driver's 50-slot window burns slots re-confirming fresh rows.
+    "neardup_jaccard_pairs", "tfidf_top_terms", "curate_training_corpus",
+    "curate_pack_corpus", "contamination_overlap", "sole_late_supplier_waits",
+    "late_line_priority_mix", "peak_concurrent_sessions", "neardup_minhash_lsh",
+    "ann_lsh_topk", "dup_substring_spans", "dedup_cut_substrings",
+    "bloom_contamination_screen", "label_outlier_vectors", "doc_readability",
+    "media_image_stats", "media_audio_stats", "media_video_frame_stats",
+    "corpus_datasheet_by_source", "forget_users_cascade", "top_session_paths",
+    "hll_distinct_users_from_scratch", "bootstrap_mean_ci",
+    "daily_event_growth", "rolling_7day_distinct_users",
+    "neardup_prefix_filter", "per_lang_top_terms", "collocation_npmi_top",
+    "tfidf_doc_similarity_pairs", "media_chunk_dedup", "source_mixture_weights",
+    "mixture_resample_docs", "training_shard_manifest", "weighted_doc_sample",
+    "boilerplate_segment_dedup", "boilerplate_hot_segments",
+    "unigram_logppl_docs", "vocab_coverage_docs", "user_event_entropy",
+    "event_transition_probs", "geo_mean_value_by_event_type",
+    "ks_drift_click_vs_purchase", "zipf_slope_terms", "event_volume_trend",
+    "daily_autocorrelation", "fuzzy_customer_pairs", "rollup_apply_cdc",
+    "user_session_stats", "user_growth_accounting", "audience_overlap_matrix",
+), 5))
 
 #: Round-2 verdict rule: a query whose IMPLEMENTATION changed after its
 #: last green driver row is no longer verified — it rejoins the front of
@@ -164,17 +210,25 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   ``neardup_jaccard_pairs``, ``contamination_overlap``,
 #:   ``curate_training_corpus``, ``curate_pack_corpus``,
 #:   ``neardup_minhash_lsh``, ``ann_lsh_topk``.
+#: Round-6 entries (every round-4/5 entry re-verified green in
+#: CORRECTNESS_r04/r05 and moved to ``DRIVER_VERIFIED``):
+#: - ``bootstrap_mean_ci``: the per-draw uniform moved from ceil(B/3) md5s
+#:   per row to ONE md5 seed + a 32-bit multiply-xor-shift mix (oracle
+#:   changed in lockstep; local replica OK at sf0.01+sf0.1) — re-verify.
+#: - ``asof_last_click_cogroup``: the API-coverage twin now runs on a
+#:   deterministic 1-in-8 user sample with a matching sampled oracle
+#:   (round-5 verdict item 2) — re-verify.
+#: - ``ann_recall_report``: now reads per-method panel results from the
+#:   stage instead of re-probing all four indexes inline (12 → 3 shuffles;
+#:   round-5 verdict item 1); rows-only, values unchanged — re-verify rows.
+#: - ``coreset_kcenter_sample``: output now built from Python tuples with
+#:   an explicit nullable schema instead of the NaN→null Arrow round-trip
+#:   (round-5 advice); values unchanged — re-verify rows.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
-    "late_line_priority_mix",
-    "peak_concurrent_sessions",
-    "tfidf_top_terms",
-    "sole_late_supplier_waits",
-    "neardup_jaccard_pairs",
-    "contamination_overlap",
-    "curate_training_corpus",
-    "curate_pack_corpus",
-    "neardup_minhash_lsh",
-    "ann_lsh_topk",
+    "bootstrap_mean_ci",
+    "asof_last_click_cogroup",
+    "ann_recall_report",
+    "coreset_kcenter_sample",
 })
 
 
@@ -233,6 +287,8 @@ def load_all() -> dict[str, QuerySpec]:
                 + 4 * ("r7" in spec.tags)
                 + 5 * ("r8" in spec.tags)
                 + 6 * ("r9" in spec.tags)
+                + 7 * ("r10" in spec.tags)
+                + 8 * ("r11" in spec.tags)
             )
             return (0, name not in CHANGED_SINCE_VERIFIED, spec.oracle is None, age)
         return (1, 0, 0, DRIVER_VERIFIED[name])

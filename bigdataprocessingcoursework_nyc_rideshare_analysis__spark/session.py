@@ -72,18 +72,39 @@ def aqe_off_clone(spark: SparkSession) -> SparkSession:
     every subsequent query in a sweep (AQE is the right default — skew-join
     splitting and partition coalescing are load-bearing at 100 TB).
     ``newSession()`` gives the one query its own conf; DataFrames built on
-    the clone execute under it, and the parent session is untouched.  The
-    clone re-applies the engine's runtime confs and inherits the parent's
-    shuffle-partition sizing (``newSession`` resets runtime-set confs to the
-    SparkConf base, which may differ from what the caller's harness set)."""
-    clone = configure(spark.newSession())
+    the clone execute under it, and the parent session is untouched.
+
+    The clone inherits ALL of the parent's explicitly-set SQL confs
+    (``newSession`` resets runtime-set confs to the SparkConf base, which
+    may differ from what the caller's harness set — timezone, ANSI toggles,
+    shuffle sizing), then re-applies the engine's runtime confs and turns
+    AQE off.  One clone is cached per parent session (on the parent object)
+    so repeated invocations in a sweep don't accumulate sessions."""
+    cached = getattr(spark, "_bdpc_aqe_off_clone", None)
+    if cached is not None:
+        return cached
+    clone = spark.newSession()
     try:
-        clone.conf.set(
-            "spark.sql.shuffle.partitions", spark.conf.get("spark.sql.shuffle.partitions")
-        )
-    except Exception:
-        pass
+        # every explicitly-set SQL conf on the parent (sessionState settings
+        # map holds set values only, not defaults) — generic, not a
+        # hand-picked key list, so harness-set confs carry over too
+        parent_confs = dict(spark._jsparkSession.sessionState().conf().getAllConfs())
+    except Exception:  # non-JVM session shims: fall back to the known key
+        parent_confs = {}
+        try:
+            parent_confs["spark.sql.shuffle.partitions"] = spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+        except Exception:
+            pass
+    for key, value in parent_confs.items():
+        try:
+            clone.conf.set(key, value)
+        except Exception:
+            pass  # static/non-modifiable conf; keep going
+    configure(clone)
     clone.conf.set("spark.sql.adaptive.enabled", "false")
+    spark._bdpc_aqe_off_clone = clone
     return clone
 
 

@@ -40,3 +40,20 @@ def test_every_query_runs_and_every_oracle_names_a_query():
         assert callable(spec.fn), name
         if spec.oracle is not None:
             assert "SELECT" in spec.oracle.upper(), name
+
+
+def test_coverage_totals_match_registry():
+    """COVERAGE.md is the audit trail; its totals line and rows-only
+    evidence table drifted from the registry twice (round-5 verdict).
+    tools/coverage_totals.py encodes the invariants; this runs them in
+    every pytest sweep."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    import coverage_totals
+
+    problems = coverage_totals.check(open(coverage_totals.COVERAGE_PATH).read())
+    assert problems == []
