@@ -297,6 +297,128 @@ def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- quality-classifier-gated packing -------------------------------------------
+
+
+def pack_corpus_gated(spark: SparkSession, sf_dir: str, keep: DataFrame) -> DataFrame:
+    """``curate_pack_corpus`` with a PLUGGABLE classifier gate: the packing
+    stream is rebuilt over ``survivors ∩ keep`` — filtering the packed
+    manifest after the fact would be WRONG (removing a document shifts
+    every later document's sequence offsets), so the gate must join in
+    before the per-source packing window, which this does.
+
+    ``keep`` is any (doc_id) frame — the deployed linear classifier for the
+    registered query below, the IRLS-trained distilled classifier in
+    ``test_trainer.py`` (same code path, swapped model), or a real neural
+    scorer's output table in production.  Deliberately NOT a refactor of
+    ``q_curate_pack`` (its driver-verified implementation stays
+    byte-untouched per the registry's implementation-change rule); the
+    stage fan-out is identical: every branch reads the one staged
+    ``featurize_documents`` frame, and the only new plan node is one
+    doc_id-keyed join before the window."""
+    from ..functions.text import shingles_col
+    from .scrub import (
+        _EVAL_MOD,
+        PACK_TOKEN_BUDGET,
+        REPETITION_MAX_DUP_FRAC,
+        contamination_pairs,
+    )
+    from .stage import staged_features, staged_shingles
+
+    feat = staged_features(spark, sf_dir)
+    manifest = manifest_from_features(feat).select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    grams = feat.filter(F.size("toks") >= 2).select(
+        "doc_id", shingles_col("toks", 2).alias("grams")
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+    repkeep = grams.filter(dup_frac <= REPETITION_MAX_DUP_FRAC).select("doc_id")
+    sh = staged_shingles(spark, sf_dir)
+    contaminated = (
+        contamination_pairs(
+            sh.filter(F.col("doc_id") % _EVAL_MOD != 0),
+            sh.filter(F.col("doc_id") % _EVAL_MOD == 0),
+        )
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    surv = (
+        manifest.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(repkeep, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(keep.select("doc_id"), "doc_id")  # the classifier gate
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = surv.withColumn("cum", F.sum("n_tokens").over(w))
+    budget = PACK_TOKEN_BUDGET
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget).cast("long").alias("first_seq"),
+        F.floor((F.col("cum") - 1) / budget).cast("long").alias("last_seq"),
+        ((F.col("cum") - F.col("n_tokens")) % budget).cast("long").alias("seq_offset"),
+    )
+
+
+def _gated_pack_oracle() -> str:
+    """The pack oracle with the deployed linear classifier's keep verdict
+    joined into the survivor set — the score arithmetic is textstats'
+    ``_SCORE_CTES`` expression inlined over the pack oracle's own ``feat``
+    CTE (same normalized-token split, raw-text length, pinned association
+    order), so both engines score identically."""
+    from .textstats import QUALITY_WEIGHTS, STOPWORDS
+
+    w0, w1, w2, w3 = QUALITY_WEIGHTS
+    qscore = f"""), qkeep AS (
+  SELECT doc_id FROM feat
+  WHERE ((({w0} + {w1} * CAST(len(toks) AS DOUBLE))
+          + {w2} * (CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE) / len(toks)))
+          + {w3} * (CAST(length(text) AS DOUBLE) / len(toks))) >= 0
+), gsurv AS (
+  SELECT s.* FROM surv s JOIN qkeep q ON s.doc_id = q.doc_id
+), c AS ("""
+    assert _CURATE_PACK_ORACLE.count("), c AS (") == 1
+    assert _CURATE_PACK_ORACLE.count("FROM surv\n") == 1
+    return _CURATE_PACK_ORACLE.replace("), c AS (", qscore).replace(
+        "FROM surv\n", "FROM gsurv\n"
+    )
+
+
+@register(
+    "curate_pack_quality_gated",
+    oracle=_gated_pack_oracle(),
+    tags=("datapipe", "pipeline", "scrub", "quality", "r11"),
+)
+def q_curate_pack_quality_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline with a quality-CLASSIFIER inference pass
+    as an additional packing gate (round-5 verdict stretch item): exact
+    dedup → language gate → token band → repetition gate → decontamination
+    → **model keep verdict** → sequence packing.  This registered instance
+    deploys the fixed linear classifier (``quality_model_score``'s
+    ``score ≥ 0`` verdict — SQL-expressible, so the driver hash-checks the
+    gated manifest end-to-end); ``test_trainer.py`` drives the SAME
+    ``pack_corpus_gated`` plan with the IRLS-TRAINED classifier's verdict
+    and pins it against an independent pandas repack — together they cover
+    "swap in a trained model" as a one-line change with the plumbing
+    already verified.
+
+    Plan shape over ``curate_pack_corpus``: one extra doc_id-keyed inner
+    join before the packing window; the keep side is a stateless per-row
+    score over one (doc_id, lang, text)-pruned scan — the one branch that
+    cannot read the staged feature frame, because the deployed score uses
+    RAW text length where the stage keeps only token arrays."""
+    from .textstats import _quality_score_frame
+
+    keep = _quality_score_frame(spark, sf_dir).filter(F.col("score") >= 0).select("doc_id")
+    return pack_corpus_gated(spark, sf_dir, keep)
+
+
 # --- dataset card -------------------------------------------------------------
 
 _DATASHEET_ORACLE = """

@@ -53,3 +53,52 @@ def test_distributed_training_matches_numpy_and_recovers_teacher(spark):
     p = 1.0 / (1.0 + np.exp(-(x @ w_dist[:-1] + w_dist[-1])))
     acc = float(((p >= 0.5) == (y == 1.0)).mean())
     assert acc >= 0.9, acc
+
+
+def test_trained_gate_packs_like_independent_repack(spark):
+    """The TRAINED classifier driven through the same pluggable
+    ``pack_corpus_gated`` plan the oracle-backed deployed-gate query uses:
+    the gated packed manifest must equal an independent pandas repack of
+    the (oracle-verified) ungated manifest restricted to the NumPy-computed
+    keep set — proving "swap in a trained model" is a one-line change with
+    the packing plumbing already verified."""
+    from collections import defaultdict
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.curate import (
+        pack_corpus_gated,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.scrub import (
+        PACK_TOKEN_BUDGET,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w = np.array(train_logreg(featurize_for_quality_gate(docs)))
+    feats = featurize_for_quality_gate(docs).toPandas()
+    z = feats[list(FEATURE_NAMES)].to_numpy() @ w[:-1] + w[-1]
+    keep_ids = set(feats.doc_id[z >= 0])  # sigmoid(z) >= 0.5 <=> z >= 0
+
+    keep_df = spark.createDataFrame([(int(i),) for i in sorted(keep_ids)], "doc_id long")
+    got = sorted(map(tuple, pack_corpus_gated(spark, SF_SMOKE, keep_df).collect()))
+
+    base = load_all()["curate_pack_corpus"].fn(spark, SF_SMOKE).toPandas()
+    # the gate must actually cut (else this test is vacuous) but not empty
+    assert 0 < len(base[base.doc_id.isin(keep_ids)]) < len(base)
+    surv = base[base.doc_id.isin(keep_ids)].sort_values(["source", "doc_id"])
+    cum: dict[str, int] = defaultdict(int)
+    expected = []
+    for r in surv.itertuples():
+        c0 = cum[r.source]
+        c1 = c0 + r.n_tokens
+        cum[r.source] = c1
+        expected.append(
+            (
+                r.doc_id,
+                r.source,
+                r.n_tokens,
+                c0 // PACK_TOKEN_BUDGET,
+                (c1 - 1) // PACK_TOKEN_BUDGET,
+                c0 % PACK_TOKEN_BUDGET,
+            )
+        )
+    assert got == sorted(expected)
