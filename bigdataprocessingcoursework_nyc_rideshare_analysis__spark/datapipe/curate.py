@@ -419,6 +419,75 @@ def q_curate_pack_quality_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_corpus_gated(spark, sf_dir, keep)
 
 
+# --- packing efficiency audit ----------------------------------------------------
+
+
+def _packing_efficiency_oracle() -> str:
+    """One aggregation over the pack oracle's final manifest: wrap the
+    whole ``curate_pack_corpus`` SQL as a CTE and group it."""
+    from .scrub import PACK_TOKEN_BUDGET
+
+    return f"""
+WITH packed AS ({_CURATE_PACK_ORACLE}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(last_seq) + 1 AS BIGINT) AS n_sequences,
+       CAST((MAX(last_seq) + 1) * {PACK_TOKEN_BUDGET} - SUM(n_tokens) AS BIGINT) AS padding_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+             / ((MAX(last_seq) + 1) * {PACK_TOKEN_BUDGET}), 9) AS fill_rate,
+       ROUND(CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS split_doc_share
+FROM packed GROUP BY source
+"""
+
+
+@register(
+    "packing_efficiency_by_source",
+    oracle=_packing_efficiency_oracle(),
+    tags=("datapipe", "pipeline", "audit", "r11"),
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit of the curated training stream, per source:
+    sequence count, padding waste in the token budget (capacity −
+    content), fill rate, and the share of documents split across a
+    sequence boundary — the report that tells a training-data engineer
+    whether the packing budget fits the document-length distribution
+    (high padding → shrink the budget or concat more aggressively; high
+    split share → attention-mask fragmentation, consider best-fit
+    packing).  Concat-and-chunk packs densely, so the only padding is the
+    tail of each source's LAST sequence — the audit still computes it
+    from first principles (capacity − Σtokens) so a packing-strategy
+    change (e.g. best-fit, which pads every sequence) reads out honestly.
+
+    Plan: the packed manifest (already one declarative plan over the
+    staged feature frame) collapsed by ONE |sources|-keyed aggregation —
+    the manifest's own packing window provides the per-source partitioning,
+    so the added aggregate is map-side-partial over already-clustered
+    rows.  Exactness: counts and token sums are int64; fill_rate/
+    split_doc_share divide two exact integers once."""
+    from .scrub import PACK_TOKEN_BUDGET
+
+    packed = q_curate_pack(spark, sf_dir)
+    n_seqs = F.max("last_seq") + 1
+    total = F.sum("n_tokens")
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        total.cast("long").alias("total_tokens"),
+        n_seqs.cast("long").alias("n_sequences"),
+        (n_seqs * PACK_TOKEN_BUDGET - total).cast("long").alias("padding_tokens"),
+        F.round(
+            total.cast("double") / (n_seqs * PACK_TOKEN_BUDGET), 9
+        ).alias("fill_rate"),
+        F.round(
+            F.sum(F.when(F.col("first_seq") != F.col("last_seq"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("split_doc_share"),
+    )
+
+
 # --- dataset card -------------------------------------------------------------
 
 _DATASHEET_ORACLE = """

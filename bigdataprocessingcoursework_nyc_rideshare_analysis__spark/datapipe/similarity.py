@@ -1059,44 +1059,59 @@ def q_coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return df.mapInPandas(kernel, schema="vec_id long, q array<long>")
 
-    qdf = quantized(emb)
-    first = qdf.filter(F.col("vec_id") == 0).toPandas()
-    centers = [np.array(first["q"][0], dtype=np.int64)]
-    chosen = [(0, 0, None)]
-    for rnd in range(1, KCENTER_K):
-        cmat = np.stack(centers)  # (r, dim) int64
+    # cache the quantized frame for the iteration's lifetime: every round
+    # scans it, and without the cache each round re-runs the Arrow quantize
+    # kernel over the source (2 jobs/round × k rounds — measured ~2× the
+    # whole query).  Scoped: unpersisted in the finally before returning,
+    # so nothing leaks into the caller's session (the round-4 cache rule).
+    qdf = quantized(emb).persist()
+    try:
+        first = qdf.filter(F.col("vec_id") == 0).toPandas()
+        centers = [np.array(first["q"][0], dtype=np.int64)]
+        chosen = [(0, 0, None)]
+        for rnd in range(1, KCENTER_K):
+            cmat = np.stack(centers)  # (r, dim) int64
 
-        def furthest(batches):
-            import pandas as pd  # worker-side
+            def furthest(batches):
+                # emits the winning row's own vector alongside (id, dmin),
+                # so the driver never runs a second fetch-the-center job
+                import pandas as pd  # worker-side
 
-            best_d = -1
-            best_i = None
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, dim)
-                # exact integer dmin: per center, sum of squared int diffs
-                dmin = None
-                for c in cmat:
-                    diff = x - c
-                    d = (diff * diff).sum(axis=1)
-                    dmin = d if dmin is None else np.minimum(dmin, d)
-                ids = pdf["vec_id"].to_numpy()
-                k = int(np.lexsort((ids, -dmin))[0])  # max dist, min id tiebreak
-                if (int(dmin[k]), -int(ids[k])) > (best_d, -(best_i if best_i is not None else 1 << 62)):
-                    best_d, best_i = int(dmin[k]), int(ids[k])
-            if best_i is not None:
-                yield pd.DataFrame({"vec_id": [best_i], "dmin": [best_d]})
+                best_d = -1
+                best_i = None
+                best_q = None
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    x = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, dim)
+                    # exact integer dmin: per center, sum of squared int diffs
+                    dmin = None
+                    for c in cmat:
+                        diff = x - c
+                        d = (diff * diff).sum(axis=1)
+                        dmin = d if dmin is None else np.minimum(dmin, d)
+                    ids = pdf["vec_id"].to_numpy()
+                    k = int(np.lexsort((ids, -dmin))[0])  # max dist, min id tiebreak
+                    if (int(dmin[k]), -int(ids[k])) > (
+                        best_d,
+                        -(best_i if best_i is not None else 1 << 62),
+                    ):
+                        best_d, best_i, best_q = int(dmin[k]), int(ids[k]), x[k]
+                if best_i is not None:
+                    yield pd.DataFrame(
+                        {"vec_id": [best_i], "dmin": [best_d], "q": [list(best_q)]}
+                    )
 
-        cand = (
-            qdf.mapInPandas(furthest, schema="vec_id long, dmin long")
-            .orderBy(F.desc("dmin"), F.asc("vec_id"))
-            .limit(1)
-            .collect()
-        )[0]
-        chosen.append((rnd, cand["vec_id"], cand["dmin"]))
-        cvec = qdf.filter(F.col("vec_id") == cand["vec_id"]).toPandas()
-        centers.append(np.array(cvec["q"][0], dtype=np.int64))
+            cand = (
+                qdf.mapInPandas(furthest, schema="vec_id long, dmin long, q array<long>")
+                .orderBy(F.desc("dmin"), F.asc("vec_id"))
+                .limit(1)
+                .collect()
+            )[0]
+            chosen.append((rnd, cand["vec_id"], cand["dmin"]))
+            centers.append(np.array(cand["q"], dtype=np.int64))
+    finally:
+        qdf.unpersist()
 
     # explicit nullable schema from Python tuples: round 0's dist2_to_set is
     # a true NULL, not a NaN that only survives because Arrow maps NaN→null

@@ -132,3 +132,29 @@ def test_cdc_chunking_is_shift_resistant(spark):
     assert len(per_doc[1] - per_doc[2]) <= 2
     assert len(per_doc[2] - per_doc[1]) <= 2
     assert len(per_doc[1] & per_doc[2]) >= len(per_doc[1]) - 2
+
+
+def test_packing_efficiency_waste_is_one_tail_per_source(spark):
+    """Concat-and-chunk packs densely: the only padding a source can carry
+    is the tail of its LAST sequence, so padding_tokens < budget and the
+    capacity identity n_sequences·budget = total + padding must hold
+    exactly; consistency with the packed manifest it audits is pinned by
+    recomputing the inputs from curate_pack_corpus."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.scrub import (
+        PACK_TOKEN_BUDGET,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    reg = load_all()
+    rows = reg["packing_efficiency_by_source"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    packed = reg["curate_pack_corpus"].fn(spark, SF_SMOKE).toPandas()
+    for r in rows:
+        assert 0 < r["fill_rate"] <= 1.0
+        assert 0 <= r["padding_tokens"] < PACK_TOKEN_BUDGET
+        assert r["n_sequences"] * PACK_TOKEN_BUDGET == r["total_tokens"] + r["padding_tokens"]
+        assert 0.0 <= r["split_doc_share"] <= 1.0
+        src = packed[packed.source == r["source"]]
+        assert r["n_docs"] == len(src)
+        assert r["total_tokens"] == int(src.n_tokens.sum())
+        assert r["n_sequences"] == int(src.last_seq.max()) + 1
