@@ -96,7 +96,12 @@ def main() -> None:
     # not query cost — same treatment as the bucketed warehouse below) so
     # per-query timings don't depend on which dedup-family query happens to
     # run first against a cold stage; the build cost is reported separately
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        ANN_METHODS,
+    )
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.stage import (
+        staged_ann_exact_topk,
+        staged_ann_method_topk,
         staged_features,
         staged_jaccard_pairs,
         staged_segments,
@@ -111,8 +116,16 @@ def main() -> None:
         staged_jaccard_pairs,
         staged_segments,
         staged_tfidf_topk,
+        staged_ann_exact_topk,
     ):
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ANN index-build panels: offline once-per-snapshot cost the recall
+    # monitor reads — built here so a cold stage dir doesn't charge four
+    # index probes + parquet writes to ann_recall_report's timing
+    for method, _fn in ANN_METHODS:
+        staged_ann_method_topk(spark, sf_dir, method).write.format("noop").mode(
+            "overwrite"
+        ).save()
     stage_build_sec = round(time.perf_counter() - start, 4)
 
     timings: dict[str, float] = {}

@@ -58,3 +58,23 @@ def test_stage_key_tracks_source_identity(tmp_path):
     os.utime(src, ns=(1, 1))  # same bytes, new mtime → new key (cheap proxy)
     k2 = _source_key(str(tmp_path))
     assert k1 != k2
+
+
+def test_staged_ann_panels_equal_direct_probes(spark):
+    """Each staged ANN panel (what the recall monitor reads) must be
+    byte-identical to running its index probe directly — the stage is a
+    cache, never a source of truth — and the stage key must fold the index
+    geometry so retuning a tier invalidates its panel."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        ANN_METHODS,
+        ann_geometry_key,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.stage import (
+        staged_ann_method_topk,
+    )
+
+    assert len(ann_geometry_key()) == 12
+    for method, fn in ANN_METHODS:
+        staged = sorted(map(tuple, staged_ann_method_topk(spark, SF_SMOKE, method).collect()))
+        direct = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+        assert staged == direct, method
