@@ -513,3 +513,83 @@ def q_neardup_ascending_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT len, CAST(COUNT(*) AS BIGINT) AS n_paths FROM paths GROUP BY len
     """)
+
+
+# --- dedup savings accounting ----------------------------------------------------
+
+_DEDUP_SAVINGS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+assign AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+acct AS (
+  SELECT d.source, a.doc_id, a.cluster_id, CAST(len(t.toks) AS BIGINT) AS n_toks
+  FROM assign a JOIN documents d USING (doc_id) JOIN t USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removable_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN doc_id <> cluster_id THEN n_toks ELSE 0 END) AS BIGINT) AS removable_tokens,
+       ROUND(CAST(SUM(CASE WHEN doc_id <> cluster_id THEN n_toks ELSE 0 END) AS DOUBLE)
+             / SUM(n_toks), 9) AS removable_token_share
+FROM acct GROUP BY source
+"""
+
+
+@register(
+    "dedup_savings_by_source",
+    oracle=_DEDUP_SAVINGS_ORACLE,
+    tags=("datapipe", "dedup", "audit", "r11"),
+)
+def q_dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report: per source, how many documents and tokens the
+    near-dup clustering would REMOVE (every cluster member except the
+    canonical min-id representative) — the before/after accounting a
+    curation run publishes to justify the dedup stage's cost, and the
+    number storage/compute sizing reads ("dedup cuts source X by 14%").
+    Removable work is attributed to the REMOVED document's source (a
+    cluster can span sources — mirror-site families — and it's the copy
+    you delete whose source shrinks).
+
+    Complements, not duplicates, the neighbors: ``neardup_source_matrix``
+    counts PAIRS by source pair (mirror detection), the datasheet reports
+    substring-SPAN exposure, ``dedup_keep_best_in_cluster`` picks the
+    survivor — this is the volume-savings rollup of the cluster view.
+
+    Plan: the CC fixpoint's (doc_id, cluster_id) frame joined once to the
+    staged per-doc (source, token-count) projection, collapsed by ONE
+    |sources|-keyed aggregation.  Exact int64 counts; one division per
+    source row."""
+    from .stage import staged_features
+
+    assign = q_neardup_cc(spark, sf_dir).select("doc_id", "cluster_id")
+    feat = staged_features(spark, sf_dir).select(
+        "doc_id", "source", F.size("toks").cast("long").alias("n_toks")
+    )
+    dup = F.col("doc_id") != F.col("cluster_id")
+    return (
+        assign.join(feat, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_removable_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum(F.when(dup, F.col("n_toks")).otherwise(0)).cast("long").alias("removable_tokens"),
+            F.round(
+                F.sum(F.when(dup, F.col("n_toks")).otherwise(0)).cast("double")
+                / F.sum("n_toks"),
+                9,
+            ).alias("removable_token_share"),
+        )
+    )

@@ -132,6 +132,60 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- blocklist term screen ----------------------------------------------------
+
+#: the C4-style "bad words" list, reduced to terms the synthetic vocabulary
+#: actually contains ("dup" is rare, "slow" common — so the gate splits the
+#: corpus non-trivially in both directions)
+BLOCKLIST = ("dup", "slow")
+BLOCKLIST_MAX_SHARE = 0.02  # RefinedWeb-style fraction gate, not C4's any-hit
+
+
+_BLOCKLIST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> list_contains({list(BLOCKLIST)!r}, x))) AS BIGINT) AS n_blocked,
+       ROUND(CAST(len(list_filter(toks, x -> list_contains({list(BLOCKLIST)!r}, x))) AS DOUBLE)
+             / len(toks), 9) AS blocked_share,
+       (CAST(len(list_filter(toks, x -> list_contains({list(BLOCKLIST)!r}, x))) AS DOUBLE)
+        / len(toks)) <= {BLOCKLIST_MAX_SHARE} AS keep
+FROM t
+"""
+
+
+@register("blocklist_screen_docs", oracle=_BLOCKLIST_ORACLE, tags=("datapipe", "scrub", "quality", "r11"))
+def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist term screen — the C4 "bad words" stage generalized to a
+    share threshold (RefinedWeb-style): per document, the blocklist hit
+    count, the hit share of all tokens, and the keep verdict
+    (share ≤ {BLOCKLIST_MAX_SHARE}).  A share gate beats C4's any-hit drop
+    for long documents where one incidental term would discard an entire
+    good document; set the threshold to 0 to recover exact C4 semantics.
+
+    Entirely per-row array math over one scan (no explode, no shuffle —
+    same shape as the repetition gate); at 100 TB a real blocklist
+    (thousands of terms) ships as a broadcast set and the filter becomes
+    one array_intersect against it, same plan.  Exactness: integer counts,
+    one division, and a share-vs-literal comparison identical on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    block_arr = F.array(*[F.lit(t) for t in BLOCKLIST])
+    toked = docs.select("doc_id", tokens_col("text").alias("toks"))
+    n_blocked = F.size(F.filter("toks", lambda x: F.array_contains(block_arr, x)))
+    share = n_blocked.cast("double") / F.size("toks")
+    return toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        n_blocked.cast("long").alias("n_blocked"),
+        F.round(share, 9).alias("blocked_share"),
+        (share <= BLOCKLIST_MAX_SHARE).alias("keep"),
+    )
+
+
 # --- benchmark contamination ------------------------------------------------
 
 CONTAMINATION_MIN_COMMON = 3  # shared 3-gram shingles to flag an overlap
