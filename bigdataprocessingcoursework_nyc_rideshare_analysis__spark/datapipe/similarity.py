@@ -1,24 +1,32 @@
 """Similarity search over the ``embeddings`` table (array<float>, dim 64).
 
-Two paths:
+Tiers (all sharing the exact re-rank tail ``exact_rank_candidates``):
 - ``ann_cosine_topk``: brute-force cosine top-k — broadcast the (small) query
   set against the full corpus, rank per query.  The correctness baseline;
   cost ∝ |queries| × |corpus|.  Quantized integer math (``functions.vector``)
   keeps Spark and the DuckDB oracle bit-identical.
-- ``ann_lsh_topk``: random-hyperplane LSH — 16-bit signatures, bucket join,
-  rank within bucket.  The 100 TB path: cost ∝ corpus (signatures) +
-  intra-bucket candidates.  Recall is approximate → rows-only driver check;
-  pytest measures recall against the brute-force truth.
+- ``ann_lsh_topk``: random-hyperplane LSH — multi-table bit signatures,
+  bucket join, exact rank within candidates.  Corpus-linear.
+- ``ann_ivf_topk`` / ``ann_pq_topk`` / ``ann_ivfpq_topk``: inverted-file
+  pruning (compute), product-quantization codes + ADC (memory), and their
+  composition — the trillion-vector index shapes, trained on absolutely
+  capped samples so driver state is constant at any corpus size.
+- ``ann_recall_report``: the index-quality monitor; reads the STAGED exact
+  truth and STAGED per-method panels (``datapipe.stage``) the way a
+  production monitor consumes nightly index builds.  ``ANN_METHODS`` at the
+  bottom of this module is the single manifest every consumer derives from.
 
-Hyperplanes are deterministic (seeded NumPy).  The brute-force path is pure
-JVM; the LSH signature path is one vectorized NumPy GEMM per Arrow batch
-(see ``lsh_buckets`` for why that beats the Catalyst higher-order form).
+Approximate tiers are rows-only at the driver (no SQL form); pytest floors
+each tier's recall against the brute-force truth and sf0.001 golden rows pin
+exact outputs.  Seeds are fixed; signature/encode kernels are one NumPy GEMM
+per Arrow batch (see ``lsh_buckets`` for why that beats the Catalyst
+higher-order form).
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
