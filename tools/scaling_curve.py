@@ -44,12 +44,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF1_DIR = os.path.join(REPO, ".scratch", "sf1")
+SF10_DIR = os.path.join(REPO, ".scratch", "sf10")
 REPLICAS = 10
 ID_STRIDE = 10_000_000
 
 
-def build_sf1(out_dir: str = SF1_DIR, src_dir: str = "/root/testdata/sf0.1") -> str:
-    """Synthesize the sf1 documents table (see module docstring)."""
+def build_sf1(
+    out_dir: str = SF1_DIR, src_dir: str = "/root/testdata/sf0.1", replicas: int = REPLICAS
+) -> str:
+    """Synthesize a replica-scaled documents table (see module docstring).
+    ``replicas=100`` yields the sf10 point (500k docs) for ``--deep``.
+    Caveat quantified by the sweep's row counts: the ≤8 distinct
+    marker-only 3-gram shingles ("the a the", …) are shared across ALL
+    replicas by construction, so their df grows with the replica count and
+    adds a bounded super-linear candidate term to the exact-Jaccard leg —
+    the pairs themselves are sub-threshold (jaccard ≈ 0), so OUTPUTS stay
+    10×/decade."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -69,7 +79,7 @@ def build_sf1(out_dir: str = SF1_DIR, src_dir: str = "/root/testdata/sf0.1") -> 
     cols = src.to_pydict()
     n = len(cols["doc_id"])
     out = {k: [] for k in cols}
-    for k in range(REPLICAS):
+    for k in range(replicas):
         if k == 0:
             texts = cols["text"]
         else:
@@ -85,7 +95,7 @@ def build_sf1(out_dir: str = SF1_DIR, src_dir: str = "/root/testdata/sf0.1") -> 
         out["n_chars"].extend(len(t) for t in texts)
     # multiple row groups so the scan parallelizes like real multi-file input
     pq.write_table(
-        pa.table(out, schema=src.schema), out_path, row_group_size=max(1, (n * REPLICAS) // 32)
+        pa.table(out, schema=src.schema), out_path, row_group_size=max(1, (n * replicas) // 32)
     )
     return out_dir
 
@@ -131,8 +141,12 @@ def main() -> None:
         print(json.dumps({"sf_dir": sf_dir, **run_chain(sf_dir, cpus)}))
         return
     build_sf1()
+    points = [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)]
+    if "--deep" in sys.argv[1:]:  # add the 1000x point (500k docs)
+        build_sf1(SF10_DIR, replicas=100)
+        points.append(("10", SF10_DIR))
     results = []
-    for sf, sf_dir in (("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)):
+    for sf, sf_dir in points:
         stage_dir = tempfile.mkdtemp(prefix="scaling_stage_")
         env = dict(os.environ, SPARK_GRAFT_STAGE_DIR=stage_dir)
         try:
