@@ -30,6 +30,7 @@ from pyspark.sql import Window
 
 from ..functions.text import normalize_text, tokens_col
 from ..registry import register
+from ..sources import load_table
 from .textstats import BPE_PATTERN, LANG_MARKERS
 
 TARGET_LANG = "en"
@@ -485,6 +486,157 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             9,
         ).alias("split_doc_share"),
+    )
+
+
+# --- length-bucketed batch manifest ----------------------------------------------
+
+LENGTH_BUCKET_WIDTH = 16  # tokens per length bucket
+BATCH_SIZE = 8  # documents per batch
+
+_LENGTH_BATCH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_tokens // {LENGTH_BUCKET_WIDTH} AS BIGINT) AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY n_tokens // {LENGTH_BUCKET_WIDTH} ORDER BY doc_id) - 1 AS rn
+  FROM t
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(rn // {BATCH_SIZE} AS BIGINT) AS batch_id,
+       CAST(rn % {BATCH_SIZE} AS BIGINT) AS pos_in_batch,
+       CAST(MAX(n_tokens) OVER (PARTITION BY bucket, rn // {BATCH_SIZE}) - n_tokens AS BIGINT) AS pad_tokens
+FROM b
+"""
+
+
+@register(
+    "length_bucketed_batches",
+    oracle=_LENGTH_BATCH_ORACLE,
+    tags=("datapipe", "pipeline", "loader", "r11"),
+)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch manifest — the OTHER batching strategy beside
+    concat-and-chunk packing: SFT/seq2seq training can't split documents
+    across sequences, so the loader instead groups similar-length examples
+    into batches ({BATCH_SIZE} docs, buckets {LENGTH_BUCKET_WIDTH} tokens
+    wide) and pads each example only to its BATCH max.  Output is the
+    deterministic loader manifest (doc → bucket, batch, position) plus
+    each example's padding cost under that grouping — summing
+    ``pad_tokens`` against a single global-batch baseline is the measured
+    win of length grouping.
+
+    Deterministic: batch membership is doc_id order within bucket, no
+    randomness (shuffle-for-SGD composes on top via the hash-keyed
+    ``training_shard_manifest`` pattern).  Plan: one bucket-keyed window
+    (|buckets| partitions, each |corpus|/|buckets|) then a (bucket, batch)
+    max — no global sort, no driver state.  Exactness: integer token
+    counts, integer division; no floats anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    bucket = (F.col("n_tokens") / LENGTH_BUCKET_WIDTH).cast("long")
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    b = (
+        t.withColumn("bucket", bucket)
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("batch_id", (F.col("rn") / BATCH_SIZE).cast("long"))
+    )
+    w_batch = Window.partitionBy("bucket", "batch_id")
+    return b.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        "batch_id",
+        (F.col("rn") % BATCH_SIZE).cast("long").alias("pos_in_batch"),
+        (F.max("n_tokens").over(w_batch) - F.col("n_tokens")).cast("long").alias("pad_tokens"),
+    )
+
+
+# --- synthetic preference pairs ---------------------------------------------------
+
+
+def _preference_pairs_oracle() -> str:
+    from .textstats import QUALITY_WEIGHTS, STOPWORDS
+
+    w0, w1, w2, w3 = QUALITY_WEIGHTS
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         ((({w0} + {w1} * CAST(len(toks) AS DOUBLE))
+            + {w2} * (CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE) / len(toks)))
+            + {w3} * (CAST(n_chars AS DOUBLE) / len(toks))) AS score
+  FROM t
+), keepers AS (
+  SELECT source, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+  FROM scored WHERE score >= 0
+), drops AS (
+  SELECT source, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score ASC, doc_id) AS rn
+  FROM scored WHERE score < 0
+)
+SELECT k.source, CAST(k.rn AS BIGINT) AS pair_rank,
+       k.doc_id AS chosen_doc_id, d.doc_id AS rejected_doc_id,
+       ROUND(k.score - d.score, 9) AS margin
+FROM keepers k JOIN drops d ON k.source = d.source AND k.rn = d.rn
+"""
+
+
+@register(
+    "preference_pairs_by_source",
+    oracle=_preference_pairs_oracle(),
+    tags=("datapipe", "pipeline", "quality", "r11"),
+)
+def q_preference_pairs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic preference-pair construction — the data-side step of
+    DPO/RLHF-style training when no human ratings exist: within each
+    source, the i-th BEST document by the quality classifier (keep
+    verdict, score ≥ 0) is paired with the i-th WORST (drop verdict), so
+    every pair is (chosen, rejected) with a positive margin and the pair
+    count per source is min(|keep|, |drop|) — strongest contrasts pair
+    first, and no document appears in two pairs.  ``margin`` (score gap)
+    is the confidence weight a margin-aware objective consumes.
+
+    Deterministic tie policy (score, then doc_id).  Plan: one scored scan
+    feeds two source-keyed rank windows and one (source, rank) equi-join —
+    all three exchanges on the |sources| key, nothing global.  Exactness:
+    the score is the deployed gate's pinned association order; the margin
+    subtracts two such doubles once."""
+    from .textstats import _quality_score_frame
+
+    scored = _quality_score_frame(spark, sf_dir).drop("lang")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s = scored.join(src, "doc_id")
+    w_keep = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    w_drop = Window.partitionBy("source").orderBy(F.asc("score"), F.asc("doc_id"))
+    keepers = (
+        s.filter(F.col("score") >= 0)
+        .select("source", "doc_id", "score", F.row_number().over(w_keep).alias("rn"))
+    )
+    drops = (
+        s.filter(F.col("score") < 0)
+        .select("source", "doc_id", "score", F.row_number().over(w_drop).alias("rn"))
+    )
+    return (
+        keepers.alias("k")
+        .join(drops.alias("d"), ["source", "rn"])
+        .select(
+            "source",
+            F.col("rn").cast("long").alias("pair_rank"),
+            F.col("k.doc_id").alias("chosen_doc_id"),
+            F.col("d.doc_id").alias("rejected_doc_id"),
+            F.round(F.col("k.score") - F.col("d.score"), 9).alias("margin"),
+        )
     )
 
 

@@ -445,6 +445,80 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_rank_candidates(emb, candidates, TOP_K)
 
 
+# --- filtered (metadata-constrained) vector search ------------------------------
+
+_FILTERED_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE)))
+           AS cos_sim
+  FROM q JOIN c ON q.label = c.label
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=_FILTERED_TOPK_ORACLE,
+    tags=("datapipe", "similarity", "r11"),
+)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (metadata-constrained) vector search: each query's top-k
+    restricted to corpus vectors sharing the QUERY'S OWN label — the
+    "vector search + WHERE clause" every retrieval deployment needs
+    (FAISS/vector-DB "filtered search"): RAG over one tenant's documents,
+    same-category recommendations, per-language retrieval.
+
+    This is the PRE-FILTER strategy, the right one when the predicate is
+    an equi-key: the label equality rides the JOIN (each query only ever
+    meets its own label's partition of the corpus — cost |corpus|/|labels|
+    per query, exact results), where POST-filtering an unfiltered ANN
+    shortlist can return < k rows for selective predicates.  At 100 TB
+    with a label-partitioned corpus layout this join prunes to matching
+    partitions; composing the same predicate into the IVF/PQ tiers means
+    building per-label lists (the standard vector-DB design).  Plan: the
+    query panel broadcasts with its labels; one broadcast equi-join on
+    label replaces ``ann_cosine_topk``'s crossJoin, then the shared
+    quantized-cosine + rank tail.  Exactness: identical integer scheme to
+    the brute-force tier — bit-identical cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            "label",
+            quantize_vec("embedding").alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label", quantize_vec("embedding").alias("cv")
+    )
+    scored = (
+        c.join(q, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_q(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 # --- per-label centroids -----------------------------------------------------
 
 _CENTROID_ORACLE = """

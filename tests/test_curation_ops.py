@@ -158,3 +158,84 @@ def test_packing_efficiency_waste_is_one_tail_per_source(spark):
         assert r["n_docs"] == len(src)
         assert r["total_tokens"] == int(src.n_tokens.sum())
         assert r["n_sequences"] == int(src.last_seq.max()) + 1
+
+
+def test_length_bucketed_batches_invariants(spark):
+    from collections import defaultdict
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.curate import (
+        BATCH_SIZE,
+        LENGTH_BUCKET_WIDTH,
+        q_length_bucketed_batches,
+    )
+
+    rows = q_length_bucketed_batches(spark, SF_SMOKE).collect()
+    assert len(rows) == 500  # every document is assigned, none dropped
+    batches = defaultdict(list)
+    for r in rows:
+        assert r.bucket == r.n_tokens // LENGTH_BUCKET_WIDTH
+        assert r.pad_tokens >= 0
+        batches[(r.bucket, r.batch_id)].append(r)
+    for members in batches.values():
+        assert len(members) <= BATCH_SIZE
+        assert sorted(m.pos_in_batch for m in members) == list(range(len(members)))
+        mx = max(m.n_tokens for m in members)
+        for m in members:
+            # pad to the batch max only — the length-grouping win
+            assert m.pad_tokens == mx - m.n_tokens
+            assert m.pad_tokens < LENGTH_BUCKET_WIDTH  # bucket bounds the pad
+
+
+def test_preference_pairs_invariants(spark):
+    from collections import Counter
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.curate import (
+        q_preference_pairs_by_source,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    rows = q_preference_pairs_by_source(spark, SF_SMOKE).collect()
+    assert rows
+    # chosen are keep verdicts, rejected are drops -> margin strictly positive
+    assert all(r.margin > 0 for r in rows)
+    # no document appears in two pairs (either side)
+    used = [r.chosen_doc_id for r in rows] + [r.rejected_doc_id for r in rows]
+    assert len(used) == len(set(used))
+    # pair count per source = min(|keep|, |drop|)
+    verdicts = {
+        r.doc_id: r.keep for r in load_all()["quality_model_score"].fn(spark, SF_SMOKE).collect()
+    }
+    import duckdb  # only for reading the source column cheaply
+
+    src = dict(
+        duckdb.connect().execute(
+            f"SELECT doc_id, source FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        ).fetchall()
+    )
+    keep_n, drop_n, pair_n = Counter(), Counter(), Counter()
+    for d, k in verdicts.items():
+        (keep_n if k else drop_n)[src[d]] += 1
+    for r in rows:
+        pair_n[r.source] += 1
+    for s in set(keep_n) | set(drop_n):
+        assert pair_n[s] == min(keep_n[s], drop_n[s]), s
+
+
+def test_filtered_topk_respects_label_constraint(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        TOP_K,
+        q_ann_filtered_topk,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    labels = {
+        r.vec_id: r.label for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    rows = q_ann_filtered_topk(spark, SF_SMOKE).collect()
+    per_query = {}
+    for r in rows:
+        assert labels[r.neighbor_id] == labels[r.query_id]  # the WHERE clause holds
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= TOP_K
