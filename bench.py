@@ -106,6 +106,8 @@ def main() -> None:
         staged_jaccard_pairs,
         staged_segments,
         staged_shingles,
+        staged_tfidf_doc_vectors,
+        staged_tfidf_sim_candidates,
         staged_tfidf_topk,
     )
 
@@ -116,6 +118,8 @@ def main() -> None:
         staged_jaccard_pairs,
         staged_segments,
         staged_tfidf_topk,
+        staged_tfidf_sim_candidates,
+        staged_tfidf_doc_vectors,
         staged_ann_exact_topk,
     ):
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -253,9 +253,15 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   preference_pairs_by_source, length_bucketed_batches,
 #:   curate_pack_quality_gated, packing_efficiency_by_source — have never
 #:   had a driver row, so they already sort in the unverified tier.)
+#: - ``tfidf_doc_similarity_pairs``: candidate generation + per-doc vector
+#:   compaction moved to staged artifacts (round-6 verdict item 4 —
+#:   judge-suggested fix for the pin-inflating sweep swing); values
+#:   unchanged (lossless AllPairs filter, same verify math; local oracle
+#:   replica green at sf0.01) — re-verify.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "pack_training_sequences",
     "curate_pack_corpus",
+    "tfidf_doc_similarity_pairs",
 })
 
 
@@ -316,6 +322,8 @@ def load_all() -> dict[str, QuerySpec]:
                 + 6 * ("r9" in spec.tags)
                 + 7 * ("r10" in spec.tags)
                 + 8 * ("r11" in spec.tags)
+                + 9 * ("r12" in spec.tags)
+                + 10 * ("r13" in spec.tags)
             )
             return (0, name not in CHANGED_SINCE_VERIFIED, spec.oracle is None, age)
         return (1, 0, 0, DRIVER_VERIFIED[name])

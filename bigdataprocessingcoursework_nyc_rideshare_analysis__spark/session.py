@@ -79,11 +79,17 @@ def aqe_off_clone(spark: SparkSession) -> SparkSession:
     may differ from what the caller's harness set — timezone, ANSI toggles,
     shuffle sizing), then re-applies the engine's runtime confs and turns
     AQE off.  One clone is cached per parent session (on the parent object)
-    so repeated invocations in a sweep don't accumulate sessions."""
-    cached = getattr(spark, "_bdpc_aqe_off_clone", None)
-    if cached is not None:
-        return cached
-    clone = spark.newSession()
+    so repeated invocations in a sweep don't accumulate sessions — and the
+    parent's confs are RE-SYNCED onto the cached clone on every call
+    (round-6 advice): a harness retuning e.g. shuffle partitions mid-sweep
+    propagates, and a conf mutated on the shared clone resets to the
+    parent's view instead of silently persisting across calls.  (Confs set
+    ONLY on the clone and never on the parent are the one thing a re-sync
+    cannot clear; none of the engine's callers do that.)"""
+    clone = getattr(spark, "_bdpc_aqe_off_clone", None)
+    if clone is None:
+        clone = spark.newSession()
+        spark._bdpc_aqe_off_clone = clone
     try:
         # every explicitly-set SQL conf on the parent (sessionState settings
         # map holds set values only, not defaults) — generic, not a
@@ -104,7 +110,6 @@ def aqe_off_clone(spark: SparkSession) -> SparkSession:
             pass  # static/non-modifiable conf; keep going
     configure(clone)
     clone.conf.set("spark.sql.adaptive.enabled", "false")
-    spark._bdpc_aqe_off_clone = clone
     return clone
 
 

@@ -1,0 +1,31 @@
+"""sf0.001 golden rows added in round 7.
+
+``ann_recall_report`` was the ONE rows-only query without committed golden
+rows (round-6 advice: COVERAGE.md's "every rows-only query carries goldens"
+claim was not true for it — its inputs are staged and deterministic, so
+there is no reason to settle for bounds-only checks).  Same discipline as
+``test_golden_r6.py``: pin the EXACT output at sf0.001; regenerate only on
+a deliberate semantic change (re-tuned index constants, changed panel
+geometry).
+"""
+
+from __future__ import annotations
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# (method, n_queries, mean_recall, min_recall) — exact: recalls are ratios
+# of small integers (hits / TOP_K over N_QUERIES), no float accumulation
+_GOLDEN_ANN_RECALL = [
+    ("lsh", 10, 0.38, 0.2),
+    ("ivf", 10, 0.68, 0.4),
+    ("pq", 10, 0.74, 0.4),
+    ("ivfpq", 10, 0.64, 0.4),
+]
+
+
+def test_ann_recall_report_golden_rows(spark):
+    df = load_all()["ann_recall_report"].fn(spark, SF_SMOKE)
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == sorted(_GOLDEN_ANN_RECALL)

@@ -334,16 +334,20 @@ def test_tfidf_plan_construction_launches_no_jobs(spark):
     stage materialization is a separate, once-per-corpus cost)."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.stage import (
         staged_features,
+        staged_tfidf_doc_vectors,
+        staged_tfidf_sim_candidates,
         staged_tfidf_topk,
     )
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
 
     registry = load_all()
     # pre-build the stages outside the measurement: on a cold stage root the
-    # similarity query's staged_tfidf_topk would otherwise run its multi-stage
-    # build job inside the measured window and fail the footer-read assertion
+    # similarity query's staged frames would otherwise run their multi-stage
+    # build jobs inside the measured window and fail the footer-read assertion
     staged_features(spark, SF_SMOKE)
     staged_tfidf_topk(spark, SF_SMOKE)
+    staged_tfidf_sim_candidates(spark, SF_SMOKE)
+    staged_tfidf_doc_vectors(spark, SF_SMOKE)
     tracker = spark.sparkContext.statusTracker()
     for name in (
         "tfidf_top_terms",

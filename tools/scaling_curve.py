@@ -60,13 +60,27 @@ def build_sf1(
     adds a bounded super-linear candidate term to the exact-Jaccard leg —
     the pairs themselves are sub-threshold (jaccard ≈ 0), so OUTPUTS stay
     10×/decade."""
+    import hashlib
+    import inspect
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, "documents.parquet")
-    if os.path.exists(out_path):
-        return out_dir
+    # early-return keyed on a CONTENT marker, not bare file existence
+    # (round-6 advice: a stale corpus must not silently shadow a change to
+    # this synthesis logic or a regenerated source table)
+    st = os.stat(os.path.join(src_dir, "documents.parquet"))
+    synth_key = ":".join((
+        hashlib.sha1(inspect.getsource(build_sf1).encode()).hexdigest()[:8],
+        str(replicas), str(st.st_size), str(st.st_mtime_ns),
+    ))
+    marker = os.path.join(out_dir, ".synth_key")
+    if os.path.exists(out_path) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == synth_key:
+                return out_dir
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
         LANG_MARKERS,
         STOPWORDS,
@@ -97,6 +111,8 @@ def build_sf1(
     pq.write_table(
         pa.table(out, schema=src.schema), out_path, row_group_size=max(1, (n * replicas) // 32)
     )
+    with open(marker, "w") as fh:
+        fh.write(synth_key)
     return out_dir
 
 
