@@ -1085,6 +1085,238 @@ def q_dedup_cut_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- suffix-array tier: dyadic doubling duplicates (Lee et al. 2021 SA pass) ---
+
+#: base window length (tokens) and dyadic level count: levels j = 0..4 give
+#: window lengths 4, 8, 16, 32, 64 — spanning "phrase" to "most of a
+#: document" at this fixture's 40-90-token documents.
+SA_BASE = 4
+SA_LEVELS = 5
+
+
+def _sa_level_ctes() -> str:
+    """Unrolled prefix-doubling CTE chain for the DuckDB oracle: level 0
+    hashes base-length windows from the raw tokens; level j hashes the
+    CONCAT of two level-(j-1) hashes half a window apart — the identical
+    recursion the Spark side computes in-row, so the md5 chains agree
+    byte-for-byte."""
+    parts = [
+        f"""t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), l0 AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(list_slice(toks, i, i + {SA_BASE} - 1), ' ')) AS h
+  FROM t, UNNEST(range(1, len(toks) - {SA_BASE} + 2)) AS u(i)
+)"""
+    ]
+    for j in range(1, SA_LEVELS):
+        step = SA_BASE * (2 ** (j - 1))
+        parts.append(
+            f""", l{j} AS (
+  SELECT a.doc_id, a.pos, md5(a.h || b.h) AS h
+  FROM l{j - 1} a JOIN l{j - 1} b ON a.doc_id = b.doc_id AND b.pos = a.pos + {step}
+)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT {j} AS lvl, doc_id, pos, h FROM l{j}" for j in range(SA_LEVELS)
+    )
+    parts.append(f", lv AS (\n  {union}\n)")
+    return "".join(parts)
+
+
+_SA_PROFILE_ORACLE = f"""
+WITH {_sa_level_ctes()},
+dup AS (SELECT lvl, h, COUNT(*) AS cnt FROM lv GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT CAST({SA_BASE} * (1 << lvl) AS BIGINT) AS win_len,
+       CAST(SUM(cnt) AS BIGINT) AS n_dup_positions,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_dup_texts,
+       CAST(MAX(cnt) AS BIGINT) AS max_occurrences
+FROM dup GROUP BY lvl
+"""
+
+
+def _dyadic_hash_frame(feat: DataFrame, base: int = SA_BASE, levels: int = SA_LEVELS) -> DataFrame:
+    """(doc_id, lvl, pos, h) for every dyadic window: the prefix-doubling
+    construction of a suffix array, restricted to dyadic lengths and kept
+    IN-ROW.  Classic distributed SA construction (Manber–Myers prefix
+    doubling) needs a corpus-wide shifted self-join + global re-rank per
+    round because suffixes extend past record boundaries; training-corpus
+    duplicate detection doesn't — a match never crosses a document boundary
+    (Lee et al. 2021 dedup per-document streams) — so every doubling step is
+    a per-row array transform over the previous level's hashes (two 32-char
+    concats + one md5 per position), and the ONLY corpus-wide operations are
+    the hash-keyed aggregations downstream.  Content-keyed: the level-j hash
+    at position i depends only on the token content of [i, i + base·2^j),
+    so identical windows in DIFFERENT documents collide — corpus-wide
+    duplicate detection without any cross-document construction."""
+    toks = tokens_of(feat)
+    df = feat.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    empty = F.array().cast("array<string>")
+    h0 = F.when(
+        n - base + 1 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n - base + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, base))),
+        ),
+    ).otherwise(empty)
+    df = df.withColumn("h0", h0)
+
+    # closure factories, not default-arg lambdas: PySpark reads the lambda's
+    # full parameter count as the higher-order function's arity
+    def combine(prev, step):
+        return lambda i: F.md5(
+            F.concat(F.element_at(prev, i), F.element_at(prev, i + step))
+        )
+
+    def tag(j):
+        return lambda x, i: F.struct(
+            F.lit(j).alias("lvl"), (i + 1).cast("int").alias("pos"), x.alias("h")
+        )
+
+    for j in range(1, levels):
+        step = base * (2 ** (j - 1))
+        wl = base * (2 ** j)
+        hj = F.when(
+            n - wl + 1 >= 1,
+            F.transform(F.sequence(F.lit(1), n - wl + 1), combine(F.col(f"h{j - 1}"), step)),
+        ).otherwise(empty)
+        df = df.withColumn(f"h{j}", hj)
+    stacked = F.flatten(
+        F.array(*[F.transform(F.col(f"h{j}"), tag(j)) for j in range(levels)])
+    )
+    return df.select("doc_id", F.explode(stacked).alias("s")).select(
+        "doc_id",
+        F.col("s.lvl").alias("lvl"),
+        F.col("s.pos").alias("pos"),
+        F.col("s.h").alias("h"),
+    )
+
+
+@register(
+    "sa_duplicate_length_profile",
+    oracle=_SA_PROFILE_ORACLE,
+    tags=("datapipe", "dedup", "r12"),
+)
+def q_sa_duplicate_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-mass profile by dyadic match length — the suffix-array
+    tier's survey statistic (round-6 verdict item 5): for each window
+    length {{4, 8, …, {SA_BASE} · 2^{SA_LEVELS - 1}}}, how many positions
+    sit in a window whose exact text occurs ≥2 times anywhere in the
+    corpus, how many distinct duplicated texts exist, and the hottest
+    text's occurrence count.  Reading the profile top-down gives the
+    longest duplicated substring's dyadic bracket and how duplicate mass
+    decays with length — the statistic that tunes ``EXSUB_L`` for the
+    fixed-window exact-substring pass (``dup_substring_spans``).
+
+    Scale shape: the doubling construction is in-row (see
+    ``_dyadic_hash_frame`` — no corpus-wide joins, no all-pairs, unlike a
+    classic distributed SA build); the plan is one staged-feature scan →
+    explode (×~n_toks·levels) → ONE hash-keyed aggregation → a
+    |levels|-row rollup.  The hash exchange moves (lvl, 32-byte hash)
+    rows — never text — and md5 keys cannot skew."""
+    from .stage import staged_features
+
+    lv = _dyadic_hash_frame(staged_features(spark, sf_dir))
+    dup = (
+        lv.groupBy("lvl", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    return dup.groupBy("lvl").agg(
+        F.sum("cnt").cast("long").alias("n_dup_positions"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_dup_texts"),
+        F.max("cnt").cast("long").alias("max_occurrences"),
+    ).select(
+        F.expr(f"CAST({SA_BASE} * CAST(pow(2, lvl) AS BIGINT) AS BIGINT)").alias("win_len"),
+        "n_dup_positions",
+        "n_distinct_dup_texts",
+        "max_occurrences",
+    )
+
+
+_SA_LONGEST_ORACLE = f"""
+WITH {_sa_level_ctes()},
+dup AS (SELECT lvl, h, COUNT(*) AS cnt FROM lv GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+top AS (SELECT MAX(lvl) AS ml FROM dup),
+occ AS (SELECT v.* FROM lv v JOIN top ON v.lvl = top.ml
+        WHERE v.h IN (SELECT h FROM dup WHERE lvl = (SELECT ml FROM top))),
+dh AS (SELECT h, COUNT(*) AS n_occurrences FROM occ GROUP BY h),
+ex AS (
+  SELECT h, doc_id, pos FROM (
+    SELECT o.*, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM occ o
+  ) WHERE rn = 1
+)
+SELECT array_to_string(
+         list_slice(t.toks, e.pos, e.pos + {SA_BASE} * (1 << (SELECT ml FROM top)) - 1),
+         ' ') AS dup_text,
+       CAST({SA_BASE} * (1 << (SELECT ml FROM top)) AS BIGINT) AS win_len,
+       CAST(d.n_occurrences AS BIGINT) AS n_occurrences,
+       e.doc_id AS example_doc_id,
+       CAST(e.pos AS BIGINT) AS example_pos
+FROM dh d JOIN ex e USING (h) JOIN t ON t.doc_id = e.doc_id
+"""
+
+
+@register(
+    "sa_longest_duplicates",
+    oracle=_SA_LONGEST_ORACLE,
+    tags=("datapipe", "dedup", "r12"),
+)
+def q_sa_longest_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LONGEST duplicated substrings in the corpus — the suffix-array
+    headline answer (Lee et al. 2021 report exactly this table for C4/
+    RealNews), extracted at the deepest dyadic level with any duplicate:
+    one row per distinct duplicated text — its length bracket, occurrence
+    count, and lexicographically-first example location, with the text
+    reconstructed from that example's token slice.
+
+    Scale shape: the level construction is in-row (``_dyadic_hash_frame``);
+    one hash-keyed aggregation computes counts AND the first-occurrence
+    argmin (struct-min — no second pass); the deepest level is a broadcast
+    1-row aggregate; the text join-back touches only the example documents
+    (output-bounded).  No all-pairs, no global sort.  A maximal duplicate
+    of true length ℓ reads out at level ⌊log2(ℓ/{SA_BASE})⌋ — the dyadic
+    bracket, not ℓ itself; the profile query quantifies the mass, this one
+    names the offenders."""
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    lv = _dyadic_hash_frame(feat)
+    dup = (
+        lv.groupBy("lvl", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+    top = dup.agg(F.max("lvl").alias("ml"))
+    deepest = dup.join(F.broadcast(top), dup["lvl"] == top["ml"]).select(
+        "h",
+        "n_occurrences",
+        F.col("first.doc_id").alias("example_doc_id"),
+        F.col("first.pos").alias("example_pos"),
+        F.expr(f"CAST({SA_BASE} * CAST(pow(2, lvl) AS BIGINT) AS BIGINT)").alias("win_len"),
+    )
+    toks_tbl = feat.select("doc_id", tokens_of(feat).alias("toks"))
+    return (
+        deepest.join(
+            toks_tbl.withColumnRenamed("doc_id", "example_doc_id"), "example_doc_id"
+        )
+        .select(
+            F.concat_ws(
+                " ", F.slice("toks", F.col("example_pos"), F.col("win_len").cast("int"))
+            ).alias("dup_text"),
+            "win_len",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            "example_doc_id",
+            F.col("example_pos").cast("long").alias("example_pos"),
+        )
+    )
+
+
 # --- Bloom-filter contamination screen (membership sketch as data) -------------
 
 BLOOM_M = 1024  # bits
