@@ -798,3 +798,200 @@ def q_media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="media_id long, frame_idx int, y_mean double, u_mean double, v_mean double",
         )
     )
+
+
+# --- perceptual image near-dup (dHash + hamming banding) -----------------------
+
+#: dHash geometry: resize to (DHASH_W x DHASH_H) = 9x8 grayscale, compare each
+#: pixel to its right neighbor -> 8x8 = 64 difference bits (Krawetz's dHash).
+DHASH_W = 9
+DHASH_H = 8
+DHASH_BITS = 64
+PHASH_BANDS = 4  # 4 x 16-bit chunks: hamming <= 3 pairs share >= 1 chunk
+PHASH_MAX_HAMMING = 3
+#: every VARIANT_MOD-th media also emits a one-byte-perturbed twin at
+#: media_id + VARIANT_OFFSET — constructed near-identical images, so the
+#: perceptual tier has guaranteed sub-threshold pairs that BYTE-exact dedup
+#: (media_chunk_dedup) cannot see
+VARIANT_MOD = 4
+VARIANT_OFFSET = 1_000_000
+
+
+def _build_dhash():
+    """Factory for the dHash closure — same pickling discipline as
+    ``_build_image_codec``: anything shipped to Spark Python workers must be
+    a closure (pickled by VALUE), never a module-level function (pickled by
+    reference, which breaks when workers can't import this package)."""
+    dec, rsz = decode_image, resize_image
+    dw, dh_, bits_w = DHASH_W, DHASH_H, DHASH_W - 1
+
+    def dhash64(payload: bytes) -> int:
+        """Difference hash of an image payload: decode, nearest-neighbor
+        resize to {DHASH_W}x{DHASH_H}, integer grayscale ((r+g+b)//3), bit
+        (r, c) set iff gray[r][c] > gray[r][c+1].  Pure integer pipeline —
+        bit-reproducible across partitionings and engines."""
+        import numpy as np
+
+        small = dec(rsz(payload, dw, dh_))
+        gray = small.astype(np.int64).sum(axis=2) // 3
+        bits = gray[:, :-1] > gray[:, 1:]
+        out = 0
+        for r in range(dh_):
+            for c in range(bits_w):
+                if bits[r, c]:
+                    out |= 1 << (r * bits_w + c)
+        return out
+
+    return dhash64
+
+
+dhash64 = _build_dhash()
+
+
+def _build_mixed_raster():
+    """Factory (closure pickling discipline, see ``_build_dhash``)."""
+
+    def _mixed_raster(mid: int, j):
+        """Per-(media, byte) MIXED raster (murmur-style multiply-xorshift
+        over uint64) — unlike ``synthesize_ppm_payloads``'s linear gradient,
+        whose whole family shares one left-to-right brightness profile and
+        therefore ONE dHash (perceptually degenerate: every pair reads as a
+        near-dup).  Mixed bytes give each media an effectively-random 64-bit
+        dHash, so cross-media hamming ≤ PHASH_MAX_HAMMING is vanishingly
+        rare and the tier's positives are the constructed twins — the shape
+        a real, perceptually-diverse image corpus has."""
+        import numpy as np
+
+        x = np.uint64(mid) * np.uint64(0x9E3779B97F4A7C15) + j * np.uint64(0xC2B2AE3D27D4EB4F)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(29)
+        return (x % np.uint64(256)).astype(np.uint8)
+
+    return _mixed_raster
+
+
+_mixed_raster = _build_mixed_raster()
+
+
+def synthesize_ppm_with_variants(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) corpus for the perceptual tier: one mixed
+    (perceptually-distinct) raster per id, PLUS a near-identical twin (ONE
+    raster byte bumped by +16 mod 256) for every ``VARIANT_MOD``-th id at
+    ``id + VARIANT_OFFSET``.  A one-byte change in a {IMG_W}x{IMG_H} raster
+    moves one resized grayscale cell, flipping at most two adjacent dHash
+    difference bits — the constructed ground truth the tier's tests pin
+    exactly."""
+    enc = encode_ppm
+    w, h = IMG_W, IMG_H
+    mod, off = VARIANT_MOD, VARIANT_OFFSET
+    mk = _mixed_raster
+
+    def generate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        j = np.arange(h * w * 3, dtype=np.uint64)
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for mid in pdf[id_col]:
+                raster = mk(int(mid), j)
+                out_ids.append(int(mid))
+                payloads.append(enc(raster.reshape(h, w, 3)))
+                if int(mid) % mod == 0:
+                    twin = raster.copy()
+                    twin[0] = (int(twin[0]) + 16) % 256
+                    out_ids.append(int(mid) + off)
+                    payloads.append(enc(twin.reshape(h, w, 3)))
+            yield pd.DataFrame({"media_id": out_ids, "payload": payloads})
+
+    return ids.select(F.col(id_col)).mapInPandas(
+        generate, schema="media_id long, payload binary"
+    )
+
+
+def dhash_frame(payloads: DataFrame) -> DataFrame:
+    """(media_id, phash) — one Arrow pass; payload bytes never survive it."""
+    dh = dhash64
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    # build as int64 via numpy view to keep bit 63 intact
+                    "phash": [dh(p) - (1 << 64) if dh(p) >= (1 << 63) else dh(p) for p in pdf["payload"]],
+                }
+            )
+
+    return payloads.mapInPandas(hashes, schema="media_id long, phash long")
+
+
+@register(
+    "media_image_neardup_phash",
+    tags=("datapipe", "multimodal", "dedup", "r12"),
+)
+def q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (round-6 verdict item 6): dHash over
+    the DECODED pixels, banded exactly like ``dedup_simhash`` — extends
+    media dedup from byte-exact (``media_chunk_dedup``) to perceptual: a
+    re-encoded, slightly-edited, or noise-perturbed copy hashes to within a
+    few bits while every byte-level fingerprint changes.
+
+    Pipeline: synthesize payload corpus (with constructed near-identical
+    twins, see ``synthesize_ppm_with_variants``) → decode + resize + dHash
+    in ONE Arrow pass (payload bytes never reach a shuffle) → 4×16-bit band
+    bucketing (pigeonhole: hamming ≤ {PHASH_MAX_HAMMING} < {PHASH_BANDS}
+    bands ⇒ some band matches exactly) → bucket self-join on (band, value)
+    → ``bit_count(xor)`` verification.  No SQL form (the hash needs the
+    binary decode), so rows-only: exact semantics are pinned by the golden
+    rows + constructed-pair tests in ``test_r12_ops.py`` /
+    ``test_golden_r7.py``.
+
+    Scale: identical to the simhash tier — the banded join's candidate set
+    is output-bounded (plus band-collision noise), never all-pairs; 64-bit
+    hashes shuffle, never pixels.  At 100 TB the synthesize stage is the
+    real ingest (payloads already on disk) and the hash pass streams each
+    image once."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sig = dhash_frame(synthesize_ppm_with_variants(docs))
+    chunk_bits = DHASH_BITS // PHASH_BANDS
+    mask = (1 << chunk_bits) - 1
+    stacked = sig.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("phash", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("val"),
+                    )
+                    for c in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("cv"),
+    ).select("media_id", "phash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("media_a", "media_b", "hamming")
+    )

@@ -29,3 +29,28 @@ def test_ann_recall_report_golden_rows(spark):
     df = load_all()["ann_recall_report"].fn(spark, SF_SMOKE)
     rows = sorted(tuple(r) for r in df.collect())
     assert rows == sorted(_GOLDEN_ANN_RECALL)
+
+
+# media_image_neardup_phash: exact full output at sf0.001 in compact form —
+# the pair set is precisely the constructed twins (media_a % 4 == 0,
+# media_b = media_a + VARIANT_OFFSET, doc_ids 0..496), with hamming 1 for
+# the six media whose perturbed byte flips a dHash comparison and 0 for the
+# rest (the +16 bump lands on the same side of the neighbour comparison).
+_PHASH_HAMMING_ONES = {104, 132, 276, 308, 348, 368}
+
+
+def test_media_image_neardup_golden_rows(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        VARIANT_MOD,
+        VARIANT_OFFSET,
+    )
+
+    rows = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in load_all()["media_image_neardup_phash"].fn(spark, SF_SMOKE).collect()
+    )
+    expected = sorted(
+        (a, a + VARIANT_OFFSET, 1 if a in _PHASH_HAMMING_ONES else 0)
+        for a in range(0, 497, VARIANT_MOD)
+    )
+    assert rows == expected

@@ -73,3 +73,64 @@ def test_longest_duplicates_returns_deepest_bracket(spark, tmp_path):
     # and its row count equals that level's distinct-text count
     assert wl == max(prof)
     assert len(rows) == prof[wl]
+
+
+# --- perceptual image near-dup (dHash) ----------------------------------------
+
+
+def test_dhash_matches_pure_python_reference():
+    """dhash64 against an independent from-scratch reference on a mixed
+    raster — pins resize geometry, grayscale rule, bit order."""
+    import numpy as np
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        IMG_H,
+        IMG_W,
+        _mixed_raster,
+        dhash64,
+        encode_ppm,
+    )
+
+    j = np.arange(IMG_H * IMG_W * 3, dtype=np.uint64)
+    img = _mixed_raster(42, j).reshape(IMG_H, IMG_W, 3)
+    # reference: nearest-neighbor sample (floor mapping), int gray, row-major bits
+    expected = 0
+    bit = 0
+    for r in range(DHASH_H):
+        for c in range(DHASH_W - 1):
+            def gray(rr, cc):
+                sr, sc = rr * IMG_H // DHASH_H, cc * IMG_W // DHASH_W
+                px = img[sr, sc].astype(int)
+                return (px[0] + px[1] + px[2]) // 3
+            if gray(r, c) > gray(r, c + 1):
+                expected |= 1 << bit
+            bit += 1
+    assert dhash64(encode_ppm(img)) == expected
+
+
+def test_perceptual_neardup_constructed_pair_found_and_distinct_rejected(spark):
+    """One-pixel-perturbed copies must pair (hamming <= threshold); two
+    independent mixed images must not."""
+    import numpy as np
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        IMG_H,
+        IMG_W,
+        PHASH_MAX_HAMMING,
+        _mixed_raster,
+        dhash64,
+        encode_ppm,
+    )
+
+    j = np.arange(IMG_H * IMG_W * 3, dtype=np.uint64)
+    base = _mixed_raster(7, j)
+    twin = base.copy()
+    twin[0] = (int(twin[0]) + 16) % 256
+    other = _mixed_raster(8, j)
+    h_base = dhash64(encode_ppm(base.reshape(IMG_H, IMG_W, 3)))
+    h_twin = dhash64(encode_ppm(twin.reshape(IMG_H, IMG_W, 3)))
+    h_other = dhash64(encode_ppm(other.reshape(IMG_H, IMG_W, 3)))
+    assert bin(h_base ^ h_twin).count("1") <= PHASH_MAX_HAMMING
+    assert bin(h_base ^ h_other).count("1") > PHASH_MAX_HAMMING
