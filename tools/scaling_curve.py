@@ -116,6 +116,101 @@ def build_sf1(
     return out_dir
 
 
+def build_sf1_embeddings(
+    out_dir: str = SF1_DIR, src_dir: str = "/root/testdata/sf0.1", replicas: int = 10
+) -> str:
+    """Synthesize a replica-scaled embeddings table for the ANN chain
+    (round-6 verdict item 7): each replica k cyclically ROTATES every
+    vector's dimensions by k — distinct vectors (no brute-force ties, unlike
+    naive copying) with the exact norm/magnitude distribution of the source,
+    so codebook training and recall behave like a larger draw of the same
+    corpus.  Query panel (vec_id < N_QUERIES) stays the k=0 originals, so
+    the recall monitor probes a FIXED panel against a growing corpus — the
+    production shape.  Same content-marker early-return as ``build_sf1``."""
+    import hashlib
+    import inspect
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "embeddings.parquet")
+    st = os.stat(os.path.join(src_dir, "embeddings.parquet"))
+    synth_key = ":".join((
+        hashlib.sha1(inspect.getsource(build_sf1_embeddings).encode()).hexdigest()[:8],
+        str(replicas), str(st.st_size), str(st.st_mtime_ns),
+    ))
+    marker = os.path.join(out_dir, ".synth_key_emb")
+    if os.path.exists(out_path) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == synth_key:
+                return out_dir
+    src = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+    vec_ids = src.column("vec_id").to_numpy()
+    labels = src.column("label").to_numpy()
+    vecs = np.asarray(src.column("embedding").to_pylist(), dtype=np.float32)
+    ids_out, lab_out, vec_out = [], [], []
+    for k in range(replicas):
+        ids_out.append(vec_ids + k * ID_STRIDE)
+        lab_out.append(labels)
+        vec_out.append(np.roll(vecs, k, axis=1))
+    tbl = pa.table(
+        {
+            "vec_id": np.concatenate(ids_out),
+            "embedding": pa.array(
+                np.concatenate(vec_out).tolist(), type=src.schema.field("embedding").type
+            ),
+            "label": np.concatenate(lab_out),
+        }
+    )
+    n = tbl.num_rows
+    pq.write_table(tbl, out_path, row_group_size=max(1, n // 32))
+    with open(marker, "w") as fh:
+        fh.write(synth_key)
+    return out_dir
+
+
+def run_ann_chain(sf_dir: str, cpus: int) -> dict[str, float]:
+    """Time the embedding/ANN chain stages against a fresh stage dir:
+    exact query-panel build (the deliberate offline quadratic-in-panel leg),
+    the four index builds + panel probes, and the recall monitor that joins
+    them — the nightly index-health pipeline end to end."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe import stage
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        ANN_METHODS,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import get_spark
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    reg = load_all()
+    spark = get_spark("scaling-curve-ann", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        fn()
+        times[name] = round(time.monotonic() - t0, 2)
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()  # untimed: corpus size
+    timed("exact_panel", lambda: stage.staged_ann_exact_topk(spark, sf_dir).count())
+    for method, _fn in ANN_METHODS:
+        timed(
+            f"build_{method}",
+            lambda m=method: stage.staged_ann_method_topk(spark, sf_dir, m).count(),
+        )
+    timed(
+        "ann_recall_report",
+        lambda: reg["ann_recall_report"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save(),
+    )
+    times["total"] = round(sum(times.values()), 2)
+    times["n_vectors"] = n_vecs
+    spark.stop()
+    return times
+
+
 def run_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     """Time each chain stage against a fresh stage dir; return seconds."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
@@ -156,27 +251,45 @@ def main() -> None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps({"sf_dir": sf_dir, **run_chain(sf_dir, cpus)}))
         return
+    if "--one-ann" in sys.argv[1:]:
+        sf_dir = sys.argv[sys.argv.index("--one-ann") + 1]
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps({"sf_dir": sf_dir, **run_ann_chain(sf_dir, cpus)}))
+        return
+
+    def sweep(points, mode_flag):
+        results = []
+        for sf, sf_dir in points:
+            stage_dir = tempfile.mkdtemp(prefix="scaling_stage_")
+            env = dict(os.environ, SPARK_GRAFT_STAGE_DIR=stage_dir)
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), mode_flag, sf_dir],
+                    env=env, capture_output=True, text=True, check=True, cwd=REPO,
+                )
+                row = json.loads(out.stdout.strip().splitlines()[-1])
+                row["sf"] = sf
+                results.append(row)
+                print(json.dumps(row))
+            finally:
+                shutil.rmtree(stage_dir, ignore_errors=True)
+        print(json.dumps(results))
+
+    if "--ann" in sys.argv[1:]:
+        # embedding/ANN chain (round-6 verdict item 7): sf0.01, sf0.1, and
+        # a synthesized 10x-of-sf0.1 point (dimension-rotated replicas)
+        build_sf1_embeddings()
+        sweep(
+            [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)],
+            "--one-ann",
+        )
+        return
     build_sf1()
     points = [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)]
     if "--deep" in sys.argv[1:]:  # add the 1000x point (500k docs)
         build_sf1(SF10_DIR, replicas=100)
         points.append(("10", SF10_DIR))
-    results = []
-    for sf, sf_dir in points:
-        stage_dir = tempfile.mkdtemp(prefix="scaling_stage_")
-        env = dict(os.environ, SPARK_GRAFT_STAGE_DIR=stage_dir)
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", sf_dir],
-                env=env, capture_output=True, text=True, check=True, cwd=REPO,
-            )
-            row = json.loads(out.stdout.strip().splitlines()[-1])
-            row["sf"] = sf
-            results.append(row)
-            print(json.dumps(row))
-        finally:
-            shutil.rmtree(stage_dir, ignore_errors=True)
-    print(json.dumps(results))
+    sweep(points, "--one")
 
 
 if __name__ == "__main__":
