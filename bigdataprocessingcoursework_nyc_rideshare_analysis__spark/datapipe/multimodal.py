@@ -995,3 +995,157 @@ def q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .select("media_a", "media_b", "hamming")
     )
+
+
+# --- perceptual audio near-dup (energy-delta fingerprint) ----------------------
+
+#: fingerprint geometry: FP_FRAMES frames of FP_FRAME_LEN samples; bit f set
+#: iff frame f's energy exceeds frame f+1's — the energy-delta analog of
+#: dHash (Haitsma-Kalker-style robust hashing reduced to one band), robust
+#: to small-amplitude perturbations that change every PCM byte.
+FP_FRAMES = 65
+FP_FRAME_LEN = 4
+FP_N_SAMPLES = FP_FRAMES * FP_FRAME_LEN  # 260
+FP_BANDS = 4
+FP_MAX_HAMMING = 3
+
+
+def _build_audio_fp():
+    """Factory (closure pickling discipline, see ``_build_dhash``)."""
+    dec = decode_audio
+    frames, flen = FP_FRAMES, FP_FRAME_LEN
+
+    def audio_fp64(payload: bytes) -> int:
+        """Energy-delta fingerprint of a WAV payload: decode, exact int64
+        energy per frame, bit f = energy[f] > energy[f+1] (64 bits from 65
+        frames).  Pure integer pipeline — bit-reproducible."""
+        import numpy as np
+
+        samples, _rate = dec(payload)
+        x = samples[: frames * flen].astype(np.int64)
+        e = (x * x).reshape(frames, flen).sum(axis=1)
+        bits = e[:-1] > e[1:]
+        out = 0
+        for f in range(frames - 1):
+            if bits[f]:
+                out |= 1 << f
+        return out
+
+    return audio_fp64
+
+
+audio_fp64 = _build_audio_fp()
+
+
+def _build_mixed_pcm():
+    """Factory: per-(media, sample) mixed int16 PCM — acoustically-diverse
+    synthetic corpus (same murmur-style mix as the image tier; the
+    ``media_audio_stats`` linear pattern is perceptually degenerate for the
+    same reason the image gradient is)."""
+
+    def _mixed_pcm(mid: int, i):
+        import numpy as np
+
+        x = np.uint64(mid) * np.uint64(0x9E3779B97F4A7C15) + i * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(29)
+        return ((x % np.uint64(65536)).astype(np.int64) - 32768).astype("<i2")
+
+    return _mixed_pcm
+
+
+_mixed_pcm = _build_mixed_pcm()
+
+#: perturbed-twin frame: the +64-amplitude bump lands entirely inside this
+#: frame, so at most its two boundary comparisons flip
+FP_TWIN_FRAME = 10
+
+
+@register(
+    "media_audio_neardup_fp",
+    tags=("datapipe", "multimodal", "dedup", "r12"),
+)
+def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup pairs — the acoustic twin of
+    ``media_image_neardup_phash``, completing the perceptual dedup family
+    across modalities (text: simhash/minhash; image: dHash; audio: this):
+    an energy-delta fingerprint over the DECODED PCM pairs re-encoded or
+    slightly-perturbed recordings that byte-exact chunk dedup cannot see.
+
+    Corpus: mixed (acoustically-diverse) synthetic PCM per media, plus a
+    constructed near-identical twin for every {VARIANT_MOD}-th media
+    (+64 amplitude on frame {FP_TWIN_FRAME}'s 4 samples — every PCM byte in
+    that region changes, the fingerprint moves ≤ 2 bits).  Pipeline:
+    encode → decode + fingerprint in ONE Arrow pass (samples never reach a
+    shuffle) → {FP_BANDS}×16-bit band bucketing → ``bit_count(xor)``
+    verification, hamming ≤ {FP_MAX_HAMMING}.  Rows-only (binary decode has
+    no SQL form); exact semantics pinned by golden rows + constructed-pair
+    tests, same discipline as the image tier."""
+    enc, fp = encode_wav, audio_fp64
+    mk = _mixed_pcm
+    mod, off = VARIANT_MOD, VARIANT_OFFSET
+    nsamp, rate = FP_N_SAMPLES, AUDIO_RATE
+    tw_lo, tw_hi = FP_TWIN_FRAME * FP_FRAME_LEN, (FP_TWIN_FRAME + 1) * FP_FRAME_LEN
+
+    def gen_and_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(nsamp, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for mid in pdf["doc_id"]:
+                pcm = mk(int(mid), i)
+                ids.append(int(mid))
+                fps.append(fp(enc(pcm, rate)))
+                if int(mid) % mod == 0:
+                    twin = pcm.astype(np.int64)
+                    twin[tw_lo:tw_hi] = np.clip(twin[tw_lo:tw_hi] + 64, -32768, 32767)
+                    ids.append(int(mid) + off)
+                    fps.append(fp(enc(twin.astype("<i2"), rate)))
+            fps = [v - (1 << 64) if v >= (1 << 63) else v for v in fps]
+            yield pd.DataFrame({"media_id": ids, "phash": fps})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sig = docs.mapInPandas(gen_and_hash, schema="media_id long, phash long")
+    chunk_bits = DHASH_BITS // FP_BANDS
+    mask = (1 << chunk_bits) - 1
+    stacked = sig.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("phash", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("val"),
+                    )
+                    for c in range(FP_BANDS)
+                ]
+            )
+        ).alias("cv"),
+    ).select("media_id", "phash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= FP_MAX_HAMMING)
+        .select("media_a", "media_b", "hamming")
+    )

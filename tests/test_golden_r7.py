@@ -54,3 +54,24 @@ def test_media_image_neardup_golden_rows(spark):
         for a in range(0, 497, VARIANT_MOD)
     )
     assert rows == expected
+
+
+# media_audio_neardup_fp: same compact exact-output pin as the image tier
+_AUDIO_FP_HAMMING_ONES = {412, 472}
+
+
+def test_media_audio_neardup_golden_rows(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        VARIANT_MOD,
+        VARIANT_OFFSET,
+    )
+
+    rows = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in load_all()["media_audio_neardup_fp"].fn(spark, SF_SMOKE).collect()
+    )
+    expected = sorted(
+        (a, a + VARIANT_OFFSET, 1 if a in _AUDIO_FP_HAMMING_ONES else 0)
+        for a in range(0, 497, VARIANT_MOD)
+    )
+    assert rows == expected

@@ -134,3 +134,40 @@ def test_perceptual_neardup_constructed_pair_found_and_distinct_rejected(spark):
     h_other = dhash64(encode_ppm(other.reshape(IMG_H, IMG_W, 3)))
     assert bin(h_base ^ h_twin).count("1") <= PHASH_MAX_HAMMING
     assert bin(h_base ^ h_other).count("1") > PHASH_MAX_HAMMING
+
+
+def test_audio_fp_constructed_pair_found_and_distinct_rejected():
+    """Amplitude-bumped copies must land within threshold; independent
+    mixed PCM must not — and the fingerprint must match an independent
+    from-scratch energy-delta reference."""
+    import numpy as np
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        AUDIO_RATE,
+        FP_FRAME_LEN,
+        FP_FRAMES,
+        FP_MAX_HAMMING,
+        FP_N_SAMPLES,
+        _mixed_pcm,
+        audio_fp64,
+        encode_wav,
+    )
+
+    i = np.arange(FP_N_SAMPLES, dtype=np.uint64)
+    base = _mixed_pcm(3, i)
+    twin = base.astype(np.int64)
+    twin[40:44] = np.clip(twin[40:44] + 64, -32768, 32767)
+    other = _mixed_pcm(4, i)
+    h_base = audio_fp64(encode_wav(base, AUDIO_RATE))
+    h_twin = audio_fp64(encode_wav(twin.astype("<i2"), AUDIO_RATE))
+    h_other = audio_fp64(encode_wav(other, AUDIO_RATE))
+    assert bin(h_base ^ h_twin).count("1") <= FP_MAX_HAMMING
+    assert bin(h_base ^ h_other).count("1") > FP_MAX_HAMMING
+    # independent reference: exact int64 frame energies, delta bits
+    x = base.astype(np.int64)
+    e = (x * x).reshape(FP_FRAMES, FP_FRAME_LEN).sum(axis=1)
+    expected = 0
+    for f in range(FP_FRAMES - 1):
+        if e[f] > e[f + 1]:
+            expected |= 1 << f
+    assert h_base == expected
