@@ -470,6 +470,73 @@ def q_span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FIM (fill-in-the-middle) transform -------------------------------------------
+
+#: PSM sentinel tokens (Bavarian et al. 2022, "Efficient Training of
+#: Language Models to Fill in the Middle"); deterministic third-point
+#: pivots replace the paper's uniform split sampling so both engines (and
+#: the pytest round-trip) derive identical examples with no shared RNG —
+#: the same determinism trade documented for span corruption above.
+FIM_PRE = "<fim_prefix>"
+FIM_SUF = "<fim_suffix>"
+FIM_MID = "<fim_middle>"
+
+_FIM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), cut AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         len(toks) // 3 AS p1, (2 * len(toks)) // 3 AS p2
+  FROM t
+)
+SELECT doc_id,
+       concat_ws(' ', '{FIM_PRE}', array_to_string(list_slice(toks, 1, p1), ' '),
+                      '{FIM_SUF}', array_to_string(list_slice(toks, p2 + 1, n), ' '),
+                      '{FIM_MID}', array_to_string(list_slice(toks, p1 + 1, p2), ' '))
+         AS fim_text,
+       CAST(p1 AS BIGINT) AS n_prefix,
+       CAST(p2 - p1 AS BIGINT) AS n_middle,
+       CAST(n - p2 AS BIGINT) AS n_suffix
+FROM cut
+"""
+
+
+@register("fim_transform_examples", oracle=_FIM_ORACLE, tags=("datapipe", "scrub", "text", "r12"))
+def q_fim_transform_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training examples in PSM order (Bavarian et al.
+    2022): each document splits at deterministic third-points into
+    (prefix, middle, suffix) and re-serializes as ``{FIM_PRE} prefix
+    {FIM_SUF} suffix {FIM_MID} middle`` — the document-level transform
+    that teaches causal LMs to infill, run over the whole corpus as a data
+    pass exactly like ``span_corruption_examples`` (its span-level T5
+    sibling).  Sub-3-token documents degrade gracefully (empty pieces keep
+    their sentinels, byte-identically on both engines).
+
+    Plan: ONE stateless projection over the corpus scan — tokenize, two
+    integer pivots, three in-row array slices, one concat; no shuffle, no
+    window, no join.  The 100 TB cost is the scan itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    p1 = F.floor(n / 3).cast("int")
+    p2 = F.floor(n * 2 / 3).cast("int")
+    piece = lambda start, length: F.array_join(F.slice(toks, start, length), " ")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.lit(FIM_PRE), piece(F.lit(1), p1),
+            F.lit(FIM_SUF), piece(p2 + 1, n - p2),
+            F.lit(FIM_MID), piece(p1 + 1, p2 - p1),
+        ).alias("fim_text"),
+        p1.cast("long").alias("n_prefix"),
+        (p2 - p1).cast("long").alias("n_middle"),
+        (n - p2).cast("long").alias("n_suffix"),
+    )
+
+
 # --- text normalization audit ---------------------------------------------------
 
 _TEXT_NORM_ORACLE = """

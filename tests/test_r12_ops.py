@@ -171,3 +171,34 @@ def test_audio_fp_constructed_pair_found_and_distinct_rejected():
         if e[f] > e[f + 1]:
             expected |= 1 << f
     assert h_base == expected
+
+
+def test_fim_round_trip_reassembles_document(spark):
+    """PSM pieces must reassemble to the normalized document: extracting
+    prefix/suffix/middle from fim_text by sentinel and re-ordering as
+    prefix+middle+suffix recovers tokens_col(text) exactly, and the piece
+    counts sum to the token count."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.scrub import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.text import tokens_col
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    fim = {r["doc_id"]: r for r in load_all()["fim_transform_examples"].fn(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", tokens_col("text").alias("toks")
+    ).collect()
+    assert len(fim) == len(docs)
+    for d in docs[:50]:
+        r = fim[d["doc_id"]]
+        body = r["fim_text"]
+        assert body.startswith(FIM_PRE + " ")
+        pre, rest = body[len(FIM_PRE) + 1 :].split(" " + FIM_SUF + " ", 1)
+        suf, mid = rest.split(" " + FIM_MID + " ", 1)
+        reassembled = " ".join(p for p in (pre, mid, suf) if p)
+        assert reassembled == " ".join(d["toks"])
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == len(d["toks"])
