@@ -760,3 +760,114 @@ def _wire_datasheet_oracle() -> None:
 
 
 _wire_datasheet_oracle()
+
+
+# --- best-fit (FFD) sequence packing -----------------------------------------------
+
+#: shards per source for the bin-packing state bound: FFD is inherently
+#: sequential WITHIN its working set, so the working set is capped at one
+#: (source, shard) slice — |sources| × BF_SHARDS independent packing tasks,
+#: each holding only its slice's (doc_id, n_tokens) pairs (never text).
+BF_SHARDS = 16
+
+
+def bestfit_bins(t: DataFrame, budget: int, shards: int = BF_SHARDS) -> DataFrame:
+    """First-fit-decreasing bin packing of documents into fixed-token bins,
+    per (source, doc_id % shards) slice: the NO-SPLIT packing strategy —
+    SFT/seq2seq examples can't straddle sequences, so instead of cutting
+    (concat-and-chunk, ``pack_training_sequences``) the loader packs whole
+    documents into bins and pads each bin's tail.
+
+    FFD is the classic 11/9·OPT+1 heuristic; it needs ordered sequential
+    state, which no window/aggregate composition expresses — exactly the
+    case the brief reserves for ``applyInPandas``: Arrow delivers each
+    (source, shard) slice as one pandas frame, a pure-Python greedy packs
+    it, and only (doc_id, bin, offset) scalars come back.  Deterministic:
+    sort by (n_tokens desc, doc_id asc), first fitting bin wins; oversize
+    documents (n_tokens > budget) get a singleton bin rather than being
+    dropped, so every input row survives.
+
+    Scale: state per task is one slice's id/length pairs; adding shards
+    (or a finer shard key) bounds it arbitrarily — the trade is packing
+    quality at slice boundaries, the standard distributed-bin-packing
+    compromise."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            zip(pdf["doc_id"], pdf["n_tokens"]), key=lambda r: (-int(r[1]), int(r[0]))
+        )
+        source = pdf["source"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        bins: list[int] = []  # remaining capacity per bin
+        out = []
+        for doc_id, n in rows:
+            n = int(n)
+            placed = -1
+            if n <= budget:
+                for b, rem in enumerate(bins):
+                    if rem >= n:
+                        placed = b
+                        break
+            if placed < 0:
+                bins.append(budget)
+                placed = len(bins) - 1
+                if n > budget:  # oversize: singleton bin, fully consumed
+                    bins[placed] = n
+            out.append((int(doc_id), source, shard, placed, budget - bins[placed] if n <= budget else 0))
+            bins[placed] -= n if n <= budget else bins[placed]
+        return pd.DataFrame(
+            out, columns=["doc_id", "source", "shard", "bin_id", "offset_in_bin"]
+        )
+
+    import pandas as pd  # noqa: F811 — rebind for the closure (pickled by value)
+
+    t = t.withColumn("shard", (F.col("doc_id") % shards).cast("int"))
+    return t.groupBy("source", "shard").applyInPandas(
+        pack, schema="doc_id long, source string, shard int, bin_id int, offset_in_bin int"
+    )
+
+
+@register(
+    "pack_bestfit_efficiency",
+    tags=("datapipe", "pipeline", "loader", "r12"),
+)
+def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit packing audit per source — the third packing strategy's
+    readout beside ``packing_efficiency_by_source`` (concat-and-chunk) and
+    ``length_bucketed_batches`` (length grouping): bins used, fill rate,
+    and padding cost when documents must stay WHOLE.  Comparing this
+    table's ``padding_tokens`` against the concat-and-chunk audit is the
+    measured price of the no-split constraint; against a naive
+    one-doc-per-sequence loader it is the measured win of packing at all.
+
+    Rows-only (FFD's sequential greedy has no SQL form); the doc-level
+    assignment is pinned in pytest against an independent pure-Python FFD
+    replica plus invariants (no bin over budget, every doc packed), and
+    this aggregate carries exact sf0.001 golden rows.  Plan: one corpus
+    scan → (source, shard) applyInPandas (state = one slice's id/length
+    pairs) → one |sources|-keyed aggregation."""
+    from .scrub import PACK_TOKEN_BUDGET
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    assigned = bestfit_bins(t, PACK_TOKEN_BUDGET)
+    joined = assigned.join(t.select("doc_id", "n_tokens"), "doc_id")
+    per_bin = joined.groupBy("source", "shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    budget = PACK_TOKEN_BUDGET
+    return per_bin.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("fill") > budget, 0).otherwise(budget - F.col("fill"))
+        ).cast("long").alias("padding_tokens"),
+        F.round(
+            F.sum("fill").cast("double")
+            / F.sum(F.greatest(F.col("fill"), F.lit(budget))).cast("double"),
+            9,
+        ).alias("fill_rate"),
+    )

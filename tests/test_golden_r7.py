@@ -75,3 +75,36 @@ def test_media_audio_neardup_golden_rows(spark):
         for a in range(0, 497, VARIANT_MOD)
     )
     assert rows == expected
+
+
+# pack_bestfit_efficiency: exact sf0.001 golden rows (20 sources) —
+# (source, n_docs, n_bins, total_tokens, padding_tokens, fill_rate)
+_GOLDEN_BESTFIT = [
+    ("src0", 25, 8, 1533, 515, 0.748535156),
+    ("src1", 25, 8, 1441, 607, 0.703613281),
+    ("src10", 25, 7, 1376, 416, 0.767857143),
+    ("src11", 25, 8, 1426, 622, 0.696289063),
+    ("src12", 25, 8, 1479, 569, 0.722167969),
+    ("src13", 25, 7, 1269, 523, 0.708147321),
+    ("src14", 25, 8, 1657, 391, 0.809082031),
+    ("src15", 25, 8, 1332, 716, 0.650390625),
+    ("src16", 25, 8, 1414, 634, 0.690429688),
+    ("src17", 25, 7, 1314, 478, 0.733258929),
+    ("src18", 25, 7, 1271, 521, 0.709263393),
+    ("src19", 25, 8, 1369, 679, 0.668457031),
+    ("src2", 25, 7, 1267, 525, 0.70703125),
+    ("src3", 25, 8, 1560, 488, 0.76171875),
+    ("src4", 25, 8, 1316, 732, 0.642578125),
+    ("src5", 25, 7, 1216, 576, 0.678571429),
+    ("src6", 25, 8, 1466, 582, 0.715820313),
+    ("src7", 25, 8, 1212, 836, 0.591796875),
+    ("src8", 25, 9, 1632, 672, 0.708333333),
+    ("src9", 25, 8, 1389, 659, 0.678222656),
+]
+
+
+def test_pack_bestfit_efficiency_golden_rows(spark):
+    rows = sorted(
+        tuple(r) for r in load_all()["pack_bestfit_efficiency"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows == sorted(_GOLDEN_BESTFIT)

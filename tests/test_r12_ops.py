@@ -202,3 +202,54 @@ def test_fim_round_trip_reassembles_document(spark):
         reassembled = " ".join(p for p in (pre, mid, suf) if p)
         assert reassembled == " ".join(d["toks"])
         assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == len(d["toks"])
+
+
+# --- best-fit (FFD) packing -----------------------------------------------------
+
+
+def test_bestfit_bins_matches_pure_python_ffd(spark):
+    """Doc-level assignment against an independent FFD replica, plus the
+    packing invariants: no bin over budget, every doc packed exactly once."""
+    from collections import defaultdict
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.curate import (
+        BF_SHARDS,
+        bestfit_bins,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.text import tokens_col
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    budget = 100
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    lengths = {r["doc_id"]: r["n_tokens"] for r in t.collect()}
+    sources = {r["doc_id"]: r["source"] for r in t.collect()}
+    got = {
+        r["doc_id"]: (r["source"], r["shard"], r["bin_id"], r["offset_in_bin"])
+        for r in bestfit_bins(t, budget).collect()
+    }
+    assert set(got) == set(lengths)  # every doc packed exactly once
+
+    # independent replica
+    groups = defaultdict(list)
+    for d, n in lengths.items():
+        groups[(sources[d], d % BF_SHARDS)].append((d, n))
+    for (src, shard), rows in groups.items():
+        bins = []
+        expected = {}
+        for d, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+            placed = next((i for i, rem in enumerate(bins) if n <= budget and rem >= n), -1)
+            if placed < 0:
+                bins.append(max(budget, n) if n > budget else budget)
+                placed = len(bins) - 1
+            expected[d] = (placed, budget - bins[placed] if n <= budget else 0)
+            bins[placed] -= n if n <= budget else bins[placed]
+        fills = defaultdict(int)
+        for d, _n in rows:
+            assert got[d][0] == src and got[d][1] == shard
+            assert (got[d][2], got[d][3]) == expected[d], (src, shard, d)
+            fills[got[d][2]] += lengths[d]
+        for b, fill in fills.items():
+            assert fill <= budget or len([1 for d, _ in rows if got[d][2] == b]) == 1
