@@ -92,7 +92,17 @@ def keyed_running_sum(
     Requires non-null ``keys`` (the offset join is an inner equi-join) and a
     duplicate-free ``(*keys, *order_cols)`` tuple per row (a running sum has
     no defined per-row value on ties) — same contract as the global form.
-    """
+
+    Plan honesty (read the executed plan, not this prose): Catalyst cannot
+    know every ``spark_partition_id`` row already sits in one partition, so
+    the local window adds an ENSURE_REQUIREMENTS hash exchange on
+    ``(_pid, *keys)`` — the data moves twice (range + hash), but both
+    exchanges carry only the scalar (keys, order, value) projection (callers
+    compute lengths/weights BEFORE this helper; text never shuffles), and
+    the hash key has ≈|partitions| + |keys| distinct values, so parallelism
+    stays data-proportional.  AQE's exchange reuse feeds the totals branch
+    from the SAME range exchange (ReusedExchange — the upstream pipeline
+    runs once, pinned implicitly by the bench pins)."""
     par = partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(par, *keys, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
