@@ -1237,3 +1237,131 @@ def ann_geometry_key() -> str:
         PQ_SUBSPACES, PQ_CODEBOOK, PQ_SEED, PQ_KMEANS_ITERS, PQ_SHORTLIST,
     )
     return hashlib.sha1(":".join(map(str, parts)).encode()).hexdigest()[:12]
+
+
+# --- contrastive hard-pair mining ----------------------------------------------
+
+_HARD_PAIRS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, label AS clabel,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, q.qlabel, c.neighbor_id, c.clabel,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS DOUBLE)))
+           AS cos_sim
+  FROM q, c
+  WHERE q.query_id <> c.neighbor_id
+), neg AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored WHERE clabel <> qlabel
+), pos AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim ASC, neighbor_id ASC) AS rn
+  FROM scored WHERE clabel = qlabel
+)
+SELECT q2.query_id, CAST(q2.qlabel AS INTEGER) AS query_label,
+       n.neighbor_id AS hard_neg_id, ROUND(n.cos_sim, 9) AS hard_neg_sim,
+       p.neighbor_id AS hard_pos_id, ROUND(p.cos_sim, 9) AS hard_pos_sim,
+       ROUND(ROUND(p.cos_sim, 9) - ROUND(n.cos_sim, 9), 9) AS margin
+FROM (SELECT DISTINCT query_id, qlabel FROM scored) q2
+JOIN neg n ON n.query_id = q2.query_id AND n.rn = 1
+JOIN pos p ON p.query_id = q2.query_id AND p.rn = 1
+"""
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=_HARD_PAIRS_ORACLE,
+    tags=("datapipe", "similarity", "training", "r12"),
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-pair mining — the data-side step of embedding-model
+    training (DPR/SimCSE-style): for each query vector, the HARDEST
+    NEGATIVE (highest-cosine corpus vector with a DIFFERENT label — the
+    confusable the model must learn to push away) and the HARDEST POSITIVE
+    (lowest-cosine same-label vector — the same-class example it must still
+    pull in).  ``margin`` = hard_pos_sim − hard_neg_sim; negative margins
+    flag triplet violations, the examples a margin-loss fine-tune feeds
+    first.
+
+    Plan: the quantized broadcast queries × corpus scoring of
+    ``ann_cosine_topk`` (exact integer dots, so the DuckDB oracle replays
+    the floats bit-for-bit) with the label joined in, then two panel-keyed
+    rank windows (|panel| partitions — panel-bounded, like every query-set
+    op here) and one output-sized join.  At 100 TB you mine within each
+    query's IVF candidate lists instead of the full corpus — the staged
+    per-method panels are exactly that substrate; the brute pass stays as
+    the audit tier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    qlabels = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    )
+    # cosine_topk's scoring stage inline (no rank yet — BOTH extremes of the
+    # score distribution are consumed here, so a top-k cut would be wrong)
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            quantize_vec("embedding").alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        quantize_vec("embedding").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "clabel",
+            cosine_q(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w_neg = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    w_pos = Window.partitionBy("query_id").orderBy(F.asc("cos_sim"), F.asc("neighbor_id"))
+    neg = (
+        scored.filter(F.col("clabel") != F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("hard_neg_id"),
+            F.round("cos_sim", 9).alias("hard_neg_sim"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("clabel") == F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("hard_pos_id"),
+            F.round("cos_sim", 9).alias("hard_pos_sim"),
+        )
+    )
+    return (
+        qlabels.join(neg, "query_id")
+        .join(pos, "query_id")
+        .select(
+            "query_id",
+            F.col("qlabel").cast("int").alias("query_label"),
+            "hard_neg_id",
+            "hard_neg_sim",
+            "hard_pos_id",
+            "hard_pos_sim",
+            F.round(F.col("hard_pos_sim") - F.col("hard_neg_sim"), 9).alias("margin"),
+        )
+    )
