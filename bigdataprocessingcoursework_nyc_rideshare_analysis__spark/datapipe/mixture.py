@@ -355,3 +355,102 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- length-distribution-matched resampling ------------------------------------
+
+#: reference split: every LENMATCH_REF_MOD-th doc plays the target corpus
+#: whose token-length profile the pool is resampled to match
+LENMATCH_REF_MOD = 5
+LENMATCH_BUCKET = 16  # tokens per length bucket
+
+_LENMATCH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n
+  FROM documents
+), b AS (
+  SELECT doc_id, CAST(n // {LENMATCH_BUCKET} AS BIGINT) AS bucket,
+         doc_id % {LENMATCH_REF_MOD} = 0 AS is_ref
+  FROM t
+), rc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE is_ref GROUP BY 1),
+pc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE NOT is_ref GROUP BY 1),
+tots AS (SELECT (SELECT SUM(c) FROM rc) AS rt, (SELECT SUM(c) FROM pc) AS pt),
+ratio AS (
+  SELECT p.bucket,
+         ROUND(CAST(COALESCE(r.c, 0) * pt AS DOUBLE) / CAST(rt * p.c AS DOUBLE), 12) AS r
+  FROM pc p LEFT JOIN rc r USING (bucket), tots
+), mx AS (SELECT MAX(r) AS m FROM ratio),
+rates AS (
+  SELECT bucket, CAST(ROUND(r / m * 1000, 0) AS INTEGER) AS keep_per_mille
+  FROM ratio, mx
+)
+SELECT b.doc_id, b.bucket, rates.keep_per_mille
+FROM b JOIN rates USING (bucket)
+WHERE NOT b.is_ref
+  AND CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+      < rates.keep_per_mille
+"""
+
+
+@register(
+    "length_matched_resample",
+    oracle=_LENMATCH_ORACLE,
+    tags=("datapipe", "mixture", "sampling", "r12"),
+)
+def q_length_matched_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matched rejection sampling: resample the training pool
+    so its token-LENGTH profile matches a reference split's — the
+    curation move when pretraining data must mirror a target domain's
+    shape (SFT length profile, an eval suite, a high-quality seed corpus)
+    rather than just flatten sources (``mixture_resample_docs``) or
+    reweight by n-gram likelihood (``dsir_importance_weights``).
+
+    Per length bucket, acceptance ∝ ref_share / pool_share, normalized so
+    the most-underrepresented bucket keeps everything (the standard
+    scale-to-max rejection rule — no bucket needs up-sampling, which is
+    repetition and belongs to batch assembly).  The rate becomes a rounded
+    per-mille integer and a doc survives iff its md5 bucket falls under
+    it — the same deterministic threshold contract as the mixture
+    resampler, so both engines gate on identical integers.
+
+    Plan: two |buckets|-row aggregates off the staged token frame, a 1-row
+    max, everything broadcast back onto one corpus scan with a stateless
+    filter — no data-sized shuffle anywhere."""
+    feat = staged_features(spark, sf_dir)
+    b = feat.select(
+        "doc_id",
+        (F.size("toks").cast("long") / LENMATCH_BUCKET).cast("long").alias("bucket"),
+        (F.col("doc_id") % LENMATCH_REF_MOD == 0).alias("is_ref"),
+    )
+    rc = b.filter("is_ref").groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    pc = b.filter(~F.col("is_ref")).groupBy("bucket").agg(F.count(F.lit(1)).alias("pc"))
+    tots = F.broadcast(
+        rc.agg(F.sum("rc").alias("rt")).crossJoin(pc.agg(F.sum("pc").alias("pt")))
+    )
+    ratio = (
+        pc.join(rc, "bucket", "left")
+        .crossJoin(tots)
+        .select(
+            "bucket",
+            F.round(
+                (F.coalesce(F.col("rc"), F.lit(0)) * F.col("pt")).cast("double")
+                / (F.col("rt") * F.col("pc")).cast("double"),
+                12,
+            ).alias("r"),
+        )
+    )
+    mx = F.broadcast(ratio.agg(F.max("r").alias("m")))
+    rates = ratio.crossJoin(mx).select(
+        "bucket",
+        F.round(F.col("r") / F.col("m") * 1000, 0).cast("int").alias("keep_per_mille"),
+    )
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 1000
+    return (
+        b.filter(~F.col("is_ref"))
+        .join(F.broadcast(rates), "bucket")
+        .filter(gate < F.col("keep_per_mille"))
+        .select("doc_id", "bucket", "keep_per_mille")
+    )

@@ -253,3 +253,35 @@ def test_bestfit_bins_matches_pure_python_ffd(spark):
             fills[got[d][2]] += lengths[d]
         for b, fill in fills.items():
             assert fill <= budget or len([1 for d, _ in rows if got[d][2] == b]) == 1
+
+
+def test_length_matched_resample_improves_profile_match(spark):
+    """The resampled pool's bucket shares must be closer to the reference
+    split's than the raw pool's (total-variation distance), and no bucket's
+    acceptance may exceed 1000 per-mille."""
+    from collections import Counter
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.mixture import (
+        LENMATCH_BUCKET,
+        LENMATCH_REF_MOD,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.text import tokens_col
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", (F.size(tokens_col("text")) / LENMATCH_BUCKET).cast("long").alias("bucket")
+    ).collect()
+    ref = Counter(r["bucket"] for r in docs if r["doc_id"] % LENMATCH_REF_MOD == 0)
+    pool = Counter(r["bucket"] for r in docs if r["doc_id"] % LENMATCH_REF_MOD != 0)
+    kept_rows = load_all()["length_matched_resample"].fn(spark, sf).collect()
+    assert all(0 < r["keep_per_mille"] <= 1000 for r in kept_rows)
+    kept = Counter(r["bucket"] for r in kept_rows)
+
+    def tv(a, b):
+        ka = sum(a.values())
+        kb = sum(b.values())
+        return sum(abs(a[x] / ka - b[x] / kb) for x in set(a) | set(b)) / 2
+
+    assert tv(kept, ref) < tv(pool, ref)
