@@ -871,3 +871,74 @@ def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("fill_rate"),
     )
+
+
+# --- token-budget selection by quality ----------------------------------------------
+
+SELECT_BUDGET_FRAC = 0.25  # select the best docs until 25% of pool tokens
+
+
+def _budget_select_oracle() -> str:
+    from .textstats import _SCORE_CTES
+
+    return f"""
+WITH {_SCORE_CTES}, s AS (
+  SELECT sc.doc_id, sc.score, CAST(len(t.toks) AS BIGINT) AS n_tokens
+  FROM scored sc JOIN t USING (doc_id)
+), b AS (
+  SELECT CAST(floor(SUM(n_tokens) * {SELECT_BUDGET_FRAC}) AS BIGINT) AS budget FROM s
+), c AS (
+  SELECT doc_id, score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT doc_id, ROUND(score, 9) AS score, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c, b WHERE cum <= budget
+"""
+
+
+@register(
+    "budget_select_by_quality",
+    oracle=_budget_select_oracle(),
+    tags=("datapipe", "pipeline", "selection", "r12"),
+)
+def q_budget_select_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: keep the highest-quality documents
+    until {SELECT_BUDGET_FRAC:.0%} of the pool's tokens are spent — the
+    "train on the best X% by classifier" selection rule (the budgeted
+    sibling of the binary keep gate in ``quality_model_score``; phi-style
+    pipelines and classifier-filtered CommonCrawl runs are exactly this).
+    Output is the selected manifest with each document's cumulative token
+    position, so the cut is reproducible and auditable.
+
+    The global greedy needs a running token sum over the quality order —
+    the canonical single-reducer trap — so it rides
+    ``range_partitioned_running_sum`` (round-7's two-level pattern, global
+    form): range-partition on (−score, doc_id), broadcast per-partition
+    offsets, local cumsums.  Budget is one broadcast scalar
+    (``floor(Σtokens · {SELECT_BUDGET_FRAC})`` — ¼ is a power of two, so
+    the double multiply is exact on both engines).  Deterministic ties
+    (score, then doc_id)."""
+    from ..operators.events import range_partitioned_running_sum
+    from .stage import staged_features
+    from .textstats import _quality_score_frame
+
+    scored = _quality_score_frame(spark, sf_dir).select("doc_id", "score")
+    ntok = staged_features(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    s = scored.join(ntok, "doc_id").withColumn("_negscore", -F.col("score"))
+    budget = F.broadcast(
+        s.agg(F.floor(F.sum("n_tokens") * SELECT_BUDGET_FRAC).cast("long").alias("budget"))
+    )
+    cum = range_partitioned_running_sum(s, ["_negscore", "doc_id"], "n_tokens", "cum_tokens")
+    return (
+        cum.crossJoin(budget)
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select(
+            "doc_id",
+            F.round("score", 9).alias("score"),
+            "n_tokens",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

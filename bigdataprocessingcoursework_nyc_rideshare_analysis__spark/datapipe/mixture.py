@@ -454,3 +454,117 @@ def q_length_matched_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(gate < F.col("keep_per_mille"))
         .select("doc_id", "bucket", "keep_per_mille")
     )
+
+
+# --- water-filling source caps ---------------------------------------------------
+
+WATERFILL_BUDGET_FRAC = 0.5  # global token budget as a fraction of the corpus
+
+_WATERFILL_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), b AS (
+  SELECT CAST(floor(SUM(n_tokens) * {WATERFILL_BUDGET_FRAC}) AS BIGINT) AS budget,
+         CAST(COUNT(*) AS BIGINT) AS n_src,
+         CAST(MAX(n_tokens) AS BIGINT) AS max_tok
+  FROM per_source
+), ordered AS (
+  SELECT source, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens ASC, source ASC) AS k,
+         SUM(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+                             ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM per_source
+), feasible AS (
+  SELECT o.k, (o.prefix - o.n_tokens + (b.n_src - o.k + 1) * o.n_tokens) >= b.budget AS full_at_k,
+         o.prefix - o.n_tokens AS prefix_before, o.n_tokens
+  FROM ordered o, b
+), kstar AS (
+  SELECT MIN(k) AS k FROM feasible WHERE full_at_k
+), cap AS (
+  SELECT CASE WHEN kstar.k IS NULL THEN CAST(b.max_tok AS DOUBLE)
+              ELSE (b.budget - f.prefix_before) / CAST(b.n_src - kstar.k + 1 AS DOUBLE)
+         END AS c
+  FROM b LEFT JOIN kstar ON TRUE LEFT JOIN feasible f ON f.k = kstar.k
+)
+SELECT p.source, p.n_tokens,
+       ROUND(cap.c, 9) AS cap_tokens,
+       ROUND(LEAST(CAST(p.n_tokens AS DOUBLE), cap.c), 9) AS alloc_tokens,
+       ROUND(LEAST(CAST(p.n_tokens AS DOUBLE), cap.c) / p.n_tokens, 9) AS kept_frac
+FROM per_source p, cap
+"""
+
+
+@register(
+    "waterfill_source_caps",
+    oracle=_WATERFILL_ORACLE,
+    tags=("datapipe", "mixture", "r12"),
+)
+def q_waterfill_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: find the cap c
+    with Σ_s min(tokens_s, c) = budget and give every source min(tokens_s,
+    c) — the max-min-fair answer to "we can afford {WATERFILL_BUDGET_FRAC:.0%}
+    of the corpus; which sources shrink?"  Small sources keep everything,
+    the largest are clipped to one common water level — the cap-allocation
+    complement of the temperature weights (which RESHAPE shares; this
+    ENFORCES a budget fairly).
+
+    Closed form, no iteration: sort sources by size ascending; the first
+    index k where prefix_{{k-1}} + (n−k+1)·tokens_k ≥ budget brackets the
+    water level, and c = (budget − prefix_{{k-1}}) / (n−k+1).  All windows
+    and joins run on the |sources|-row aggregate — the corpus is touched by
+    ONE token-count scan; everything after is broadcast-sized.  Exact: the
+    bracketing uses integer sums; c is one double division, rounded 9 dp on
+    both engines."""
+    from .stage import staged_features
+
+    per_source = (
+        staged_features(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size("toks").cast("long")).alias("n_tokens"))
+    )
+    b = F.broadcast(
+        per_source.agg(
+            F.floor(F.sum("n_tokens") * WATERFILL_BUDGET_FRAC).cast("long").alias("budget"),
+            F.count(F.lit(1)).alias("n_src"),
+            F.max("n_tokens").alias("max_tok"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("n_tokens"), F.asc("source"))
+    ordered = per_source.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("k"),
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("prefix"),
+    )
+    feas = ordered.crossJoin(b).withColumn(
+        "full_at_k",
+        (F.col("prefix") - F.col("n_tokens") + (F.col("n_src") - F.col("k") + 1) * F.col("n_tokens"))
+        >= F.col("budget"),
+    )
+    kstar = F.broadcast(feas.filter("full_at_k").agg(F.min("k").alias("kstar")))
+    cap = F.broadcast(
+        feas.crossJoin(kstar)
+        .filter(F.col("k") == F.col("kstar"))
+        .select(
+            ((F.col("budget") - (F.col("prefix") - F.col("n_tokens")))
+             / (F.col("n_src") - F.col("kstar") + 1).cast("double")).alias("c")
+        )
+        .unionByName(
+            # budget >= total corpus: no k qualifies... (kstar empty) — cap at max
+            kstar.crossJoin(b)
+            .filter(F.col("kstar").isNull())
+            .select(F.col("max_tok").cast("double").alias("c"))
+        )
+    )
+    alloc = F.least(F.col("n_tokens").cast("double"), F.col("c"))
+    return per_source.crossJoin(cap).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("c"), 9).alias("cap_tokens"),
+        F.round(alloc, 9).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 9).alias("kept_frac"),
+    )
