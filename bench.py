@@ -104,6 +104,7 @@ def main() -> None:
         staged_ann_method_topk,
         staged_features,
         staged_jaccard_pairs,
+        staged_quality_scores,
         staged_segments,
         staged_shingles,
         staged_tfidf_doc_vectors,
@@ -120,6 +121,7 @@ def main() -> None:
         staged_tfidf_topk,
         staged_tfidf_sim_candidates,
         staged_tfidf_doc_vectors,
+        staged_quality_scores,
         staged_ann_exact_topk,
     ):
         build(spark, sf_dir).write.format("noop").mode("overwrite").save()

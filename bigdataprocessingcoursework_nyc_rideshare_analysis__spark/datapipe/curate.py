@@ -408,9 +408,9 @@ def q_curate_pack_quality_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     score over one (doc_id, lang, text)-pruned scan — the one branch that
     cannot read the staged feature frame, because the deployed score uses
     RAW text length where the stage keeps only token arrays."""
-    from .textstats import _quality_score_frame
+    from .stage import staged_quality_scores
 
-    keep = _quality_score_frame(spark, sf_dir).filter(F.col("score") >= 0).select("doc_id")
+    keep = staged_quality_scores(spark, sf_dir).filter(F.col("score") >= 0).select("doc_id")
     return pack_corpus_gated(spark, sf_dir, keep)
 
 
@@ -616,9 +616,9 @@ def q_preference_pairs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning orders ascending).  The final (source, rank) equi-join is
     unchanged.  Exactness: the score is the deployed gate's pinned
     association order; the margin subtracts two such doubles once."""
-    from .textstats import _quality_score_frame
+    from .stage import staged_quality_scores
 
-    scored = _quality_score_frame(spark, sf_dir).drop("lang")
+    scored = staged_quality_scores(spark, sf_dir).drop("lang")
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     s = scored.join(src, "doc_id")
     keepers = keyed_row_number(
@@ -920,10 +920,9 @@ def q_budget_select_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the double multiply is exact on both engines).  Deterministic ties
     (score, then doc_id)."""
     from ..operators.events import range_partitioned_running_sum
-    from .stage import staged_features
-    from .textstats import _quality_score_frame
+    from .stage import staged_features, staged_quality_scores
 
-    scored = _quality_score_frame(spark, sf_dir).select("doc_id", "score")
+    scored = staged_quality_scores(spark, sf_dir).select("doc_id", "score")
     ntok = staged_features(spark, sf_dir).select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )

@@ -280,6 +280,34 @@ def staged_tfidf_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def staged_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployed quality classifier's score table (doc_id, lang, score),
+    staged — in production the inference pass writes its scores ONCE and
+    every selection/pairing consumer reads the table; re-running the model
+    per consumer is the per-branch tax that kills a 100 TB run.
+
+    Consumers: ``preference_pairs_by_source`` (two rank legs previously
+    re-scored the raw corpus each), ``curate_pack_quality_gated``'s keep
+    side, ``budget_select_by_quality``.  ``quality_model_score`` — the
+    scoring query itself — deliberately does NOT read this stage: it IS the
+    inference pass being measured (same discipline as
+    ``staged_jaccard_pairs``).  The stage key folds a source hash of the
+    score construction, so retuning QUALITY_WEIGHTS or the feature
+    expressions rebuilds it."""
+    from .textstats import _quality_score_frame
+
+    def build() -> DataFrame:
+        par = spark.sparkContext.defaultParallelism
+        return _quality_score_frame(spark, sf_dir).repartition(par)
+
+    out = _ensure(
+        f"quality_scores_{_fn_version(_quality_score_frame)}",
+        sf_dir,
+        build,
+    )
+    return spark.read.parquet(out)
+
+
 def staged_ann_method_topk(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
     """One ANN tier's top-k result table (query_id, neighbor_id, cos_sim,
     rank) over the standard query panel, staged — the nightly index-build
