@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -216,6 +217,82 @@ def throttle_dedup_stream(events: DataFrame, gap_s: int = 3600) -> DataFrame:
         update,
         outputStructType=THROTTLE_OUT_SCHEMA,
         stateStructType=_LAST_KEPT_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming perceptual dedup screen ------------------------------------------
+
+PERCEPTUAL_OUT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("bucket", LongType()),
+    ]
+)
+
+_KEPT_HASHES_SCHEMA = StructType(
+    [StructField("kept", ArrayType(LongType()))]
+)
+
+
+def perceptual_dedup_stream(
+    media: DataFrame, max_hamming: int = 3, band_bits: int = 16, band: int = 0
+) -> DataFrame:
+    """Streaming PERCEPTUAL dedup screen: admit a media item only if no
+    previously-admitted item in its fingerprint band bucket is within
+    ``max_hamming`` bits — the in-stream twin of
+    ``media_image_neardup_phash`` / ``media_audio_neardup_fp``'s batch
+    banding, for ingest pipelines that must reject re-encoded/
+    near-identical uploads AS THEY ARRIVE (batch dedup only tells you
+    after the fact).  The built-in ``dropDuplicatesWithinWatermark``
+    handles byte-exact streams; "within hamming distance of anything
+    kept" is a sequential, order-dependent rule only a custom state
+    machine expresses.
+
+    State per band bucket is the list of ADMITTED fingerprints (near-dups
+    are rejected and never enter state, so state grows with distinct
+    content, not with traffic).  Single-band screening is the documented
+    approximation: a pair colliding only in another band passes the screen
+    and is caught by the nightly batch pass — the standard cheap-gate /
+    exact-sweep split this engine uses everywhere (Bloom screen → n-gram
+    pass, LSH → verify).  Within a micro-batch rows are ordered by
+    media_id, so output is deterministic for any fixed batching; the
+    earliest arrival wins, exactly like batch keep-first dedup.
+
+    The update function is a closure (cloudpickle by-value; workers never
+    import this package — same rule as every Python-worker callable)."""
+    from pyspark.sql import functions as F
+
+    mask = (1 << band_bits) - 1
+    keyed = media.withColumn(
+        "bucket",
+        F.shiftright("phash", band * band_bits).bitwiseAND(F.lit(mask).cast("long")),
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        kept: list[int] = list(state.get[0]) if state.exists else []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("media_id")
+        out_rows = []
+        for row in pdf.itertuples():
+            h = int(row.phash)
+            if all(bin((h ^ k) & ((1 << 64) - 1)).count("1") > max_hamming for k in kept):
+                kept.append(h)
+                out_rows.append((int(row.media_id), h, int(key[0])))
+        state.update((kept,))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["media_id", "phash", "bucket"])
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=PERCEPTUAL_OUT_SCHEMA,
+        stateStructType=_KEPT_HASHES_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

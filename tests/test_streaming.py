@@ -852,3 +852,112 @@ def test_streaming_throttle_state_carries_across_batches(spark):
         assert got == [1, 3]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _py_perceptual_screen(rows, max_hamming, band_bits=16, band=0):
+    """Sequential reference: per band bucket, earliest media_id wins; admit
+    iff hamming > max_hamming vs every previously-ADMITTED hash."""
+    mask = (1 << band_bits) - 1
+    kept_by_bucket = {}
+    admitted = set()
+    for media_id, phash in sorted(rows):
+        b = (phash >> (band * band_bits)) & mask
+        kept = kept_by_bucket.setdefault(b, [])
+        if all(bin((phash ^ k) & ((1 << 64) - 1)).count("1") > max_hamming for k in kept):
+            kept.append(phash)
+            admitted.add(media_id)
+    return admitted
+
+
+def test_streaming_perceptual_screen_matches_sequential_reference(spark):
+    """One micro-batch over the perceptual corpus (base images + near-twin
+    variants): admitted set equals the earliest-wins sequential reference —
+    every near-twin of an admitted base is rejected in-stream."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        dhash_frame,
+        synthesize_ppm_with_variants,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.stateful import (
+        perceptual_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id").limit(100)
+    sig = dhash_frame(synthesize_ppm_with_variants(docs))
+    rows = [(r["media_id"], r["phash"] & ((1 << 64) - 1)) for r in sig.collect()]
+    d = tempfile.mkdtemp(prefix="media_phash_")
+    try:
+        sig.orderBy("media_id").coalesce(1).write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(sig.schema).parquet(d)
+        q = (
+            perceptual_dedup_stream(src, max_hamming=3)
+            .writeStream.format("memory")
+            .queryName("phash_screen")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.media_id for r in spark.table("phash_screen").collect()}
+        want = _py_perceptual_screen(rows, 3)
+        assert got == want
+        # the variants exist and every one whose base was admitted is screened
+        assert len(got) < len(rows)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_perceptual_screen_state_carries_across_batches(spark):
+    """Two micro-batches (one file each): a second-batch near-twin of a
+    first-batch admitted item must be rejected — the kept-fingerprint list
+    survives the batch boundary."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.stateful import (
+        perceptual_dedup_stream,
+    )
+
+    base = 0b1010_1100_0011 << 20
+    twin = base ^ (1 << 20)  # hamming 1, flipped OUTSIDE band 0 -> same bucket
+    far = (base & 0xFFFF) | (0x123456 << 16)  # same band-0 bucket, far bits above
+    schema = "media_id long, phash long"
+    d = tempfile.mkdtemp(prefix="phash_batches_")
+    try:
+        spark.createDataFrame([(1, base)], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/b1")
+        spark.createDataFrame([(2, twin), (3, far)], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/b2")
+        import os as _os
+        import shutil as _sh
+
+        stream_dir = tempfile.mkdtemp(prefix="phash_stream_")
+        # land files one at a time; maxFilesPerTrigger=1 -> one batch per file
+        import time as _time
+
+        now = _time.time()
+        for i, src_dir in enumerate(("b1", "b2")):
+            for f in sorted(_os.listdir(f"{d}/{src_dir}")):
+                if f.endswith(".parquet"):
+                    dst = f"{stream_dir}/{i}_{f}"
+                    _sh.copy(f"{d}/{src_dir}/{f}", dst)
+                    # FileStreamSource orders batches by mtime: make it explicit
+                    _os.utime(dst, (now + i * 10, now + i * 10))
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            perceptual_dedup_stream(src, max_hamming=3)
+            .writeStream.format("memory")
+            .queryName("phash_screen_batches")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.media_id for r in spark.table("phash_screen_batches").collect()}
+        assert got == {1, 3}  # twin (2) rejected across the batch boundary
+        _sh.rmtree(stream_dir, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
