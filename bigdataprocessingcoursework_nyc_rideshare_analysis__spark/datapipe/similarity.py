@@ -1365,3 +1365,110 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hard_pos_sim") - F.col("hard_neg_sim"), 9).alias("margin"),
         )
     )
+
+
+# --- Matryoshka truncation recall curve ------------------------------------------
+
+MRL_DIMS = (8, 16, 32)  # prefix budgets evaluated against the full-dim truth
+
+
+def _mrl_oracle() -> str:
+    """Per-budget CTE chain: quantized cosine top-k over each prefix, hit
+    counts against the full-dimension truth, exact-integer recall rollup."""
+    qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+    def scored(alias: str, dim_expr: str) -> str:
+        return f"""{alias} AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])) AS DOUBLE)))
+           AS cos_sim
+  FROM (SELECT vec_id AS query_id, {dim_expr} AS v FROM embeddings WHERE vec_id < {N_QUERIES}) q,
+       (SELECT vec_id AS neighbor_id, {dim_expr} AS v FROM embeddings) c
+  WHERE q.query_id <> c.neighbor_id
+)"""
+
+    parts = [scored("full_sc", qv)]
+    parts.append(f""", truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM full_sc
+  ) WHERE rn <= {TOP_K}
+)""")
+    rows = []
+    for d in MRL_DIMS:
+        parts.append(", " + scored(f"sc{d}", f"list_slice({qv}, 1, {d})"))
+        parts.append(f""", top{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM sc{d}
+  ) WHERE rn <= {TOP_K}
+), hits{d} AS (
+  SELECT t.query_id, COUNT(a.neighbor_id) AS h
+  FROM (SELECT DISTINCT query_id FROM truth) t
+  LEFT JOIN (SELECT x.query_id, x.neighbor_id FROM top{d} x JOIN truth USING (query_id, neighbor_id)) a
+    USING (query_id)
+  GROUP BY t.query_id
+)""")
+        rows.append(
+            f"SELECT CAST({d} AS INTEGER) AS prefix_dim, CAST(COUNT(*) AS BIGINT) AS n_queries, "
+            f"CAST(SUM(h) AS DOUBLE) / ({TOP_K} * COUNT(*)) AS avg_recall, "
+            f"CAST(MIN(h) AS DOUBLE) / {TOP_K} AS min_recall FROM hits{d}"
+        )
+    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register(
+    "matryoshka_recall_curve",
+    oracle=_mrl_oracle(),
+    tags=("datapipe", "similarity", "diagnostic", "r12"),
+)
+def q_matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality under embedding TRUNCATION: exact top-{TOP_K}
+    recall of each prefix budget {MRL_DIMS} against the full-dimension
+    truth — the decision table for Matryoshka-style serving (store/search
+    the first d dims at 1/8th the cost; this says what ranking quality
+    that buys).  The RETRIEVAL complement of ``embedding_prefix_energy``
+    (energy says how much mass a prefix retains; this says how much of the
+    actual neighbor RANKING survives).
+
+    Plan: one brute panel pass per budget plus the full-dim truth —
+    panel×corpus each (linear in corpus, the deliberate eval tier, same
+    shape as ``ann_cosine_topk``); hit counting is an output-bounded join;
+    the rollup divides exact integer hit sums ONCE per budget, so no
+    float-summation order exists.  At 100 TB the truth comes from the
+    staged exact panel and each budget probes its truncated index —
+    identical joins, staged inputs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = cosine_topk(emb, queries, TOP_K).select("query_id", "neighbor_id")
+    q_ids = queries.select(F.col("vec_id").alias("query_id"))
+    parts = []
+    for d in MRL_DIMS:
+        t = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        appx = cosine_topk(t, t.filter(F.col("vec_id") < N_QUERIES), TOP_K).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            q_ids.join(
+                appx.join(truth, ["query_id", "neighbor_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("h")),
+                "query_id",
+                "left",
+            )
+            .select("query_id", F.coalesce("h", F.lit(0)).alias("h"))
+        )
+        parts.append(
+            hits.agg(
+                F.lit(d).cast("int").alias("prefix_dim"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                (F.sum("h").cast("double") / (TOP_K * F.count(F.lit(1)))).alias("avg_recall"),
+                (F.min("h").cast("double") / TOP_K).alias("min_recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -338,3 +338,30 @@ def test_budget_select_stops_exactly_at_the_token_budget(spark):
     # (greedy by order, not size) — instead assert the cut is order-tight:
     # every selected cum <= budget and count matches distinct docs
     assert len({r["doc_id"] for r in sel}) == len(sel)
+
+
+def test_matryoshka_recall_bounds_and_full_dim_identity(spark):
+    """Recalls live in [0,1]; a prefix equal to the FULL dimension must
+    recall 1.0 exactly (the truncated ranking IS the truth) — pinning that
+    truth and probe share quantization, tie rule, and k."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe import similarity as sim
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    rows = load_all()["matryoshka_recall_curve"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert {r["prefix_dim"] for r in rows} == set(sim.MRL_DIMS)
+    for r in rows:
+        assert 0.0 <= r["min_recall"] <= r["avg_recall"] <= 1.0
+    # full-dim identity via the same code path, monkey-free: rebuild with
+    # the full dimension as the only budget
+    import pyspark.sql.functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full_dim = len(emb.select("embedding").first()[0])
+    truth = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < sim.N_QUERIES), sim.TOP_K)
+    t = emb.select("vec_id", F.slice("embedding", 1, full_dim).alias("embedding"))
+    appx = sim.cosine_topk(t, t.filter(F.col("vec_id") < sim.N_QUERIES), sim.TOP_K)
+    a = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+    b = {(r["query_id"], r["neighbor_id"]) for r in appx.collect()}
+    assert a == b
