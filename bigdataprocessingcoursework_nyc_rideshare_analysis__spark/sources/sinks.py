@@ -160,3 +160,52 @@ def write_sized_parquet(
     max_records = max(1, int(target_mb * 1024 * 1024 / avg_w))
     df.write.mode(mode).option("maxRecordsPerFile", max_records).parquet(path)
     return max_records
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_json_lines_audited(spark, path: str, schema) -> DataFrame:
+    """JSON-lines source with malformed-line QUARANTINE — the ingest shape
+    real scraped corpora need: at 100 TB there are ALWAYS broken lines
+    (truncated writes, encoding garbage, schema drift), and the two failure
+    modes of the naive reader are both wrong — FAILFAST kills a day-long
+    job on line one, silent DROPMALFORMED destroys the audit trail.
+
+    PERMISSIVE mode parses every well-formed line against ``schema`` and
+    lands each malformed line's RAW TEXT in ``{CORRUPT_COL}`` (all data
+    fields null), so one scan yields both the clean rows and the evidence.
+    Split with ``split_corrupt``; quarantine volume is the data-quality
+    metric to alert on.
+
+    ``schema`` is REQUIRED (not merely recommended): inference is a second
+    full pass, and under PERMISSIVE an inferred schema would be fit to the
+    corrupt lines too."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    audited = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+    return (
+        spark.read.schema(audited)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine) from an audited read: clean rows drop the audit
+    column; quarantine rows lead with the raw malformed line and keep the
+    data columns (PERMISSIVE can partially salvage fields — seeing which
+    survived is triage signal).  Keeping data columns in the quarantine
+    projection is also REQUIRED: Spark (2.3+) disallows queries whose only
+    referenced column from a raw JSON/CSV scan is the internal
+    corrupt-record column (the documented alternative is caching the parsed
+    frame — a session-lifetime leak this engine avoids)."""
+    from pyspark.sql import functions as F
+
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    data_cols = [c for c in df.columns if c != CORRUPT_COL]
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line"), *data_cols
+    )
+    return clean, quarantine

@@ -374,3 +374,31 @@ def test_parquet_merge_schema_reads_evolved_layout(spark, outdir):
     assert set(df.columns) == {"id", "a", "b", "v"}
     got = {r.id: (r.a, r.b) for r in df.collect()}
     assert got == {1: ("x", None), 2: ("y", 7.0)}
+
+
+def test_jsonl_audited_read_quarantines_malformed_lines(spark, tmp_path):
+    """One scan yields exactly the clean rows AND exactly the broken raw
+    lines — no silent drops, no job-killing failure."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources.sinks import (
+        read_json_lines_audited,
+        split_corrupt,
+    )
+
+    good = [
+        '{"doc_id": 1, "text": "alpha"}',
+        '{"doc_id": 2, "text": "beta"}',
+        '{"doc_id": 3, "text": "gamma"}',
+    ]
+    bad = [
+        '{"doc_id": 4, "text": "truncated',       # unterminated string/object
+        "not json at all",                         # garbage line
+    ]
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(good[:2] + [bad[0]] + [good[2]] + [bad[1]]) + "\n")
+    schema = spark.createDataFrame([(1, "x")], "doc_id long, text string").schema
+    df = read_json_lines_audited(spark, str(p), schema)
+    clean, quarantine = split_corrupt(df)
+    assert sorted((r["doc_id"], r["text"]) for r in clean.collect()) == [
+        (1, "alpha"), (2, "beta"), (3, "gamma")
+    ]
+    assert sorted(r["raw_line"] for r in quarantine.collect()) == sorted(bad)
