@@ -2328,3 +2328,87 @@ def q_doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         compress_stats,
         schema="doc_id long, n_bytes long, n_compressed long, ratio double",
     )
+
+
+# --- per-source unigram KL divergence vs the corpus --------------------------------
+
+_SOURCE_KL_ORACLE = """
+WITH t AS (
+  SELECT source, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), stc AS (
+  SELECT source, tok AS term, CAST(COUNT(*) AS BIGINT) AS tc
+  FROM t, UNNEST(toks) AS u(tok) GROUP BY 1, 2
+), ct AS (
+  SELECT term, CAST(SUM(tc) AS BIGINT) AS c FROM stc GROUP BY 1
+), dims AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(c) AS BIGINT) AS n FROM ct
+), srcn AS (
+  SELECT source, CAST(SUM(tc) AS BIGINT) AS ns FROM stc GROUP BY 1
+), grid AS (
+  SELECT s.source, s.ns, c.term, c.c, COALESCE(x.tc, 0) AS tc
+  FROM srcn s CROSS JOIN ct c
+  LEFT JOIN stc x ON x.source = s.source AND x.term = c.term
+), terms AS (
+  SELECT source,
+         CAST(ROUND(
+           (CAST(tc + 1 AS DOUBLE) / (ns + v))
+             * ln((CAST(tc + 1 AS DOUBLE) / (ns + v)) / (CAST(c + 1 AS DOUBLE) / (n + v))),
+           12) AS DECIMAL(24, 12)) AS kl_term
+  FROM grid, dims
+)
+SELECT source, ROUND(CAST(SUM(kl_term) AS DOUBLE), 9) AS kl_nats
+FROM terms GROUP BY source
+"""
+
+
+@register(
+    "source_unigram_kl",
+    oracle=_SOURCE_KL_ORACLE,
+    tags=("datapipe", "text", "drift", "r12"),
+)
+def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution
+    (add-one smoothing over the shared vocabulary) — the domain-ness score
+    that ranks sources by how far their language drifts from the mixture
+    (``source_token_entropy`` measures each source's own spread; this
+    measures its DISTANCE from the blend — the number DSIR-style selection
+    and mixture design read).
+
+    Exactness discipline: each term's p·ln(p/q) contribution is rounded to
+    12 dp and summed as DECIMAL — order-free, so partial-aggregation
+    ordering can't move the 9-dp result (the float-sum hazard every other
+    statistical rollup here avoids the same way).  Scale shape: two
+    token-keyed aggregates off the staged token frame; the |vocab|×|sources|
+    grid comes from ONE broadcast of the |sources|-row totals onto the
+    vocabulary frame — at web scale you cap the vocabulary at the top-V
+    heavy hitters first (``heavy_hitter_terms`` is that stage), keeping the
+    grid bounded; the smoothing mass absorbs the tail either way."""
+    from ..functions.text import tokens_of
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    stc = (
+        feat.select("source", F.explode(tokens_of(feat)).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    )
+    ct = stc.groupBy("term").agg(F.sum("tc").cast("long").alias("c"))
+    dims = F.broadcast(
+        ct.agg(F.count(F.lit(1)).cast("long").alias("v"), F.sum("c").cast("long").alias("n"))
+    )
+    srcn = F.broadcast(stc.groupBy("source").agg(F.sum("tc").cast("long").alias("ns")))
+    grid = (
+        ct.crossJoin(srcn)
+        .join(stc, ["source", "term"], "left")
+        .select("source", "ns", "term", "c", F.coalesce("tc", F.lit(0)).alias("tc"))
+    )
+    p = (F.col("tc") + 1).cast("double") / (F.col("ns") + F.col("v"))
+    q = (F.col("c") + 1).cast("double") / (F.col("n") + F.col("v"))
+    term = F.round(p * F.log(p / q), 12).cast("decimal(24,12)")
+    return (
+        grid.crossJoin(dims)
+        .select("source", term.alias("kl_term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("kl_term").cast("double"), 9).alias("kl_nats"))
+    )

@@ -365,3 +365,41 @@ def test_matryoshka_recall_bounds_and_full_dim_identity(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
     b = {(r["query_id"], r["neighbor_id"]) for r in appx.collect()}
     assert a == b
+
+
+def test_source_unigram_kl_nonneg_and_detects_divergent_source(spark):
+    """KL >= 0 for every source on real data, and a constructed corpus
+    where one source uses a disjoint vocabulary scores that source far
+    above a source drawn from the blend."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    rows = load_all()["source_unigram_kl"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["kl_nats"] >= 0 for r in rows)
+
+    # constructed: srcA/srcB share a vocabulary, srcC is disjoint
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        q_source_unigram_kl,
+    )
+
+    # drive the same math through a temp table by monkey-free reuse: build
+    # the frame inline with the staged path bypassed via a tiny parquet dir
+    import tempfile, shutil, os
+
+    d = tempfile.mkdtemp(prefix="kl_docs_")
+    try:
+        spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat", "en", "srcA", 22),
+                (2, "the dog sat on the rug", "en", "srcA", 22),
+                (3, "the cat and the dog sat", "en", "srcB", 23),
+                (4, "zq xv qqq zzz xxx yyy", "en", "srcC", 21),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        kl = {
+            r["source"]: r["kl_nats"]
+            for r in q_source_unigram_kl(spark, d).collect()
+        }
+        assert kl["srcC"] > kl["srcA"] and kl["srcC"] > kl["srcB"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
