@@ -205,6 +205,35 @@ DRIVER_VERIFIED.update(dict.fromkeys((
     "session_overlap_histogram", "events_global_sequence",
     "theilsen_daily_trend", "record_high_days",
 ), 6))
+DRIVER_VERIFIED.update(dict.fromkeys((
+    # CORRECTNESS_r07.json: 48 hash-green + 2 rows-only
+    # (bpe_learn_merges, train_quality_classifier — no SQL form by design;
+    # they stay OUT of this dict so the r8 driver window re-samples them
+    # alongside the 13 never-sampled rows-only queries).  The three
+    # CHANGED_SINCE_VERIFIED re-verifications (pack_training_sequences,
+    # curate_pack_corpus, tfidf_doc_similarity_pairs) went green and move
+    # to round-7 freshness here.
+    "ab_srm_check", "ab_test_cuped_value", "ann_filtered_topk",
+    "blocklist_screen_docs", "bm25_topk_docs", "budget_select_by_quality",
+    "cohort_ltv_curve", "curate_pack_corpus", "curate_pack_quality_gated",
+    "daily_acf", "daily_changepoint", "daily_robust_band",
+    "dedup_savings_by_source", "dsir_importance_weights",
+    "embedding_hard_negatives", "embedding_prefix_energy",
+    "event_type_dispersion", "fim_transform_examples",
+    "kendall_tau_click_purchase", "langid_agreement_stats",
+    "langid_classification_report", "langid_confusion_matrix",
+    "length_bucketed_batches", "length_matched_resample", "ljung_box_daily",
+    "mann_kendall_daily_trend", "matryoshka_recall_curve",
+    "pack_training_sequences", "packing_efficiency_by_source",
+    "preference_pairs_by_source", "proximity_phrase_search",
+    "purchase_rate_jackknife_ci", "quality_calibration_bins",
+    "quality_roc_points", "quality_score_auc", "quantile_normalized_scores",
+    "rolling_corr_click_purchase", "sa_duplicate_length_profile",
+    "sa_longest_duplicates", "source_distinct_ngrams",
+    "source_score_calibration", "source_token_entropy", "source_unigram_kl",
+    "tfidf_doc_similarity_pairs", "tokenizer_fertility_by_lang",
+    "user_feature_vector", "waterfill_source_caps", "weekend_volume_ranksum",
+), 7))
 
 #: Round-2 verdict rule: a query whose IMPLEMENTATION changed after its
 #: last green driver row is no longer verified — it rejoins the front of
@@ -258,10 +287,17 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   judge-suggested fix for the pin-inflating sweep swing); values
 #:   unchanged (lossless AllPairs filter, same verify math; local oracle
 #:   replica green at sf0.01) — re-verify.
+#: Round-8: the three round-7 entries (pack_training_sequences,
+#: curate_pack_corpus, tfidf_doc_similarity_pairs) re-verified green in
+#: CORRECTNESS_r07 and moved back to ``DRIVER_VERIFIED`` (round 7).
+#: - ``user_value_quartiles``: round 8 replaced the unpartitioned
+#:   ``Window.orderBy`` ntile over per-user totals with the
+#:   range-partitioned two-phase pattern (round-7 verdict item 4).  Values
+#:   identical (ntile arithmetic over the same global order; local oracle
+#:   replica green at sf0.01) but the implementation-change rule is
+#:   mechanical — re-verify.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
-    "pack_training_sequences",
-    "curate_pack_corpus",
-    "tfidf_doc_similarity_pairs",
+    "user_value_quartiles",
 })
 
 
