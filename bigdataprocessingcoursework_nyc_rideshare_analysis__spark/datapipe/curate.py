@@ -762,7 +762,7 @@ def _wire_datasheet_oracle() -> None:
 _wire_datasheet_oracle()
 
 
-# --- best-fit (FFD) sequence packing -----------------------------------------------
+# --- first-fit-decreasing (FFD) sequence packing -----------------------------------------------
 
 #: shards per source for the bin-packing state bound: FFD is inherently
 #: sequential WITHIN its working set, so the working set is capped at one
@@ -771,7 +771,7 @@ _wire_datasheet_oracle()
 BF_SHARDS = 16
 
 
-def bestfit_bins(t: DataFrame, budget: int, shards: int = BF_SHARDS) -> DataFrame:
+def firstfit_bins(t: DataFrame, budget: int, shards: int = BF_SHARDS) -> DataFrame:
     """First-fit-decreasing bin packing of documents into fixed-token bins,
     per (source, doc_id % shards) slice: the NO-SPLIT packing strategy —
     SFT/seq2seq examples can't straddle sequences, so instead of cutting
@@ -832,7 +832,14 @@ def bestfit_bins(t: DataFrame, budget: int, shards: int = BF_SHARDS) -> DataFram
     tags=("datapipe", "pipeline", "loader", "r12"),
 )
 def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Best-fit packing audit per source — the third packing strategy's
+    """NAMING NOTE: the strategy audited here is FIRST-FIT-DECREASING, not
+    best-fit — the greedy places each doc in the first bin with room, not
+    the tightest-remaining one (``firstfit_bins``).  The registry name
+    ``pack_bestfit_efficiency`` predates the correction and is kept for
+    BASELINE.json pin / golden-row continuity; read "bestfit" as "FFD" in
+    any cross-strategy comparison table.
+
+    First-fit-decreasing packing audit per source — the third packing strategy's
     readout beside ``packing_efficiency_by_source`` (concat-and-chunk) and
     ``length_bucketed_batches`` (length grouping): bins used, fill rate,
     and padding cost when documents must stay WHOLE.  Comparing this
@@ -852,7 +859,7 @@ def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "source", F.size(tokens_col("text")).cast("long").alias("n_tokens")
     )
-    assigned = bestfit_bins(t, PACK_TOKEN_BUDGET)
+    assigned = firstfit_bins(t, PACK_TOKEN_BUDGET)
     joined = assigned.join(t.select("doc_id", "n_tokens"), "doc_id")
     per_bin = joined.groupBy("source", "shard", "bin_id").agg(
         F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs")

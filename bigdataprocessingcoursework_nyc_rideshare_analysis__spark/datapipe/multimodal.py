@@ -862,10 +862,13 @@ def _build_mixed_raster():
         a real, perceptually-diverse image corpus has."""
         import numpy as np
 
-        x = np.uint64(mid) * np.uint64(0x9E3779B97F4A7C15) + j * np.uint64(0xC2B2AE3D27D4EB4F)
-        x ^= x >> np.uint64(33)
-        x *= np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(29)
+        # uint64 wraparound is the POINT of a splitmix-style mixer; silence
+        # numpy's RuntimeWarning so the suite stays viable under -W error
+        with np.errstate(over="ignore"):
+            x = np.uint64(mid) * np.uint64(0x9E3779B97F4A7C15) + j * np.uint64(0xC2B2AE3D27D4EB4F)
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(29)
         return (x % np.uint64(256)).astype(np.uint8)
 
     return _mixed_raster
@@ -913,13 +916,18 @@ def dhash_frame(payloads: DataFrame) -> DataFrame:
     """(media_id, phash) — one Arrow pass; payload bytes never survive it."""
     dh = dhash64
 
+    def signed64(p: bytes) -> int:
+        # decode+resize+hash ONCE per payload (the dominant per-image cost),
+        # then fold the uint64 into int64 range to keep bit 63 intact
+        h = dh(p)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    # build as int64 via numpy view to keep bit 63 intact
-                    "phash": [dh(p) - (1 << 64) if dh(p) >= (1 << 63) else dh(p) for p in pdf["payload"]],
+                    "phash": [signed64(p) for p in pdf["payload"]],
                 }
             )
 
@@ -1046,10 +1054,13 @@ def _build_mixed_pcm():
     def _mixed_pcm(mid: int, i):
         import numpy as np
 
-        x = np.uint64(mid) * np.uint64(0x9E3779B97F4A7C15) + i * np.uint64(0x94D049BB133111EB)
-        x ^= x >> np.uint64(33)
-        x *= np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(29)
+        # uint64 wraparound is the POINT of a splitmix-style mixer; silence
+        # numpy's RuntimeWarning so the suite stays viable under -W error
+        with np.errstate(over="ignore"):
+            x = np.uint64(mid) * np.uint64(0x9E3779B97F4A7C15) + i * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(29)
         return ((x % np.uint64(65536)).astype(np.int64) - 32768).astype("<i2")
 
     return _mixed_pcm
@@ -1148,4 +1159,185 @@ def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
         .filter(F.col("hamming") <= FP_MAX_HAMMING)
         .select("media_a", "media_b", "hamming")
+    )
+
+
+# --- perceptual video near-dup (per-frame dHash + temporal banding) ------------
+
+#: hashing geometry for the video tier's OWN synthetic corpus (bigger Y
+#: plane than the stats tier so a one-byte twin perturbation moves few
+#: resized cells): C420 Y4M, Y plane VPH_W x VPH_H per frame.
+VPH_W = 8
+VPH_H = 8
+VPH_N_FRAMES = 6
+VPH_STRIDE = 2  # hash every 2nd frame -> VPH_KEPT hashed frames per clip
+VPH_KEPT = (VPH_N_FRAMES + VPH_STRIDE - 1) // VPH_STRIDE  # 3
+VPH_FRAME_BYTES = VPH_W * VPH_H * 3 // 2
+#: total-hamming threshold with a PIGEONHOLE guarantee: two clips within
+#: <= VPH_MAX_TOTAL_HAMMING bits summed over VPH_KEPT aligned frames must
+#: have SOME frame within floor(9/3) = 3 bits, and a frame within 3 bits
+#: shares >= 1 exact 16-bit chunk (the simhash/image-tier argument) — so
+#: the (frame_idx, chunk, value) bucketing below misses no true pair.
+VPH_MAX_TOTAL_HAMMING = 9
+VPH_TWIN_FRAME = 2  # the frame a constructed twin perturbs (kept: 2 % 2 == 0)
+
+
+def _build_frame_dhash():
+    """Factory for the per-frame dHash closure (pickling discipline, see
+    ``_build_dhash``): a C420 Y plane is ALREADY grayscale, so the frame
+    hash skips the RGB decode and goes straight to nearest-neighbor resize
+    to {DHASH_W}x{DHASH_H} + right-neighbor difference bits — the same
+    64-bit geometry as the image tier, applied per video frame."""
+    dw, dh_ = DHASH_W, DHASH_H
+
+    def frame_dhash64(y_plane: bytes, w: int, h: int) -> int:
+        import numpy as np
+
+        y = np.frombuffer(y_plane, dtype=np.uint8).reshape(h, w)
+        rows = (np.arange(dh_) * h) // dh_
+        cols = (np.arange(dw) * w) // dw
+        g = y[np.ix_(rows, cols)].astype(np.int64)
+        bits = (g[:, 1:] > g[:, :-1]).flatten()  # 8x8 difference grid
+        out = 0
+        for f in range(bits.size):
+            if bits[f]:
+                out |= 1 << f
+        return out
+
+    return frame_dhash64
+
+
+frame_dhash64 = _build_frame_dhash()
+
+
+@register(
+    "media_video_neardup_phash",
+    tags=("datapipe", "multimodal", "dedup", "r8"),
+)
+def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup pairs — completes the perceptual dedup
+    triad begun in r7 (image: ``media_image_neardup_phash``; audio:
+    ``media_audio_neardup_fp``): per-frame dHash over the REAL Y4M demux
+    (``parse_y4m`` walks stream header + FRAME markers) with TEMPORAL
+    banding, pairing re-encoded or slightly-edited clips that byte-exact
+    chunk dedup cannot see.
+
+    Corpus: {VPH_N_FRAMES}-frame mixed-raster Y4M clip per media (same
+    murmur-style mix as the image tier — per-frame hashes are effectively
+    random 64-bit values, so cross-clip collisions are noise), plus a
+    constructed near-identical twin for every {VARIANT_MOD}-th media (one
+    Y-plane byte of frame {VPH_TWIN_FRAME} bumped +16 mod 256 — only that
+    frame's hash moves, by a handful of bits).
+
+    Pipeline: synthesize + demux + hash in ONE Arrow pass (pixel bytes
+    never reach a shuffle; every {VPH_STRIDE}nd frame hashed) →
+    (frame_idx, 16-bit chunk, value) bucket join — the temporal pigeonhole:
+    total hamming ≤ {VPH_MAX_TOTAL_HAMMING} over {VPH_KEPT} aligned frames
+    forces some frame ≤ 3 bits, which forces some exact chunk match — →
+    exact verification summing ``bit_count(xor)`` over ALL aligned frames.
+    Rows-only (the hash needs the binary demux; no SQL form): exact
+    semantics pinned by golden rows + a constructed-pair pytest replica.
+
+    Scale: candidates are output-bounded (plus band-collision noise),
+    never all-pairs; per-frame 64-bit hashes shuffle, never pixels; the
+    verify join carries |candidate pairs| × {VPH_KEPT} rows.  At 100 TB
+    the synthesize stage is the real ingest and the hash pass streams each
+    clip once — same shape as the image/audio tiers."""
+    enc, demux, fdh = encode_y4m, parse_y4m, frame_dhash64
+    mk = _mixed_raster
+    mod, off = VARIANT_MOD, VARIANT_OFFSET
+    w, h, nf, stride = VPH_W, VPH_H, VPH_N_FRAMES, VPH_STRIDE
+    fb = VPH_FRAME_BYTES
+    ylen = w * h
+    twin_byte = VPH_TWIN_FRAME * fb + 5  # a Y-plane byte of the twin frame
+
+    def gen_and_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        j = np.arange(nf * fb, dtype=np.uint64)
+
+        def hashes(mid: int, raster) -> list[tuple[int, int, int]]:
+            payload = enc(
+                [raster[f * fb : (f + 1) * fb].tobytes() for f in range(nf)], w, h
+            )
+            _w, _h, frames = demux(payload)
+            out = []
+            for i, frame in enumerate(frames):
+                if i % stride == 0:
+                    v = fdh(frame[:ylen], _w, _h)
+                    out.append((mid, i, v - (1 << 64) if v >= (1 << 63) else v))
+            return out
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"]:
+                raster = mk(int(mid), j)
+                rows.extend(hashes(int(mid), raster))
+                if int(mid) % mod == 0:
+                    twin = raster.copy()
+                    twin[twin_byte] = (int(twin[twin_byte]) + 16) % 256
+                    rows.extend(hashes(int(mid) + off, twin))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "fhash"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sig = docs.mapInPandas(
+        gen_and_hash, schema="media_id long, frame_idx int, fhash long"
+    )
+    chunk_bits = DHASH_BITS // PHASH_BANDS
+    mask = (1 << chunk_bits) - 1
+    stacked = sig.select(
+        "media_id",
+        "frame_idx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("fhash", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("val"),
+                    )
+                    for c in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("cv"),
+    ).select("media_id", "frame_idx", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("media_id").alias("media_a"),
+        F.col("frame_idx").alias("fi"),
+        F.col("fhash").alias("ha"),
+    )
+    sb = sig.select(
+        F.col("media_id").alias("media_b"),
+        F.col("frame_idx").alias("fi"),
+        F.col("fhash").alias("hb"),
+    )
+    return (
+        pairs.join(sa, "media_a")
+        .join(sb, ["media_b", "fi"])
+        .groupBy("media_a", "media_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).cast("int").alias(
+                "total_hamming"
+            ),
+        )
+        .filter(F.col("total_hamming") <= VPH_MAX_TOTAL_HAMMING)
+        .select("media_a", "media_b", "n_frames", "total_hamming")
     )

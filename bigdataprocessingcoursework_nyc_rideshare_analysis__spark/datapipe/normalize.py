@@ -172,17 +172,22 @@ def q_quantile_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources); target = linear interpolation between pooled order
     statistics x_(⌊f(N−1)⌋+1) and the next.
 
-    Scale shape: one window per source for local ranks (source-keyed
-    shuffle), the pooled order statistics come from the collapsed score
-    LATTICE (groupBy(score) + cumulative window over distinct values —
-    never a corpus-wide sort), and each doc fetches its two bracketing
-    order statistics via range joins against the broadcast lattice.
+    Scale shape (round-8 sweep): source-local ranks via the two-level
+    ``keyed_row_number`` (a source's docs span many partitions — the old
+    ``Window.partitionBy(source)`` bounded parallelism by |sources|),
+    per-source counts via a broadcast join on the tiny per-source
+    aggregate, the pooled order statistics come from the collapsed score
+    LATTICE via the two-phase global running sum (the lattice is
+    real-valued chars-per-token, so distinct scores grow with docs —
+    never a single-partition cumulative window), and each doc fetches its
+    two bracketing order statistics via range joins against the broadcast
+    lattice.
     Exactness: ranks/cumulative counts are int64; f, p, frac and the
     interpolation are fixed double parse trees over exact ints and
     identical score doubles; ties in the local rank break on doc_id.  The
     frac = 0 branch skips the upper lookup entirely (p lands exactly on an
     order statistic), keeping the hi join's row count honest."""
-    from pyspark.sql import Window
+    from ..functions.skew import global_running_sum, keyed_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(
@@ -193,20 +198,15 @@ def q_quantile_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("n_chars").cast("double") / F.size(toks)).alias("score"),
     )
-    wsrc = Window.partitionBy("source").orderBy("score", "doc_id")
-    ranked = scored.select(
-        "doc_id",
-        "source",
-        "score",
-        F.row_number().over(wsrc).cast("long").alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long").alias("ns"),
-    )
+    per_src = scored.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    ranked = keyed_row_number(scored, ["source"], ["score", "doc_id"], "i").join(
+        F.broadcast(per_src), "source"
+    ).withColumn("i", F.col("i").cast("long"))
     g = scored.groupBy("score").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    wlat = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lat = g.select(
+    lat = global_running_sum(g, ["score"], "c", "_cum").select(
         F.col("score").alias("xval"),
-        F.sum("c").over(wlat).cast("long").alias("cum"),
-        (F.sum("c").over(wlat) - F.col("c")).cast("long").alias("below"),
+        F.col("_cum").cast("long").alias("cum"),
+        (F.col("_cum") - F.col("c")).cast("long").alias("below"),
     )
     nn = g.agg(F.sum("c").cast("long").alias("n"))  # 1 row, broadcast, lazy
     p = (

@@ -2297,8 +2297,12 @@ def q_doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     compresses at all).  Emitted as (doc_id, n_bytes, n_compressed, ratio)
     with ratio = compressed/raw — LOW is repetitive, ~1 is incompressible.
 
-    Rows-only at the driver: DEFLATE output depends on the compressor
-    implementation, so there is no SQL twin — pytest pins the invariants
+    Rows-only at the driver — oracle-backfill evaluated and rejected
+    (round-7 verdict item 6): the ratio column is the LENGTH OF A DEFLATE
+    STREAM, and DuckDB exposes no compression function at all (no
+    zlib/gzip scalar in its SQL surface), so no oracle can compute
+    n_compressed; emitting only the SQL-expressible columns (doc_id,
+    n_bytes) would gut the query's purpose.  pytest pins the invariants
     instead (bounds, repetitive ≪ prose < noise ordering, determinism).
     Plan: one stateless mapInPandas (zlib is stdlib, level pinned); at
     100 TB this is the cheapest quality gate per byte since the codec runs

@@ -516,10 +516,16 @@ def q_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: per event_type, the estimate from the union of that type's
     daily sketches, alongside the day count and exact distinct for
-    auditability.  Not SQL-expressible in DuckDB (no mergeable sketch
-    surface) → rows-only driver check; pytest pins (a) determinism,
-    (b) union-of-dailies ≡ one whole-corpus sketch (DataSketches is
-    deterministic on sets), and (c) estimate within 5% of exact.
+    auditability.  Rows-only — oracle-backfill evaluated and rejected
+    (round-7 verdict item 6): n_days and distinct_users_exact ARE
+    SQL-replicable, but distinct_users_est is the Apache DataSketches HLL
+    estimate, and DuckDB's approx_count_distinct is a DIFFERENT HLL
+    implementation (different hashing/register math), so the estimates
+    cannot hash-match; dropping the estimate column would gut the query's
+    purpose (the mergeable-sketch surface is what's being demonstrated).
+    pytest pins (a) determinism, (b) union-of-dailies ≡ one whole-corpus
+    sketch (DataSketches is deterministic on sets), and (c) estimate
+    within 5% of exact.
 
     Scale: daily sketch state is O(days × types × sketch_size) — KBs per
     key — and the rollup shuffles sketch BINARIES, never user ids."""
@@ -622,15 +628,21 @@ def q_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
     )
-    w = Window.orderBy(F.desc("rev_dec"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    from ..functions.skew import global_running_sum
+
+    # round-8 sweep: the cumulative-revenue window over |customers| rows is
+    # now the range-partitioned two-phase running sum (descending order
+    # encoded as ascending -rev_dec; exact decimal algebra, so the cum
+    # shares are bit-identical); the grand total broadcasts from a 1-row
+    # aggregate instead of an unbounded global window
+    cum = global_running_sum(
+        rev.withColumn("_neg", -F.col("rev_dec")), ["_neg", "o_custkey"], "rev_dec", "cum_dec"
     )
-    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    share = F.sum("rev_dec").over(w).cast("double") / F.sum("rev_dec").over(tot).cast("double")
-    ranked = rev.select(
+    tot = rev.agg(F.sum("rev_dec").alias("tot_dec"))
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
         F.col("rev_dec").cast("double").alias("revenue"),
-        share.alias("cum_share"),
+        (F.col("cum_dec").cast("double") / F.col("tot_dec").cast("double")).alias("cum_share"),
     )
     return ranked.select(
         "o_custkey",
@@ -768,12 +780,15 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end (max·k/total, 9 dp) so both engines agree bitwise.  At 100 TB
     run it on a sample or on the aggregated key histogram you already
     maintain; the output is O(1)."""
+    from ..functions.skew import global_row_number
+
     kc = load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").asc(), F.col("user_id").asc())
-    ranked = kc.select(
-        "n",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    # round-8 sweep: rank numbering over the |keys|-sized profile via the
+    # range-partitioned two-phase pattern (the old unpartitioned window +
+    # global-count window funneled every key through one task); the key
+    # count comes from a broadcast 1-row aggregate
+    ranked = global_row_number(kc, ["n", "user_id"], "rn").crossJoin(
+        F.broadcast(kc.agg(F.count(F.lit(1)).alias("k")))
     )
     return ranked.agg(
         F.max("k").alias("n_keys"),
@@ -1048,17 +1063,27 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
     )
-    r_w = Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
-    f_w = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
-    m_w = Window.orderBy(F.asc("monetary"), F.asc("custkey"))
-    scored = base.select(
+    # round-8 sweep: the three global NTILE windows over the
+    # |customers|-sized aggregate are now three two-phase global row
+    # numberings (descending recency encoded as ascending -recency_days)
+    # plus ntile arithmetic from the broadcast frame size — bit-identical
+    # banding (ANSI ntile rule), no single-partition sort
+    from ..functions.skew import global_row_number, ntile_from_rn
+
+    g = global_row_number(
+        base.withColumn("_negr", -F.col("recency_days")), ["_negr", "custkey"], "_rn_r"
+    ).drop("_negr")
+    g = global_row_number(g, ["frequency", "custkey"], "_rn_f")
+    g = global_row_number(g, ["monetary", "custkey"], "_rn_m")
+    n_df = base.agg(F.count(F.lit(1)).alias("_n"))
+    scored = g.crossJoin(F.broadcast(n_df)).select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(RFM_BANDS).over(r_w).cast("bigint").alias("r_score"),
-        F.ntile(RFM_BANDS).over(f_w).cast("bigint").alias("f_score"),
-        F.ntile(RFM_BANDS).over(m_w).cast("bigint").alias("m_score"),
+        ntile_from_rn(F.col("_rn_r"), F.col("_n"), RFM_BANDS).cast("bigint").alias("r_score"),
+        ntile_from_rn(F.col("_rn_f"), F.col("_n"), RFM_BANDS).cast("bigint").alias("f_score"),
+        ntile_from_rn(F.col("_rn_m"), F.col("_n"), RFM_BANDS).cast("bigint").alias("m_score"),
     )
     return scored.withColumn(
         "rfm_code",
@@ -1175,12 +1200,15 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("r")
     )
-    w = Window.orderBy("r", "o_custkey")
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("r").over(Window.partitionBy()).alias("tot"),
+    # round-8 sweep: global rank numbering via the two-phase pattern (no
+    # |customers|-sized single-partition sort); n and the revenue total
+    # broadcast from a 1-row aggregate instead of unbounded global windows
+    from ..functions.skew import global_row_number
+
+    ranked = global_row_number(rev, ["r", "o_custkey"], "i").crossJoin(
+        F.broadcast(
+            rev.agg(F.count(F.lit(1)).alias("n"), F.sum("r").alias("tot"))
+        )
     )
     s = ranked.agg(
         F.max("n").alias("n"),

@@ -351,18 +351,22 @@ def q_psi_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions yields the scalar PSI, but the pinned contract stops at
     bins for the same reason as the χ² cells: a float sum over unordered
     bins is summation-order-sensitive, while each bin's value is one
-    division chain + one ln, rounded once.  Plan: one global rank window
-    over the REFERENCE slice only (documented sketch swap at extreme n),
-    then two broadcast-join + count passes; corpus cost = two filtered
-    scans."""
-    from pyspark.sql import Window
+    division chain + one ln, rounded once.  Plan: rank numbering over the
+    REFERENCE slice via ``global_row_number`` (round-8 sweep — the old
+    unpartitioned window funneled every click row through one task, the
+    only FACT-sized offender in the package), then two broadcast-join +
+    count passes; corpus cost = two filtered scans.  `value` has ties and
+    no unique tiebreak column, so rn is an arbitrary permutation within
+    each tie group — harmless here because the ranks are only ever mapped
+    back to VALUES (decile edges), and equal values yield the same edge
+    under any tie permutation."""
+    from ..functions.skew import global_row_number
 
     ev = load_table(spark, sf_dir, "events")
     ref = ev.filter(F.col("event_type") == "click").select("value")
     cmp = ev.filter(F.col("event_type") == "purchase").select("value")
-    w = Window.orderBy("value")
-    ranked = ref.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = global_row_number(ref, ["value"], "rn").crossJoin(
+        F.broadcast(ref.agg(F.count(F.lit(1)).alias("n")))
     )
     edges = (
         ranked.crossJoin(F.broadcast(spark.range(1, PSI_BINS).select(F.col("id").alias("i"))))

@@ -802,11 +802,12 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     and (latency, user_id) tie order, and the single division is rounded
     once — bit-identical cross-engine.  Plan: the funnel's user-keyed
     aggregation chain (one effective shuffle), then ranking over the
-    CONVERTED-USERS set.  That final window is global-ordered — fine while
-    converted users fit one partition's sort (output is one row); at
-    100 TB swap the rank selection for the sketch percentiles exactly as
-    documented on the median family."""
-    from pyspark.sql import Window
+    CONVERTED-USERS set via ``global_row_number`` (round-8 sweep of
+    unpartitioned windows over user-sized frames) — the rank numbering
+    range-partitions on (latency, user_id), so no task ever holds more
+    than its share of converted users; the frame size comes from a
+    broadcast 1-row count."""
+    from ..functions.skew import global_row_number
 
     ev = load_table(spark, sf_dir, "events")
     clicks = (
@@ -825,9 +826,8 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias("latency_us"),
     )
-    w = Window.orderBy("latency_us", "user_id")
-    ranked = lat.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = global_row_number(lat, ["latency_us", "user_id"], "rn").crossJoin(
+        F.broadcast(lat.agg(F.count(F.lit(1)).alias("n")))
     )
     qs = ranked.agg(
         *[

@@ -223,18 +223,36 @@ FROM u
 @register("user_value_quartiles", oracle=_NTILE_ORACLE, tags=("window", "ntile"))
 def q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) cohorting of users by total event value (deterministic
-    tiebreak on user_id).  The unpartitioned window funnels |users| rows —
-    aggregated, so small — through one task; at extreme user counts you'd
-    range-partition on the sort key instead."""
+    tiebreak on user_id) WITHOUT the unpartitioned ``Window.orderBy`` —
+    that window funnels every per-user total through ONE task, the exact
+    single-partition trap ``range_partitioned_running_sum`` exists for.
+
+    Two-phase form: (1) global 1-based row_number over
+    (total DESC, user_id ASC) via ``global_row_number`` (descending order
+    encoded as ascending ``-total``; the tuple is duplicate-free because
+    user_id is unique); (2) ``ntile_from_rn`` arithmetic — ANSI ntile gives
+    the first N % 4 buckets ⌈N/4⌉ rows and the rest ⌊N/4⌋, identical in
+    Spark and DuckDB, so computing the bucket from rn is bit-identical to
+    the window function.  N comes from a broadcast 1-row aggregate; the
+    only unpartitioned window left is the offset prefix-sum over
+    |partitions| rows."""
+    from ..functions.skew import global_row_number, ntile_from_rn
+
     ev = load_table(spark, sf_dir, "events")
-    totals = ev.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec")
+    totals = (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"))
+        .withColumn("_neg", -F.col("total_dec"))
     )
-    w = Window.orderBy(F.desc("total_dec"), F.asc("user_id"))
-    return totals.select(
-        "user_id",
-        F.col("total_dec").cast("double").alias("total_value"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+    rn = global_row_number(totals, ["_neg", "user_id"], "_rn")
+    n_df = ev.select("user_id").distinct().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        rn.crossJoin(F.broadcast(n_df))
+        .select(
+            "user_id",
+            F.col("total_dec").cast("double").alias("total_value"),
+            ntile_from_rn(F.col("_rn"), F.col("_n"), 4).cast("int").alias("quartile"),
+        )
     )
 
 

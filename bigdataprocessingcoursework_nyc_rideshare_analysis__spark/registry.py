@@ -290,14 +290,33 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #: Round-8: the three round-7 entries (pack_training_sequences,
 #: curate_pack_corpus, tfidf_doc_similarity_pairs) re-verified green in
 #: CORRECTNESS_r07 and moved back to ``DRIVER_VERIFIED`` (round 7).
-#: - ``user_value_quartiles``: round 8 replaced the unpartitioned
-#:   ``Window.orderBy`` ntile over per-user totals with the
-#:   range-partitioned two-phase pattern (round-7 verdict item 4).  Values
-#:   identical (ntile arithmetic over the same global order; local oracle
-#:   replica green at sf0.01) but the implementation-change rule is
-#:   mechanical — re-verify.
+#: - Round-8 unpartitioned-window sweep (round-7 verdict item 4): every
+#:   ``Window.orderBy`` / ``Window.partitionBy()`` whose frame grows with
+#:   users/docs/customers/events was replaced by the range-partitioned
+#:   two-phase pattern (``functions.skew.global_row_number`` /
+#:   ``global_running_sum`` / ``ntile_from_rn``) plus broadcast 1-row
+#:   totals.  Values are bit-identical (row numbers / exact decimal
+#:   cumsums / ANSI ntile arithmetic over the same total order; local
+#:   oracle replica green at sf0.01 for all eight) but the
+#:   implementation-change rule is mechanical — re-verify:
+#:   ``user_value_quartiles`` (ntile over per-user totals),
+#:   ``conversion_latency_quantiles`` (rank selection over converted
+#:   users), ``psi_click_vs_purchase`` (decile edges over the raw click
+#:   slice — the one FACT-sized offender), ``join_key_skew_profile``
+#:   (|keys|-sized rank selection), ``customer_abc_classes`` (cumulative
+#:   revenue share), ``customer_rfm_segments`` (3× ntile),
+#:   ``customer_revenue_gini`` (rank weighting), and
+#:   ``quantile_normalized_scores`` (score-lattice cumulative window +
+#:   source-keyed local ranks → keyed_row_number).
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "user_value_quartiles",
+    "conversion_latency_quantiles",
+    "psi_click_vs_purchase",
+    "join_key_skew_profile",
+    "customer_abc_classes",
+    "customer_rfm_segments",
+    "customer_revenue_gini",
+    "quantile_normalized_scores",
 })
 
 

@@ -296,3 +296,74 @@ def perceptual_dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming exact dedup (fingerprint + seen-set state with TTL) --------------
+
+EXACT_DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fingerprint", StringType()),
+    ]
+)
+
+_SEEN_SCHEMA = StructType([StructField("rep_doc_id", LongType())])
+
+
+def exact_dedup_stream(docs: DataFrame, ttl_s: int | None = None) -> DataFrame:
+    """Streaming EXACT dedup — the in-stream twin of batch ``dedup_exact``
+    (``datapipe/dedup.py``): the same md5-of-normalized-text fingerprint,
+    admit the FIRST document per fingerprint, reject every later duplicate
+    as it arrives.  With the r7 perceptual screen this gives ingest both
+    halves of the dedup family in-stream: byte/content-exact here,
+    near-identical there.
+
+    State per fingerprint is ONE long (the admitted doc_id) in the state
+    store — O(|distinct contents|), never O(traffic).  ``ttl_s`` arms a
+    ProcessingTimeTimeout that evicts fingerprints idle for that long —
+    the standard bounded-state compromise for unbounded fingerprint
+    domains: a duplicate arriving after eviction is re-admitted, and the
+    nightly batch ``dedup_exact`` sweep catches it (the same cheap-gate /
+    exact-sweep split as the perceptual screen and the Bloom→n-gram
+    contamination pass).  Within a micro-batch rows are ordered by doc_id,
+    so the admitted set is deterministic for any fixed batching; when
+    arrival order follows doc_id, the admitted set EQUALS the batch
+    rep_doc_id set (pinned batch≡stream in ``test_streaming.py``).
+
+    The update function is a closure (cloudpickle by-value; workers never
+    import this package — same rule as every Python-worker callable)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import normalize_text
+
+    keyed = docs.select("doc_id", F.md5(normalize_text("text")).alias("fingerprint"))
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL eviction: forget the fingerprint; nothing to emit
+            state.remove()
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        if not state.exists:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            rep = int(pdf["doc_id"].iloc[0])
+            state.update((rep,))
+            yield pd.DataFrame({"doc_id": [rep], "fingerprint": [key[0]]})
+        if ttl_s is not None:
+            state.setTimeoutDuration(ttl_s * 1000)
+
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        update,
+        outputStructType=EXACT_DEDUP_OUT_SCHEMA,
+        stateStructType=_SEEN_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

