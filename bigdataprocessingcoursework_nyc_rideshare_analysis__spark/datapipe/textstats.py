@@ -514,16 +514,23 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail quality partitioning: per-language
     deciles of the quality score (best decile = 1), bucketed 1-3 / 4-7 /
     8-10.  Downstream pipelines train preferentially on ``head`` and
-    subsample ``tail``.  One exchange on ``lang``; NTILE is an in-partition
-    sort — per-language shards sort independently, no global order.  Tie
-    order is pinned (score desc, doc_id) so both engines emit identical
-    decile assignments."""
-    from pyspark.sql import Window
+    subsample ``tail``.  Round-8 keyed sweep: the old
+    ``Window.partitionBy(lang)`` NTILE funneled each language's ENTIRE
+    corpus through one task (|langs| ≈ a handful bounds parallelism at
+    100 TB); now per-lang rank numbering runs through ``keyed_row_number``
+    over the duplicate-free (score desc, doc_id) order — descending
+    encoded as ascending ``-score`` — and ``ntile_from_rn`` reproduces the
+    ANSI remainder rule bit-identically from the broadcast per-lang
+    counts.  Tie order pinned (score desc, doc_id) as before."""
+    from ..functions.skew import keyed_row_number, ntile_from_rn
 
-    scored = _quality_score_frame(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
-    decile = F.ntile(10).over(w)
-    return scored.select(
+    scored = _quality_score_frame(spark, sf_dir).withColumn("_negs", -F.col("score"))
+    counts = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = keyed_row_number(scored, ["lang"], ["_negs", "doc_id"], "_rn").join(
+        F.broadcast(counts), "lang"
+    )
+    decile = ntile_from_rn(F.col("_rn"), F.col("_n"), 10)
+    return ranked.select(
         "doc_id",
         "lang",
         decile.cast("int").alias("decile"),

@@ -218,16 +218,23 @@ def q_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (continuous medians interpolate, and two engines' float arithmetic can
     disagree in the last ulp).
 
-    One shuffle on the group key; the sort is per-group within partitions.
-    At extreme per-group cardinality you switch to ``approx_percentile``
-    below — same key, constant memory."""
-    from pyspark.sql import Window
+    Round-8 keyed sweep: the old ``Window.partitionBy(event_type)`` rank
+    funneled each type's ENTIRE value stream through one task (|types| ≈ a
+    handful bounds parallelism at 100 TB — the packing-tier trap, r6 items
+    2-3); now ``keyed_row_number`` range-partitions on (type, value) so a
+    type's rows span many partitions.  ``value`` has ties and no unique
+    tiebreak, so rn is an arbitrary permutation within each tie group —
+    harmless: the rank is only ever mapped back to a VALUE, and equal
+    values give the same median under any tie permutation.  At extreme
+    per-group cardinality you switch to ``approx_percentile`` below —
+    same key, constant memory."""
+    from ..functions.skew import keyed_row_number
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    w = Window.partitionBy("event_type").orderBy("value")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        keyed_row_number(ev, ["event_type"], ["value"], "rn")
+        .join(F.broadcast(counts), "event_type")
         .filter(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("event_type", F.col("value").alias("median_value"))
     )
@@ -373,14 +380,16 @@ FROM ranked GROUP BY event_type
 def _exact_quartiles(ev: DataFrame) -> DataFrame:
     """Exact discrete quartiles per event_type via rank selection (same
     no-interpolation discipline as the median above: results are actual
-    data values, so cross-engine comparison is exact)."""
-    from pyspark.sql import Window
+    data values, so cross-engine comparison is exact).  Round-8 keyed
+    sweep: rank numbering via ``keyed_row_number`` (no |types|-bounded
+    window; tie permutations within equal values are harmless for
+    value-at-rank selection — see the median)."""
+    from ..functions.skew import keyed_row_number
 
-    w = Window.partitionBy("event_type").orderBy("value")
-    ranked = (
-        ev.select("event_type", "value")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    vals = ev.select("event_type", "value")
+    counts = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = keyed_row_number(vals, ["event_type"], ["value"], "rn").join(
+        F.broadcast(counts), "event_type"
     )
     qs = [
         F.max(
@@ -469,19 +478,19 @@ def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact rank selection (same discrete positions as the quartile family —
     no interpolation, so no float synthesis: every output value is one of
     the input's own doubles, and LEAST/GREATEST comparisons are
-    bit-deterministic).  Plan: one rank shuffle per type, |types|-row
-    percentile table broadcast back against the fact — identical shape to
-    the IQR plan."""
-    from pyspark.sql import Window
+    bit-deterministic).  Plan (round-8 keyed sweep): rank numbering via
+    ``keyed_row_number`` — a type's rows span many partitions instead of
+    funneling through one |types|-bounded window task; tie permutations
+    within equal values are harmless for value-at-rank selection (see the
+    median) — then the |types|-row percentile table broadcasts back
+    against the fact, identical shape to the IQR plan."""
+    from ..functions.skew import keyed_row_number
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value")
-    wn = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    vals = ev.select("event_type", "value")
+    counts = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = keyed_row_number(vals, ["event_type"], ["value"], "rn").join(
+        F.broadcast(counts), "event_type"
     )
     pos05 = F.greatest(F.floor(((F.col("n") + 1) * 5) / 100).cast("long"), F.lit(1))
     pos95 = F.least(
@@ -826,16 +835,29 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie order is pinned (value, event_id) so the SQL-standard NTILE remainder
     rule — first ``n % B`` buckets take the extra row — assigns identically
-    on both engines.  Plan: one hash shuffle on event_type, an in-partition
-    sort for the window, then a map-side-combinable (type, bucket) agg; bucket
-    bounds are true data values, never synthesized floats.  At 100 TB the
-    per-group sort is the cost — for monitoring-grade bounds swap in
+    on both engines.  Plan (round-8 keyed sweep): per-type rank numbering
+    via ``keyed_row_number`` over the duplicate-free (value, event_id)
+    order — a type's rows span many partitions instead of funneling
+    through one |types|-bounded window task — then ``ntile_from_rn``
+    arithmetic (bit-identical to the window NTILE) and a map-side-
+    combinable (type, bucket) agg; bucket bounds are true data values,
+    never synthesized floats.  For monitoring-grade bounds swap in
     ``approx_percentiles_by_event_type``'s sketch; THIS form is the exact
     oracle that validates it."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    from ..functions.skew import keyed_row_number, ntile_from_rn
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
     return (
-        ev.select("event_type", "value", F.ntile(EQUIDEPTH_BUCKETS).over(w).cast("bigint").alias("bucket"))
+        keyed_row_number(ev, ["event_type"], ["value", "event_id"], "_rn")
+        .join(F.broadcast(counts), "event_type")
+        .select(
+            "event_type",
+            "value",
+            ntile_from_rn(F.col("_rn"), F.col("_n"), EQUIDEPTH_BUCKETS)
+            .cast("bigint")
+            .alias("bucket"),
+        )
         .groupBy("event_type", "bucket")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"), F.count(F.lit(1)).alias("n"))
     )
@@ -977,29 +999,32 @@ def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both medians are exact DISCRETE rank selections (the
     ``median_value_by_event_type`` rule: element ⌈n/2⌉), so every
     intermediate is a true data value and the single rounded division is
-    the only synthesized float — bit-identical cross-engine.  Plan: two
-    group-keyed window passes over events (median, then median of absolute
-    deviations) with the group-sized median frames joined back broadcast;
-    same scale posture as the quartile family, with the sketch swap-in
-    documented there for extreme per-group cardinality."""
+    the only synthesized float — bit-identical cross-engine.  Plan
+    (round-8 keyed sweep): two rank-selection passes over events via
+    ``keyed_row_number`` (median, then median of absolute deviations) —
+    each type's rows span many partitions instead of funneling through
+    one |types|-bounded window task; tie permutations within equal
+    values/deviations are harmless for value-at-rank selection (see the
+    median) — with the |types|-row median frames joined back broadcast;
+    sketch swap-in documented on the quartile family for extreme
+    per-group cardinality."""
+    from ..functions.skew import keyed_row_number
+
+    def keyed_median(frame: DataFrame, col: str, alias: str) -> DataFrame:
+        counts = frame.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            keyed_row_number(frame.select("event_type", col), ["event_type"], [col], "rn")
+            .join(F.broadcast(counts), "event_type")
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias(alias))
+        )
+
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    w = Window.partitionBy("event_type").orderBy("value")
-    med = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("value").alias("m"))
-    )
+    med = keyed_median(ev, "value", "m")
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("m"))
     )
-    wd = Window.partitionBy("event_type").orderBy("dev")
-    mad = (
-        dev.withColumn("rn", F.row_number().over(wd))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("dev").alias("mad"))
-    )
+    mad = keyed_median(dev, "dev", "mad")
     z = F.round(F.lit(0.6745) * (F.col("value") - F.col("m")) / F.col("mad"), 9)
     return (
         dev.join(F.broadcast(mad), "event_type")

@@ -1067,12 +1067,15 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bucket assignment is exact integer µs arithmetic off the stream's own
     [min, max] (one broadcast 1-row bound frame, no driver round-trip);
-    first/last are rank selections with pinned (ts, event_id) tie order so
-    both engines pick identical endpoints.  Plan: one bucket-keyed window
-    + aggregate on the same key — one shuffle; output is 4 points per
-    pixel regardless of corpus size, which IS the point."""
-    from pyspark.sql import Window
-
+    first/last pick the (us, event_id)-lexicographic extremes so both
+    engines choose identical endpoints.  Plan (round-8 keyed sweep): the
+    old bucket-keyed rank window bounded parallelism by |pixels| while
+    every event flowed through it — replaced by struct-MIN/MAX argmin
+    aggregates ((us, event_id) is unique, so the lexicographic struct
+    extreme IS the rank-1 selection, and the trailing value field can
+    never participate in the comparison), making the whole query ONE
+    map-side-combinable aggregation; output is 4 points per pixel
+    regardless of corpus size, which IS the point."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
         F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
@@ -1088,20 +1091,12 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(M4_BUCKETS - 1),
         ).alias("bucket"),
     )
-    w_a = Window.partitionBy("bucket").orderBy("us", "event_id")
-    w_z = Window.partitionBy("bucket").orderBy(F.desc("us"), F.desc("event_id"))
-    ranked = assigned.select(
-        "bucket",
-        "value",
-        F.row_number().over(w_a).alias("rn_a"),
-        F.row_number().over(w_z).alias("rn_z"),
-    )
-    return ranked.groupBy("bucket").agg(
+    return assigned.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
-        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
-        F.max(F.when(F.col("rn_z") == 1, F.col("value"))).alias("v_last"),
+        F.min(F.struct("us", "event_id", "value")).getField("value").alias("v_first"),
+        F.max(F.struct("us", "event_id", "value")).getField("value").alias("v_last"),
     )
 
 

@@ -308,6 +308,17 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   ``customer_revenue_gini`` (rank weighting), and
 #:   ``quantile_normalized_scores`` (score-lattice cumulative window +
 #:   source-keyed local ranks → keyed_row_number).
+#:   Second pass of the same sweep — KEYED windows whose key has a handful
+#:   of values while the frame is the raw fact table (|event_types| /
+#:   |langs| / |pixel-buckets| bound parallelism exactly like the packing
+#:   tier pre-r7): converted to ``keyed_row_number`` + broadcast counts
+#:   (+ ``ntile_from_rn`` for the NTILE forms), and ``m4_downsample_values``
+#:   lost its window entirely (struct-MIN/MAX argmin aggregate).  All
+#:   oracle-hash-green at sf0.01; mechanically re-queued:
+#:   ``median_value_by_event_type``, ``quartiles_by_event_type``,
+#:   ``iqr_outlier_events``, ``winsorized_values_by_event_type``,
+#:   ``equi_depth_histogram_by_event_type``, ``mad_outlier_events``,
+#:   ``quality_deciles_by_lang``, ``m4_downsample_values``.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "user_value_quartiles",
     "conversion_latency_quantiles",
@@ -317,6 +328,14 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "customer_rfm_segments",
     "customer_revenue_gini",
     "quantile_normalized_scores",
+    "median_value_by_event_type",
+    "quartiles_by_event_type",
+    "iqr_outlier_events",
+    "winsorized_values_by_event_type",
+    "equi_depth_histogram_by_event_type",
+    "mad_outlier_events",
+    "quality_deciles_by_lang",
+    "m4_downsample_values",
 })
 
 

@@ -480,6 +480,15 @@ def test_no_data_sized_single_partition_windows(spark):
         "customer_rfm_segments",
         "customer_revenue_gini",
         "quantile_normalized_scores",
+        # second pass: low-cardinality KEYED windows over fact frames
+        "median_value_by_event_type",
+        "quartiles_by_event_type",
+        "iqr_outlier_events",
+        "winsorized_values_by_event_type",
+        "equi_depth_histogram_by_event_type",
+        "mad_outlier_events",
+        "quality_deciles_by_lang",
+        "m4_downsample_values",
     ):
         plan = plan_string(reg[name].fn(spark, SF_SMOKE))
         for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
@@ -494,3 +503,14 @@ def test_no_data_sized_single_partition_windows(spark):
                     f"{name}: single-partition window over a data-sized "
                     f"frame (first spec column {head!r}): {spec}\n{plan}"
                 )
+            # keyed form of the same trap: a window partitioned on the BARE
+            # low-cardinality key whose order column is data (not _pid) —
+            # the two-level pattern's only keyed windows are
+            # (key, orderBy _pid) offsets and (_pid, key, ...) locals
+            elif head.split("#")[0] in ("event_type", "lang", "bucket"):
+                second = spec.split(",")[1].strip() if "," in spec else ""
+                if (" ASC" in second or " DESC" in second) and not second.startswith("_pid"):
+                    raise AssertionError(
+                        f"{name}: fact-sized window keyed on bare "
+                        f"{head.split('#')[0]} with data order: {spec}\n{plan}"
+                    )
