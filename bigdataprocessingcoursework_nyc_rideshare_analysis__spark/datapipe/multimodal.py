@@ -1210,39 +1210,12 @@ def _build_frame_dhash():
 frame_dhash64 = _build_frame_dhash()
 
 
-@register(
-    "media_video_neardup_phash",
-    tags=("datapipe", "multimodal", "dedup", "r8"),
-)
-def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual VIDEO near-dup pairs — completes the perceptual dedup
-    triad begun in r7 (image: ``media_image_neardup_phash``; audio:
-    ``media_audio_neardup_fp``): per-frame dHash over the REAL Y4M demux
-    (``parse_y4m`` walks stream header + FRAME markers) with TEMPORAL
-    banding, pairing re-encoded or slightly-edited clips that byte-exact
-    chunk dedup cannot see.
-
-    Corpus: {VPH_N_FRAMES}-frame mixed-raster Y4M clip per media (same
-    murmur-style mix as the image tier — per-frame hashes are effectively
-    random 64-bit values, so cross-clip collisions are noise), plus a
-    constructed near-identical twin for every {VARIANT_MOD}-th media (one
-    Y-plane byte of frame {VPH_TWIN_FRAME} bumped +16 mod 256 — only that
-    frame's hash moves, by a handful of bits).
-
-    Pipeline: synthesize + demux + hash in ONE Arrow pass (pixel bytes
-    never reach a shuffle; every {VPH_STRIDE}nd frame hashed) →
-    (frame_idx, 16-bit chunk, value) bucket join — the temporal pigeonhole:
-    total hamming ≤ {VPH_MAX_TOTAL_HAMMING} over {VPH_KEPT} aligned frames
-    forces some frame ≤ 3 bits, which forces some exact chunk match — →
-    exact verification summing ``bit_count(xor)`` over ALL aligned frames.
-    Rows-only (the hash needs the binary demux; no SQL form): exact
-    semantics pinned by golden rows + a constructed-pair pytest replica.
-
-    Scale: candidates are output-bounded (plus band-collision noise),
-    never all-pairs; per-frame 64-bit hashes shuffle, never pixels; the
-    verify join carries |candidate pairs| × {VPH_KEPT} rows.  At 100 TB
-    the synthesize stage is the real ingest and the hash pass streams each
-    clip once — same shape as the image/audio tiers."""
+def video_phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, frame_idx, fhash) — synthesize + demux + per-frame dHash in
+    ONE Arrow pass (pixel bytes never leave the worker).  Consumed three
+    times by ``media_video_neardup_phash`` (banding + both verify joins),
+    so the query reads it STAGED (``stage.staged_video_phash``) — the hash
+    pass streams each clip once per corpus, not once per consumer branch."""
     enc, demux, fdh = encode_y4m, parse_y4m, frame_dhash64
     mk = _mixed_raster
     mod, off = VARIANT_MOD, VARIANT_OFFSET
@@ -1280,9 +1253,47 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "fhash"])
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    sig = docs.mapInPandas(
+    return docs.mapInPandas(
         gen_and_hash, schema="media_id long, frame_idx int, fhash long"
     )
+
+
+@register(
+    "media_video_neardup_phash",
+    tags=("datapipe", "multimodal", "dedup", "r8"),
+)
+def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup pairs — completes the perceptual dedup
+    triad begun in r7 (image: ``media_image_neardup_phash``; audio:
+    ``media_audio_neardup_fp``): per-frame dHash over the REAL Y4M demux
+    (``parse_y4m`` walks stream header + FRAME markers) with TEMPORAL
+    banding, pairing re-encoded or slightly-edited clips that byte-exact
+    chunk dedup cannot see.
+
+    Corpus: {VPH_N_FRAMES}-frame mixed-raster Y4M clip per media (same
+    murmur-style mix as the image tier — per-frame hashes are effectively
+    random 64-bit values, so cross-clip collisions are noise), plus a
+    constructed near-identical twin for every {VARIANT_MOD}-th media (one
+    Y-plane byte of frame {VPH_TWIN_FRAME} bumped +16 mod 256 — only that
+    frame's hash moves, by a handful of bits).
+
+    Pipeline: synthesize + demux + hash in ONE Arrow pass (pixel bytes
+    never reach a shuffle; every {VPH_STRIDE}nd frame hashed) →
+    (frame_idx, 16-bit chunk, value) bucket join — the temporal pigeonhole:
+    total hamming ≤ {VPH_MAX_TOTAL_HAMMING} over {VPH_KEPT} aligned frames
+    forces some frame ≤ 3 bits, which forces some exact chunk match — →
+    exact verification summing ``bit_count(xor)`` over ALL aligned frames.
+    Rows-only (the hash needs the binary demux; no SQL form): exact
+    semantics pinned by golden rows + a constructed-pair pytest replica.
+
+    Scale: candidates are output-bounded (plus band-collision noise),
+    never all-pairs; per-frame 64-bit hashes shuffle, never pixels; the
+    verify join carries |candidate pairs| × {VPH_KEPT} rows.  At 100 TB
+    the synthesize stage is the real ingest and the hash pass streams each
+    clip once — same shape as the image/audio tiers."""
+    from .stage import staged_video_phash
+
+    sig = staged_video_phash(spark, sf_dir)
     chunk_bits = DHASH_BITS // PHASH_BANDS
     mask = (1 << chunk_bits) - 1
     stacked = sig.select(

@@ -360,3 +360,26 @@ def staged_ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ann_exact_topk_q{N_QUERIES}_k{TOP_K}", sf_dir, build, table="embeddings"
     )
     return spark.read.parquet(out)
+
+
+def staged_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video tier's per-frame perceptual hash table
+    (media_id, frame_idx, fhash), staged — the synthesize + Y4M demux +
+    dHash Arrow pass is the tier's dominant per-clip cost and
+    ``media_video_neardup_phash`` consumes the frame three times (banding
+    plus both sides of the exact verify join); in production the ingest
+    hashes each clip once and every dedup consumer reads the table.  The
+    stage key folds the hash-construction source, so retuning the geometry
+    (VPH_*, dHash) rebuilds it."""
+    from .multimodal import video_phash_frame
+
+    def build() -> DataFrame:
+        par = spark.sparkContext.defaultParallelism
+        return video_phash_frame(spark, sf_dir).repartition(par)
+
+    out = _ensure(
+        f"video_phash_{_fn_version(video_phash_frame)}",
+        sf_dir,
+        build,
+    )
+    return spark.read.parquet(out)

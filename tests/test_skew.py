@@ -139,3 +139,31 @@ def test_keyed_row_number_equals_plain_keyed_window(spark):
         for r in keyed_row_number(df, ["k"], ["ord"], "rn").collect()
     }
     assert two_level == plain
+
+
+def test_ntile_from_rn_equals_window_ntile(spark):
+    """ntile_from_rn must reproduce Spark's window NTILE bit-for-bit across
+    the remainder edge cases the sf oracles never hit: n < buckets,
+    n == buckets, n % buckets ∈ {0, 1, buckets-1}."""
+    from pyspark.sql import Window
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.skew import (
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    for n, buckets in [(1, 4), (3, 4), (4, 4), (5, 4), (7, 4), (8, 4), (9, 4), (100, 7), (13, 5)]:
+        df = spark.range(n).select(F.col("id").alias("k"), (F.col("id") * 37 % 101).alias("v"))
+        w = Window.orderBy("v", "k")
+        want = {
+            r["k"]: r["t"]
+            for r in df.select("k", F.ntile(buckets).over(w).alias("t")).collect()
+        }
+        rn = global_row_number(df, ["v", "k"], "rn")
+        got = {
+            r["k"]: r["t"]
+            for r in rn.select(
+                "k", ntile_from_rn(F.col("rn"), F.lit(n), buckets).cast("int").alias("t")
+            ).collect()
+        }
+        assert got == want, (n, buckets)
