@@ -1391,11 +1391,13 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks agree cross-engine bit-for-bit; the RRF sum is two correctly-
     rounded divisions and one addition, rounded once.  Scale shape: the
     candidate set is hits-sized (inverted-index discipline — only documents
-    containing a query term are ever touched past the scan), per-ranker
-    windows are global but candidate-sized, and the final top-K is a
-    TakeOrderedAndProject."""
-    from pyspark.sql import Window
-
+    containing a query term are ever touched past the scan) — but
+    hits-sized still GROWS with the corpus (a constant fraction of
+    documents contain a common query term), so the round-8 sweep moved
+    both ranker numberings off the single-partition ``Window.orderBy``
+    onto ``global_row_number`` (descending encoded as negated score); the
+    final top-K stays a TakeOrderedAndProject."""
+    from ..functions.skew import global_row_number
     from .stage import staged_features
 
     docs = staged_features(spark, sf_dir)
@@ -1428,13 +1430,17 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf_score"),
         )
     )
-    w1 = Window.orderBy(F.desc("lex_score"), F.asc("doc_id"))
-    w2 = Window.orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
-    fused = scored.select(
+    ranked = global_row_number(
+        scored.withColumn("_neg_lex", -F.col("lex_score")), ["_neg_lex", "doc_id"], "lex_rank"
+    )
+    ranked = global_row_number(
+        ranked.withColumn("_neg_tf", -F.col("tfidf_score")), ["_neg_tf", "doc_id"], "tfidf_rank"
+    )
+    fused = ranked.select(
         "doc_id",
         "lex_score",
-        F.row_number().over(w1).alias("lex_rank"),
-        F.row_number().over(w2).alias("tfidf_rank"),
+        "lex_rank",
+        "tfidf_rank",
     ).select(
         "doc_id",
         "lex_score",
@@ -1635,11 +1641,16 @@ def q_ndcg_tfidf_vs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    ranked = scored.select(
-        "rel",
-        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rn_sys"),
-        F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("doc_id"))).alias("rn_ideal"),
+    # round-8 sweep: both numberings via global_row_number (the candidate
+    # frame grows with the corpus; descending encoded as negated score)
+    from ..functions.skew import global_row_number
+
+    ranked = global_row_number(
+        scored.withColumn("_neg_s", -F.col("score")), ["_neg_s", "doc_id"], "rn_sys"
     )
+    ranked = global_row_number(
+        ranked.withColumn("_neg_r", -F.col("rel")), ["_neg_r", "doc_id"], "rn_ideal"
+    ).select("rel", "rn_sys", "rn_ideal")
     return (
         ranked.agg(
             F.sum(

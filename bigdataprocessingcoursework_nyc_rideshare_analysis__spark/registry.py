@@ -336,6 +336,10 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "mad_outlier_events",
     "quality_deciles_by_lang",
     "m4_downsample_values",
+    # third pass: candidate-frame global rankers (hits-sized frames still
+    # grow with the corpus) — both oracle-hash-green at sf0.01
+    "hybrid_search_rrf",
+    "ndcg_tfidf_vs_overlap",
 })
 
 

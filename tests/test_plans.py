@@ -489,6 +489,9 @@ def test_no_data_sized_single_partition_windows(spark):
         "mad_outlier_events",
         "quality_deciles_by_lang",
         "m4_downsample_values",
+        # third pass: candidate-frame global rankers
+        "hybrid_search_rrf",
+        "ndcg_tfidf_vs_overlap",
     ):
         plan = plan_string(reg[name].fn(spark, SF_SMOKE))
         for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):

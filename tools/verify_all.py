@@ -82,9 +82,12 @@ def check_driver_verified_fold() -> None:
 def main() -> None:
     fast = "--fast" in sys.argv[1:]
 
-    # 0. bookkeeping gate: every recorded full-pass is folded into
-    #    DRIVER_VERIFIED (cheap, pure-python — run first)
+    # 0. bookkeeping gates (cheap, pure-python — run first): every recorded
+    #    full-pass is folded into DRIVER_VERIFIED, and COVERAGE.md's totals +
+    #    rows-only evidence table match the live registry
     check_driver_verified_fold()
+    out = run("coverage-totals", [sys.executable, os.path.join(REPO, "tools", "coverage_totals.py")], cwd=REPO)
+    print("   " + out.strip().splitlines()[-1])
 
     # 1. bare-session driver contract from a neutral cwd
     with tempfile.TemporaryDirectory() as td:
