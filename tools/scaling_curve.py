@@ -254,6 +254,37 @@ def run_sa_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     return times
 
 
+def run_media_chain(sf_dir: str, cpus: int) -> dict[str, float]:
+    """Time the perceptual media near-dup triad (image dHash / audio
+    energy-delta / video per-frame dHash + temporal banding).  All three
+    synthesize payloads from doc_ids, hash them in one Arrow pass, and
+    band-join 64-bit signatures — so wall time should scale with the
+    corpus (hash pass) plus output (banded join), never all-pairs; the
+    replica corpus grows media 10×/decade and constructed twin pairs
+    10×/decade with it (every 4th media has a twin)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import get_spark
+
+    reg = load_all()
+    spark = get_spark("scaling-curve-media", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        fn()
+        times[name] = round(time.monotonic() - t0, 2)
+
+    queries = ("media_image_neardup_phash", "media_audio_neardup_fp", "media_video_neardup_phash")
+    for q in queries:
+        timed(q, lambda q=q: reg[q].fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
+    times["total"] = round(sum(times.values()), 2)
+    for q in queries:
+        times[f"rows_{q}"] = reg[q].fn(spark, sf_dir).count()
+    spark.stop()
+    return times
+
+
 def run_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     """Time each chain stage against a fresh stage dir; return seconds."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
@@ -299,6 +330,11 @@ def main() -> None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps({"sf_dir": sf_dir, **run_ann_chain(sf_dir, cpus)}))
         return
+    if "--one-media" in sys.argv[1:]:
+        sf_dir = sys.argv[sys.argv.index("--one-media") + 1]
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps({"sf_dir": sf_dir, **run_media_chain(sf_dir, cpus)}))
+        return
     if "--one-sa" in sys.argv[1:]:
         sf_dir = sys.argv[sys.argv.index("--one-sa") + 1]
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -330,6 +366,15 @@ def main() -> None:
         sweep(
             [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)],
             "--one-ann",
+        )
+        return
+    if "--media" in sys.argv[1:]:
+        # perceptual media triad: same replica corpus (payloads synthesize
+        # from doc_ids, so 10x docs = 10x media and 10x twin pairs)
+        build_sf1()
+        sweep(
+            [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)],
+            "--one-media",
         )
         return
     if "--sa" in sys.argv[1:]:
