@@ -514,3 +514,70 @@ def test_duplicate_span_stats_match_brute_force(spark, docs):
                 cov.update(range(i, i + n))
         want[d] = (len(toks), len(cov))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2), KEYS, st.integers(min_value=-5, max_value=5)),
+        min_size=1,
+        max_size=24,
+    ),
+    partitions=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_keyed_row_number_matches_window_for_any_partitioning(spark, rows, partitions):
+    """The two-level keyed_row_number must equal the plain keyed window
+    row_number for ANY data and ANY range-partition count — including
+    partition counts larger than the data, single-row keys, negative order
+    values, and keys that straddle partition boundaries.  Order tuples are
+    made duplicate-free by appending a unique id (the helper's contract)."""
+    from pyspark.sql import Window
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.skew import keyed_row_number
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v, _x) in enumerate(rows)], "k long, v long, uid long"
+    )
+    w = Window.partitionBy("k").orderBy("v", "uid")
+    want = {
+        (r["k"], r["uid"]): r["rn"]
+        for r in df.select("k", "uid", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {
+        (r["k"], r["uid"]): r["rn"]
+        for r in keyed_row_number(df, ["k"], ["v", "uid"], "rn", partitions=partitions)
+        .select("k", "uid", F.col("rn").cast("int").alias("rn"))
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=-4, max_value=4)),
+        min_size=1,
+        max_size=20,
+    ),
+    partitions=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_global_row_number_matches_window_for_any_partitioning(spark, rows, partitions):
+    from pyspark.sql import Window
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.skew import global_row_number
+
+    df = spark.createDataFrame(
+        [(v[0], i) for i, v in enumerate(rows)], "v long, uid long"
+    )
+    w = Window.orderBy("v", "uid")
+    want = {
+        r["uid"]: r["rn"]
+        for r in df.select("uid", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {
+        r["uid"]: r["rn"]
+        for r in global_row_number(df, ["v", "uid"], "rn", partitions=partitions)
+        .select("uid", F.col("rn").cast("int").alias("rn"))
+        .collect()
+    }
+    assert got == want
