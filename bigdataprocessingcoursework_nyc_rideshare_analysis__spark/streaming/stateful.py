@@ -367,3 +367,112 @@ def exact_dedup_stream(docs: DataFrame, ttl_s: int | None = None) -> DataFrame:
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# --- streaming MinHash near-dup screen -------------------------------------------
+
+MINHASH_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", LongType()),
+    ]
+)
+
+_KEPT_SIGS_SCHEMA = StructType(
+    [StructField("kept", ArrayType(ArrayType(LongType())))]
+)
+
+#: admit iff estimated jaccard (minhash agreement fraction) vs every kept
+#: doc in the band bucket stays below this — matches the batch tier's
+#: JACCARD_THRESHOLD so the two screens agree on "near-duplicate"
+STREAM_NEARDUP_THRESHOLD = 0.8
+
+
+def minhash_dedup_stream(docs: DataFrame, threshold: float = STREAM_NEARDUP_THRESHOLD) -> DataFrame:
+    """Streaming TEXT near-dup screen — the in-stream twin of batch
+    ``neardup_minhash_lsh`` (``datapipe/dedup.py``), completing the
+    batch≡stream dedup family (exact: ``exact_dedup_stream``; perceptual
+    media: ``perceptual_dedup_stream``; text near-dup: this): admit a
+    document only if its estimated Jaccard against every previously
+    ADMITTED document in its LSH band bucket stays below ``threshold``.
+
+    The signature is computed DECLARATIVELY and in-row — no streaming
+    aggregation, no shuffle before the stateful op: per permutation i,
+    ``min over the doc's distinct shingle hashes of xxhash64(h, i)`` via
+    ``array_min(transform(...))``, the exact same hash chain as the batch
+    ``minhash_signatures`` (xxhash64 of the shingle string, then of the
+    (base, i) pair), so stream and batch signatures are bit-identical for
+    the same text.  The grouping key is band 0's bucket — the single-band
+    approximation the perceptual screen documents: a pair colliding only
+    in another band passes the screen and is caught by the nightly batch
+    ``neardup_minhash_lsh`` sweep (cheap-gate / exact-sweep split).
+
+    State per bucket is the list of admitted signatures ({MINHASH_PERMS}
+    longs each) — near-dups are rejected and never enter state, so state
+    grows with distinct content, not traffic; agreement fraction over all
+    {MINHASH_PERMS} permutations (not just the band) estimates Jaccard,
+    the standard MinHash estimator.  Within a micro-batch rows are ordered
+    by doc_id — earliest arrival wins, exactly like batch keep-first.
+
+    The update function is a closure (cloudpickle by-value; workers never
+    import this package — same rule as every Python-worker callable)."""
+    from pyspark.sql import functions as F
+
+    from ..datapipe.dedup import LSH_BANDS, MINHASH_PERMS
+    from ..functions.text import shingles_col, tokens_col
+
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    toks = tokens_col("text")
+    hs = F.transform(F.array_distinct(shingles_col(F.col("_toks"))), lambda s: F.xxhash64(s))
+
+    # closure factory, not a default-arg lambda: PySpark reads the lambda's
+    # parameter count as the higher-order function's arity, and a 2-param
+    # lambda would be called as (element, index) — shadowing i
+    def perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_hs"), perm(i)))
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    bucket = F.xxhash64(*[F.element_at("sig", r + 1) for r in range(rows_per_band)])
+    keyed = (
+        docs.withColumn("_toks", toks)
+        .withColumn("_hs", hs)
+        .filter(F.size("_hs") > 0)  # sub-k-token docs have no signature
+        .withColumn("sig", sig)
+        .withColumn("bucket", bucket)
+        .select("doc_id", "bucket", "sig")
+    )
+
+    perms = MINHASH_PERMS
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        kept: list[list[int]] = [list(s) for s in state.get[0]] if state.exists else []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        out = []
+        for row in pdf.itertuples():
+            s = [int(x) for x in row.sig]
+            if all(
+                sum(a == b for a, b in zip(s, k)) / perms < threshold for k in kept
+            ):
+                kept.append(s)
+                out.append((int(row.doc_id), int(key[0])))
+        state.update((kept,))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "bucket"])
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=MINHASH_OUT_SCHEMA,
+        stateStructType=_KEPT_SIGS_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1053,3 +1053,84 @@ def test_streaming_exact_dedup_rejects_across_microbatches(spark):
         assert all(r["doc_id"] < 10_000_000 for r in got)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_minhash_neardup_screen_matches_greedy_replica(spark):
+    """The in-stream MinHash screen must agree with a greedy replica built
+    from the BATCH signature path (shuffle groupBy-min, ``datapipe.dedup.
+    minhash_signatures``) — pinning both that the stream's in-row
+    ``array_min(transform(...))`` signature is bit-identical to the batch
+    one and that the admit/reject rule is the documented greedy
+    (doc_id-ordered, per band-0 bucket, agreement < threshold)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        LSH_BANDS,
+        MINHASH_PERMS,
+        minhash_signatures,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.text import (
+        shingles_col,
+        tokens_col,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.stateful import (
+        STREAM_NEARDUP_THRESHOLD,
+        minhash_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(200)
+
+    # independent batch-path signatures: tokens → distinct shingles →
+    # explode → shuffle groupBy-min per permutation
+    sh = (
+        docs.withColumn("_toks", tokens_col("text"))
+        .select("doc_id", F.explode(F.array_distinct(shingles_col(F.col("_toks")))).alias("shingle"))
+    )
+    sigs = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(MINHASH_PERMS)]
+        for r in minhash_signatures(sh).collect()
+    }
+
+    # greedy replica over band-0 buckets in doc_id order
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bucket_of = {
+        r["doc_id"]: r["b"]
+        for r in spark.createDataFrame(
+            [(d, *s[:rows_per_band]) for d, s in sigs.items()],
+            "doc_id long, " + ", ".join(f"m{r} long" for r in range(rows_per_band)),
+        )
+        .select("doc_id", F.xxhash64(*[f"m{r}" for r in range(rows_per_band)]).alias("b"))
+        .collect()
+    }
+    want: set[int] = set()
+    kept_by_bucket: dict[int, list[list[int]]] = {}
+    for d in sorted(sigs):
+        kept = kept_by_bucket.setdefault(bucket_of[d], [])
+        s = sigs[d]
+        if all(
+            sum(a == b for a, b in zip(s, k)) / MINHASH_PERMS < STREAM_NEARDUP_THRESHOLD
+            for k in kept
+        ):
+            kept.append(s)
+            want.add(d)
+
+    d = tempfile.mkdtemp(prefix="docs_minhash_")
+    try:
+        docs.coalesce(1).write.mode("overwrite").parquet(d)
+        stream_src = spark.readStream.schema(docs.schema).parquet(d)
+        q = (
+            minhash_dedup_stream(stream_src)
+            .writeStream.format("memory")
+            .queryName("minhash_screen")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {r["doc_id"] for r in spark.table("minhash_screen").collect()}
+        assert got == want
+        assert len(got) < docs.count()  # the fixture contains near-dups to reject
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
