@@ -171,6 +171,94 @@ def build_sf1_embeddings(
     return out_dir
 
 
+def build_sf1_events(
+    out_dir: str = SF1_DIR, src_dir: str = "/root/testdata/sf0.1", replicas: int = REPLICAS
+) -> str:
+    """Synthesize a replica-scaled events table for the rank-selection
+    chain (round-8 window sweep): replica k offsets event_id/user_id by
+    k·ID_STRIDE and leaves (ts, event_type, value, props) verbatim — the
+    per-type value DISTRIBUTION is identical at every scale, so exact
+    medians/quartiles/deciles stay at the same data values while the rank
+    machinery processes 10× the rows per decade (the pure engine-cost
+    axis).  Same content-marker early-return as ``build_sf1``."""
+    import hashlib
+    import inspect
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "events.parquet")
+    st = os.stat(os.path.join(src_dir, "events.parquet"))
+    synth_key = ":".join((
+        hashlib.sha1(inspect.getsource(build_sf1_events).encode()).hexdigest()[:8],
+        str(replicas), str(st.st_size), str(st.st_mtime_ns),
+    ))
+    marker = os.path.join(out_dir, ".synth_key_ev")
+    if os.path.exists(out_path) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == synth_key:
+                return out_dir
+    src = pq.read_table(os.path.join(src_dir, "events.parquet"))
+    cols = src.to_pydict()
+    n = len(cols["event_id"])
+    out = {k: [] for k in cols}
+    for k in range(replicas):
+        out["event_id"].extend(e + k * ID_STRIDE for e in cols["event_id"])
+        out["user_id"].extend(u + k * ID_STRIDE for u in cols["user_id"])
+        out["ts"].extend(cols["ts"])
+        out["event_type"].extend(cols["event_type"])
+        out["value"].extend(cols["value"])
+        out["props"].extend(cols["props"])
+    pq.write_table(
+        pa.table(out, schema=src.schema), out_path, row_group_size=max(1, (n * replicas) // 32)
+    )
+    with open(marker, "w") as fh:
+        fh.write(synth_key)
+    return out_dir
+
+
+def run_rank_chain(sf_dir: str, cpus: int) -> dict[str, float]:
+    """Time the round-8 two-phase rank-selection tier over events — exact
+    median / quartiles / equi-depth histogram / MAD outliers / PSI decile
+    edges — the queries the window sweep converted off single-partition and
+    |event_types|-bounded windows.  The claim under test: rank numbering
+    now range-partitions on (key, value), so wall time scales with the
+    corpus at data-proportional parallelism and the static-plan exchange
+    count stays constant (no per-scale plan drift)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.plans import plan_string
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import get_spark
+
+    reg = load_all()
+    spark = get_spark("scaling-curve-rank", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        fn()
+        times[name] = round(time.monotonic() - t0, 2)
+
+    queries = (
+        "median_value_by_event_type",
+        "quartiles_by_event_type",
+        "equi_depth_histogram_by_event_type",
+        "mad_outlier_events",
+        "psi_click_vs_purchase",
+    )
+    for q in queries:
+        timed(q, lambda q=q: reg[q].fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
+    times["total"] = round(sum(times.values()), 2)
+    for q in queries:
+        df = reg[q].fn(spark, sf_dir)
+        times[f"rows_{q}"] = df.count()
+        plan = plan_string(df)
+        times[f"exchanges_{q}"] = plan.count("Exchange ") + plan.count("Exchange\n")
+    spark.stop()
+    return times
+
+
 def run_ann_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     """Time the embedding/ANN chain stages against a fresh stage dir:
     exact query-panel build (the deliberate offline quadratic-in-panel leg),
@@ -330,6 +418,11 @@ def main() -> None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps({"sf_dir": sf_dir, **run_ann_chain(sf_dir, cpus)}))
         return
+    if "--one-rank" in sys.argv[1:]:
+        sf_dir = sys.argv[sys.argv.index("--one-rank") + 1]
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps({"sf_dir": sf_dir, **run_rank_chain(sf_dir, cpus)}))
+        return
     if "--one-media" in sys.argv[1:]:
         sf_dir = sys.argv[sys.argv.index("--one-media") + 1]
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -366,6 +459,14 @@ def main() -> None:
         sweep(
             [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)],
             "--one-ann",
+        )
+        return
+    if "--rank" in sys.argv[1:]:
+        # round-8 two-phase rank-selection tier over a replica events table
+        build_sf1_events()
+        sweep(
+            [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)],
+            "--one-rank",
         )
         return
     if "--media" in sys.argv[1:]:
