@@ -246,3 +246,103 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "toks").mapInPandas(
         encode, schema="doc_id long, n_words int, n_bpe_tokens int, preview string"
     )
+
+
+#: merge-count checkpoints for the vocab-size curve: prefixes of ONE learned
+#: merge list (BPE's ordered merges mean "first k merges" IS the size-k
+#: tokenizer — no re-learning per size)
+VOCAB_CURVE_SIZES = (6, 12, BPE_MERGES)
+
+
+@register("bpe_vocab_size_curve", tags=("datapipe", "text", "tokenizer", "r8"))
+def q_bpe_vocab_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-size trade-off curve — the measurement that decides a
+    training pipeline's merge budget: for each merge-count checkpoint in
+    {VOCAB_CURVE_SIZES}, the corpus-wide token count, fertility
+    (tokens/word) and chars/token the size-k tokenizer would produce.
+    Fertility falling slowly past a checkpoint means the extra vocab buys
+    little compression — the standard knee-finding readout (Rust et al.
+    2021 use fertility to compare tokenizers; this plots it against size).
+
+    Key identity making this ONE corpus pass instead of |sizes| re-learns:
+    BPE merges are ORDERED, so the size-k tokenizer is exactly the first k
+    merges of the size-{BPE_MERGES} learn (``bpe_learn_merges``, collected
+    to the driver — bounded at {BPE_MERGES} rows).  The encode pass applies
+    merges incrementally and snapshots token counts at each checkpoint —
+    all sizes measured in a single Arrow scan with a per-task word memo,
+    then one |sizes|-row aggregation.  Rows-only (BPE has no SQL form);
+    golden rows + a consistency pin against ``bpe_encode_docs`` (the full-
+    size checkpoint must reproduce its total) live in
+    ``test_golden_r8.py`` / ``test_bpe.py``."""
+    docs = staged_features(spark, sf_dir)
+    merge_rows = sorted(
+        q_bpe_learn_merges(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+    sizes = tuple(k for k in VOCAB_CURVE_SIZES if k <= len(merges)) or (len(merges),)
+
+    def count_tokens(batches):
+        import pandas as pd
+
+        memo: dict[str, list[int]] = {}
+
+        def counts_per_size(word: str) -> list[int]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            sym = list(word)
+            out: list[int] = []
+            nxt = 0
+            for rank, (left, right) in enumerate(merges, start=1):
+                fused, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                        fused.append(left + right)
+                        i += 2
+                    else:
+                        fused.append(sym[i])
+                        i += 1
+                sym = fused
+                while nxt < len(sizes) and rank == sizes[nxt]:
+                    out.append(len(sym))
+                    nxt += 1
+            while nxt < len(sizes):  # merges exhausted before a checkpoint
+                out.append(len(sym))
+                nxt += 1
+            memo[word] = out
+            return out
+
+        for pdf in batches:
+            words = 0
+            chars = 0
+            toks = [0] * len(sizes)
+            for ws in pdf["toks"]:
+                for w in ws:
+                    w = str(w)
+                    words += 1
+                    chars += len(w)
+                    for j, c in enumerate(counts_per_size(w)):
+                        toks[j] += c
+            yield pd.DataFrame(
+                [(k, words, chars, toks[j]) for j, k in enumerate(sizes)],
+                columns=["n_merges", "words", "chars", "tokens"],
+            )
+
+    partials = docs.select("toks").mapInPandas(
+        count_tokens, schema="n_merges int, words long, chars long, tokens long"
+    )
+    return (
+        partials.groupBy("n_merges")
+        .agg(
+            F.sum("words").alias("total_words"),
+            F.sum("chars").alias("total_chars"),
+            F.sum("tokens").alias("total_tokens"),
+        )
+        .select(
+            "n_merges",
+            "total_words",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("total_words"), 9).alias("fertility"),
+            F.round(F.col("total_chars") / F.col("total_tokens"), 9).alias("chars_per_token"),
+        )
+    )

@@ -142,3 +142,41 @@ def test_video_neardup_bucketing_misses_no_true_pair():
             total = sum(bin(a ^ b).count("1") for a, b in zip(base, twin))
             assert total <= VPH_MAX_TOTAL_HAMMING
             assert shares_bucket(base, twin), (split, spread)
+
+
+# bpe_vocab_size_curve: exact sf0.001 output — one row per merge-count
+# checkpoint; fertility/chars_per_token are single rounded divisions of
+# exact int64 sums
+_GOLDEN_VOCAB_CURVE = [
+    (6, 27939, 107917, 3.862593507, 1.164941575),
+    (12, 27939, 98573, 3.528150614, 1.275369523),
+    (24, 27939, 86851, 3.108593722, 1.447502044),
+]
+
+
+def test_bpe_vocab_size_curve_golden_rows(spark):
+    rows = sorted(
+        tuple(r) for r in load_all()["bpe_vocab_size_curve"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows == sorted(_GOLDEN_VOCAB_CURVE)
+
+
+def test_bpe_vocab_curve_full_size_matches_encode_docs(spark):
+    """The curve's largest checkpoint applies ALL learned merges, so its
+    corpus token total must reproduce ``bpe_encode_docs`` exactly — pinning
+    that the incremental multi-checkpoint encoder and the plain encoder are
+    the same tokenizer."""
+    from pyspark.sql import functions as F
+
+    reg = load_all()
+    curve = {
+        r["n_merges"]: r["total_tokens"]
+        for r in reg["bpe_vocab_size_curve"].fn(spark, SF_SMOKE).collect()
+    }
+    full = (
+        reg["bpe_encode_docs"]
+        .fn(spark, SF_SMOKE)
+        .agg(F.sum("n_bpe_tokens").cast("long").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert curve[max(curve)] == full
