@@ -581,3 +581,48 @@ def test_global_row_number_matches_window_for_any_partitioning(spark, rows, part
         .collect()
     }
     assert got == want
+
+
+@given(data=st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_decoders_reject_garbage_cleanly(data):
+    """Pure-Python codecs must fail CLOSED on arbitrary bytes: a malformed
+    payload raises ValueError / NotImplementedError (the documented
+    contract a deployment catches per-record), never an IndexError /
+    struct.error / OverflowError crash that would kill the Arrow batch."""
+    import pytest
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        decode_audio,
+        decode_image,
+        parse_y4m,
+    )
+
+    for dec in (decode_image, decode_audio, parse_y4m):
+        try:
+            dec(data)
+        except (ValueError, NotImplementedError):
+            pass  # the contract
+        # anything else propagates and fails the test
+
+
+@given(
+    header=st.sampled_from([b"P6", b"BM", b"RIFF", b"YUV4MPEG2"]),
+    tail=st.binary(max_size=64),
+)
+@settings(max_examples=300, deadline=None)
+def test_decoders_reject_truncated_magic_cleanly(header, tail):
+    """Same contract when the MAGIC is right but the body is garbage — the
+    dispatch path is entered and every header/size read must stay guarded."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        decode_audio,
+        decode_image,
+        parse_y4m,
+    )
+
+    data = header + tail
+    for dec in (decode_image, decode_audio, parse_y4m):
+        try:
+            dec(data)
+        except (ValueError, NotImplementedError):
+            pass
