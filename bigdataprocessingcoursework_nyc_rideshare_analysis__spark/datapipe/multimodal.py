@@ -1164,11 +1164,17 @@ def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- perceptual video near-dup (per-frame dHash + temporal banding) ------------
 
-#: hashing geometry for the video tier's OWN synthetic corpus (bigger Y
-#: plane than the stats tier so a one-byte twin perturbation moves few
-#: resized cells): C420 Y4M, Y plane VPH_W x VPH_H per frame.
-VPH_W = 8
-VPH_H = 8
+#: hashing geometry for the video tier's OWN synthetic corpus: C420 Y4M,
+#: Y plane VPH_W x VPH_H per frame.  The plane must be AT LEAST the dHash
+#: grid ({DHASH_W}x{DHASH_H}) in both axes: a sub-grid plane makes the
+#: nearest-neighbor resize DUPLICATE source columns, every comparison
+#: between duplicated columns is constantly false, and the lost hash
+#: entropy collapses the 16-bit band buckets 16x — measured at the sf10
+#: scale point as a 70x superlinear candidate blowup (915 s for 625k
+#: media with an 8x8 plane vs 31 s with this 16x16 one).  The scaling
+#: curve exists to catch exactly this.
+VPH_W = 16
+VPH_H = 16
 VPH_N_FRAMES = 6
 VPH_STRIDE = 2  # hash every 2nd frame -> VPH_KEPT hashed frames per clip
 VPH_KEPT = (VPH_N_FRAMES + VPH_STRIDE - 1) // VPH_STRIDE  # 3
@@ -1296,59 +1302,70 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = staged_video_phash(spark, sf_dir)
     chunk_bits = DHASH_BITS // PHASH_BANDS
     mask = (1 << chunk_bits) - 1
-    stacked = sig.select(
+    # one row per clip with the frame-hash sequence sorted by frame_idx —
+    # carried THROUGH the banding join so candidate verification is an
+    # in-row popcount, never a join-back.  The first cut joined each
+    # candidate pair back to the signature table twice; past ~2^16 media
+    # the 16-bit buckets saturate and random collisions make candidates
+    # grow ~n²/2^16 per (frame, chunk) slot, so the join-back dominated —
+    # measured at the sf10 scaling point (625k media: 326 s with the
+    # join-back, ~60 s in-row).  Carrying VPH_KEPT longs per side is the
+    # cheap trade.
+    clip = sig.groupBy("media_id").agg(
+        F.array_sort(F.collect_list(F.struct("frame_idx", "fhash"))).alias("fh")
+    )
+    stacked = clip.select(
         "media_id",
-        "frame_idx",
+        "fh",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("fhash", c * chunk_bits)
-                        .bitwiseAND(F.lit(mask).cast("long"))
-                        .alias("val"),
-                    )
-                    for c in range(PHASH_BANDS)
-                ]
+            F.flatten(
+                F.transform(
+                    "fh",
+                    lambda s: F.array(
+                        *[
+                            F.struct(
+                                s["frame_idx"].alias("fi"),
+                                F.lit(c).alias("chunk"),
+                                F.shiftright(s["fhash"], c * chunk_bits)
+                                .bitwiseAND(F.lit(mask).cast("long"))
+                                .alias("val"),
+                            )
+                            for c in range(PHASH_BANDS)
+                        ]
+                    ),
+                )
             )
         ).alias("cv"),
-    ).select("media_id", "frame_idx", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    ).select(
+        "media_id", "fh", F.col("cv.fi").alias("fi"), F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val")
+    )
     a = stacked.alias("a")
     b = stacked.alias("b")
-    pairs = (
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.fh"),
+            F.col("b.fh"),
+            lambda x, y: F.bit_count(x["fhash"].bitwiseXOR(y["fhash"])),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
         a.join(
             b,
-            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            (F.col("a.fi") == F.col("b.fi"))
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )
+        # verify BEFORE distinct: the in-row popcount is cheaper than
+        # deduplicating the (far larger) unfiltered candidate multiset
+        .filter(hamming <= VPH_MAX_TOTAL_HAMMING)
         .select(
             F.col("a.media_id").alias("media_a"),
             F.col("b.media_id").alias("media_b"),
+            F.size(F.col("a.fh")).cast("int").alias("n_frames"),
+            hamming.cast("int").alias("total_hamming"),
         )
         .distinct()
-    )
-    sa = sig.select(
-        F.col("media_id").alias("media_a"),
-        F.col("frame_idx").alias("fi"),
-        F.col("fhash").alias("ha"),
-    )
-    sb = sig.select(
-        F.col("media_id").alias("media_b"),
-        F.col("frame_idx").alias("fi"),
-        F.col("fhash").alias("hb"),
-    )
-    return (
-        pairs.join(sa, "media_a")
-        .join(sb, ["media_b", "fi"])
-        .groupBy("media_a", "media_b")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_frames"),
-            F.sum(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).cast("int").alias(
-                "total_hamming"
-            ),
-        )
-        .filter(F.col("total_hamming") <= VPH_MAX_TOTAL_HAMMING)
-        .select("media_a", "media_b", "n_frames", "total_hamming")
     )

@@ -371,14 +371,24 @@ def staged_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes each clip once and every dedup consumer reads the table.  The
     stage key folds the hash-construction source, so retuning the geometry
     (VPH_*, dHash) rebuilds it."""
-    from .multimodal import video_phash_frame
+    from .multimodal import (
+        VPH_N_FRAMES,
+        VPH_STRIDE,
+        VPH_H,
+        VPH_W,
+        video_phash_frame,
+    )
 
     def build() -> DataFrame:
         par = spark.sparkContext.defaultParallelism
         return video_phash_frame(spark, sf_dir).repartition(par)
 
+    # the geometry constants live OUTSIDE the builder's source, so fold them
+    # into the key explicitly — _fn_version alone would serve stale hashes
+    # across a VPH_* retune (caught when the 16x16 entropy fix landed)
+    geo = f"{VPH_W}x{VPH_H}x{VPH_N_FRAMES}s{VPH_STRIDE}"
     out = _ensure(
-        f"video_phash_{_fn_version(video_phash_frame)}",
+        f"video_phash_{geo}_{_fn_version(video_phash_frame)}",
         sf_dir,
         build,
     )

@@ -16,10 +16,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # bump flips in frame VPH_TWIN_FRAME's dHash (0 when the +16 stays on the
 # same side of both neighbour comparisons, else 1-2).
 _VIDEO_HAMMING = {
-    8: 1, 12: 2, 40: 2, 52: 1, 56: 1, 76: 2, 100: 1, 108: 1, 168: 2,
-    172: 2, 200: 1, 212: 2, 236: 2, 240: 1, 248: 1, 256: 1, 268: 1,
-    276: 1, 284: 2, 288: 1, 344: 1, 348: 2, 372: 1, 424: 2, 456: 2,
-    472: 2, 484: 2,
+    # regenerated for the 16x16 Y plane (the full-dHash-entropy fix the
+    # sf10 scaling point forced; see multimodal.py's VPH_W note)
+    44: 1, 56: 2, 76: 2, 84: 1, 100: 2, 104: 2, 116: 2, 140: 2, 232: 2,
+    236: 1, 244: 1, 264: 1, 280: 1, 308: 2, 344: 1, 348: 1, 356: 1,
+    376: 2, 388: 2, 416: 1, 420: 1, 432: 1, 444: 2, 464: 1, 480: 1,
+    496: 1,
 }
 
 
