@@ -372,10 +372,15 @@ def staged_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage key folds the hash-construction source, so retuning the geometry
     (VPH_*, dHash) rebuilds it."""
     from .multimodal import (
+        DHASH_H,
+        DHASH_W,
         VPH_N_FRAMES,
         VPH_STRIDE,
         VPH_H,
         VPH_W,
+        _build_frame_dhash,
+        _build_mixed_raster,
+        _build_video_codec,
         video_phash_frame,
     )
 
@@ -383,12 +388,21 @@ def staged_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         par = spark.sparkContext.defaultParallelism
         return video_phash_frame(spark, sf_dir).repartition(par)
 
-    # the geometry constants live OUTSIDE the builder's source, so fold them
-    # into the key explicitly — _fn_version alone would serve stale hashes
-    # across a VPH_* retune (caught when the 16x16 entropy fix landed)
-    geo = f"{VPH_W}x{VPH_H}x{VPH_N_FRAMES}s{VPH_STRIDE}"
+    # the geometry constants AND the helper implementations live OUTSIDE the
+    # builder's source, so fold them into the key explicitly —
+    # _fn_version(video_phash_frame) alone would serve stale hashes across a
+    # VPH_*/DHASH_* retune (caught when the 16x16 entropy fix landed) or an
+    # edit to the frame-hash / codec / raster builders the query calls
+    # (round-8 advice: the same staleness class, one closure deeper)
+    geo = f"{VPH_W}x{VPH_H}x{VPH_N_FRAMES}s{VPH_STRIDE}_d{DHASH_W}x{DHASH_H}"
+    helpers = hashlib.sha1(
+        "|".join(
+            _fn_version(f)
+            for f in (_build_frame_dhash, _build_video_codec, _build_mixed_raster)
+        ).encode()
+    ).hexdigest()[:8]
     out = _ensure(
-        f"video_phash_{geo}_{_fn_version(video_phash_frame)}",
+        f"video_phash_{geo}_{_fn_version(video_phash_frame)}_{helpers}",
         sf_dir,
         build,
     )

@@ -190,21 +190,29 @@ def global_row_number(
     return keyed_row_number(df, [], order_cols, alias, partitions)
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact long integer division (SQL ``div``) — NOT ``floor(a / b)``,
+    whose double intermediate silently loses precision past 2^53 rows."""
+    return F.call_function("div", a.cast("long"), b.cast("long"))
+
+
 def ntile_from_rn(rn: Column, n: Column, buckets: int) -> Column:
     """ANSI ``ntile(buckets)`` computed from a 1-based global row number and
     the frame size: the first ``n % buckets`` tiles take ``⌈n/buckets⌉``
     rows, the rest ``⌊n/buckets⌋`` — the exact rule Spark and DuckDB share,
     so pairing this with ``global_row_number`` is bit-identical to the
-    window function while scaling past the single-partition sort."""
-    base = F.floor(n / buckets)  # ⌊n/buckets⌋ rows in the small tiles
+    window function while scaling past the single-partition sort.  All
+    arithmetic is long integer division, so the equivalence holds for any
+    frame size a long can count — not just below the 2^53 double mantissa."""
+    base = _idiv(n, F.lit(buckets))  # ⌊n/buckets⌋ rows in the small tiles
     rem = n % buckets  # first `rem` tiles take one extra row
     big = rem * (base + 1)  # rows covered by the large tiles
-    return F.when(rn <= big, F.floor((rn - 1) / (base + 1)) + 1).otherwise(
+    return F.when(rn <= big, _idiv(rn - 1, base + 1) + 1).otherwise(
         # reachable only when rn > big, which requires base >= 1 (with
         # base = 0 the first `rem` = n tiles cover every row), so the
         # greatest() guard never changes the value — it only keeps the
         # expression total under ANSI division semantics
-        rem + F.floor((rn - big - 1) / F.greatest(base, F.lit(1))) + 1
+        rem + _idiv(rn - big - 1, F.greatest(base, F.lit(1))) + 1
     )
 
 

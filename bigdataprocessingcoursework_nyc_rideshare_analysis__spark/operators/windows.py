@@ -245,7 +245,10 @@ def q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_neg", -F.col("total_dec"))
     )
     rn = global_row_number(totals, ["_neg", "user_id"], "_rn")
-    n_df = ev.select("user_id").distinct().agg(F.count(F.lit(1)).alias("_n"))
+    # frame size = |totals| by construction (one row per user) — counting
+    # the agg output avoids a second full scan+shuffle of events for a
+    # redundant distinct(user_id)
+    n_df = totals.agg(F.count(F.lit(1)).alias("_n"))
     return (
         rn.crossJoin(F.broadcast(n_df))
         .select(

@@ -234,6 +234,44 @@ DRIVER_VERIFIED.update(dict.fromkeys((
     "tfidf_doc_similarity_pairs", "tokenizer_fertility_by_lang",
     "user_feature_vector", "waterfill_source_caps", "weekend_volume_ranksum",
 ), 7))
+DRIVER_VERIFIED.update(dict.fromkeys((
+    # CORRECTNESS_r08.json: 33 hash-green + 17 rows-only.  The driver
+    # window landed exactly on the 17 still-unsampled rows-only queries,
+    # so every registry entry now has a driver row.  Rows-only names ARE
+    # recorded here (unlike the r7 convention) per the round-8 verdict:
+    # a rows-present driver row is the strongest check the driver can
+    # give a no-oracle query, and recording it keeps the
+    # unverified-first ordering meaningful (each of the 17 additionally
+    # carries an independent pytest replica/golden pin — COVERAGE.md).
+    # Hash-green (33): the full round-8 window-sweep re-verification set
+    # (all 18 CHANGED_SINCE_VERIFIED entries went green and move here)
+    # plus 15 round-1 rideshare/events refreshes.
+    "avg_fare_by_time_of_day", "avg_trip_length_by_time_of_day",
+    "conversion_latency_quantiles", "customer_abc_classes",
+    "customer_revenue_gini", "customer_rfm_segments",
+    "earnings_by_business_month", "enrich_trips",
+    "equi_depth_histogram_by_event_type", "hybrid_search_rrf",
+    "iqr_outlier_events", "join_key_skew_profile", "m4_downsample_values",
+    "mad_outlier_events", "median_value_by_event_type",
+    "monthly_revenue_running_total", "ndcg_tfidf_vs_overlap",
+    "pandas_api_event_counts", "profit_by_business_month",
+    "psi_click_vs_purchase", "quality_deciles_by_lang",
+    "quantile_normalized_scores", "quartiles_by_event_type",
+    "rolling_avg_value_per_user", "route_revenue_top30",
+    "salted_earnings_by_business_month", "top5_dropoff_boroughs_by_month",
+    "top5_pickup_boroughs_by_month", "trip_count_by_business_month",
+    "unknown_zone_trip_count", "user_value_quartiles",
+    "winsorized_values_by_event_type", "zone_share_of_borough_revenue",
+    # Rows-only with driver rows (17):
+    "bpe_learn_merges", "train_quality_classifier",
+    "daily_distinct_users_sketch_rollup", "bpe_encode_docs",
+    "textrank_keywords", "embedding_top_component",
+    "kmeans_embedding_clusters", "semantic_dedup_docs",
+    "absorption_purchase_vs_error", "ann_pq_topk",
+    "media_video_neardup_phash", "bpe_vocab_size_curve", "ann_ivfpq_topk",
+    "doc_compression_ratio", "media_image_neardup_phash",
+    "media_audio_neardup_fp", "pack_bestfit_efficiency",
+), 8))
 
 #: Round-2 verdict rule: a query whose IMPLEMENTATION changed after its
 #: last green driver row is no longer verified — it rejoins the front of
@@ -319,27 +357,24 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   ``iqr_outlier_events``, ``winsorized_values_by_event_type``,
 #:   ``equi_depth_histogram_by_event_type``, ``mad_outlier_events``,
 #:   ``quality_deciles_by_lang``, ``m4_downsample_values``.
+#: Round-9: all 18 round-8 window-sweep entries re-verified hash-green in
+#: CORRECTNESS_r08 and moved to ``DRIVER_VERIFIED`` (round 8).
+#: - ``ntile_from_rn`` callers (``user_value_quartiles``,
+#:   ``customer_rfm_segments``, ``quality_deciles_by_lang``,
+#:   ``equi_depth_histogram_by_event_type``):
+#:   the tile arithmetic moved from double division to exact integer
+#:   division (ADVICE r8 — unconditional >2^53 equivalence).  Values are
+#:   bit-identical for every frame the engine can materialize (local
+#:   oracle replica green at sf0.01) but the implementation-change rule
+#:   is mechanical — re-verify.
+#: - ``user_value_quartiles``: additionally dropped the redundant
+#:   distinct-count scan of events (ADVICE r8) — the broadcast total now
+#:   comes from the already-computed per-user totals frame.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "user_value_quartiles",
-    "conversion_latency_quantiles",
-    "psi_click_vs_purchase",
-    "join_key_skew_profile",
-    "customer_abc_classes",
     "customer_rfm_segments",
-    "customer_revenue_gini",
-    "quantile_normalized_scores",
-    "median_value_by_event_type",
-    "quartiles_by_event_type",
-    "iqr_outlier_events",
-    "winsorized_values_by_event_type",
-    "equi_depth_histogram_by_event_type",
-    "mad_outlier_events",
     "quality_deciles_by_lang",
-    "m4_downsample_values",
-    # third pass: candidate-frame global rankers (hits-sized frames still
-    # grow with the corpus) — both oracle-hash-green at sf0.01
-    "hybrid_search_rrf",
-    "ndcg_tfidf_vs_overlap",
+    "equi_depth_histogram_by_event_type",
 })
 
 
