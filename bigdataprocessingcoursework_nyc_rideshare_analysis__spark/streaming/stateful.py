@@ -388,7 +388,11 @@ _KEPT_SIGS_SCHEMA = StructType(
 STREAM_NEARDUP_THRESHOLD = 0.8
 
 
-def minhash_dedup_stream(docs: DataFrame, threshold: float = STREAM_NEARDUP_THRESHOLD) -> DataFrame:
+def minhash_dedup_stream(
+    docs: DataFrame,
+    threshold: float = STREAM_NEARDUP_THRESHOLD,
+    ttl_s: int | None = None,
+) -> DataFrame:
     """Streaming TEXT near-dup screen — the in-stream twin of batch
     ``neardup_minhash_lsh`` (``datapipe/dedup.py``), completing the
     batch≡stream dedup family (exact: ``exact_dedup_stream``; perceptual
@@ -413,6 +417,13 @@ def minhash_dedup_stream(docs: DataFrame, threshold: float = STREAM_NEARDUP_THRE
     {MINHASH_PERMS} permutations (not just the band) estimates Jaccard,
     the standard MinHash estimator.  Within a micro-batch rows are ordered
     by doc_id — earliest arrival wins, exactly like batch keep-first.
+
+    ``ttl_s`` arms the same ProcessingTimeTimeout eviction as
+    ``exact_dedup_stream`` — on an UNBOUNDED content domain even
+    O(distinct) state grows without bound (round-8 advice), so buckets
+    idle for ``ttl_s`` drop their kept signatures.  Same documented
+    compromise: a near-dup of an evicted bucket is re-admitted and the
+    nightly batch ``neardup_minhash_lsh`` sweep catches it.
 
     The update function is a closure (cloudpickle by-value; workers never
     import this package — same rule as every Python-worker callable)."""
@@ -452,6 +463,10 @@ def minhash_dedup_stream(docs: DataFrame, threshold: float = STREAM_NEARDUP_THRE
     def update(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL eviction: forget the bucket's kept signatures
+            state.remove()
+            return
         kept: list[list[int]] = [list(s) for s in state.get[0]] if state.exists else []
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
@@ -466,6 +481,8 @@ def minhash_dedup_stream(docs: DataFrame, threshold: float = STREAM_NEARDUP_THRE
                 kept.append(s)
                 out.append((int(row.doc_id), int(key[0])))
         state.update((kept,))
+        if ttl_s is not None:
+            state.setTimeoutDuration(ttl_s * 1000)
         if out:
             yield pd.DataFrame(out, columns=["doc_id", "bucket"])
 
@@ -474,5 +491,9 @@ def minhash_dedup_stream(docs: DataFrame, threshold: float = STREAM_NEARDUP_THRE
         outputStructType=MINHASH_OUT_SCHEMA,
         stateStructType=_KEPT_SIGS_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -1134,3 +1134,59 @@ def test_streaming_minhash_neardup_screen_matches_greedy_replica(spark):
         assert len(got) < docs.count()  # the fixture contains near-dups to reject
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_minhash_ttl_arms_timeout_and_state_survives_batches(spark):
+    """``ttl_s`` switches the minhash screen to ProcessingTimeTimeout
+    (round-8 advice: the no-eviction form grows without bound on an
+    unbounded content domain).  With a TTL far longer than the run, the
+    admit/reject semantics must be IDENTICAL to the untimed form: a second
+    micro-batch of duplicate content (same texts, shifted doc_ids) hashes
+    to the same signatures and is rejected against state admitted — and
+    TTL-re-armed — in batch 1."""
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.stateful import (
+        minhash_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(100)
+    d = tempfile.mkdtemp(prefix="docs_minhash_ttl_")
+    try:
+        f1, f2 = os.path.join(d, "batch1"), os.path.join(d, "batch2")
+        docs.coalesce(1).write.mode("overwrite").parquet(f1)
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f2)
+        src = tempfile.mkdtemp(prefix="docs_minhash_ttl_src_")
+        now = time.time()
+        for i, f in enumerate((f1, f2)):
+            for p in os.listdir(f):
+                if p.endswith(".parquet"):
+                    dst = os.path.join(src, f"{i}_{p}")
+                    os.rename(os.path.join(f, p), dst)
+                    os.utime(dst, (now + i * 10, now + i * 10))
+        stream_src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            minhash_dedup_stream(stream_src, ttl_s=3600)
+            .writeStream.format("memory")
+            .queryName("minhash_ttl")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.table("minhash_ttl").collect()
+        assert len(got) > 0
+        # every batch-2 doc duplicates a batch-1 signature: nothing admitted
+        assert all(r["doc_id"] < 10_000_000 for r in got)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

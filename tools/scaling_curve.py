@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -218,6 +219,27 @@ def build_sf1_events(
     return out_dir
 
 
+def _exchange_counts(plan: str) -> dict[str, int]:
+    """Per-node-kind exchange counts from an executed-plan string.
+
+    ``plan.count("Exchange ")`` overstates true shuffle counts two ways
+    (round-8 advice): a ``ReusedExchange [...], Exchange hashpartitioning``
+    line embeds the referenced child's description as a substring, and
+    BroadcastExchange matches too.  Anchor on the node NAME at the start
+    of the tree-art-stripped line instead and report the three kinds
+    separately — the scale-invariance claim is about SHUFFLE exchanges."""
+    shuffle = broadcast = reused = 0
+    for line in plan.splitlines():
+        node = re.sub(r"^[\s:+\-*]*(?:\(\d+\)\s*)?", "", line)
+        if node.startswith("ReusedExchange"):
+            reused += 1
+        elif node.startswith("BroadcastExchange"):
+            broadcast += 1
+        elif node.startswith("Exchange"):
+            shuffle += 1
+    return {"shuffle": shuffle, "broadcast": broadcast, "reused": reused}
+
+
 def run_rank_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     """Time the round-8 two-phase rank-selection tier over events — exact
     median / quartiles / equi-depth histogram / MAD outliers / PSI decile
@@ -253,8 +275,10 @@ def run_rank_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     for q in queries:
         df = reg[q].fn(spark, sf_dir)
         times[f"rows_{q}"] = df.count()
-        plan = plan_string(df)
-        times[f"exchanges_{q}"] = plan.count("Exchange ") + plan.count("Exchange\n")
+        ex = _exchange_counts(plan_string(df))
+        times[f"exchanges_{q}"] = ex["shuffle"]
+        times[f"broadcast_exchanges_{q}"] = ex["broadcast"]
+        times[f"reused_exchanges_{q}"] = ex["reused"]
     spark.stop()
     return times
 
@@ -335,9 +359,10 @@ def run_sa_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     for q in queries:
         df = reg[q].fn(spark, sf_dir)
         times[f"rows_{q}"] = df.count()
-        plan = plan_string(df)
-        times[f"exchanges_{q}"] = plan.count("Exchange ") + plan.count("Exchange\n")
-        times[f"reused_exchanges_{q}"] = plan.count("ReusedExchange")
+        ex = _exchange_counts(plan_string(df))
+        times[f"exchanges_{q}"] = ex["shuffle"]
+        times[f"broadcast_exchanges_{q}"] = ex["broadcast"]
+        times[f"reused_exchanges_{q}"] = ex["reused"]
     spark.stop()
     return times
 
