@@ -515,29 +515,16 @@ def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- mergeable distinct-count sketches ----------------------------------------
 
 
-@register("daily_distinct_users_sketch_rollup", oracle=None, tags=("agg", "approx", "sketch"))
-def q_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE distinct-count state — the warehouse pattern plain
-    ``approx_count_distinct`` cannot express: build one DataSketches HLL
-    sketch per (day, event_type) at ingest, then answer any date-range
-    distinct-user question later by UNIONING the precomputed sketches —
-    no rescan of the events, additive across arbitrary ranges.
-
-    Output: per event_type, the estimate from the union of that type's
-    daily sketches, alongside the day count and exact distinct for
-    auditability.  Rows-only — oracle-backfill evaluated and rejected
-    (round-7 verdict item 6): n_days and distinct_users_exact ARE
-    SQL-replicable, but distinct_users_est is the Apache DataSketches HLL
-    estimate, and DuckDB's approx_count_distinct is a DIFFERENT HLL
-    implementation (different hashing/register math), so the estimates
-    cannot hash-match; dropping the estimate column would gut the query's
-    purpose (the mergeable-sketch surface is what's being demonstrated).
-    pytest pins (a) determinism, (b) union-of-dailies ≡ one whole-corpus
-    sketch (DataSketches is deterministic on sets), and (c) estimate
-    within 5% of exact.
-
-    Scale: daily sketch state is O(days × types × sketch_size) — KBs per
-    key — and the rollup shuffles sketch BINARIES, never user ids."""
+def sketch_rollup_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full mergeable-sketch readout — per event_type, the RAW
+    DataSketches HLL estimate from the union of that type's daily
+    sketches, alongside day count and exact distinct.  The raw estimate
+    has no cross-engine SQL twin (DuckDB's approx_count_distinct is a
+    different HLL — different hashing/register math), so this detail
+    frame is pinned in pytest (determinism, union-of-dailies ≡ one
+    whole-corpus sketch, estimate within tolerance) while the registered
+    query below exposes the ORACLE-CHECKABLE projection of the same
+    computation."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.select(F.to_date("ts").alias("day"), "event_type", "user_id")
@@ -553,6 +540,61 @@ def q_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.join(exact, "event_type").select(
         "event_type", "n_days", "distinct_users_est", "distinct_users_exact"
+    )
+
+
+#: tolerance the sketch estimate must meet vs exact distinct: 5% relative
+#: (≈3 rsd for the default lgK=12 DataSketches HLL, rsd ≈ 1.04/√4096) with
+#: a floor of 2 for tiny cardinalities — the same envelope the pytest pin
+#: has enforced since round 6
+SKETCH_TOL_REL = 0.05
+SKETCH_TOL_ABS = 2
+
+_SKETCH_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_exact,
+       TRUE AS est_within_tol
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "daily_distinct_users_sketch_rollup",
+    oracle=_SKETCH_ROLLUP_ORACLE,
+    tags=("agg", "approx", "sketch"),
+)
+def q_daily_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count state — the warehouse pattern plain
+    ``approx_count_distinct`` cannot express: build one DataSketches HLL
+    sketch per (day, event_type) at ingest, then answer any date-range
+    distinct-user question later by UNIONING the precomputed sketches —
+    no rescan of the events, additive across arbitrary ranges.
+
+    Oracle form (round-8 verdict item 5 — previously rows-only): the raw
+    HLL estimate cannot hash-match a DuckDB twin (different HLL
+    implementation), so the registered output carries the estimate as a
+    BOUND check instead — ``est_within_tol`` is computed Spark-side from
+    the real DataSketches estimate (|est − exact| ≤ max({SKETCH_TOL_ABS},
+    {SKETCH_TOL_REL}·exact)) and the oracle asserts it TRUE for every
+    type, alongside exact-matching n_days and distinct_users_exact.  An
+    estimate drifting outside the envelope now FAILS the driver's hash
+    gate rather than hiding behind a rows-only row.  The raw estimate
+    surface lives in ``sketch_rollup_detail`` with its own pytest pins
+    (determinism, union-of-dailies ≡ whole-corpus sketch, tolerance).
+
+    Scale: daily sketch state is O(days × types × sketch_size) — KBs per
+    key — and the rollup shuffles sketch BINARIES, never user ids."""
+    est = F.col("distinct_users_est")
+    exact = F.col("distinct_users_exact")
+    return sketch_rollup_detail(spark, sf_dir).select(
+        "event_type",
+        "n_days",
+        "distinct_users_exact",
+        (
+            F.abs(est - exact)
+            <= F.greatest(F.lit(SKETCH_TOL_ABS), exact * SKETCH_TOL_REL)
+        ).alias("est_within_tol"),
     )
 
 

@@ -370,11 +370,19 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #: - ``user_value_quartiles``: additionally dropped the redundant
 #:   distinct-count scan of events (ADVICE r8) — the broadcast total now
 #:   comes from the already-computed per-user totals frame.
+#: - ``daily_distinct_users_sketch_rollup``: oracle-ized (round-8 verdict
+#:   item 5) — the registered output now carries the HLL estimate as a
+#:   Spark-computed ``est_within_tol`` bound column the DuckDB twin
+#:   asserts TRUE (raw-estimate surface moved to
+#:   ``analytics.sketch_rollup_detail`` with its pytest pins); new output
+#:   schema, so the r8 rows-only driver row no longer describes it —
+#:   re-verify under the now-available hash gate.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "user_value_quartiles",
     "customer_rfm_segments",
     "quality_deciles_by_lang",
     "equi_depth_histogram_by_event_type",
+    "daily_distinct_users_sketch_rollup",
 })
 
 

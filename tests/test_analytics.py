@@ -55,14 +55,14 @@ def test_sketch_rollup_union_matches_whole_corpus_sketch(spark):
     deterministic on a given value set), and both must track the exact
     distinct count within the sketch's error envelope."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
-        q_daily_sketch_rollup,
+        sketch_rollup_detail,
     )
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
     from pyspark.sql import functions as F
 
     from .conftest import SF_SMOKE
 
-    rows = {r["event_type"]: r for r in q_daily_sketch_rollup(spark, SF_SMOKE).collect()}
+    rows = {r["event_type"]: r for r in sketch_rollup_detail(spark, SF_SMOKE).collect()}
     assert rows
     whole = {
         r["event_type"]: r["est"]
@@ -71,7 +71,7 @@ def test_sketch_rollup_union_matches_whole_corpus_sketch(spark):
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("est"))
         .collect()
     }
-    again = {r["event_type"]: r for r in q_daily_sketch_rollup(spark, SF_SMOKE).collect()}
+    again = {r["event_type"]: r for r in sketch_rollup_detail(spark, SF_SMOKE).collect()}
     for et, r in rows.items():
         assert r["distinct_users_est"] == whole[et]  # union of dailies ≡ one sketch
         assert r["distinct_users_est"] == again[et]["distinct_users_est"]  # deterministic

@@ -155,8 +155,20 @@ def test_golden_compression_ratio_sample(spark):
 
 
 def test_golden_sketch_rollup_rows(spark):
+    # the raw-estimate surface moved to sketch_rollup_detail in round 9
+    # (the registered query now exposes the oracle-checkable bound form);
+    # the golden pins the DETAIL values — same computation, same numbers
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+        sketch_rollup_detail,
+    )
+
     got = sorted(
         (r.event_type, r.n_days, r.distinct_users_est, r.distinct_users_exact)
-        for r in load_all()["daily_distinct_users_sketch_rollup"].fn(spark, SF_SMOKE).collect()
+        for r in sketch_rollup_detail(spark, SF_SMOKE).collect()
     )
     assert got == _GOLDEN_SKETCH_ROLLUP
+    reg = sorted(
+        (r.event_type, r.n_days, r.distinct_users_exact, r.est_within_tol)
+        for r in load_all()["daily_distinct_users_sketch_rollup"].fn(spark, SF_SMOKE).collect()
+    )
+    assert reg == [(et, nd, ex, True) for et, nd, _est, ex in _GOLDEN_SKETCH_ROLLUP]
