@@ -322,13 +322,28 @@ def staged_ann_method_topk(spark: SparkSession, sf_dir: str, method: str) -> Dat
     (tables/bits/seeds, lists/nprobe, codebook shape/iters/caps) via
     ``similarity.ann_geometry_key`` so retuning any tier invalidates only
     its own staged results; the source key hashes ``embeddings.parquet``."""
-    from .similarity import ANN_METHODS, ann_geometry_key
+    from .similarity import (
+        ANN_METHODS,
+        _group_means_into,
+        ann_geometry_key,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
 
     fn = dict(ANN_METHODS)[method]
     # ann_geometry_key covers the constants; _fn_version covers the probe
-    # CODE, so an algorithm change with unchanged constants rebuilds too
+    # CODE, so an algorithm change with unchanged constants rebuilds too.
+    # The TRAINERS live outside the probe's source (same one-closure-deeper
+    # staleness class the video stage key closed in round 9), so fold them
+    # in as well — a k-means change must rebuild every staged panel.
+    trainers = hashlib.sha1(
+        "|".join(
+            _fn_version(f)
+            for f in (train_ivf_centroids, train_pq_codebooks, _group_means_into)
+        ).encode()
+    ).hexdigest()[:8]
     out = _ensure(
-        f"ann_{method}_topk_{ann_geometry_key()}_{_fn_version(fn)}",
+        f"ann_{method}_topk_{ann_geometry_key()}_{_fn_version(fn)}_{trainers}",
         sf_dir,
         lambda: fn(spark, sf_dir),
         table="embeddings",

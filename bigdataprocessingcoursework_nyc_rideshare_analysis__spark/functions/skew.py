@@ -45,7 +45,18 @@ def salted_sum_count(
 
     Phase 1 shuffles on (key, salt) — each hot key spreads over ``buckets``
     reducers; phase 2 shuffles only |keys|×buckets partial rows.
-    """
+
+    When to reach for this (measured, SCALE.md skew receipt): NOT for
+    plain sum/count on a hot key — hash-aggregate partial combine already
+    emits one partial row per (map task, key), so the hot key's reduce
+    side receives |map tasks| rows whatever its traffic share and the
+    salt only adds a second shuffle (measured near-parity/slower on a
+    40%-hot key at 10M rows).  The salt pays off for aggregation STATES
+    that don't compress map-side — collect_list/collect_set, exact
+    distinct counts, large typed aggregators — where the hot key's full
+    row volume otherwise lands on one reducer, and for the JOIN form
+    (``salted_join``), where the receipt shows the up-front salt beating
+    both the static plan and AQE's reactive split."""
     partial = (
         with_salt(df, buckets)
         .groupBy(*keys, "_salt")

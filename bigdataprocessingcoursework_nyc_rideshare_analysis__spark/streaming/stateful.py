@@ -406,7 +406,17 @@ def minhash_dedup_stream(
     ``array_min(transform(...))``, the exact same hash chain as the batch
     ``minhash_signatures`` (xxhash64 of the shingle string, then of the
     (base, i) pair), so stream and batch signatures are bit-identical for
-    the same text.  The grouping key is band 0's bucket — the single-band
+    the same text.  Cost profile (measured, round-9 streaming receipt):
+    this expression evaluates at ~2.4 s per 200k docs on 32 cores — a
+    vectorized NumPy/Arrow replacement was built, proven bit-identical
+    (including the int-literal hashInt fold), and REJECTED at 10× slower:
+    shipping the per-doc hash arrays through Arrow plus a per-row Python
+    list walk costs far more than the JVM lambda evaluation saves.  The
+    screen's actual per-batch bound is the stateful operator itself
+    (per-group pandas overhead + state-store IO), which scales with
+    DISTINCT CONTENT touched per batch, not traffic — same axis as the
+    state-size claim below.  The grouping key is band 0's bucket — the
+    single-band
     approximation the perceptual screen documents: a pair colliding only
     in another band passes the screen and is caught by the nightly batch
     ``neardup_minhash_lsh`` sweep (cheap-gate / exact-sweep split).

@@ -167,3 +167,43 @@ def test_ntile_from_rn_equals_window_ntile(spark):
             ).collect()
         }
         assert got == want, (n, buckets)
+
+
+def test_salted_shuffle_layout_has_no_hot_partition(spark):
+    """The straggler pin for the measured skew receipt
+    (``tools/scaling_curve.py --skew``): under hash partitioning on the
+    bare key, a 40%-hot key owns ≥40% of ONE shuffle partition (the
+    single-task straggler the salted path exists to break); partitioning
+    on (key, salt) must cap every partition near its fair share.  Pinned
+    on a synthetic hot-key frame shaped like the receipt's fact
+    (hot iff mix(id) % 10 < 4)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.skew import (
+        DEFAULT_SALT_BUCKETS,
+        with_salt,
+    )
+
+    n, n_keys, par = 40_000, 997, 8
+    base = spark.range(n).select(
+        F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 4, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_keys)) + 1)
+        .alias("k")
+    )
+
+    def max_share(frame, cols):
+        dist = (
+            frame.repartition(par, *[F.col(c) for c in cols])
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+        )
+        return dist.agg(F.max("count")).first()[0] / n
+
+    # pmod(xxhash64, 10) < 4: hot share lands near 40%
+    hot_share = base.filter(F.col("k") == 0).count() / n
+    assert 0.3 <= hot_share <= 0.5
+    unsalted = max_share(base, ["k"])
+    salted = max_share(with_salt(base, DEFAULT_SALT_BUCKETS), ["k", "_salt"])
+    assert unsalted >= hot_share  # the hot key serializes one partition
+    # fair share is 1/par = 12.5%; allow hash-placement noise but nothing
+    # resembling the hot partition
+    assert salted <= 0.25
+    assert salted < unsalted / 1.8

@@ -121,13 +121,18 @@ def build_sf1_embeddings(
     out_dir: str = SF1_DIR, src_dir: str = "/root/testdata/sf0.1", replicas: int = 10
 ) -> str:
     """Synthesize a replica-scaled embeddings table for the ANN chain
-    (round-6 verdict item 7): each replica k cyclically ROTATES every
-    vector's dimensions by k — distinct vectors (no brute-force ties, unlike
-    naive copying) with the exact norm/magnitude distribution of the source,
-    so codebook training and recall behave like a larger draw of the same
-    corpus.  Query panel (vec_id < N_QUERIES) stays the k=0 originals, so
-    the recall monitor probes a FIXED panel against a growing corpus — the
-    production shape.  Same content-marker early-return as ``build_sf1``."""
+    (round-6 verdict item 7): each replica k applies a SIGNED CYCLIC
+    ROTATION to every vector's dimensions — roll by ``k % dim``, and for
+    ``k >= dim`` (the sf10 point has 100 replicas over 64 dims, so bare
+    rolls would wrap and duplicate replica 0 exactly — brute-force ties)
+    additionally flip a deterministic per-replica sign pattern.  Signed
+    axis permutations are orthogonal: norms and intra-replica pairwise
+    cosines are preserved exactly, so codebook training and recall behave
+    like a larger draw of the same corpus while every replica's vectors
+    stay distinct.  Query panel (vec_id < N_QUERIES) stays the k=0
+    originals, so the recall monitor probes a FIXED panel against a
+    growing corpus — the production shape.  Same content-marker
+    early-return as ``build_sf1``."""
     import hashlib
     import inspect
 
@@ -151,11 +156,18 @@ def build_sf1_embeddings(
     vec_ids = src.column("vec_id").to_numpy()
     labels = src.column("label").to_numpy()
     vecs = np.asarray(src.column("embedding").to_pylist(), dtype=np.float32)
+    dim = vecs.shape[1]
     ids_out, lab_out, vec_out = [], [], []
     for k in range(replicas):
+        v = np.roll(vecs, k % dim, axis=1)
+        if k >= dim:
+            signs = np.random.default_rng(1000 + k).choice(
+                np.float32([-1.0, 1.0]), size=dim
+            )
+            v = v * signs
         ids_out.append(vec_ids + k * ID_STRIDE)
         lab_out.append(labels)
-        vec_out.append(np.roll(vecs, k, axis=1))
+        vec_out.append(v)
     tbl = pa.table(
         {
             "vec_id": np.concatenate(ids_out),
@@ -319,6 +331,13 @@ def run_ann_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     )
     times["total"] = round(sum(times.values()), 2)
     times["n_vectors"] = n_vecs
+    # untimed: the recall numbers themselves (panel-sized), so the sweep
+    # records whether the floors HOLD at each scale, not just the wall
+    for r in reg["ann_recall_report"].fn(spark, sf_dir).collect():
+        d = r.asDict()
+        m = d.get("method")
+        times[f"recall_mean_{m}"] = round(float(d.get("mean_recall")), 4)
+        times[f"recall_min_{m}"] = round(float(d.get("min_recall")), 4)
     spark.stop()
     return times
 
@@ -398,6 +417,168 @@ def run_media_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     return times
 
 
+def build_skew_fact(out_dir: str, rows: int, hot_share: float = 0.4, n_keys: int = 10_000) -> str:
+    """Synthesize a hot-key fact table (round-8 verdict item 3): ``rows``
+    rows of (k, value) where ONE key (k=0) owns ``hot_share`` of the rows —
+    the SURVEY §7.4 shape (Manhattan ≈ 40% of trips) — and the rest spread
+    uniformly over ``n_keys`` cold keys.  Hot rows are INTERLEAVED in file
+    order (hot iff mix(id) % 10 < 4), so every scan partition carries its
+    share of the hot key and the skew pressure lands where it does in
+    production: on the SHUFFLE, not the scan.  Deterministic (splitmix on
+    the row id); same content-marker early-return as ``build_sf1``."""
+    import hashlib
+    import inspect
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"skewfact_{rows}.parquet")
+    synth_key = ":".join((
+        hashlib.sha1(inspect.getsource(build_skew_fact).encode()).hexdigest()[:8],
+        str(rows), str(hot_share), str(n_keys),
+    ))
+    marker = os.path.join(out_dir, f".synth_key_skew_{rows}")
+    if os.path.exists(out_path) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == synth_key:
+                return out_path
+    ids = np.arange(rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        mix = ids * np.uint64(0x9E3779B97F4A7C15)
+        mix ^= mix >> np.uint64(31)
+        mix *= np.uint64(0xFF51AFD7ED558CCD)
+        mix ^= mix >> np.uint64(33)
+    hot = (mix % np.uint64(10)) < np.uint64(int(hot_share * 10))
+    k = np.where(hot, np.uint64(0), np.uint64(1) + (mix >> np.uint64(13)) % np.uint64(n_keys))
+    value = ((mix >> np.uint64(27)) % np.uint64(1000)).astype(np.float64) / 10.0
+    cols = {"k": k.astype(np.int64), "value": value}
+    # 8 payload longs (~80 B/row with key+value): the straggler cost is the
+    # BYTES the hot key drags through one reduce task — 16 B/row rows are
+    # so light that local[32] absorbs a 4M-row hot partition in noise
+    for j in range(8):
+        cols[f"p{j}"] = ((mix >> np.uint64(j)) % np.uint64(1_000_000)).astype(np.int64)
+    tbl = pa.table(cols)
+    pq.write_table(tbl, out_path, row_group_size=max(1, rows // 32))
+    with open(marker, "w") as fh:
+        fh.write(synth_key)
+    return out_path
+
+
+SKEW_N_KEYS = 10_000
+
+
+def run_skew_chain(fact_path: str, cpus: int) -> dict[str, float]:
+    """Measure the salted path ON ACTUALLY SKEWED DATA (round-8 verdict
+    item 3 — ``salted_join``/``salted_sum_count`` were equivalence-tested
+    but never measured under a hot key).  Three join strategies over the
+    same fact×dim equi-join, broadcast DISABLED on every session to
+    simulate the build-side-too-big-to-broadcast regime that motivates
+    salting (a broadcastable dim has no skew problem — the engine's
+    production queries broadcast those):
+
+    - ``join_unsalted_noaqe``: static shuffle join — the hot key's 40%
+      of fact rows funnel through ONE reduce task (the failure mode);
+    - ``join_salted_noaqe``: ``salted_join`` — hot key spread over
+      {DEFAULT_SALT_BUCKETS} (key, salt) reducers, build side exploded;
+    - ``join_aqe``: plain join under AQE's reactive skew-join splitting
+      (``spark.sql.adaptive.skewJoin``) — the runtime alternative the
+      docstring in ``functions/skew.py`` names.
+
+    Plus both aggregation forms (``agg_unsalted_noaqe`` vs
+    ``agg_salted_noaqe``) — recorded honestly: hash-aggregate partial
+    combine already absorbs sum/count skew map-side, so near-parity is
+    the EXPECTED result there (the salted form exists for aggregates
+    whose partials don't compress); the join is where the hot key
+    serializes a stage.  Also records the shuffle-layout receipt the
+    straggler pin in ``tests/test_skew.py`` asserts: the max partition
+    share of a hash repartition on (k) vs (k, _salt)."""
+    from pyspark.sql import functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.skew import (
+        DEFAULT_SALT_BUCKETS,
+        salted_join,
+        salted_sum_count,
+        with_salt,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import (
+        aqe_off_clone,
+        get_spark,
+    )
+
+    spark = get_spark("scaling-curve-skew", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # simulate the non-broadcastable-dim regime on the parent; the AQE-off
+    # clone re-syncs parent confs so both sessions see it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # scale AQE's skew-split thresholds to the toy corpus: in production the
+    # hot partition is tens of GB against a 256 MB threshold (ratio >> 5);
+    # at 10M × 80 B rows the hot partition's ~130 MB compressed shuffle sits
+    # UNDER the default threshold and AQE silently declines to split —
+    # measured before this tuning: join_aqe ≈ join_unsalted.  16 MB / 8 MB
+    # reproduces the production threshold-to-partition ratio
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    noaqe = aqe_off_clone(spark)
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        fn()
+        times[name] = round(time.monotonic() - t0, 2)
+
+    def dim(session):
+        return session.range(SKEW_N_KEYS + 1).select(
+            F.col("id").alias("dk"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("p1"),
+            (F.col("id") % 97).alias("p2"),
+        )
+
+    def drain(df):
+        # consume the JOIN output without collapsing it early: a count-only
+        # sink would let the aggregate absorb the join rows map-side; the
+        # noop write materializes every joined row
+        df.write.format("noop").mode("overwrite").save()
+
+    def fact(session):
+        return session.read.parquet(fact_path)
+
+    n = fact(spark).count()
+    times["n_rows"] = n
+
+    timed("join_unsalted_noaqe", lambda: drain(fact(noaqe).join(dim(noaqe), F.col("k") == F.col("dk"))))
+    timed("join_salted_noaqe", lambda: drain(salted_join(fact(noaqe), dim(noaqe), "k", "dk", how="inner")))
+    timed("join_aqe", lambda: drain(fact(spark).join(dim(spark), F.col("k") == F.col("dk"))))
+    timed("agg_unsalted_noaqe", lambda: drain(
+        fact(noaqe).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+    ))
+    timed("agg_salted_noaqe", lambda: drain(
+        salted_sum_count(fact(noaqe), ["k"], "value", count_alias="n", sum_alias="s")
+    ))
+    times["total"] = round(sum(v for k_, v in times.items() if k_ != "n_rows"), 2)
+
+    # shuffle-layout receipt: max partition share under hash partitioning
+    # on the bare key vs (key, salt) — the direct cause of the straggler
+    par = spark.sparkContext.defaultParallelism
+    for tag, frame, cols in (
+        ("unsalted", fact(spark), ["k"]),
+        ("salted", with_salt(fact(spark), DEFAULT_SALT_BUCKETS), ["k", "_salt"]),
+    ):
+        dist = (
+            frame.repartition(par, *[F.col(c) for c in cols])
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+        )
+        mx = dist.agg(F.max("count")).first()[0]
+        times[f"maxpart_share_{tag}"] = round(mx / n, 4)
+    spark.stop()
+    return times
+
+
 def run_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     """Time each chain stage against a fresh stage dir; return seconds."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
@@ -458,6 +639,11 @@ def main() -> None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps({"sf_dir": sf_dir, **run_sa_chain(sf_dir, cpus)}))
         return
+    if "--one-skew" in sys.argv[1:]:
+        fact_path = sys.argv[sys.argv.index("--one-skew") + 1]
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps({"sf_dir": fact_path, **run_skew_chain(fact_path, cpus)}))
+        return
 
     def sweep(points, mode_flag):
         results = []
@@ -479,12 +665,18 @@ def main() -> None:
 
     if "--ann" in sys.argv[1:]:
         # embedding/ANN chain (round-6 verdict item 7): sf0.01, sf0.1, and
-        # a synthesized 10x-of-sf0.1 point (dimension-rotated replicas)
+        # a synthesized 10x-of-sf0.1 point (signed-rotation replicas);
+        # --deep adds the 100x sf10 point (200k vectors, round-9 item 2)
         build_sf1_embeddings()
-        sweep(
-            [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)],
-            "--one-ann",
-        )
+        points = [
+            ("0.01", "/root/testdata/sf0.01"),
+            ("0.1", "/root/testdata/sf0.1"),
+            ("1", SF1_DIR),
+        ]
+        if "--deep" in sys.argv[1:]:
+            build_sf1_embeddings(SF10_DIR, replicas=100)
+            points.append(("10", SF10_DIR))
+        sweep(points, "--one-ann")
         return
     if "--rank" in sys.argv[1:]:
         # round-8 two-phase rank-selection tier over a replica events table
@@ -502,6 +694,15 @@ def main() -> None:
             [("0.01", "/root/testdata/sf0.01"), ("0.1", "/root/testdata/sf0.1"), ("1", SF1_DIR)],
             "--one-media",
         )
+        return
+    if "--skew" in sys.argv[1:]:
+        # hot-key receipt (round-8 verdict item 3): 100k → 1M → 10M rows,
+        # one key = 40% at every point (events-table decade spacing)
+        skew_dir = os.path.join(REPO, ".scratch", "skew")
+        pts = []
+        for rows in (100_000, 1_000_000, 10_000_000):
+            pts.append((str(rows), build_skew_fact(skew_dir, rows)))
+        sweep(pts, "--one-skew")
         return
     if "--sa" in sys.argv[1:]:
         # suffix-array tier (round-7 verdict item 3): same replica corpus as
