@@ -676,6 +676,12 @@ def main() -> None:
         if "--deep" in sys.argv[1:]:
             build_sf1_embeddings(SF10_DIR, replicas=100)
             points.append(("10", SF10_DIR))
+        if "--deep100" in sys.argv[1:]:
+            # 1000x-of-sf0.1 (2M vectors): past IVF_TRAIN_CAP, so this point
+            # measures the cap PLATEAU — trainer cost flat, scans growing
+            sf100 = os.path.join(REPO, ".scratch", "sf100")
+            build_sf1_embeddings(sf100, replicas=1000)
+            points.append(("100", sf100))
         sweep(points, "--one-ann")
         return
     if "--rank" in sys.argv[1:]:
