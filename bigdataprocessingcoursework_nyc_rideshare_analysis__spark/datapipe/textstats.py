@@ -2434,3 +2434,115 @@ def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.sum("kl_term").cast("double"), 9).alias("kl_nats"))
     )
+
+
+# --- per-document bigram-LM bits (perplexity-style quality filter) -----------------
+
+#: add-k smoothing mass for the bigram conditional (CCNet-style LM filters
+#: use trained KenLM models; the corpus-trained add-k bigram model is the
+#: engine-native, fully-SQL-checkable form of the same gate)
+BIGRAM_LM_K = 0.5
+
+_BIGRAM_LM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), uni AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM t, UNNEST(toks) AS u(tok)
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+), docbg AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m FROM bg GROUP BY 1, 2, 3
+), c12 AS (
+  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c12 FROM docbg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+), terms AS (
+  SELECT d.doc_id, d.m,
+         CAST(d.m AS DECIMAL(24, 12))
+           * CAST(ROUND(
+               -log2((CAST(p.c12 AS DOUBLE) + {BIGRAM_LM_K})
+                     / (CAST(l.c1 AS DOUBLE) + {BIGRAM_LM_K} * u.v)),
+               12) AS DECIMAL(24, 12)) AS bits
+  FROM docbg d
+  JOIN c12 p ON p.w1 = d.w1 AND p.w2 = d.w2
+  JOIN c1 l ON l.w1 = d.w1
+  CROSS JOIN uni u
+)
+SELECT doc_id,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(bits) AS DOUBLE) / SUM(m), 9) AS bits_per_token
+FROM terms GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_bigram_lm_bits",
+    oracle=_BIGRAM_LM_ORACLE,
+    tags=("datapipe", "text", "quality", "lm", "r9"),
+)
+def q_doc_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bits-per-token under a corpus-trained add-k BIGRAM
+    language model — the perplexity-style quality gate of CCNet/Gopher/
+    FineWeb-class curation (score docs by how predictable their text is
+    under a reference LM; boilerplate/common prose scores low, lorem-noise
+    and mojibake score high), expressed engine-natively so the model, the
+    scoring, and the DuckDB twin are all exact and cross-checkable:
+
+    bits(doc) = mean over positions of −log₂ P(w₂ | w₁), with
+    P(w₂ | w₁) = (c(w₁w₂) + {BIGRAM_LM_K}) / (c(w₁·) + {BIGRAM_LM_K}·V).
+
+    Exactness discipline (same as ``source_unigram_kl``): each DISTINCT
+    (doc, bigram)'s bits value is one double — identical in both engines —
+    rounded to 12 dp, multiplied by its exact integer multiplicity as
+    DECIMAL, summed order-free, divided by the integer position count,
+    rounded to 9 dp.
+
+    Scale shape: bigram construction is IN-ROW (zip of two token-array
+    slices — no positional self-join); the model is two count aggregates
+    (c₁₂ over bigram vocab, c₁ folded from it) plus one broadcast 1-row V;
+    scoring joins the doc×distinct-bigram frame (corpus-linear) against
+    the bigram-vocab counts on (w1, w2) — a shuffle equi-join whose build
+    side is vocabulary-, not corpus-, sized.  At web scale you cap the
+    model at the top-V bigrams (``heavy_hitter_terms`` is that stage) and
+    the smoothing mass absorbs the tail — the same note as the KL query.
+    Docs with < 2 tokens have no bigram positions and drop out, exactly as
+    in the oracle."""
+    from ..functions.text import tokens_of
+    from .stage import staged_features
+
+    feat = staged_features(spark, sf_dir)
+    toks = tokens_of(feat)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = feat.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    docbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    c12 = docbg.groupBy("w1", "w2").agg(F.sum("m").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    v = F.broadcast(
+        feat.select(F.explode(toks).alias("term"))
+        .agg(F.count_distinct("term").cast("long").alias("v"))
+    )
+    k = F.lit(BIGRAM_LM_K)
+    bits_val = -F.log2(
+        (F.col("c12").cast("double") + k) / (F.col("c1").cast("double") + k * F.col("v"))
+    )
+    term = F.col("m").cast("decimal(24,12)") * F.round(bits_val, 12).cast("decimal(24,12)")
+    return (
+        docbg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(v)
+        .select("doc_id", "m", term.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.round(F.sum("bits").cast("double") / F.sum("m"), 9).alias("bits_per_token"),
+        )
+    )

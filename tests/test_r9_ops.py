@@ -777,3 +777,56 @@ def test_user_feature_vector_matches_pandas(spark):
     # non-vacuous: multi-session users and entropy spread both exist
     assert any(r.n_sessions > 1 for r in rows.values())
     assert len({round(r.type_entropy, 3) for r in rows.values()}) > 5
+
+
+def test_bigram_lm_bits_matches_pure_python_replica(spark):
+    """The add-k bigram LM scorer must agree with an independent
+    pure-Python replica (model counts AND per-doc mean bits) on real
+    sf0.001 documents — pins the smoothing formula, the in-row bigram
+    construction (zip of token-array slices), and the <2-token dropout."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        BIGRAM_LM_K,
+        q_doc_bigram_lm_bits,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = {
+        r["doc_id"]: _re.sub(r"\s+", " ", r["text"].lower().strip()).split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    c12: Counter = Counter()
+    vocab = set()
+    for toks in docs.values():
+        vocab.update(toks)
+        c12.update(zip(toks, toks[1:]))
+    c1: Counter = Counter()
+    for (w1, _w2), c in c12.items():
+        c1[w1] += c
+    v = len(vocab)
+
+    def bits(w1: str, w2: str) -> float:
+        return round(
+            -math.log2((c12[(w1, w2)] + BIGRAM_LM_K) / (c1[w1] + BIGRAM_LM_K * v)), 12
+        )
+
+    want = {}
+    for d, toks in docs.items():
+        if len(toks) < 2:
+            continue
+        vals = [bits(a, b) for a, b in zip(toks, toks[1:])]
+        want[d] = (len(vals), round(sum(vals) / len(vals), 9))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_token"])
+        for r in q_doc_bigram_lm_bits(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert abs(got[d][1] - want[d][1]) < 1e-8, d
