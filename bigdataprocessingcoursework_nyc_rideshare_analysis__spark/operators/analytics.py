@@ -86,13 +86,46 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
 
 
-@register("approx_distinct_users_by_event_type", oracle=None, tags=("agg", "approx"))
+#: HLL++ rsd requested from approx_count_distinct, and the bound the oracle
+#: enforces: 3·rsd relative (99.7%-ish envelope) with an absolute floor of 2
+#: for tiny cardinalities
+APPROX_DISTINCT_RSD = 0.02
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS est_within_tol
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "approx_distinct_users_by_event_type",
+    oracle=_APPROX_DISTINCT_ORACLE,
+    tags=("agg", "approx"),
+)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct count — the constant-memory scale path
-    (rows-only check; pytest bounds the error vs the exact count)."""
+    """HyperLogLog++ distinct count — the constant-memory scale path.
+
+    Oracle form (round 9, same pattern as
+    ``daily_distinct_users_sketch_rollup``): the raw HLL++ estimate has no
+    cross-engine twin, so the registered output carries it as a BOUND
+    check — ``est_within_tol`` is computed Spark-side from the real
+    estimate (|est − exact| ≤ max(2, 3·{APPROX_DISTINCT_RSD}·exact)) and
+    the DuckDB twin asserts it TRUE next to the exact-matching distinct
+    counts; an estimator drifting out of envelope now FAILS the hash gate
+    instead of hiding behind a rows-only row.  pytest keeps the direct
+    raw-estimate bound too (``test_approx_distinct_within_rsd``)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=APPROX_DISTINCT_RSD).alias("est"),
+        F.count_distinct("user_id").cast("long").alias("n_users_exact"),
+    )
+    tol = F.greatest(F.lit(2.0), 3 * APPROX_DISTINCT_RSD * F.col("n_users_exact"))
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (F.abs(F.col("est") - F.col("n_users_exact")) <= tol).alias("est_within_tol"),
     )
 
 
@@ -240,20 +273,98 @@ def q_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentiles_by_event_type", oracle=None, tags=("agg", "quantile", "approx"))
+#: percentile_approx accuracy (rank error ≤ n/accuracy) and the generous
+#: rank window the oracle's bracket check allows: ±max(1, ⌈0.002·n⌉) ranks
+#: (20× the sketch's guarantee — the bound should only fail on a broken
+#: sketch, not on its documented slack)
+APPROX_PCT_ACCURACY = 10_000
+APPROX_PCT_WINDOW = 0.002
+_APPROX_PCT_PS = (0.5, 0.95, 0.99)
+
+def _approx_pct_oracle() -> str:
+    cols = []
+    for p in _APPROX_PCT_PS:
+        t = int(p * 100)
+        w = f"GREATEST(1, CAST(CEIL({APPROX_PCT_WINDOW} * n) AS BIGINT))"
+        lo = f"GREATEST(1, CAST(FLOOR(CAST({p} AS DOUBLE) * n) AS BIGINT) - {w})"
+        hi = f"LEAST(n, CAST(CEIL(CAST({p} AS DOUBLE) * n) AS BIGINT) + {w})"
+        cols.append(f"MAX(CASE WHEN rn = {lo} THEN value END) AS p{t}_lo")
+        cols.append(f"MAX(CASE WHEN rn = {hi} THEN value END) AS p{t}_hi")
+        cols.append(f"TRUE AS p{t}_ok")
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+       {sel}
+FROM ranked GROUP BY event_type
+"""
+
+
+_APPROX_PCT_ORACLE = _approx_pct_oracle()
+
+
+@register(
+    "approx_percentiles_by_event_type",
+    oracle=_APPROX_PCT_ORACLE,
+    tags=("agg", "quantile", "approx"),
+)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL/GK-sketch percentiles (p50/p95/p99) — the constant-memory scale
-    path for order statistics (rows-only check; pytest bounds p50 against
-    the exact discrete median)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("pcts")
-    ).select(
-        "event_type",
-        F.col("pcts")[0].alias("p50"),
-        F.col("pcts")[1].alias("p95"),
-        F.col("pcts")[2].alias("p99"),
+    path for order statistics.
+
+    Oracle form (round 9): the sketch values themselves have no
+    cross-engine twin, so the registered output brackets each estimate
+    between EXACT order statistics — for each p, the exact values at
+    ranks ⌊p·n⌋ − w and ⌈p·n⌉ + w (w = max(1, ⌈{APPROX_PCT_WINDOW}·n⌉),
+    20× the sketch's rank-error guarantee of n/{APPROX_PCT_ACCURACY}) —
+    and asserts containment as ``p*_ok`` booleans the DuckDB twin expects
+    TRUE, alongside the hash-exact bracket values and counts.  A sketch
+    whose estimate leaves its rank envelope now FAILS the driver's hash
+    gate.  Rank selection rides the range-partitioned two-phase
+    ``keyed_row_number`` (no |event_types|-bounded window); the brackets
+    come from the same ranked frame as the exact-median query."""
+    from ..functions.skew import keyed_row_number
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ests = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", list(_APPROX_PCT_PS), APPROX_PCT_ACCURACY).alias("pcts")
     )
+    ranked = keyed_row_number(ev, ["event_type"], ["value"], "rn").join(
+        F.broadcast(counts), "event_type"
+    )
+    w = F.greatest(F.lit(1).cast("long"), F.ceil(APPROX_PCT_WINDOW * F.col("n")).cast("long"))
+    sel_cols = []
+    for p in _APPROX_PCT_PS:
+        t = int(p * 100)
+        lo_rank = F.greatest(
+            F.lit(1).cast("long"), F.floor(F.lit(p) * F.col("n")).cast("long") - w
+        )
+        hi_rank = F.least(
+            F.col("n").cast("long"), F.ceil(F.lit(p) * F.col("n")).cast("long") + w
+        )
+        sel_cols.append(F.max(F.when(F.col("rn") == lo_rank, F.col("value"))).alias(f"p{t}_lo"))
+        sel_cols.append(F.max(F.when(F.col("rn") == hi_rank, F.col("value"))).alias(f"p{t}_hi"))
+    brackets = ranked.groupBy("event_type").agg(
+        F.min("n").cast("long").alias("n"), *sel_cols
+    )
+    out_cols = ["event_type", "n"]
+    joined = brackets.join(ests, "event_type")
+    for i, p in enumerate(_APPROX_PCT_PS):
+        t = int(p * 100)
+        est = F.col("pcts")[i]
+        out_cols.append(f"p{t}_lo")
+        out_cols.append(f"p{t}_hi")
+        joined = joined.withColumn(
+            f"p{t}_ok", (F.col(f"p{t}_lo") <= est) & (est <= F.col(f"p{t}_hi"))
+        )
+        out_cols.append(f"p{t}_ok")
+    return joined.select(*out_cols)
 
 
 _UNPIVOT_ORACLE = """

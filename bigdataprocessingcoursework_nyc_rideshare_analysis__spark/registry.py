@@ -377,12 +377,20 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   ``analytics.sketch_rollup_detail`` with its pytest pins); new output
 #:   schema, so the r8 rows-only driver row no longer describes it —
 #:   re-verify under the now-available hash gate.
+#: - ``approx_distinct_users_by_event_type`` /
+#:   ``approx_percentiles_by_event_type``: oracle-ized round 9 with the
+#:   same bound-column pattern (HLL++ estimate → 3·rsd tolerance boolean;
+#:   sketch percentiles → exact-order-statistic brackets + containment
+#:   booleans); new output schemas, so their r1 rows-only driver rows no
+#:   longer describe them — re-verify under the now-available hash gate.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "user_value_quartiles",
     "customer_rfm_segments",
     "quality_deciles_by_lang",
     "equi_depth_histogram_by_event_type",
     "daily_distinct_users_sketch_rollup",
+    "approx_distinct_users_by_event_type",
+    "approx_percentiles_by_event_type",
 })
 
 

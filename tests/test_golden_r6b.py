@@ -133,16 +133,53 @@ def test_golden_embedding_lsh_pairs(spark):
 
 
 def test_golden_approx_distinct(spark):
-    got = sorted((r.event_type, r.n_users_approx) for r in _rows(spark, "approx_distinct_users_by_event_type"))
+    # the registered query emits the oracle-checkable bound form since r9;
+    # the golden still pins the RAW HLL++ estimates (same params) directly
+    from pyspark.sql import functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+        APPROX_DISTINCT_RSD,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
+    got = sorted(
+        (r.event_type, r.est)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=APPROX_DISTINCT_RSD).alias("est"))
+        .collect()
+    )
     assert got == _GOLDEN_APPROX_DISTINCT
+    reg = sorted(
+        (r.event_type, r.n_users_exact, r.est_within_tol)
+        for r in _rows(spark, "approx_distinct_users_by_event_type")
+    )
+    assert reg == [(et, 15, True) for et, _e in _GOLDEN_APPROX_DISTINCT]
 
 
 def test_golden_approx_percentiles(spark):
+    # raw sketch values pinned directly (same params as the registered
+    # query); the registered bound form's booleans must all hold
+    from pyspark.sql import functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.analytics import (
+        _APPROX_PCT_PS,
+        APPROX_PCT_ACCURACY,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+
     got = sorted(
-        (r.event_type, round(r.p50, 9), round(r.p95, 9), round(r.p99, 9))
-        for r in _rows(spark, "approx_percentiles_by_event_type")
+        (r.event_type, round(r.pcts[0], 9), round(r.pcts[1], 9), round(r.pcts[2], 9))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", list(_APPROX_PCT_PS), APPROX_PCT_ACCURACY).alias("pcts")
+        )
+        .collect()
     )
     assert got == _GOLDEN_APPROX_PCT
+    for r in _rows(spark, "approx_percentiles_by_event_type"):
+        assert r.p50_ok and r.p95_ok and r.p99_ok
 
 
 def test_golden_semantic_dedup_dup_set(spark):

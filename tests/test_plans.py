@@ -492,6 +492,9 @@ def test_no_data_sized_single_partition_windows(spark):
         # third pass: candidate-frame global rankers
         "hybrid_search_rrf",
         "ndcg_tfidf_vs_overlap",
+        # round-9 oracle-ization: the sketch-percentile brackets rank the
+        # raw events frame — must ride keyed_row_number, not a keyed window
+        "approx_percentiles_by_event_type",
     ):
         plan = plan_string(reg[name].fn(spark, SF_SMOKE))
         for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
