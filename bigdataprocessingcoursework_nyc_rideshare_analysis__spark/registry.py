@@ -272,6 +272,40 @@ DRIVER_VERIFIED.update(dict.fromkeys((
     "doc_compression_ratio", "media_image_neardup_phash",
     "media_audio_neardup_fp", "pack_bestfit_efficiency",
 ), 8))
+DRIVER_VERIFIED.update(dict.fromkeys((
+    # CORRECTNESS_r09.json: 48 hash-green + 2 rows-only with driver rows
+    # (``neardup_embedding_lsh``, ``ann_ivf_topk`` — ``no_oracle`` by
+    # design in round 9; both are recorded below per the round-8
+    # convention, each carrying an independent pytest truth-join pin).
+    # Hash-green (48): all 7 CHANGED_SINCE_VERIFIED re-verifications went
+    # green under their new bound-column/idiv plans and move here (the
+    # set clears), the new ``doc_bigram_lm_bits`` was green first round
+    # out, and the rest are rideshare/events/datapipe refreshes.
+    "ann_cosine_topk", "anomalous_wait_days",
+    "approx_distinct_users_by_event_type",
+    "approx_percentiles_by_event_type", "asof_last_click_before_error",
+    "bigram_expansion_udtf", "borough_timeofday_band",
+    "click_purchase_funnel", "corr_value_hour_by_event_type",
+    "corridor_trip_count", "cube_trip_counts", "customer_rfm_segments",
+    "daily_avg_wait_january", "daily_distinct_users_sketch_rollup",
+    "daily_event_counts_gapfill", "day1_clickers_and_purchasers",
+    "day1_clickers_minus_purchasers", "day1_engaged_users",
+    "distinct_users_by_event_type", "doc_bigram_lm_bits",
+    "doc_fingerprint", "doc_quality", "equi_depth_histogram_by_event_type",
+    "events_hourly_rollup", "events_json_extract", "events_sessionize",
+    "fare_per_unit_by_time_of_day", "heavy_hitter_terms",
+    "label_centroids", "lang_id", "media_byte_features",
+    "media_frame_manifest", "neardup_embedding_cosine",
+    "orders_with_high_qty_item", "orders_without_high_qty_item",
+    "quality_deciles_by_lang", "rolling_7day_event_counts",
+    "rollup_borough_zone_counts", "route_pivot_by_business_top10",
+    "stratified_hash_sample", "token_counts", "top_user_per_event_type",
+    "unpivot_monthly_metrics", "urgent_trips_by_borough",
+    "user_retention_cohorts", "user_value_quartiles",
+    "value_extremes_by_event_type", "value_histogram",
+    # Rows-only with driver rows (2):
+    "neardup_embedding_lsh", "ann_ivf_topk",
+), 9))
 
 #: Round-2 verdict rule: a query whose IMPLEMENTATION changed after its
 #: last green driver row is no longer verified — it rejoins the front of
@@ -383,15 +417,9 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   sketch percentiles → exact-order-statistic brackets + containment
 #:   booleans); new output schemas, so their r1 rows-only driver rows no
 #:   longer describe them — re-verify under the now-available hash gate.
-CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
-    "user_value_quartiles",
-    "customer_rfm_segments",
-    "quality_deciles_by_lang",
-    "equi_depth_histogram_by_event_type",
-    "daily_distinct_users_sketch_rollup",
-    "approx_distinct_users_by_event_type",
-    "approx_percentiles_by_event_type",
-})
+#: Round-10: all 7 round-9 entries re-verified hash-green in
+#: CORRECTNESS_r09 and moved to ``DRIVER_VERIFIED`` (round 9).
+CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset()
 
 
 def load_all() -> dict[str, QuerySpec]:
