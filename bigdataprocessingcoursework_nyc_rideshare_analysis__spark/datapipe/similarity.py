@@ -159,11 +159,14 @@ def exact_rank_candidates(emb: DataFrame, candidates: DataFrame, k: int) -> Data
     )
 
 
-@register("ann_lsh_topk", oracle=None, tags=("datapipe", "similarity", "lsh"))
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates = union over hash tables of the query's
     bucket, then exact cosine rank over candidates only.  Trades recall
-    (pytest measures it vs brute force) for corpus-linear cost."""
+    (pytest measures it vs brute force) for corpus-linear cost.  The full
+    (query_id, neighbor_id, cos_sim, rank) panel — the index-build output
+    ``staged_ann_method_topk`` persists; the registered ``ann_lsh_topk``
+    wraps this probe in the recall-bound summary the driver's hash gate
+    can check."""
     emb = load_table(spark, sf_dir, "embeddings")
     # bucket table feeds both the query and corpus sides; the projection is
     # cheap enough to recompute per side (a persist() would leak a cached
@@ -270,16 +273,16 @@ def ivf_assign(
     return df.select(id_col, vec_col).mapInPandas(assign, schema=f"{id_col} long, list_id long")
 
 
-@register("ann_ivf_topk", oracle=None, tags=("datapipe", "similarity", "ivf"))
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted into their nearest
     centroid's list; each query probes its ``IVF_NPROBE`` nearest lists and
     exact-ranks only those candidates.
 
     The 100 TB shape: training touches a sample, the inverted lists are a
     corpus-linear shuffle keyed by list_id, and each query's cost is
-    |corpus|·nprobe/k instead of |corpus|.  Recall is approximate → rows-only
-    driver check; pytest measures recall against the brute-force truth."""
+    |corpus|·nprobe/k instead of |corpus|.  Full (query_id, neighbor_id,
+    cos_sim, rank) panel; the registered ``ann_ivf_topk`` wraps it in the
+    recall-bound summary."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(emb)
     corpus_lists = ivf_assign(emb, centroids, nprobe=1)
@@ -374,8 +377,7 @@ def pq_encode(
     )
 
 
-@register("ann_pq_topk", oracle=None, tags=("datapipe", "similarity", "pq", "r6"))
-def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate top-k: the corpus lives as m-byte PQ codes; each
     query precomputes an (m × ksub) table of squared distances to every
     codebook entry, and a corpus vector's approximate distance is m table
@@ -391,9 +393,10 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups, not FMAs.  Distance tables are query-set-sized driver state
     ({N_QUERIES}·m·ksub doubles) shipped as a closure constant; the
     map-side local top-k bounds the shuffle to
-    partitions × queries × {PQ_SHORTLIST}·k rows.  Recall is approximate →
-    rows-only driver check; pytest floors recall against the brute-force
-    truth and pins the encoder to a NumPy reference."""
+    partitions × queries × {PQ_SHORTLIST}·k rows.  Full panel output; the
+    registered ``ann_pq_topk`` wraps it in the recall-bound summary, and
+    pytest additionally floors recall against the brute-force truth and
+    pins the encoder to a NumPy reference."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(emb)
     m, ksub, dsub = books.shape
@@ -702,8 +705,7 @@ def q_embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_recall_report", oracle=None, tags=("datapipe", "similarity", "diagnostic", "r5"))
-def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall_report_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality monitor: recall@{TOP_K} of each ANN tier (hyperplane
     LSH, IVF, PQ/ADC) against the exact brute-force top-k, per method — the number
     an ANN deployment alarms on.  One row per method: queries evaluated,
@@ -711,9 +713,10 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every input is deterministic (fixed seeds, capped training sample,
     quantized integer cosine with pinned tie order), so the report is
-    reproducible run-to-run — rows-only at the driver because LSH/IVF/PQ
-    have no SQL form; pytest separately floors these recalls against the same
-    ground truth.  Plan: EVERY leg is read from the stage — the exact
+    reproducible run-to-run.  This detail surface carries the raw recall
+    numbers (pytest goldens + the scaling-curve sweeps read it); the
+    registered ``ann_recall_report`` collapses them to per-method floor
+    booleans the DuckDB twin asserts.  Plan: EVERY leg is read from the stage — the exact
     ground truth (``stage.staged_ann_exact_topk``, the quadratic offline
     cost) AND each tier's panel top-k (``stage.staged_ann_method_topk``,
     the per-index-build output) — exactly how a production recall monitor
@@ -760,6 +763,8 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("recall"), 9).alias("mean_recall"),
         F.min("recall").alias("min_recall"),
     )
+
+
 
 
 _INT8_EXPORT_ORACLE = """
@@ -917,8 +922,7 @@ def q_embedding_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-PQ composite index ----------------------------------------------------
 
 
-@register("ann_ivfpq_topk", oracle=None, tags=("datapipe", "similarity", "ivf", "pq", "r10"))
-def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite IVF-PQ approximate top-k — the production index shape
     (FAISS ``IVFx,PQy``; Jégou et al. 2011 §V): the corpus is inverted into
     IVF lists AND stored as PQ codes, a query touches only its
@@ -934,8 +938,9 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented deliberately).  List assignment and PQ encoding happen in
     ONE Arrow pass (one kernel emits ``vec_id, list_id, codes``), so the
     index build adds no join and no extra corpus scan over plain PQ.
-    Rows-only at the driver (no SQL form); pytest floors recall against the
-    brute-force truth and pins determinism."""
+    Full panel output; the registered ``ann_ivfpq_topk`` wraps it in the
+    recall-bound summary, and pytest additionally floors recall against
+    the brute-force truth and pins determinism."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(emb)
     books = train_pq_codebooks(emb)
@@ -1226,11 +1231,169 @@ def q_coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the union loop and the grid literal were separate lists; adding a tier
 #: to one but not the other silently dropped or zeroed it with no error).
 ANN_METHODS: tuple[tuple[str, "object"], ...] = (
-    ("lsh", q_ann_lsh_topk),
-    ("ivf", q_ann_ivf_topk),
-    ("pq", q_ann_pq_topk),
-    ("ivfpq", q_ann_ivfpq_topk),
+    ("lsh", lsh_topk_detail),
+    ("ivf", ivf_topk_detail),
+    ("pq", pq_topk_detail),
+    ("ivfpq", ivfpq_topk_detail),
 )
+
+#: Corpus-MEAN recall@k floor per approximate tier — the driver-gated bound
+#: (round-10, the round-9 sketch pattern applied to ANN).  Values are the
+#: bars the pytest pins have enforced since each tier landed (hyperplane
+#: LSH on near-uniform synthetic vectors is the weak tier by design; IVF
+#: probes nprobe/lists of the corpus; PQ re-ranks an ADC shortlist; IVF-PQ
+#: composes both losses).  Per-QUERY floors are deliberately NOT gated:
+#: measured per-query recall at sf0.01 includes a 0.0 (one LSH query whose
+#: true neighbors collide in no table) — exactly the tail the mean bound
+#: tolerates and ``ann_recall_report``'s min_recall column surfaces.
+ANN_MEAN_RECALL_FLOORS: dict[str, float] = {
+    "lsh": 0.2,
+    "ivf": 0.3,
+    "pq": 0.5,
+    "ivfpq": 0.2,
+}
+
+#: Shared DuckDB twin for every ``ann_*_topk`` bound summary: the exact
+#: columns (query panel ids, k results, k truth rows) computed from the
+#: corpus, and the Spark-computed recall bound asserted TRUE.
+_ANN_BOUND_ORACLE = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM embeddings)
+SELECT vec_id AS query_id,
+       CAST(LEAST({TOP_K}, c - 1) AS BIGINT) AS n_results,
+       CAST(LEAST({TOP_K}, c - 1) AS BIGINT) AS n_true,
+       TRUE AS mean_recall_ge_floor
+FROM embeddings, n
+WHERE vec_id < {N_QUERIES}
+"""
+
+
+def ann_bound_summary(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    """Per-query bound summary of one ANN tier — the registered, hash-gated
+    surface of each approximate index (round-10; the pattern
+    ``daily_distinct_users_sketch_rollup`` proved in round 9): the probe's
+    full panel collapses to (query_id, n_results, n_true,
+    mean_recall_ge_floor), where the ids and counts are EXACT columns the
+    DuckDB twin recomputes from the corpus, and the corpus-mean recall
+    vs the staged brute-force truth is a Spark-computed boolean the twin
+    asserts TRUE.  An index whose recall drifts under its floor — the
+    regression the former rows-only check could never see — now FAILS the
+    driver's hash gate.
+
+    Plan: the probe (the measured leg) is the tier's own index scan; the
+    truth side reads ``staged_ann_exact_topk`` (the once-per-snapshot
+    offline table every recall consumer joins); everything after is
+    query-panel-sized (joins and aggregates over {N_QUERIES} rows).  The
+    mean accumulates per-query recalls as DECIMAL(14,12) casts — exact and
+    order-free — so the boolean cannot flap on partial-aggregation order."""
+    from .stage import staged_ann_exact_topk
+
+    probe = dict(ANN_METHODS)[method](spark, sf_dir).select("query_id", "neighbor_id")
+    truth = staged_ann_exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_res = probe.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_results"))
+    hits = (
+        probe.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    per_q = (
+        n_true.join(n_res, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_results", F.lit(0).cast("long")).alias("n_results"),
+            "n_true",
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_true")).alias("recall"),
+        )
+    )
+    mean = per_q.agg(
+        (
+            F.sum(F.col("recall").cast("decimal(14,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_recall")
+    )
+    floor = ANN_MEAN_RECALL_FLOORS[method]
+    return per_q.crossJoin(F.broadcast(mean)).select(
+        "query_id",
+        "n_results",
+        "n_true",
+        (F.col("mean_recall") >= F.lit(floor)).alias("mean_recall_ge_floor"),
+    )
+
+
+@register("ann_lsh_topk", oracle=_ANN_BOUND_ORACLE, tags=("datapipe", "similarity", "lsh"))
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH tier, bound-summary surface: runs the
+    ``lsh_topk_detail`` probe and gates its corpus-mean recall@k at the
+    ``ANN_MEAN_RECALL_FLOORS['lsh']`` bar against the staged exact truth
+    (see ``ann_bound_summary`` for the oracle-ization contract)."""
+    return ann_bound_summary(spark, sf_dir, "lsh")
+
+
+@register("ann_ivf_topk", oracle=_ANN_BOUND_ORACLE, tags=("datapipe", "similarity", "ivf"))
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tier, bound-summary surface: runs the ``ivf_topk_detail`` probe
+    (nprobe/lists pruning) and gates its corpus-mean recall@k at the
+    ``ANN_MEAN_RECALL_FLOORS['ivf']`` bar against the staged exact truth."""
+    return ann_bound_summary(spark, sf_dir, "ivf")
+
+
+@register("ann_pq_topk", oracle=_ANN_BOUND_ORACLE, tags=("datapipe", "similarity", "pq", "r6"))
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC tier, bound-summary surface: runs the ``pq_topk_detail``
+    probe (codes + distance-table scan + exact re-rank) and gates its
+    corpus-mean recall@k at the ``ANN_MEAN_RECALL_FLOORS['pq']`` bar
+    against the staged exact truth."""
+    return ann_bound_summary(spark, sf_dir, "pq")
+
+
+@register(
+    "ann_ivfpq_topk", oracle=_ANN_BOUND_ORACLE, tags=("datapipe", "similarity", "ivf", "pq", "r10")
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite tier, bound-summary surface: runs the
+    ``ivfpq_topk_detail`` probe (coarse pruning + ADC scan) and gates its
+    corpus-mean recall@k at the ``ANN_MEAN_RECALL_FLOORS['ivfpq']`` bar
+    against the staged exact truth."""
+    return ann_bound_summary(spark, sf_dir, "ivfpq")
+
+
+#: DuckDB twin for the recall report: the method manifest and panel size
+#: are exact; the per-method mean-recall floor is a Spark-computed boolean
+#: asserted TRUE.  Built from ``ANN_METHODS`` so a new tier joins the
+#: oracle automatically.
+_RECALL_REPORT_ORACLE = (
+    "SELECT method, CAST(n_queries AS BIGINT) AS n_queries, mean_recall_ge_floor\n"
+    "FROM (VALUES "
+    + ", ".join(f"('{m}', {N_QUERIES}, TRUE)" for m, _fn in ANN_METHODS)
+    + ") AS t(method, n_queries, mean_recall_ge_floor)"
+)
+
+
+@register(
+    "ann_recall_report",
+    oracle=_RECALL_REPORT_ORACLE,
+    tags=("datapipe", "similarity", "diagnostic", "r5"),
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the index-quality monitor (round-10
+    oracle-ization): one row per ANN tier with the panel size and a
+    ``mean_recall_ge_floor`` boolean — the tier's corpus-mean recall@k
+    from ``ann_recall_report_detail`` compared against its
+    ``ANN_MEAN_RECALL_FLOORS`` bar Spark-side, asserted TRUE by the
+    DuckDB twin.  A tier decaying under its floor (the drift this monitor
+    exists to alarm on) now fails the driver's hash gate; the raw
+    mean/min numbers stay on the detail surface for humans, pytest
+    goldens, and the scaling-curve sweeps."""
+    det = ann_recall_report_detail(spark, sf_dir)
+    floor = F.lit(None).cast("double")
+    for m, f in ANN_MEAN_RECALL_FLOORS.items():
+        floor = F.when(F.col("method") == m, F.lit(f)).otherwise(floor)
+    return det.select(
+        "method",
+        "n_queries",
+        (F.col("mean_recall") >= floor).alias("mean_recall_ge_floor"),
+    )
 
 
 def ann_geometry_key() -> str:

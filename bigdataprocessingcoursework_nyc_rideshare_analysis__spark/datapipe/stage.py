@@ -335,15 +335,21 @@ def staged_ann_method_topk(spark: SparkSession, sf_dir: str, method: str) -> Dat
     # CODE, so an algorithm change with unchanged constants rebuilds too.
     # The TRAINERS live outside the probe's source (same one-closure-deeper
     # staleness class the video stage key closed in round 9), so fold them
-    # in as well — a k-means change must rebuild every staged panel.
-    trainers = hashlib.sha1(
-        "|".join(
-            _fn_version(f)
-            for f in (train_ivf_centroids, train_pq_codebooks, _group_means_into)
-        ).encode()
-    ).hexdigest()[:8]
+    # in as well — a k-means change must rebuild every staged panel that
+    # TRAINS (round-9 advice: 'lsh' never calls the trainers, so its key
+    # skips them — a k-means edit no longer spuriously rebuilds the LSH
+    # panel).
+    key = f"ann_{method}_topk_{ann_geometry_key()}_{_fn_version(fn)}"
+    if method in ("ivf", "pq", "ivfpq"):
+        trainers = hashlib.sha1(
+            "|".join(
+                _fn_version(f)
+                for f in (train_ivf_centroids, train_pq_codebooks, _group_means_into)
+            ).encode()
+        ).hexdigest()[:8]
+        key = f"{key}_{trainers}"
     out = _ensure(
-        f"ann_{method}_topk_{ann_geometry_key()}_{_fn_version(fn)}_{trainers}",
+        key,
         sf_dir,
         lambda: fn(spark, sf_dir),
         table="embeddings",

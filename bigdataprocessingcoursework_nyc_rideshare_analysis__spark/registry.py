@@ -419,7 +419,23 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   longer describe them — re-verify under the now-available hash gate.
 #: Round-10: all 7 round-9 entries re-verified hash-green in
 #: CORRECTNESS_r09 and moved to ``DRIVER_VERIFIED`` (round 9).
-CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset()
+#: - ANN family oracle-ization (round-9 verdict item 2): ``ann_lsh_topk``,
+#:   ``ann_ivf_topk``, ``ann_pq_topk``, ``ann_ivfpq_topk`` now register the
+#:   recall-bound summary (query_id, n_results, n_true,
+#:   mean_recall_ge_floor — ``similarity.ann_bound_summary``) instead of
+#:   the raw approximate panel (which moved to the ``*_topk_detail``
+#:   functions the stage persists), and ``ann_recall_report`` registers
+#:   per-method floor booleans (raw numbers moved to
+#:   ``ann_recall_report_detail``).  New output schemas, each with a DuckDB
+#:   twin — re-verify under the now-available hash gate (local replica
+#:   green at sf0.001 and bare sf0.01).
+CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_recall_report",
+})
 
 
 def load_all() -> dict[str, QuerySpec]:

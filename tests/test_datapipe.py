@@ -16,9 +16,9 @@ from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup im
 )
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
     TOP_K,
+    ivf_topk_detail,
+    lsh_topk_detail,
     q_ann_cosine_topk,
-    q_ann_ivf_topk,
-    q_ann_lsh_topk,
 )
 
 from .conftest import SF_SMOKE
@@ -77,7 +77,7 @@ def test_lsh_topk_results_are_true_cosine_order(spark):
         (r["query_id"], r["rank"]): r["cos_sim"]
         for r in q_ann_cosine_topk(spark, SF_SMOKE).collect()
     }
-    lsh_rows = q_ann_lsh_topk(spark, SF_SMOKE).collect()
+    lsh_rows = lsh_topk_detail(spark, SF_SMOKE).collect()
     assert lsh_rows, "LSH returned nothing"
     for r in lsh_rows:
         key = (r["query_id"], r["rank"])
@@ -115,7 +115,7 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     brute = {
         (r["query_id"], r["neighbor_id"]) for r in q_ann_cosine_topk(spark, SF_SMOKE).collect()
     }
-    ivf_rows = q_ann_ivf_topk(spark, SF_SMOKE).collect()
+    ivf_rows = ivf_topk_detail(spark, SF_SMOKE).collect()
     assert ivf_rows, "IVF returned nothing"
     ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
     recall = len(ivf & brute) / len(brute)
@@ -305,7 +305,7 @@ def test_golden_simhash_rows(spark):
 def test_golden_ann_lsh_rows(spark):
     got = sorted(
         (r.query_id, r.rank, r.neighbor_id, round(r.cos_sim, 9))
-        for r in q_ann_lsh_topk(spark, SF_SMOKE).collect()
+        for r in lsh_topk_detail(spark, SF_SMOKE).collect()
     )
     assert got == _GOLDEN_ANN_LSH
 
@@ -315,3 +315,23 @@ def test_golden_heavy_hitter_terms(spark):
 
     fn = load_all()["approx_heavy_hitter_terms"].fn
     assert sorted(r.term for r in fn(spark, SF_SMOKE).collect()) == _GOLDEN_HEAVY_HITTERS
+
+
+def test_ann_bound_summaries_all_methods(spark):
+    """Registered ann_*_topk surfaces (round-10 oracle-ization): one row
+    per panel query, exact k counts on both sides, and the corpus-mean
+    recall floor boolean TRUE for every tier at the smoke scale."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        ANN_MEAN_RECALL_FLOORS,
+        N_QUERIES,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    reg = load_all()
+    for method in ANN_MEAN_RECALL_FLOORS:
+        rows = reg[f"ann_{method}_topk"].fn(spark, SF_SMOKE).collect()
+        assert len(rows) == N_QUERIES, method
+        assert {r.query_id for r in rows} == set(range(N_QUERIES)), method
+        for r in rows:
+            assert r.n_results == TOP_K and r.n_true == TOP_K, (method, r)
+            assert r.mean_recall_ge_floor is True, (method, r)

@@ -26,9 +26,22 @@ _GOLDEN_ANN_RECALL = [
 
 
 def test_ann_recall_report_golden_rows(spark):
-    df = load_all()["ann_recall_report"].fn(spark, SF_SMOKE)
+    # round-10: the raw numbers moved to the DETAIL surface (the registered
+    # query is the oracle-gated floor-boolean summary); the golden pins the
+    # detail, and the registered output is checked against it below
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        ann_recall_report_detail,
+    )
+
+    df = ann_recall_report_detail(spark, SF_SMOKE)
     rows = sorted(tuple(r) for r in df.collect())
     assert rows == sorted(_GOLDEN_ANN_RECALL)
+
+
+def test_ann_recall_report_registered_golden_rows(spark):
+    df = load_all()["ann_recall_report"].fn(spark, SF_SMOKE)
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == sorted((m, n, True) for m, n, _mean, _min in _GOLDEN_ANN_RECALL)
 
 
 # media_image_neardup_phash: exact full output at sf0.001 in compact form —

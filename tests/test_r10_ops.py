@@ -15,9 +15,8 @@ from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup im
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
     N_QUERIES,
     TOP_K,
+    ivfpq_topk_detail,
     q_ann_cosine_topk,
-    q_ann_ivfpq_topk,
-    q_ann_pq_topk,
 )
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.text import tokens_col
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
@@ -121,8 +120,8 @@ def test_ivfpq_topk_shape_recall_and_determinism(spark):
         (r["query_id"], r["neighbor_id"])
         for r in q_ann_cosine_topk(spark, SF_SMOKE).collect()
     }
-    got1 = q_ann_ivfpq_topk(spark, SF_SMOKE).collect()
-    got2 = q_ann_ivfpq_topk(spark, SF_SMOKE).collect()
+    got1 = ivfpq_topk_detail(spark, SF_SMOKE).collect()
+    got2 = ivfpq_topk_detail(spark, SF_SMOKE).collect()
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))  # deterministic
     per_q: dict[int, int] = {}
@@ -157,7 +156,7 @@ def test_ivfpq_candidates_respect_probed_lists(spark):
     assign = {int(i): int(np.argmax(sims[k])) for k, i in enumerate(ids)}
     order = np.argsort(-sims, axis=1)
     probes = {int(i): set(map(int, order[k][:IVF_NPROBE])) for k, i in enumerate(ids)}
-    for r in q_ann_ivfpq_topk(spark, SF_SMOKE).collect():
+    for r in ivfpq_topk_detail(spark, SF_SMOKE).collect():
         assert assign[r["neighbor_id"]] in probes[r["query_id"]], r
 
 

@@ -410,11 +410,11 @@ def test_conversion_latency_hand_case(spark):
 def test_ann_recall_report_bounds_and_determinism(spark):
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
         N_QUERIES,
-        q_ann_recall_report,
+        ann_recall_report_detail,
     )
 
-    rows1 = {r["method"]: r for r in q_ann_recall_report(spark, SF_SMOKE).collect()}
-    rows2 = {r["method"]: r for r in q_ann_recall_report(spark, SF_SMOKE).collect()}
+    rows1 = {r["method"]: r for r in ann_recall_report_detail(spark, SF_SMOKE).collect()}
+    rows2 = {r["method"]: r for r in ann_recall_report_detail(spark, SF_SMOKE).collect()}
     assert set(rows1) == {"lsh", "ivf", "pq", "ivfpq"}
     for m in rows1:
         r = rows1[m]
@@ -433,6 +433,23 @@ def test_ann_recall_report_bounds_and_determinism(spark):
     # composite: IVF pruning caps PQ's recall (scans nprobe/lists of the
     # corpus) but must stay far above chance — same bar as test_r10_ops
     assert rows1["ivfpq"]["mean_recall"] >= 0.2
+
+
+def test_ann_registered_report_floor_booleans(spark):
+    """The registered (hash-gated) report surface: per-method floor
+    booleans all TRUE at the smoke scale, panel size exact, and the floor
+    constants identical to the ones the detail assertions above enforce."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        ANN_MEAN_RECALL_FLOORS,
+        N_QUERIES,
+        q_ann_recall_report,
+    )
+
+    rows = {r["method"]: r for r in q_ann_recall_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(ANN_MEAN_RECALL_FLOORS)
+    for m, r in rows.items():
+        assert r["n_queries"] == N_QUERIES
+        assert r["mean_recall_ge_floor"] is True, m
 
 
 # --- runtime bloom-filter join pruning ---------------------------------------

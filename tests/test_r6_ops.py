@@ -204,7 +204,7 @@ def test_pq_topk_recall_floor(spark):
         N_QUERIES,
         TOP_K,
         cosine_topk,
-        q_ann_pq_topk,
+        pq_topk_detail,
     )
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
 
@@ -214,7 +214,7 @@ def test_pq_topk_recall_floor(spark):
         (r.query_id, r.neighbor_id)
         for r in cosine_topk(emb, queries, TOP_K).collect()
     }
-    got = {(r.query_id, r.neighbor_id) for r in q_ann_pq_topk(spark, SF_SMOKE).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in pq_topk_detail(spark, SF_SMOKE).collect()}
     assert len(got) == len(truth)  # k results per query either way
     recall = len(got & truth) / len(truth)
     assert recall >= 0.5, recall

@@ -332,8 +332,14 @@ def run_ann_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     times["total"] = round(sum(times.values()), 2)
     times["n_vectors"] = n_vecs
     # untimed: the recall numbers themselves (panel-sized), so the sweep
-    # records whether the floors HOLD at each scale, not just the wall
-    for r in reg["ann_recall_report"].fn(spark, sf_dir).collect():
+    # records whether the floors HOLD at each scale, not just the wall —
+    # read from the DETAIL surface (the registered query now emits floor
+    # booleans only, round-10 oracle-ization)
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        ann_recall_report_detail,
+    )
+
+    for r in ann_recall_report_detail(spark, sf_dir).collect():
         d = r.asDict()
         m = d.get("method")
         times[f"recall_mean_{m}"] = round(float(d.get("mean_recall")), 4)
