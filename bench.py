@@ -102,6 +102,7 @@ def main() -> None:
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.stage import (
         staged_ann_exact_topk,
         staged_ann_method_topk,
+        staged_embedding_pairs,
         staged_features,
         staged_jaccard_pairs,
         staged_quality_scores,
@@ -118,6 +119,7 @@ def main() -> None:
         staged_features,
         staged_shingles,
         staged_jaccard_pairs,
+        staged_embedding_pairs,
         staged_segments,
         staged_tfidf_topk,
         staged_tfidf_sim_candidates,

@@ -246,11 +246,13 @@ def lsh_candidate_pairs(sig: DataFrame, perms: int = MINHASH_PERMS, bands: int =
     )
 
 
-@register("neardup_minhash_lsh", oracle=None, tags=("datapipe", "dedup", "lsh"))
-def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup detection, candidates verified with exact
     Jaccard.  Same output contract as ``neardup_jaccard_pairs`` (minus pairs
-    LSH misses below ~0.9 recall); pytest cross-checks the two.
+    LSH misses below ~0.9 recall); pytest cross-checks the two.  This is
+    the production screen (corpus-linear; the scaling sweeps measure it);
+    the registered ``neardup_minhash_lsh`` wraps it in the precision/recall
+    bound summary the driver's hash gate can check.
 
     Verification joins each candidate pair to per-doc *hashed shingle sets*
     and intersects them JVM-side (``array_intersect`` on long arrays) — two
@@ -279,6 +281,76 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_common.cast("double") / (na + nb - n_common)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+#: Corpus-level recall floor the registered MinHash screen is gated on —
+#: the bar ``test_minhash_lsh_vs_exact_jaccard`` has enforced since round
+#: 2 (32 perms / 8 bands: collision p = j⁴ per band, 1−(1−j⁴)⁸ ≈ 0.97 at
+#: j = 0.8; measured recall 1.0 at sf0.001 and sf0.01).
+MINHASH_RECALL_FLOOR = 0.8
+#: Pairs at or above this exact Jaccard must ALL be found — the
+#: no-missed-near-identicals guarantee (banding collision p ≥ 0.996 at
+#: j = 0.95, and exact duplicates collide with certainty).
+STRONG_JACCARD = 0.95
+
+_MINHASH_BOUND_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(COUNT(*) FILTER (WHERE jaccard >= {STRONG_JACCARD}) AS BIGINT) AS n_strong_true_pairs,
+       TRUE AS found_subset_of_truth,
+       TRUE AS strong_pairs_all_found,
+       TRUE AS recall_ge_floor
+FROM jpairs
+"""
+
+
+@register("neardup_minhash_lsh", oracle=_MINHASH_BOUND_ORACLE, tags=("datapipe", "dedup", "lsh"))
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the MinHash+LSH screen (round-10
+    oracle-ization, the ANN bound-summary pattern): one row relating the
+    screen's output (``minhash_lsh_detail``) to the exact-Jaccard truth
+    tier — n_true_pairs / n_strong_true_pairs are EXACT columns the DuckDB
+    twin recomputes from the documents, and three Spark-computed booleans
+    it asserts TRUE: every found pair is a true pair (the exact-verify
+    no-false-positive guarantee), every strong (j ≥ {STRONG_JACCARD})
+    pair is found (the banding pigeonhole guarantee), and corpus recall
+    clears ``MINHASH_RECALL_FLOOR``.  A banding/signature regression that
+    silently drops recall now FAILS the driver's hash gate.
+
+    Plan: the screen (the measured leg) is corpus-linear as before; the
+    truth side reads ``staged_jaccard_pairs`` (the detection output its
+    graph consumers already share) — pair-set-sized joins and one 1-row
+    aggregate after that."""
+    from .stage import staged_jaccard_pairs
+
+    found = minhash_lsh_detail(spark, sf_dir).select("doc_a", "doc_b")
+    truth = staged_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    hit = F.col("found").isNotNull()
+    strong = F.col("jaccard") >= STRONG_JACCARD
+    stats = (
+        truth.join(found.withColumn("found", F.lit(True)), ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            F.sum(F.when(strong, 1).otherwise(0)).cast("long").alias("n_strong_true_pairs"),
+            F.sum(F.when(strong & hit, 1).otherwise(0)).cast("long").alias("n_strong_found"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_found_true"),
+        )
+    )
+    fp = found.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_false_positives")
+    )
+    return stats.crossJoin(F.broadcast(fp)).select(
+        "n_true_pairs",
+        "n_strong_true_pairs",
+        (F.col("n_false_positives") == 0).alias("found_subset_of_truth"),
+        (F.col("n_strong_found") == F.col("n_strong_true_pairs")).alias("strong_pairs_all_found"),
+        F.when(F.col("n_true_pairs") == 0, F.lit(True))
+        .otherwise(
+            F.col("n_found_true").cast("double") / F.col("n_true_pairs")
+            >= MINHASH_RECALL_FLOOR
+        )
+        .alias("recall_ge_floor"),
     )
 
 
@@ -410,8 +482,7 @@ EMB_LSH_BUCKET_TARGET = 512  # aim ≈ this many vectors per bucket
 EMB_LSH_SEED = 911
 
 
-@register("neardup_embedding_lsh", oracle=None, tags=("datapipe", "dedup", "similarity", "lsh"))
-def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_lsh_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, the 100 TB path: random-hyperplane LSH
     buckets the corpus, then each bucket is verified with ONE exact int64
     GEMM — identical quantized arithmetic to the all-pairs ground truth, so
@@ -425,9 +496,10 @@ def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle is corpus × tables bucket assignments (an earlier
     form joined 1M+ candidate pairs and scored them with interpreted
     higher-order-function cosine — per-pair HOF evaluation was the whole
-    cost).  Recall is approximate → rows-only driver check; pytest
-    measures recall against the all-pairs truth.  Mirrors the text-dedup
-    pairing of ``neardup_jaccard_pairs`` / ``neardup_minhash_lsh``."""
+    cost).  Pytest measures recall against the all-pairs truth; the
+    registered ``neardup_embedding_lsh`` wraps this screen in the
+    precision/recall bound summary.  Mirrors the text-dedup pairing of
+    ``neardup_jaccard_pairs`` / ``neardup_minhash_lsh``."""
     import math
 
     import numpy as np
@@ -479,6 +551,73 @@ def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cos_sim is bit-identical across tables (same exact int64 arithmetic),
     # so distinct() collapses multi-table collisions without a tolerance
     return pairs.distinct()
+
+
+#: Corpus-level recall floor for the registered embedding-LSH screen — the
+#: bar ``test_embedding_lsh_vs_exact_cosine`` has enforced since the tier
+#: landed (12 OR-ed 4-bit tables ≈ 0.9 design recall at the 0.45
+#: threshold; measured 1.0 at sf0.001, 0.93 at sf0.01).
+EMB_LSH_RECALL_FLOOR = 0.7
+
+_EMB_LSH_BOUND_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       TRUE AS found_subset_of_truth,
+       TRUE AS sims_match_truth,
+       TRUE AS recall_ge_floor
+FROM ({_EMB_DUP_ORACLE}) tp
+"""
+
+
+@register(
+    "neardup_embedding_lsh", oracle=_EMB_LSH_BOUND_ORACLE, tags=("datapipe", "dedup", "similarity", "lsh")
+)
+def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the embedding-LSH screen (round-10
+    oracle-ization): one row relating ``embedding_lsh_detail``'s output to
+    the all-pairs cosine truth tier — n_true_pairs is an EXACT column the
+    DuckDB twin recomputes, and three Spark-computed booleans it asserts
+    TRUE: every found pair is a true pair (bucket verify uses the exact
+    quantized cosine), every found pair's cos_sim is BIT-IDENTICAL to the
+    truth tier's (same int64 arithmetic — the strongest cross-surface
+    check available), and corpus recall clears ``EMB_LSH_RECALL_FLOOR``.
+
+    Plan: the screen stays corpus-linear (signatures + bounded-bucket
+    GEMMs); the truth side reads ``staged_embedding_pairs`` (the offline
+    all-pairs table, staged exactly like the text tier's
+    ``staged_jaccard_pairs``); everything after is pair-set-sized."""
+    from .stage import staged_embedding_pairs
+
+    found = embedding_lsh_detail(spark, sf_dir)
+    truth = staged_embedding_pairs(spark, sf_dir)
+    hit = F.col("found_sim").isNotNull()
+    stats = (
+        truth.join(
+            found.select("vec_a", "vec_b", F.col("cos_sim").alias("found_sim")),
+            ["vec_a", "vec_b"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_found_true"),
+            F.sum(F.when(hit & (F.col("found_sim") != F.col("cos_sim")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sim_mismatch"),
+        )
+    )
+    fp = found.join(truth.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_false_positives")
+    )
+    return stats.crossJoin(F.broadcast(fp)).select(
+        "n_true_pairs",
+        (F.col("n_false_positives") == 0).alias("found_subset_of_truth"),
+        (F.col("n_sim_mismatch") == 0).alias("sims_match_truth"),
+        F.when(F.col("n_true_pairs") == 0, F.lit(True))
+        .otherwise(
+            F.col("n_found_true").cast("double") / F.col("n_true_pairs")
+            >= EMB_LSH_RECALL_FLOOR
+        )
+        .alias("recall_ge_floor"),
+    )
 
 
 # --- SimHash ----------------------------------------------------------------

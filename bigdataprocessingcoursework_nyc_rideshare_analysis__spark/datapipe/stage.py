@@ -188,6 +188,27 @@ def staged_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float | No
     return spark.read.parquet(out)
 
 
+def staged_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact embedding near-dup pair set (vec_a, vec_b, cos_sim ≥
+    threshold) — the all-pairs block-GEMM truth tier's output, staged for
+    the screen's bound summary (``neardup_embedding_lsh``) the same way
+    ``staged_jaccard_pairs`` serves the text tier: the offline quadratic
+    detection runs once per corpus snapshot and every recall/precision
+    consumer joins the table.  ``neardup_embedding_cosine`` (the truth
+    query itself) deliberately does NOT read this stage — it IS the
+    computation being measured.  Threshold and the truth implementation
+    version key the stage; the source key hashes ``embeddings.parquet``."""
+    from .dedup import COSINE_DUP_THRESHOLD, q_neardup_embedding
+
+    out = _ensure(
+        f"embedding_pairs_t{COSINE_DUP_THRESHOLD}_{_fn_version(q_neardup_embedding)}",
+        sf_dir,
+        lambda: q_neardup_embedding(spark, sf_dir),
+        table="embeddings",
+    )
+    return spark.read.parquet(out)
+
+
 def staged_tfidf_topk(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
     """Each document's top-k TF-IDF terms (doc_id, term, df, w) — the sparse
     lexical vector table the similarity tier consumes.  Staged (k in the

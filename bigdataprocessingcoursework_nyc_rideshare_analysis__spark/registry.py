@@ -429,12 +429,19 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   ``ann_recall_report_detail``).  New output schemas, each with a DuckDB
 #:   twin — re-verify under the now-available hash gate (local replica
 #:   green at sf0.001 and bare sf0.01).
+#: - Same pattern for the near-dup LSH screens: ``neardup_minhash_lsh`` /
+#:   ``neardup_embedding_lsh`` now register precision/recall bound
+#:   summaries vs their staged exact truth tiers (pair outputs moved to
+#:   ``minhash_lsh_detail`` / ``embedding_lsh_detail``); new 1-row output
+#:   schemas with DuckDB twins — re-verify.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_recall_report",
+    "neardup_minhash_lsh",
+    "neardup_embedding_lsh",
 })
 
 

@@ -9,9 +9,9 @@ from pyspark.sql import functions as F
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
     JACCARD_THRESHOLD,
     jaccard_pairs,
+    minhash_lsh_detail,
     q_dedup_simhash,
     q_neardup_jaccard,
-    q_neardup_minhash,
     shingle_sets,
 )
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
@@ -32,7 +32,7 @@ def test_minhash_lsh_vs_exact_jaccard(spark):
     """LSH candidates are verified exactly, so: no false positives, and
     high-similarity pairs (j≥0.95) must all be found."""
     exact = q_neardup_jaccard(spark, SF_SMOKE)
-    lsh = q_neardup_minhash(spark, SF_SMOKE)
+    lsh = minhash_lsh_detail(spark, SF_SMOKE)
     exact_pairs = _pairs(exact)
     lsh_pairs = _pairs(lsh)
     assert lsh_pairs <= exact_pairs  # exact verification kills false positives
@@ -132,8 +132,8 @@ def test_embedding_lsh_vs_exact_cosine(spark):
     positives, and recall against the ground truth clears the OR-amplified
     design bar (12 tables × 4 bits ≈ 0.9 at the 0.45 threshold)."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        embedding_lsh_detail,
         q_neardup_embedding,
-        q_neardup_embedding_lsh,
     )
 
     truth = {
@@ -142,7 +142,7 @@ def test_embedding_lsh_vs_exact_cosine(spark):
     }
     approx = {
         (r["vec_a"], r["vec_b"]): r["cos_sim"]
-        for r in q_neardup_embedding_lsh(spark, SF_SMOKE).collect()
+        for r in embedding_lsh_detail(spark, SF_SMOKE).collect()
     }
     assert truth, "ground truth empty — threshold/fixture drifted"
     assert set(approx) <= set(truth)  # exact verify kills false positives
@@ -290,7 +290,7 @@ _GOLDEN_HEAVY_HITTERS = [
 def test_golden_minhash_lsh_rows(spark):
     got = sorted(
         (r.doc_a, r.doc_b, round(r.jaccard, 9))
-        for r in q_neardup_minhash(spark, SF_SMOKE).collect()
+        for r in minhash_lsh_detail(spark, SF_SMOKE).collect()
     )
     assert got == _GOLDEN_MINHASH
 

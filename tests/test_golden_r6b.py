@@ -128,8 +128,27 @@ def _rows(spark, name):
 
 
 def test_golden_embedding_lsh_pairs(spark):
-    got = sorted((r.vec_a, r.vec_b, round(r.cos_sim, 9)) for r in _rows(spark, "neardup_embedding_lsh"))
+    # round-10: the pair output moved to the detail surface (the registered
+    # query is the oracle-gated bound summary, checked below)
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        embedding_lsh_detail,
+    )
+
+    got = sorted(
+        (r.vec_a, r.vec_b, round(r.cos_sim, 9))
+        for r in embedding_lsh_detail(spark, SF_SMOKE).collect()
+    )
     assert got == _GOLDEN_EMB_LSH
+
+
+def test_golden_embedding_lsh_registered_bounds(spark):
+    rows = _rows(spark, "neardup_embedding_lsh")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_true_pairs == len(_GOLDEN_EMB_LSH)  # recall 1.0 at sf0.001
+    assert r.found_subset_of_truth is True
+    assert r.sims_match_truth is True
+    assert r.recall_ge_floor is True
 
 
 def test_golden_approx_distinct(spark):

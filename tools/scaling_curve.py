@@ -603,14 +603,27 @@ def run_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe import stage
 
     timed("stage_build", lambda: stage.staged_shingles(spark, sf_dir).count())
-    for q in ("neardup_minhash_lsh", "neardup_connected_components", "curate_pack_corpus"):
-        timed(q, lambda q=q: reg[q].fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
+    # neardup_minhash_lsh: the SCREEN (detail surface) is the corpus-linear
+    # leg this curve measures; the registered name is its truth-joined bound
+    # summary since round 10 and would fold the offline quadratic truth
+    # tier's build into the timing
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        minhash_lsh_detail,
+    )
+
+    sweep = {
+        "neardup_minhash_lsh": minhash_lsh_detail,
+        "neardup_connected_components": reg["neardup_connected_components"].fn,
+        "curate_pack_corpus": reg["curate_pack_corpus"].fn,
+    }
+    for q, fn in sweep.items():
+        timed(q, lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
     times["total"] = round(sum(times.values()), 2)
     # untimed: output cardinalities, the linearity check on the DATA side
     # (each stage must scale ~10x per decade for the time curve to mean
     # anything; stages read from the already-built stage so this is cheap)
-    for q in ("neardup_minhash_lsh", "neardup_connected_components", "curate_pack_corpus"):
-        times[f"rows_{q}"] = reg[q].fn(spark, sf_dir).count()
+    for q, fn in sweep.items():
+        times[f"rows_{q}"] = fn(spark, sf_dir).count()
     spark.stop()
     return times
 
