@@ -203,7 +203,13 @@ def global_row_number(
 
 def _idiv(a: Column, b: Column) -> Column:
     """Exact long integer division (SQL ``div``) — NOT ``floor(a / b)``,
-    whose double intermediate silently loses precision past 2^53 rows."""
+    whose double intermediate silently loses precision past 2^53 rows.
+
+    Precondition: NON-NEGATIVE operands.  SQL ``div`` truncates toward
+    zero, so for a < 0 it differs from floor division (``-3 div 2 = -1``
+    vs ``floor(-3/2) = -2``).  Both ``ntile_from_rn`` call sites pass
+    row numbers / counts (provably ≥ 0); a reuse with signed inputs must
+    implement true floor semantics instead."""
     return F.call_function("div", a.cast("long"), b.cast("long"))
 
 

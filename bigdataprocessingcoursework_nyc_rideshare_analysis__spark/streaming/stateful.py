@@ -498,15 +498,26 @@ def minhash_dedup_stream(
         sigs = np.stack(pdf["sig"].to_numpy()).astype(np.int64, copy=False)
         ids = pdf["doc_id"].to_numpy()
         if kept:
+            # chunk the (block, n_kept, perms) comparison so the dense
+            # boolean temporary is bounded (~4k·n_kept·perms bytes) however
+            # large a batch a bucket receives (round-9 advice); the
+            # agreement test divides by perms and compares to threshold —
+            # the row-at-a-time loop's exact arithmetic — rather than
+            # pre-multiplying threshold*perms, whose float rounding could
+            # flip an exact-boundary case for arbitrary thresholds
             pre = np.asarray(kept, dtype=np.int64)  # (n_kept, perms)
-            ok = ((sigs[:, None, :] == pre[None, :, :]).sum(axis=2) < threshold * perms).all(axis=1)
+            ok = np.empty(len(sigs), dtype=bool)
+            block = 4096
+            for i in range(0, len(sigs), block):
+                agree = (sigs[i : i + block, None, :] == pre[None, :, :]).sum(axis=2)
+                ok[i : i + block] = (agree / perms < threshold).all(axis=1)
         else:
             ok = np.ones(len(sigs), dtype=bool)
         out = []
         new: list = []
         for idx in np.flatnonzero(ok):
             s = sigs[idx]
-            if new and (((s == np.asarray(new)).sum(axis=1)) >= threshold * perms).any():
+            if new and ((((s == np.asarray(new)).sum(axis=1)) / perms) >= threshold).any():
                 continue
             new.append(s)
             out.append((int(ids[idx]), int(key[0])))

@@ -920,6 +920,7 @@ def test_streaming_perceptual_screen_state_carries_across_batches(spark):
     far = (base & 0xFFFF) | (0x123456 << 16)  # same band-0 bucket, far bits above
     schema = "media_id long, phash long"
     d = tempfile.mkdtemp(prefix="phash_batches_")
+    stream_dir = None
     try:
         spark.createDataFrame([(1, base)], schema).coalesce(1).write.mode(
             "overwrite"
@@ -958,9 +959,10 @@ def test_streaming_perceptual_screen_state_carries_across_batches(spark):
         q.awaitTermination(120)
         got = {r.media_id for r in spark.table("phash_screen_batches").collect()}
         assert got == {1, 3}  # twin (2) rejected across the batch boundary
-        _sh.rmtree(stream_dir, ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+        if stream_dir is not None:
+            shutil.rmtree(stream_dir, ignore_errors=True)
 
 
 def test_streaming_exact_dedup_matches_batch(spark):
@@ -1020,6 +1022,7 @@ def test_streaming_exact_dedup_rejects_across_microbatches(spark):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(100)
     n_distinct = docs.select(F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))).distinct().count()
     d = tempfile.mkdtemp(prefix="docs_dedup_mb_")
+    src = None
     try:
         f1, f2 = os.path.join(d, "batch1"), os.path.join(d, "batch2")
         docs.coalesce(1).write.mode("overwrite").parquet(f1)
@@ -1053,6 +1056,8 @@ def test_streaming_exact_dedup_rejects_across_microbatches(spark):
         assert all(r["doc_id"] < 10_000_000 for r in got)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+        if src is not None:
+            shutil.rmtree(src, ignore_errors=True)
 
 
 def test_streaming_minhash_neardup_screen_matches_greedy_replica(spark):
@@ -1156,6 +1161,7 @@ def test_streaming_minhash_ttl_arms_timeout_and_state_survives_batches(spark):
 
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(100)
     d = tempfile.mkdtemp(prefix="docs_minhash_ttl_")
+    src = None
     try:
         f1, f2 = os.path.join(d, "batch1"), os.path.join(d, "batch2")
         docs.coalesce(1).write.mode("overwrite").parquet(f1)
@@ -1190,3 +1196,5 @@ def test_streaming_minhash_ttl_arms_timeout_and_state_survives_batches(spark):
         assert all(r["doc_id"] < 10_000_000 for r in got)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+        if src is not None:
+            shutil.rmtree(src, ignore_errors=True)
