@@ -231,6 +231,62 @@ def build_sf1_events(
     return out_dir
 
 
+def build_sf1_customers(
+    out_dir: str = SF1_DIR, src_dir: str = "/root/testdata/sf0.1", replicas: int = REPLICAS
+) -> str:
+    """Synthesize a replica-scaled customer table for the iterative-graph
+    chain (round-9 verdict item 3): replica k appends a per-replica
+    4-char suffix built from REPEATED digits (``d₁d₁d₂d₂`` of k), so any
+    two replica suffixes differ in ≥ 2 characters — appending a common
+    suffix preserves every intra-replica Levenshtein distance exactly,
+    while cross-replica name pairs sit at distance ≥ 2 and generate NO
+    edges.  Custkeys offset by k·7,000,000 (a multiple of the
+    ``ER_SAMPLE_MOD`` = 7 sample modulus), so each replica's sampled
+    subset is exactly the base subset — pair and cluster counts scale
+    precisely ``replicas``× per decade.  Same content-marker early-return
+    as ``build_sf1``."""
+    import hashlib
+    import inspect
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "customer.parquet")
+    st = os.stat(os.path.join(src_dir, "customer.parquet"))
+    synth_key = ":".join((
+        hashlib.sha1(inspect.getsource(build_sf1_customers).encode()).hexdigest()[:8],
+        str(replicas), str(st.st_size), str(st.st_mtime_ns),
+    ))
+    marker = os.path.join(out_dir, ".synth_key_cust")
+    if os.path.exists(out_path) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == synth_key:
+                return out_dir
+    src = pq.read_table(os.path.join(src_dir, "customer.parquet"))
+    cols = src.to_pydict()
+    n = len(cols["c_custkey"])
+    out = {k: [] for k in cols}
+    for k in range(replicas):
+        if k == 0:
+            names = cols["c_name"]
+        else:
+            d1, d2 = divmod(k, 10)
+            suf = f"{d1}{d1}{d2}{d2}"
+            names = [nm + suf for nm in cols["c_name"]]
+        out["c_custkey"].extend(c + k * 7_000_000 for c in cols["c_custkey"])
+        out["c_name"].extend(names)
+        for col in ("c_nationkey", "c_acctbal", "c_mktsegment"):
+            out[col].extend(cols[col])
+    pq.write_table(
+        pa.table(out, schema=src.schema), out_path,
+        row_group_size=max(1, (n * replicas) // 32),
+    )
+    with open(marker, "w") as fh:
+        fh.write(synth_key)
+    return out_dir
+
+
 def _exchange_counts(plan: str) -> dict[str, int]:
     """Per-node-kind exchange counts from an executed-plan string.
 
@@ -344,6 +400,196 @@ def run_ann_chain(sf_dir: str, cpus: int) -> dict[str, float]:
         m = d.get("method")
         times[f"recall_mean_{m}"] = round(float(d.get("mean_recall")), 4)
         times[f"recall_min_{m}"] = round(float(d.get("min_recall")), 4)
+    spark.stop()
+    return times
+
+
+def run_graph_chain(sf_dir: str, cpus: int) -> dict[str, float]:
+    """Time the iterative-graph tier (round-9 verdict item 3) — the last
+    expensive families whose 100× behavior was argued from plan shape:
+
+    - ``textrank_keywords``: claim under test = the corpus-sized work is
+      ONE containment pass; the PageRank iteration runs on a
+      |vocab|²-bounded edge table, so solve time stays FLAT per decade
+      (vocab is capped at 50 — the sweep records edge/vocab counts).
+    - ``customer_identity_clusters``: claim = SymSpell blocking + verify is
+      entity-linear (pair output scales with the replicas), and
+      large-star/small-star CC converges in O(log diameter) rounds — the
+      sweep records pair counts and the executed ROUND count, which must
+      stay near-flat while pairs grow 10×/decade."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe import stage
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.cluster import (
+        connected_components,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.graphrank import (
+        VOCAB_SIZE,
+        cooccurrence_edges,
+        doc_term_pairs,
+        pagerank,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.linkage import (
+        ER_SAMPLE_MOD,
+        fuzzy_pairs,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import get_spark
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    reg = load_all()
+    spark = get_spark("scaling-curve-graph", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        fn()
+        times[name] = round(time.monotonic() - t0, 2)
+
+    # --- textrank: stage (tokenize-once), edge build, solve, end-to-end ---
+    timed("stage_build", lambda: stage.staged_features(spark, sf_dir).count())
+    docs = stage.staged_features(spark, sf_dir)
+    edges = cooccurrence_edges(doc_term_pairs(docs))
+    timed(
+        "textrank_edge_build",
+        lambda: edges.write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "textrank_solve",
+        lambda: pagerank(edges).write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "textrank_keywords",
+        lambda: reg["textrank_keywords"].fn(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    times["n_textrank_edges"] = edges.count()
+    times["n_textrank_vocab"] = VOCAB_SIZE
+    times["n_docs"] = docs.count()
+
+    # --- identity clusters: pair detection, CC rounds, end-to-end ---
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % ER_SAMPLE_MOD == 0
+    )
+    pairs = fuzzy_pairs(cust, "c_custkey", "c_name")
+    timed(
+        "linkage_pairs",
+        lambda: pairs.write.format("noop").mode("overwrite").save(),
+    )
+    stats: dict = {}
+    assign = connected_components(
+        pairs.select(F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")),
+        cust.select(F.col("c_custkey").alias("id")),
+        stats=stats,
+    )
+    timed("cc_solve", lambda: assign.write.format("noop").mode("overwrite").save())
+    times["cc_rounds"] = stats.get("iterations", -1)
+    timed(
+        "customer_identity_clusters",
+        lambda: reg["customer_identity_clusters"].fn(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    times["total"] = round(
+        sum(v for k, v in times.items() if not k.startswith(("n_", "cc_rounds"))), 2
+    )
+    times["n_customers_sampled"] = cust.count()
+    times["n_link_pairs"] = pairs.count()
+    times["n_clusters"] = assign.select("label").distinct().count()
+    spark.stop()
+    return times
+
+
+def run_cdc_chain(n_changes: int, n_keys: int, cpus: int) -> dict[str, float]:
+    """Drive change volume through the streaming CDC merge sink
+    (round-9 verdict item 6) and measure what the docstrings claim:
+
+    - merge wall per batch ∝ |snapshot| + |batch changes| (the target is
+      re-read and re-merged per micro-batch — the no-table-format cost
+      this sink documents);
+    - the TABLE is O(distinct keys), not O(change volume): the final
+      snapshot's rows/bytes must track ``n_keys``, flat across 100×
+      changes (the doubled-key point shows the other axis);
+    - time travel = one parquet read of a committed version — flat cost.
+
+    Changes are synthesized deterministically: key = (seq·2654435761)
+    mod n_keys, val derived from seq, 8 micro-batches fed as 8 files
+    each (one file = one partition in a file-source batch — the round-9
+    streaming-receipt lesson)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import get_spark
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.streaming.windows import (
+        latest_snapshot_version,
+        sink_merge_upsert,
+    )
+
+    spark = get_spark("scaling-curve-cdc", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+    base = tempfile.mkdtemp(prefix="cdc_curve_")
+    src = os.path.join(base, "src")
+    tgt = os.path.join(base, "tgt")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    n_batches = 8
+    per = n_changes // n_batches
+    try:
+        t0 = time.monotonic()
+        now = time.time()
+        for b in range(n_batches):
+            stage_dir = os.path.join(base, f"stage_b{b}")
+            (
+                spark.range(b * per, (b + 1) * per, 1, 8)
+                .select(
+                    ((F.col("id") * F.lit(2654435761)) % n_keys).alias("k"),
+                    F.col("id").alias("seq"),
+                    ((F.col("id") % 1000) / 10.0).alias("val"),
+                )
+                .write.mode("overwrite").parquet(stage_dir)
+            )
+            for f in sorted(os.listdir(stage_dir)):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"{b:02d}_{f}")
+                    os.rename(os.path.join(stage_dir, f), dst)
+                    os.utime(dst, (now + b * 10, now + b * 10))
+        times["synth_changes"] = round(time.monotonic() - t0, 2)
+
+        schema = "k long, seq long, val double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+        )
+        t0 = time.monotonic()
+        q = sink_merge_upsert(stream, tgt, ckpt, key="k", order_col="seq")
+        q.awaitTermination()
+        times["merge_wall"] = round(time.monotonic() - t0, 2)
+
+        final_v = latest_snapshot_version(tgt)
+        times["n_versions"] = final_v + 1 if final_v is not None else 0
+        t0 = time.monotonic()
+        times["final_rows"] = spark.read.parquet(f"{tgt}/v={final_v}").count()
+        times["final_read"] = round(time.monotonic() - t0, 2)
+        # time travel: read a mid-history committed snapshot
+        mid = final_v // 2
+        t0 = time.monotonic()
+        times["timetravel_rows"] = spark.read.parquet(f"{tgt}/v={mid}").count()
+        times["timetravel_read"] = round(time.monotonic() - t0, 2)
+
+        def du(path: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return total
+
+        times["final_bytes"] = du(f"{tgt}/v={final_v}")
+        times["all_versions_bytes"] = du(tgt)
+        times["n_changes"] = n_changes
+        times["n_keys"] = n_keys
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     spark.stop()
     return times
 
@@ -658,6 +904,17 @@ def main() -> None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps({"sf_dir": sf_dir, **run_sa_chain(sf_dir, cpus)}))
         return
+    if "--one-graph" in sys.argv[1:]:
+        sf_dir = sys.argv[sys.argv.index("--one-graph") + 1]
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps({"sf_dir": sf_dir, **run_graph_chain(sf_dir, cpus)}))
+        return
+    if "--one-cdc" in sys.argv[1:]:
+        spec = sys.argv[sys.argv.index("--one-cdc") + 1]  # "<n_changes>:<n_keys>"
+        n_changes, n_keys = (int(x) for x in spec.split(":"))
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps({"sf_dir": spec, **run_cdc_chain(n_changes, n_keys, cpus)}))
+        return
     if "--one-skew" in sys.argv[1:]:
         fact_path = sys.argv[sys.argv.index("--one-skew") + 1]
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -728,6 +985,38 @@ def main() -> None:
         for rows in (100_000, 1_000_000, 10_000_000):
             pts.append((str(rows), build_skew_fact(skew_dir, rows)))
         sweep(pts, "--one-skew")
+        return
+    if "--cdc" in sys.argv[1:]:
+        # CDC merge-sink receipt (round-9 verdict item 6): 10x -> 100x
+        # change volume at a fixed key domain, plus a doubled-key point —
+        # "<n_changes>:<n_keys>" specs, each in its own forked run
+        sweep(
+            [
+                ("20k:50k", "20000:50000"),
+                ("200k:50k", "200000:50000"),
+                ("2M:50k", "2000000:50000"),
+                ("200k:100k", "200000:100000"),
+            ],
+            "--one-cdc",
+        )
+        return
+    if "--graph" in sys.argv[1:]:
+        # iterative-graph tier (round-9 verdict item 3): documents replicas
+        # feed textrank; the suffix-per-replica customer replicas feed the
+        # identity-cluster chain (cross-replica edit distance >= 2 — no
+        # cross-replica edges); --deep adds the 100x point
+        build_sf1()
+        build_sf1_customers()
+        points = [
+            ("0.01", "/root/testdata/sf0.01"),
+            ("0.1", "/root/testdata/sf0.1"),
+            ("1", SF1_DIR),
+        ]
+        if "--deep" in sys.argv[1:]:
+            build_sf1(SF10_DIR, replicas=100)
+            build_sf1_customers(SF10_DIR, replicas=100)
+            points.append(("10", SF10_DIR))
+        sweep(points, "--one-graph")
         return
     if "--sa" in sys.argv[1:]:
         # suffix-array tier (round-7 verdict item 3): same replica corpus as
