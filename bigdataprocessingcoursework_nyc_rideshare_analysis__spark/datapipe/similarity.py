@@ -159,7 +159,12 @@ def exact_rank_candidates(emb: DataFrame, candidates: DataFrame, k: int) -> Data
     )
 
 
-def lsh_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_topk_detail(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+) -> DataFrame:
     """Approximate top-k: candidates = union over hash tables of the query's
     bucket, then exact cosine rank over candidates only.  Trades recall
     (pytest measures it vs brute force) for corpus-linear cost.  The full
@@ -171,7 +176,7 @@ def lsh_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket table feeds both the query and corpus sides; the projection is
     # cheap enough to recompute per side (a persist() would leak a cached
     # copy per invocation)
-    bucketed = lsh_buckets(emb, "embedding", LSH_TABLES, LSH_BITS, LSH_SEED)
+    bucketed = lsh_buckets(emb, "embedding", tables, bits, LSH_SEED)
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("table").alias("qtable"),
@@ -273,7 +278,9 @@ def ivf_assign(
     return df.select(id_col, vec_col).mapInPandas(assign, schema=f"{id_col} long, list_id long")
 
 
-def ivf_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk_detail(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted into their nearest
     centroid's list; each query probes its ``IVF_NPROBE`` nearest lists and
     exact-ranks only those candidates.
@@ -286,7 +293,7 @@ def ivf_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(emb)
     corpus_lists = ivf_assign(emb, centroids, nprobe=1)
-    query_lists = ivf_assign(emb.filter(F.col("vec_id") < N_QUERIES), centroids, nprobe=IVF_NPROBE).select(
+    query_lists = ivf_assign(emb.filter(F.col("vec_id") < N_QUERIES), centroids, nprobe=nprobe).select(
         F.col("vec_id").alias("query_id"), "list_id"
     )
     candidates = (
@@ -377,7 +384,9 @@ def pq_encode(
     )
 
 
-def pq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_topk_detail(
+    spark: SparkSession, sf_dir: str, shortlist_mult: int = PQ_SHORTLIST
+) -> DataFrame:
     """PQ/ADC approximate top-k: the corpus lives as m-byte PQ codes; each
     query precomputes an (m × ksub) table of squared distances to every
     codebook entry, and a corpus vector's approximate distance is m table
@@ -414,7 +423,7 @@ def pq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt[:, j, :] = (
             (sub * sub).sum(1, keepdims=True) - 2 * sub @ cent.T + (cent * cent).sum(1)
         )
-    shortlist = PQ_SHORTLIST * TOP_K
+    shortlist = shortlist_mult * TOP_K
     subspace_idx = np.arange(m)
 
     def adc_local_topk(batches):
@@ -922,7 +931,12 @@ def q_embedding_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-PQ composite index ----------------------------------------------------
 
 
-def ivfpq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_topk_detail(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = IVF_NPROBE,
+    shortlist_mult: int = PQ_SHORTLIST,
+) -> DataFrame:
     """Composite IVF-PQ approximate top-k — the production index shape
     (FAISS ``IVFx,PQy``; Jégou et al. 2011 §V): the corpus is inverted into
     IVF lists AND stored as PQ codes, a query touches only its
@@ -951,14 +965,14 @@ def ivfpq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
     qnorm = qvecs / np.linalg.norm(qvecs, axis=1, keepdims=True)
     # per-query probed coarse lists (IVF_NPROBE nearest centroids)
-    probe = np.argsort(-(qnorm @ centroids.T), axis=1)[:, :IVF_NPROBE]  # (nq, nprobe)
+    probe = np.argsort(-(qnorm @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     # ADC distance tables, same geometry as ann_pq_topk
     dt = np.empty((len(qids), m, ksub))
     for j in range(m):
         sub = qnorm[:, j * dsub : (j + 1) * dsub]
         cent = books[j]
         dt[:, j, :] = (sub * sub).sum(1, keepdims=True) - 2 * sub @ cent.T + (cent * cent).sum(1)
-    shortlist = PQ_SHORTLIST * TOP_K
+    shortlist = shortlist_mult * TOP_K
     subspace_idx = np.arange(m)
 
     def index_rows(batches):
@@ -1236,6 +1250,47 @@ ANN_METHODS: tuple[tuple[str, "object"], ...] = (
     ("pq", pq_topk_detail),
     ("ivfpq", ivfpq_topk_detail),
 )
+
+#: Calibration corpus size for ``scaled_ann_knobs``: ≈ the sf0.1 corpus
+#: the pinned constants were tuned at (the sf100 receipt measured their
+#: decay at 1000× this).
+ANN_KNOB_BASE_N = 2_048
+
+
+def scaled_ann_knobs(n_vectors: int) -> dict[str, int]:
+    """Corpus-scaled probe knobs (round-9 verdict item 4): at ≤ the
+    calibration scale they EQUAL the pinned constants — every golden and
+    driver hash is computed with the pinned values — and they grow
+    logarithmically past it, the path a 100 TB deployment takes instead
+    of inheriting toy-scale constants:
+
+    - ``nprobe``: +1 probed list per two corpus doublings, capped at
+      ``IVF_LISTS``.  With nlist fixed, list population grows linearly
+      with the corpus while the true top-k concentrates into whichever
+      lists happen to border the query — more lists must be probed to
+      keep the true neighbors inside the candidate set (FAISS practice
+      scales nlist ∝ √n AND nprobe with it; with a pinned nlist the
+      nprobe growth carries both).
+    - ``shortlist_mult``: the per-partition ADC shortlist multiplier
+      doubles every ~two doublings (×(1 + growth/2)).  ADC distance
+      error is scale-free, but the number of corpus points packed inside
+      one quantization-error band of the true top-k grows with n — the
+      shortlist must widen logarithmically for the exact re-rank to see
+      the true neighbors at all (the sf100 receipt's 0.0-recall queries
+      are exactly this failure).
+
+    The sf100 leg of ``tools/scaling_curve.py --ann`` measures both
+    paths: pinned knobs (the decay row, kept for contrast) and these
+    scaled knobs (which must restore the sf10 recall floors at 2M
+    vectors)."""
+    import math
+
+    growth = max(0.0, math.log2(max(1, n_vectors) / ANN_KNOB_BASE_N))
+    return {
+        "nprobe": min(IVF_LISTS, IVF_NPROBE + int(math.ceil(growth / 2))),
+        "shortlist_mult": int(PQ_SHORTLIST * (1 + growth / 2)),
+    }
+
 
 #: Corpus-MEAN recall@k floor per approximate tier — the driver-gated bound
 #: (round-10, the round-9 sketch pattern applied to ANN).  Values are the

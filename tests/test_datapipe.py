@@ -335,3 +335,31 @@ def test_ann_bound_summaries_all_methods(spark):
         for r in rows:
             assert r.n_results == TOP_K and r.n_true == TOP_K, (method, r)
             assert r.mean_recall_ge_floor is True, (method, r)
+
+
+def test_scaled_ann_knobs_formula():
+    """Scale-aware probe knobs (round-10): equal to the pinned constants
+    at and below the calibration corpus, monotonically non-decreasing,
+    nprobe capped at the list count, and at the sf100 receipt's 2M-vector
+    point large enough to matter (the values the --ann --deep100 sweep
+    measures against the sf10 floors)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        ANN_KNOB_BASE_N,
+        IVF_LISTS,
+        IVF_NPROBE,
+        PQ_SHORTLIST,
+        scaled_ann_knobs,
+    )
+
+    for n in (1, 100, ANN_KNOB_BASE_N):
+        k = scaled_ann_knobs(n)
+        assert k["nprobe"] == IVF_NPROBE and k["shortlist_mult"] == PQ_SHORTLIST, n
+    prev = scaled_ann_knobs(1)
+    for n in (2_048, 20_000, 200_000, 2_000_000, 2 * 10 ** 9):
+        k = scaled_ann_knobs(n)
+        assert k["nprobe"] >= prev["nprobe"]
+        assert k["shortlist_mult"] >= prev["shortlist_mult"]
+        assert k["nprobe"] <= IVF_LISTS
+        prev = k
+    two_m = scaled_ann_knobs(2_000_000)
+    assert two_m["nprobe"] >= 8 and two_m["shortlist_mult"] >= 4 * PQ_SHORTLIST

@@ -400,6 +400,41 @@ def run_ann_chain(sf_dir: str, cpus: int) -> dict[str, float]:
         m = d.get("method")
         times[f"recall_mean_{m}"] = round(float(d.get("mean_recall")), 4)
         times[f"recall_min_{m}"] = round(float(d.get("min_recall")), 4)
+
+    # SCALED-knob recalls (round-9 verdict item 4): the corpus-scaled
+    # nprobe/shortlist path, measured alongside the pinned rows so the
+    # decay-vs-restored contrast travels with every sweep point.  At and
+    # below the calibration scale the knobs equal the pinned constants —
+    # recorded anyway as the equality receipt.
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        ivf_topk_detail,
+        ivfpq_topk_detail,
+        pq_topk_detail,
+        scaled_ann_knobs,
+    )
+
+    knobs = scaled_ann_knobs(n_vecs)
+    times["scaled_nprobe"] = knobs["nprobe"]
+    times["scaled_shortlist_mult"] = knobs["shortlist_mult"]
+    truth: dict[int, set[int]] = {}
+    for r in stage.staged_ann_exact_topk(spark, sf_dir).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    scaled_probes = {
+        "ivf": lambda: ivf_topk_detail(spark, sf_dir, nprobe=knobs["nprobe"]),
+        "pq": lambda: pq_topk_detail(spark, sf_dir, shortlist_mult=knobs["shortlist_mult"]),
+        "ivfpq": lambda: ivfpq_topk_detail(
+            spark, sf_dir, nprobe=knobs["nprobe"], shortlist_mult=knobs["shortlist_mult"]
+        ),
+    }
+    for m, probe in scaled_probes.items():
+        t0 = time.monotonic()
+        got: dict[int, set[int]] = {}
+        for r in probe().collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        times[f"scaled_probe_{m}"] = round(time.monotonic() - t0, 2)
+        recs = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+        times[f"recall_scaled_mean_{m}"] = round(sum(recs) / len(recs), 4)
+        times[f"recall_scaled_min_{m}"] = round(min(recs), 4)
     spark.stop()
     return times
 
