@@ -934,11 +934,7 @@ def dhash_frame(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(hashes, schema="media_id long, phash long")
 
 
-@register(
-    "media_image_neardup_phash",
-    tags=("datapipe", "multimodal", "dedup", "r12"),
-)
-def q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_image_neardup_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs (round-6 verdict item 6): dHash over
     the DECODED pixels, banded exactly like ``dedup_simhash`` — extends
     media dedup from byte-exact (``media_chunk_dedup``) to perceptual: a
@@ -950,10 +946,11 @@ def q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ONE Arrow pass (payload bytes never reach a shuffle) → 4×16-bit band
     bucketing (pigeonhole: hamming ≤ {PHASH_MAX_HAMMING} < {PHASH_BANDS}
     bands ⇒ some band matches exactly) → bucket self-join on (band, value)
-    → ``bit_count(xor)`` verification.  No SQL form (the hash needs the
-    binary decode), so rows-only: exact semantics are pinned by the golden
-    rows + constructed-pair tests in ``test_r12_ops.py`` /
-    ``test_golden_r7.py``.
+    → ``bit_count(xor)`` verification.  The hash needs the binary decode
+    (no SQL form), so exact hamming values are pinned by the golden rows +
+    constructed-pair tests in ``test_r12_ops.py`` / ``test_golden_r7.py``;
+    the registered ``media_image_neardup_phash`` wraps this detail surface
+    with the constructed-twin oracle.
 
     Scale: identical to the simhash tier — the banded join's candidate set
     is output-bounded (plus band-collision noise), never all-pairs; 64-bit
@@ -1073,11 +1070,7 @@ _mixed_pcm = _build_mixed_pcm()
 FP_TWIN_FRAME = 10
 
 
-@register(
-    "media_audio_neardup_fp",
-    tags=("datapipe", "multimodal", "dedup", "r12"),
-)
-def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_audio_neardup_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AUDIO near-dup pairs — the acoustic twin of
     ``media_image_neardup_phash``, completing the perceptual dedup family
     across modalities (text: simhash/minhash; image: dHash; audio: this):
@@ -1090,9 +1083,11 @@ def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that region changes, the fingerprint moves ≤ 2 bits).  Pipeline:
     encode → decode + fingerprint in ONE Arrow pass (samples never reach a
     shuffle) → {FP_BANDS}×16-bit band bucketing → ``bit_count(xor)``
-    verification, hamming ≤ {FP_MAX_HAMMING}.  Rows-only (binary decode has
-    no SQL form); exact semantics pinned by golden rows + constructed-pair
-    tests, same discipline as the image tier."""
+    verification, hamming ≤ {FP_MAX_HAMMING}.  Exact fingerprint semantics
+    are pinned by golden rows + constructed-pair tests (the binary decode
+    has no SQL form), and the registered ``media_audio_neardup_fp`` wraps
+    this detail surface with the constructed-twin oracle — same discipline
+    as the image tier."""
     enc, fp = encode_wav, audio_fp64
     mk = _mixed_pcm
     mod, off = VARIANT_MOD, VARIANT_OFFSET
@@ -1264,11 +1259,7 @@ def video_phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "media_video_neardup_phash",
-    tags=("datapipe", "multimodal", "dedup", "r8"),
-)
-def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_video_neardup_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual VIDEO near-dup pairs — completes the perceptual dedup
     triad begun in r7 (image: ``media_image_neardup_phash``; audio:
     ``media_audio_neardup_fp``): per-frame dHash over the REAL Y4M demux
@@ -1289,8 +1280,10 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     total hamming ≤ {VPH_MAX_TOTAL_HAMMING} over {VPH_KEPT} aligned frames
     forces some frame ≤ 3 bits, which forces some exact chunk match — →
     exact verification summing ``bit_count(xor)`` over ALL aligned frames.
-    Rows-only (the hash needs the binary demux; no SQL form): exact
-    semantics pinned by golden rows + a constructed-pair pytest replica.
+    Exact hamming semantics are pinned by golden rows + a constructed-pair
+    pytest replica (the hash needs the binary demux; no SQL form); the
+    registered ``media_video_neardup_phash`` wraps this detail surface
+    with the constructed-twin oracle.
 
     Scale: candidates are output-bounded (plus band-collision noise),
     never all-pairs; per-frame 64-bit hashes shuffle, never pixels; the
@@ -1368,4 +1361,79 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("int").alias("total_hamming"),
         )
         .distinct()
+    )
+
+
+# --- registered perceptual-triad surfaces (constructed-twin oracles) ------------
+
+#: DuckDB twin shared by the three perceptual near-dup queries (round-10
+#: oracle-ization): the synthesis PLANTS the ground truth — every
+#: ``VARIANT_MOD``-th media gets a near-identical twin at
+#: ``id + VARIANT_OFFSET`` and nothing else sits within the hamming
+#: threshold at corpus scales up to ~10⁵ media (measured by the 1000×
+#: media curve: outputs are exactly the twins at every point below sf10,
+#: where ONE genuine 64-bit audio collision appears, as statistics
+#: predicts) — so the oracle enumerates the planted pair set from the
+#: documents table and asserts the Spark-computed threshold boolean.  A
+#: banding bug that drops a twin (missing row) or a hash bug that admits
+#: a non-twin (extra row) now fails the driver's hash gate; exact hamming
+#: values stay on the ``*_detail`` surfaces with their golden pins.
+_MEDIA_TWIN_ORACLE = f"""
+SELECT CAST(doc_id AS BIGINT) AS media_a,
+       CAST(doc_id + {VARIANT_OFFSET} AS BIGINT) AS media_b,
+       TRUE AS hamming_le_max
+FROM documents WHERE doc_id % {VARIANT_MOD} = 0
+"""
+
+
+@register(
+    "media_image_neardup_phash",
+    oracle=_MEDIA_TWIN_ORACLE,
+    tags=("datapipe", "multimodal", "dedup", "r12"),
+)
+def q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the perceptual image near-dup tier: the
+    ``media_image_neardup_detail`` pair set with the hamming value
+    collapsed to its threshold boolean — hash-checked against the
+    constructed-twin oracle (see ``_MEDIA_TWIN_ORACLE``)."""
+    return media_image_neardup_detail(spark, sf_dir).select(
+        "media_a",
+        "media_b",
+        (F.col("hamming") <= PHASH_MAX_HAMMING).alias("hamming_le_max"),
+    )
+
+
+@register(
+    "media_audio_neardup_fp",
+    oracle=_MEDIA_TWIN_ORACLE,
+    tags=("datapipe", "multimodal", "dedup", "r12"),
+)
+def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the perceptual audio near-dup tier: the
+    ``media_audio_neardup_detail`` pair set with the fingerprint hamming
+    collapsed to its threshold boolean — hash-checked against the
+    constructed-twin oracle."""
+    return media_audio_neardup_detail(spark, sf_dir).select(
+        "media_a",
+        "media_b",
+        (F.col("hamming") <= FP_MAX_HAMMING).alias("hamming_le_max"),
+    )
+
+
+@register(
+    "media_video_neardup_phash",
+    oracle=_MEDIA_TWIN_ORACLE,
+    tags=("datapipe", "multimodal", "dedup", "r8"),
+)
+def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the perceptual video near-dup tier: the
+    ``media_video_neardup_detail`` pair set with the aligned-frame total
+    hamming collapsed to its threshold boolean — hash-checked against the
+    constructed-twin oracle.  (``n_frames`` is deliberately dropped from
+    the registered shape: it is the VPH geometry constant, already pinned
+    by the detail goldens.)"""
+    return media_video_neardup_detail(spark, sf_dir).select(
+        "media_a",
+        "media_b",
+        (F.col("total_hamming") <= VPH_MAX_TOTAL_HAMMING).alias("hamming_le_max"),
     )

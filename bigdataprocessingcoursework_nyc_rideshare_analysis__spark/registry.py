@@ -434,6 +434,13 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   summaries vs their staged exact truth tiers (pair outputs moved to
 #:   ``minhash_lsh_detail`` / ``embedding_lsh_detail``); new 1-row output
 #:   schemas with DuckDB twins — re-verify.
+#: - And for the perceptual media triad: ``media_image_neardup_phash`` /
+#:   ``media_audio_neardup_fp`` / ``media_video_neardup_phash`` now
+#:   register the pair set with the hamming collapsed to its threshold
+#:   boolean, hash-checked against the constructed-twin oracle
+#:   (``multimodal._MEDIA_TWIN_ORACLE``); exact hamming values stay on the
+#:   ``*_detail`` surfaces with their goldens.  New output schemas —
+#:   re-verify.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -442,6 +449,9 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "ann_recall_report",
     "neardup_minhash_lsh",
     "neardup_embedding_lsh",
+    "media_image_neardup_phash",
+    "media_audio_neardup_fp",
+    "media_video_neardup_phash",
 })
 
 

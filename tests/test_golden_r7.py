@@ -56,17 +56,24 @@ def test_media_image_neardup_golden_rows(spark):
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
         VARIANT_MOD,
         VARIANT_OFFSET,
+        media_image_neardup_detail,
     )
 
     rows = sorted(
         (r["media_a"], r["media_b"], r["hamming"])
-        for r in load_all()["media_image_neardup_phash"].fn(spark, SF_SMOKE).collect()
+        for r in media_image_neardup_detail(spark, SF_SMOKE).collect()
     )
     expected = sorted(
         (a, a + VARIANT_OFFSET, 1 if a in _PHASH_HAMMING_ONES else 0)
         for a in range(0, 497, VARIANT_MOD)
     )
     assert rows == expected
+    # registered (oracle-gated) surface: same pairs, threshold boolean
+    reg_rows = sorted(
+        tuple(r)
+        for r in load_all()["media_image_neardup_phash"].fn(spark, SF_SMOKE).collect()
+    )
+    assert reg_rows == sorted((a, b, True) for a, b, _h in expected)
 
 
 # media_audio_neardup_fp: same compact exact-output pin as the image tier
@@ -77,17 +84,23 @@ def test_media_audio_neardup_golden_rows(spark):
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
         VARIANT_MOD,
         VARIANT_OFFSET,
+        media_audio_neardup_detail,
     )
 
     rows = sorted(
         (r["media_a"], r["media_b"], r["hamming"])
-        for r in load_all()["media_audio_neardup_fp"].fn(spark, SF_SMOKE).collect()
+        for r in media_audio_neardup_detail(spark, SF_SMOKE).collect()
     )
     expected = sorted(
         (a, a + VARIANT_OFFSET, 1 if a in _AUDIO_FP_HAMMING_ONES else 0)
         for a in range(0, 497, VARIANT_MOD)
     )
     assert rows == expected
+    reg_rows = sorted(
+        tuple(r)
+        for r in load_all()["media_audio_neardup_fp"].fn(spark, SF_SMOKE).collect()
+    )
+    assert reg_rows == sorted((a, b, True) for a, b, _h in expected)
 
 
 # pack_bestfit_efficiency: exact sf0.001 golden rows (20 sources) —

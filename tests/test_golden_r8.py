@@ -32,15 +32,25 @@ def test_media_video_neardup_golden_rows(spark):
         VPH_KEPT,
     )
 
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.multimodal import (
+        media_video_neardup_detail,
+    )
+
     rows = sorted(
         (r["media_a"], r["media_b"], r["n_frames"], r["total_hamming"])
-        for r in load_all()["media_video_neardup_phash"].fn(spark, SF_SMOKE).collect()
+        for r in media_video_neardup_detail(spark, SF_SMOKE).collect()
     )
     expected = sorted(
         (a, a + VARIANT_OFFSET, VPH_KEPT, _VIDEO_HAMMING.get(a, 0))
         for a in range(0, 497, VARIANT_MOD)
     )
     assert rows == expected
+    # registered (oracle-gated) surface: same pairs, threshold boolean
+    reg_rows = sorted(
+        tuple(r)
+        for r in load_all()["media_video_neardup_phash"].fn(spark, SF_SMOKE).collect()
+    )
+    assert reg_rows == sorted((a, b, True) for a, b, _n, _h in expected)
 
 
 def test_video_neardup_constructed_pair_replica(spark):
