@@ -677,10 +677,11 @@ def simhash_from_shingles(sh: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return hashes.mapInPandas(sig, schema="doc_id long, simhash long")
 
 
-@register("dedup_simhash", oracle=None, tags=("datapipe", "dedup"))
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ 3, found via 4×16-bit chunk
-    bucketing (pigeonhole guarantee), verified with ``bit_count(xor)``."""
+    bucketing (pigeonhole guarantee), verified with ``bit_count(xor)``.
+    The registered ``dedup_simhash`` wraps this screen in the
+    exact-duplicate bound summary; golden rows pin this pair surface."""
     from .stage import staged_shingles
 
     sig = simhash_from_shingles(staged_shingles(spark, sf_dir))
@@ -723,6 +724,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SIMHASH_BOUND_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_pairs,
+       TRUE AS identical_pairs_found_h0,
+       TRUE AS all_pairs_within_threshold
+FROM jpairs WHERE jaccard >= 1.0
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_BOUND_ORACLE, tags=("datapipe", "dedup"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the SimHash screen (round-10 oracle-ization):
+    one row relating ``dedup_simhash_detail``'s pairs to the one exact
+    relation SimHash guarantees — documents with IDENTICAL shingle sets
+    (exact Jaccard 1.0) have identical fingerprints, so every such pair
+    must appear at hamming 0.  n_identical_pairs is an EXACT column the
+    DuckDB twin recomputes from the documents; the booleans assert the
+    invariance (the ``test_exact_duplicates_have_identical_simhash`` pin,
+    now driver-gated) and that every emitted pair respects the
+    ≤ {SIMHASH_MAX_HAMMING}-bit threshold.  (No recall column by design:
+    unlike MinHash-vs-Jaccard, SimHash hamming has no exact truth tier to
+    floor against — its discrimination behavior is pinned by goldens on
+    the detail surface.)
+
+    Plan: the screen is unchanged (banded join over 64-bit fingerprints);
+    the identical-pair truth is the ``staged_jaccard_pairs`` table
+    filtered to jaccard = 1.0 — pair-set-sized joins after that."""
+    from .stage import staged_jaccard_pairs
+
+    found = dedup_simhash_detail(spark, sf_dir)
+    identical = staged_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= 1.0
+    ).select("doc_a", "doc_b")
+    hit0 = F.col("hamming").isNotNull() & (F.col("hamming") == 0)
+    stats = (
+        identical.join(found, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_identical_pairs"),
+            # coalesce: SUM over the empty frame (no identical pairs in the
+            # corpus) is NULL, and NULL == 0 would poison the boolean
+            F.coalesce(F.sum(F.when(hit0, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_found_h0"),
+        )
+    )
+    over = found.agg(
+        F.sum(F.when(F.col("hamming") > SIMHASH_MAX_HAMMING, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_threshold")
+    )
+    return stats.crossJoin(F.broadcast(over)).select(
+        "n_identical_pairs",
+        (F.col("n_found_h0") == F.col("n_identical_pairs")).alias("identical_pairs_found_h0"),
+        (F.col("n_over_threshold") == 0).alias("all_pairs_within_threshold"),
     )
 
 

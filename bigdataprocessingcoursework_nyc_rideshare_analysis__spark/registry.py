@@ -452,6 +452,10 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "media_image_neardup_phash",
     "media_audio_neardup_fp",
     "media_video_neardup_phash",
+    # dedup_simhash: oracle-ized with the exact-duplicate bound summary
+    # (identical shingle sets ⇒ hamming 0, pair surface moved to
+    # dedup_simhash_detail with its goldens) — re-verify.
+    "dedup_simhash",
 })
 
 

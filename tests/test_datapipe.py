@@ -9,8 +9,8 @@ from pyspark.sql import functions as F
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
     JACCARD_THRESHOLD,
     jaccard_pairs,
+    dedup_simhash_detail,
     minhash_lsh_detail,
-    q_dedup_simhash,
     q_neardup_jaccard,
     shingle_sets,
 )
@@ -48,7 +48,7 @@ def test_exact_duplicates_have_identical_simhash(spark):
     (hamming 0) and therefore be reported."""
     exact = q_neardup_jaccard(spark, SF_SMOKE)
     identical = _pairs(exact.filter(F.col("jaccard") >= 1.0))
-    sim = q_dedup_simhash(spark, SF_SMOKE)
+    sim = dedup_simhash_detail(spark, SF_SMOKE)
     sim_pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in sim.collect()}
     for pair in identical:
         assert pair in sim_pairs and sim_pairs[pair] == 0
@@ -297,7 +297,7 @@ def test_golden_minhash_lsh_rows(spark):
 
 def test_golden_simhash_rows(spark):
     got = sorted(
-        (r.doc_a, r.doc_b, r.hamming) for r in q_dedup_simhash(spark, SF_SMOKE).collect()
+        (r.doc_a, r.doc_b, r.hamming) for r in dedup_simhash_detail(spark, SF_SMOKE).collect()
     )
     assert got == _GOLDEN_SIMHASH
 
