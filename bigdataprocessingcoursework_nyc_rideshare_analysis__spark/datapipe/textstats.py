@@ -339,15 +339,18 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_heavy_hitter_terms", oracle=None, tags=("datapipe", "text", "approx"))
-def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+FREQITEMS_SUPPORT = 0.02
+
+
+def approx_heavy_hitters_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters via ``DataFrame.freqItems`` (Karp-style
     single-pass frequent-items sketch): every term with frequency above the
     support threshold is guaranteed present (possibly with false positives —
-    the one-sided error the exact pass above prunes).  Rows-only driver
-    check; pytest asserts the exact top terms are a subset.  At 100 TB this
+    the one-sided error the exact pass above prunes).  At 100 TB this
     is the first pass that shrinks the candidate set before an exact count
     confirms — sketch memory is O(1/support), independent of corpus size.
+    The registered ``approx_heavy_hitter_terms`` wraps this candidate list
+    in the superset-guarantee bound summary.
 
     Stays a LAZY plan end-to-end: since Spark 3.4 ``freqItems`` compiles to
     the ``collect_frequent_items`` aggregate expression (map-side partial +
@@ -357,8 +360,57 @@ def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan eagerly at plan-build time)."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(F.explode(tokens_col("text")).alias("term"))
-    sketch = terms.freqItems(["term"], support=0.02)
+    sketch = terms.freqItems(["term"], support=FREQITEMS_SUPPORT)
     return sketch.select(F.explode("term_freqItems").alias("term")).orderBy("term")
+
+
+_FREQITEMS_BOUND_ORACLE = f"""
+WITH {{tf_ctes}}, tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM tf),
+heavy AS (
+  SELECT term FROM tf GROUP BY term
+  HAVING SUM(tf) > {FREQITEMS_SUPPORT} * (SELECT n FROM tot)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_heavy,
+       TRUE AS true_heavy_all_found
+FROM heavy
+"""
+
+
+@register(
+    "approx_heavy_hitter_terms",
+    oracle=_FREQITEMS_BOUND_ORACLE.format(tf_ctes=_TF_CTES),
+    tags=("datapipe", "text", "approx"),
+)
+def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the freqItems screen (round-10
+    oracle-ization): one row relating ``approx_heavy_hitters_detail``'s
+    candidate terms to the sketch's one-sided GUARANTEE — every term with
+    frequency strictly above support·total is present.  n_true_heavy is an
+    EXACT column the DuckDB twin recomputes from the token stream;
+    true_heavy_all_found is the superset assertion Spark-side (the
+    ``test_freqitems_contains_all_true_heavy_hitters`` pin, now
+    driver-gated).  False-positive COUNT is deliberately not gated: the
+    sketch's error side is one-sided by design and the candidate list
+    itself stays on the detail surface.
+
+    Plan: the screen is unchanged; the truth side is one exact term-count
+    aggregation + broadcast total — the same pass ``heavy_hitter_terms``
+    already runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens_col("text")).alias("term"))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    heavy = counts.crossJoin(F.broadcast(tot)).filter(
+        F.col("n") > F.lit(FREQITEMS_SUPPORT) * F.col("total")
+    )
+    found = approx_heavy_hitters_detail(spark, sf_dir).withColumn("found", F.lit(True))
+    joined = heavy.join(found, "term", "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_heavy"),
+        F.coalesce(F.min(F.col("found").isNotNull().cast("int")), F.lit(1))
+        .cast("boolean")
+        .alias("true_heavy_all_found"),
+    )
 
 
 # --- token diversity (Gini) ---------------------------------------------------

@@ -456,6 +456,10 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # (identical shingle sets ⇒ hamming 0, pair surface moved to
     # dedup_simhash_detail with its goldens) — re-verify.
     "dedup_simhash",
+    # approx_heavy_hitter_terms: oracle-ized with the freqItems superset
+    # guarantee (n_true_heavy exact + true_heavy_all_found; candidate list
+    # moved to approx_heavy_hitters_detail with its golden) — re-verify.
+    "approx_heavy_hitter_terms",
 })
 
 

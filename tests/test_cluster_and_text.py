@@ -123,14 +123,14 @@ def test_freqitems_contains_all_true_heavy_hitters(spark):
     """freqItems' one-sided guarantee: any term with frequency above the
     support threshold must appear in the sketch output."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
-        q_approx_heavy_hitters,
+        approx_heavy_hitters_detail,
         q_heavy_hitter_terms,
     )
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.text import tokens_col
 
     docs = load_table(spark, SF_SMOKE, "documents")
     total = docs.select(F.explode(tokens_col("text")).alias("t")).count()
-    sketch_df = q_approx_heavy_hitters(spark, SF_SMOKE)
+    sketch_df = approx_heavy_hitters_detail(spark, SF_SMOKE)
     # the sketch must stay IN the plan (lazy collect_frequent_items agg), not
     # run eagerly at build time and come back as a collected LocalRelation
     plan = sketch_df._jdf.queryExecution().optimizedPlan().toString()

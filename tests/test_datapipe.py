@@ -311,10 +311,16 @@ def test_golden_ann_lsh_rows(spark):
 
 
 def test_golden_heavy_hitter_terms(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        approx_heavy_hitters_detail,
+    )
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
 
-    fn = load_all()["approx_heavy_hitter_terms"].fn
-    assert sorted(r.term for r in fn(spark, SF_SMOKE).collect()) == _GOLDEN_HEAVY_HITTERS
+    got = sorted(r.term for r in approx_heavy_hitters_detail(spark, SF_SMOKE).collect())
+    assert got == _GOLDEN_HEAVY_HITTERS
+    # registered (oracle-gated) surface: superset guarantee holds
+    rows = load_all()["approx_heavy_hitter_terms"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1 and rows[0].true_heavy_all_found is True
 
 
 def test_ann_bound_summaries_all_methods(spark):
