@@ -417,7 +417,14 @@ def minhash_dedup_stream(
     vectorizing the per-row greedy into NumPy matrix compares — kept,
     since it also helps hot buckets — moved the wall < 5%), which scales
     with DISTINCT CONTENT touched per batch, not traffic — same axis as
-    the state-size claim below.  The grouping key is band 0's bucket — the
+    the state-size claim below.  A third candidate — batch-local
+    exact-signature pre-dedup BEFORE the stateful op (round-9 follow-up)
+    — was evaluated and rejected WITHOUT a measurement pass, because the
+    rejection is structural: a batch's touched-group set is exactly the
+    band-bucket image of its DISTINCT signature set, and exact-signature
+    pre-dedup preserves that set by definition — it can only shrink rows
+    per group, the axis the <5%-greedy result already showed is
+    second-order, never the per-group overhead that dominates.  The grouping key is band 0's bucket — the
     single-band
     approximation the perceptual screen documents: a pair colliding only
     in another band passes the screen and is caught by the nightly batch
