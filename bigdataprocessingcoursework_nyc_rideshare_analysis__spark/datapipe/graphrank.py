@@ -101,17 +101,98 @@ def pagerank(edges: DataFrame, damping: float = DAMPING, iterations: int = ITERA
     return ranks
 
 
-@register("textrank_keywords", oracle=None, tags=("datapipe", "graph", "iterative", "r4"))
-def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 corpus keywords by TextRank centrality.  Rows-only driver
-    check (iterative fixed point — not SQL-expressible); the solver is
+TEXTRANK_TOP_K = 20
+
+
+def textrank_keywords_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TEXTRANK_TOP_K} corpus keywords by TextRank centrality — the
+    (term, rank) surface the goldens pin; the solver is additionally
     pinned against a pure-Python PageRank and analytic star-graph ranks in
     ``tests/test_graphrank.py``.  The containment pass reads the staged
-    token frame (tokenize-once)."""
+    token frame (tokenize-once).  The registered ``textrank_keywords``
+    wraps this in the graph-structure bound summary."""
     docs = staged_features(spark, sf_dir)
     edges = cooccurrence_edges(doc_term_pairs(docs))
     return (
         pagerank(edges)
         .orderBy(F.desc("rank"), F.asc("term"))
-        .limit(20)
+        .limit(TEXTRANK_TOP_K)
+    )
+
+
+#: DuckDB twin for the registered summary: the graph's NODE COUNT is
+#: SQL-recomputable (top-|vocab|-df terms that co-occur with another
+#: vocab term in some document), so n_keywords = least(k, |nodes|) is an
+#: exact column; the PageRank-dependent facts are Spark-computed booleans
+#: the twin asserts TRUE.
+_TEXTRANK_BOUND_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), dt AS (
+  SELECT DISTINCT doc_id, tok AS term FROM t, UNNEST(toks) AS u(tok)
+), vocab AS (
+  SELECT term FROM dt GROUP BY term ORDER BY COUNT(*) DESC, term LIMIT {VOCAB_SIZE}
+), vdt AS (
+  SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)
+), nodes AS (
+  SELECT DISTINCT a.term
+  FROM vdt a JOIN vdt b ON a.doc_id = b.doc_id AND a.term <> b.term
+)
+SELECT CAST(LEAST({TEXTRANK_TOP_K}, COUNT(*)) AS BIGINT) AS n_keywords,
+       TRUE AS all_terms_are_graph_nodes,
+       TRUE AS ranks_in_range,
+       TRUE AS ranks_sum_le_one
+FROM nodes
+"""
+
+
+@register(
+    "textrank_keywords",
+    oracle=_TEXTRANK_BOUND_ORACLE,
+    tags=("datapipe", "graph", "iterative", "r4"),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the TextRank tier (round-10 oracle-ization):
+    the iterative fixed point itself has no SQL form, but the GRAPH it
+    runs on does — the DuckDB twin recomputes the co-occurrence node
+    universe (top-{VOCAB_SIZE}-df terms with at least one in-document
+    vocab partner) and checks n_keywords = least({TEXTRANK_TOP_K},
+    |nodes|) exactly, alongside three Spark-computed booleans it asserts
+    TRUE: every emitted keyword is a graph node, every rank lies in
+    (0, 1), and the top-k rank mass is ≤ 1 (the full fixed point sums to
+    1 up to float fold noise).  A vocabulary/edge-construction bug — the
+    corpus-sized half of the operator — now fails the driver's hash gate;
+    the solver numerics stay pinned by the detail goldens and the
+    pure-Python replica.
+
+    Plan: one containment pass + the |vocab|²-bounded iteration (same as
+    the detail — the summary legs are |vocab|-sized)."""
+    docs = staged_features(spark, sf_dir)
+    dt = doc_term_pairs(docs)
+    edges = cooccurrence_edges(dt)
+    top = (
+        pagerank(edges)
+        .orderBy(F.desc("rank"), F.asc("term"))
+        .limit(TEXTRANK_TOP_K)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("term"))
+        .union(edges.select(F.col("dst").alias("term")))
+        .distinct()
+    )
+    non_nodes = top.join(nodes, "term", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_non_nodes")
+    )
+    stats = top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keywords"),
+        F.min("rank").alias("min_rank"),
+        F.max("rank").alias("max_rank"),
+        F.sum("rank").alias("rank_mass"),
+    )
+    return stats.crossJoin(F.broadcast(non_nodes)).select(
+        "n_keywords",
+        (F.col("n_non_nodes") == 0).alias("all_terms_are_graph_nodes"),
+        ((F.col("min_rank") > 0) & (F.col("max_rank") < 1)).alias("ranks_in_range"),
+        (F.col("rank_mass") <= 1.0 + 1e-9).alias("ranks_sum_le_one"),
     )

@@ -460,6 +460,10 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # guarantee (n_true_heavy exact + true_heavy_all_found; candidate list
     # moved to approx_heavy_hitters_detail with its golden) — re-verify.
     "approx_heavy_hitter_terms",
+    # textrank_keywords: oracle-ized with the graph-structure bound
+    # summary (node universe SQL-recomputed; keyword list moved to
+    # textrank_keywords_detail with its golden) — re-verify.
+    "textrank_keywords",
 })
 
 

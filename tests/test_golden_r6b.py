@@ -225,7 +225,14 @@ def test_golden_top_component_head(spark):
 
 
 def test_golden_textrank(spark):
-    got = sorted((r.term, round(r.rank, 9)) for r in _rows(spark, "textrank_keywords"))
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.graphrank import (
+        textrank_keywords_detail,
+    )
+
+    got = sorted(
+        (r.term, round(r.rank, 9))
+        for r in textrank_keywords_detail(spark, SF_SMOKE).collect()
+    )
     assert got == _GOLDEN_TEXTRANK
 
 
