@@ -186,21 +186,24 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_encode_docs", oracle=None, tags=("datapipe", "text", "r4"))
-def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode_docs_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merge table to the corpus — the tokenizer
     *application* half that pairs with ``bpe_learn_merges``.  Output: one
-    row per document with whitespace-word and BPE-token counts plus a
-    deterministic preview of the first 12 tokens.
+    row per document with whitespace-word, character, and BPE-token counts,
+    a deterministic preview of the first 12 tokens, and the in-kernel
+    round-trip verdict (concatenating the doc's BPE tokens reproduces its
+    normalized characters — BPE merges are concatenations, so the decode
+    is free).
 
     The merge table is collected to the driver first — BOUNDED by
     construction at ``BPE_MERGES`` rows (same control-flow-collect rule as
     IVF's capped training sample), then shipped inside the encode closure.
     Encoding itself is an Arrow-batched ``mapInPandas`` pass with a
     per-task word→tokens memo (Zipf makes the hit rate high), zero
-    shuffles: the 100 TB cost is exactly one scan of the corpus.  Rows-only
-    driver check; round-trip and merge-consistency are pinned in
-    ``tests/test_bpe.py``."""
+    shuffles: the 100 TB cost is exactly one scan of the corpus.
+    Round-trip and merge-consistency are additionally pinned in
+    ``tests/test_bpe.py``; the registered ``bpe_encode_docs`` exposes the
+    oracle-gated summary shape."""
     docs = staged_features(spark, sf_dir)
     merge_rows = sorted(
         q_bpe_learn_merges(spark, sf_dir).collect(), key=lambda r: r["rank"]
@@ -234,17 +237,65 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id, words in zip(pdf["doc_id"], pdf["toks"]):
                 toks: list[str] = []
+                chars = 0
                 for w in words:
+                    chars += len(str(w))
                     toks.extend(enc_word(str(w)))
+                rt = "".join(toks) == "".join(str(w) for w in words)
                 out.append(
-                    (int(doc_id), len(words), len(toks), "|".join(toks[:12]))
+                    (int(doc_id), len(words), chars, len(toks), "|".join(toks[:12]), rt)
                 )
             yield pd.DataFrame(
-                out, columns=["doc_id", "n_words", "n_bpe_tokens", "preview"]
+                out,
+                columns=["doc_id", "n_words", "n_chars", "n_bpe_tokens", "preview", "round_trip_ok"],
             )
 
     return docs.select("doc_id", "toks").mapInPandas(
-        encode, schema="doc_id long, n_words int, n_bpe_tokens int, preview string"
+        encode,
+        schema=(
+            "doc_id long, n_words int, n_chars int, n_bpe_tokens int, "
+            "preview string, round_trip_ok boolean"
+        ),
+    )
+
+
+_BPE_ENCODE_BOUND_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words,
+       TRUE AS round_trip_ok,
+       TRUE AS token_counts_consistent
+FROM t
+"""
+
+
+@register("bpe_encode_docs", oracle=_BPE_ENCODE_BOUND_ORACLE, tags=("datapipe", "text", "r4"))
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the BPE encoder (round-10 oracle-ization):
+    one row per document with the EXACT columns the DuckDB twin recomputes
+    (doc_id, whitespace-word count) and two Spark-computed booleans it
+    asserts TRUE — the tokenizer's defining LOSSLESSNESS property
+    (concatenating the doc's BPE tokens reproduces its normalized
+    characters, verified in-kernel per document) and count sanity
+    (n_words ≤ n_bpe_tokens ≤ n_chars: merges only fuse within words and
+    every token covers ≥ 1 character).  An encoder bug that drops or
+    corrupts text now fails the driver's hash gate on the exact document
+    it breaks; token counts and previews stay on
+    ``bpe_encode_docs_detail`` with their pytest pins.
+
+    Plan: identical to the detail pass — one corpus scan, zero shuffles;
+    the booleans are per-row expressions."""
+    det = bpe_encode_docs_detail(spark, sf_dir)
+    return det.select(
+        "doc_id",
+        "n_words",
+        "round_trip_ok",
+        (
+            (F.col("n_words") <= F.col("n_bpe_tokens"))
+            & (F.col("n_bpe_tokens") <= F.col("n_chars"))
+        ).alias("token_counts_consistent"),
     )
 
 

@@ -464,6 +464,10 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # summary (node universe SQL-recomputed; keyword list moved to
     # textrank_keywords_detail with its golden) — re-verify.
     "textrank_keywords",
+    # bpe_encode_docs: oracle-ized with per-document round-trip
+    # losslessness + count-sanity booleans (doc_id/n_words oracle-exact;
+    # token counts/previews moved to bpe_encode_docs_detail) — re-verify.
+    "bpe_encode_docs",
 })
 
 

@@ -92,10 +92,11 @@ def test_bpe_encode_round_trips_and_compresses(spark):
     at least one merge actually fires (compression), (c) deterministic
     across runs."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
-        q_bpe_encode_docs,
+        bpe_encode_docs_detail,
     )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
 
-    out1 = {r["doc_id"]: r for r in q_bpe_encode_docs(spark, SF_SMOKE).collect()}
+    out1 = {r["doc_id"]: r for r in bpe_encode_docs_detail(spark, SF_SMOKE).collect()}
     docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF_SMOKE, "documents").collect()}
     assert set(out1) == set(docs)
     fired = 0
@@ -108,11 +109,15 @@ def test_bpe_encode_round_trips_and_compresses(spark):
         if row["n_bpe_tokens"] < n_chars:
             fired += 1
     assert fired > 0
-    out2 = {r["doc_id"]: r for r in q_bpe_encode_docs(spark, SF_SMOKE).collect()}
+    out2 = {r["doc_id"]: r for r in bpe_encode_docs_detail(spark, SF_SMOKE).collect()}
     assert all(
         (out1[d]["n_bpe_tokens"], out1[d]["preview"]) == (out2[d]["n_bpe_tokens"], out2[d]["preview"])
         for d in out1
     )
+    assert all(r["round_trip_ok"] for r in out1.values())
+    # registered (oracle-gated) surface: both booleans TRUE for every doc
+    for r in load_all()["bpe_encode_docs"].fn(spark, SF_SMOKE).collect():
+        assert r["round_trip_ok"] is True and r["token_counts_consistent"] is True
 
 
 def test_bpe_encode_agrees_with_learned_fusions(spark):

@@ -185,9 +185,12 @@ def test_bpe_vocab_curve_full_size_matches_encode_docs(spark):
         r["n_merges"]: r["total_tokens"]
         for r in reg["bpe_vocab_size_curve"].fn(spark, SF_SMOKE).collect()
     }
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
+        bpe_encode_docs_detail,
+    )
+
     full = (
-        reg["bpe_encode_docs"]
-        .fn(spark, SF_SMOKE)
+        bpe_encode_docs_detail(spark, SF_SMOKE)
         .agg(F.sum("n_bpe_tokens").cast("long").alias("t"))
         .collect()[0]["t"]
     )
