@@ -111,10 +111,21 @@ _GOLDEN_SKETCH_ROLLUP = [
 ]
 
 
+def _ann_detail(spark, method):
+    # round-10: the registered ann_*_topk are oracle-gated bound summaries;
+    # the goldens pin the DETAIL probes (the panel surface the stage
+    # persists) — values unchanged
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        ANN_METHODS,
+    )
+
+    return dict(ANN_METHODS)[method](spark, SF_SMOKE)
+
+
 def test_golden_ann_ivf_rows(spark):
     got = sorted(
         (r.query_id, r.rank, r.neighbor_id, round(r.cos_sim, 9))
-        for r in load_all()["ann_ivf_topk"].fn(spark, SF_SMOKE).collect()
+        for r in _ann_detail(spark, "ivf").collect()
     )
     assert got == _GOLDEN_ANN_IVF
 
@@ -122,7 +133,7 @@ def test_golden_ann_ivf_rows(spark):
 def test_golden_ann_pq_rows(spark):
     got = sorted(
         (r.query_id, r.rank, r.neighbor_id, round(r.cos_sim, 9))
-        for r in load_all()["ann_pq_topk"].fn(spark, SF_SMOKE).collect()
+        for r in _ann_detail(spark, "pq").collect()
     )
     assert got == _GOLDEN_ANN_PQ
 
@@ -130,7 +141,7 @@ def test_golden_ann_pq_rows(spark):
 def test_golden_ann_ivfpq_rows(spark):
     got = sorted(
         (r.query_id, r.rank, r.neighbor_id, round(r.cos_sim, 9))
-        for r in load_all()["ann_ivfpq_topk"].fn(spark, SF_SMOKE).collect()
+        for r in _ann_detail(spark, "ivfpq").collect()
     )
     assert got == _GOLDEN_ANN_IVFPQ
 

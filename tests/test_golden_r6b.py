@@ -244,9 +244,13 @@ def test_golden_bpe_merge_table(spark):
 
 
 def test_golden_bpe_encode_sample(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
+        bpe_encode_docs_detail,
+    )
+
     got = sorted(
         (r.doc_id, r.n_words, r.n_bpe_tokens, r.preview)
-        for r in _rows(spark, "bpe_encode_docs")
+        for r in bpe_encode_docs_detail(spark, SF_SMOKE).collect()
         if r.doc_id % 25 == 0
     )
     assert got == _GOLDEN_BPE_ENCODE_SAMPLE
