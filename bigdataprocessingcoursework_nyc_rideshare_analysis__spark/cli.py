@@ -12,7 +12,10 @@ One process, one task, same outputs: console ``show()`` for every task and
 reference-named CSV exports where the vis notebooks consume them
 (task2 → ``trip_count.csv`` / ``total_profit.csv`` / ``total_earnings.csv``,
 task5 → ``avgwaitingtime_task5.csv`` — the contract pinned by
-``tests/test_sinks.py::test_task2_task5_csv_contract_matches_reference``).
+``tests/test_sinks.py::test_task2_task5_csv_contract_matches_reference``),
+plus a ``report`` task rendering the vis notebooks' four bar charts as
+monospace text (``pipelines/report.py`` — the notebooks' matplotlib
+backend is import-gated there, absent in this container).
 
 The enriched view is built once per invocation and cached (the reference
 recomputes the two-join prelude per action; SURVEY.md §4).
@@ -43,7 +46,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         prog="bigdataprocessingcoursework_nyc_rideshare_analysis__spark",
         description="Run one coursework task end-to-end on rideshare CSVs.",
     )
-    parser.add_argument("task", choices=[f"task{i}" for i in range(1, 8)])
+    parser.add_argument("task", choices=[f"task{i}" for i in range(1, 8)] + ["report"])
     parser.add_argument("--trips", required=True, help="rideshare fact CSV path")
     parser.add_argument("--zones", required=True, help="taxi zone lookup CSV path")
     parser.add_argument("--out", default=None, help="directory for CSV exports (task2/task5)")
@@ -79,4 +82,10 @@ def main(argv: Sequence[str] | None = None) -> int:
             _show(name, df)
     elif args.task == "task7":
         _show("route_pivot_top10", tasks.task7_route_pivot(enriched))
+    elif args.task == "report":
+        # the vis-notebook surface (task2_vis / task5_vis) as monospace
+        # charts — see pipelines/report.py
+        from .pipelines.report import rideshare_report
+
+        print(rideshare_report(enriched))
     return 0

@@ -81,3 +81,62 @@ def test_cli_task1_runs(spark, csv_inputs, capsys):
     rc = main(["task1", "--trips", f"{csv_inputs}/trips.csv", "--zones", f"{csv_inputs}/zones.csv"])
     assert rc == 0
     assert "rows: 3" in capsys.readouterr().out
+
+
+def test_report_task_renders_all_four_notebook_charts(capsys, csv_inputs):
+    """The ``report`` task (the vis-notebook surface) must print one
+    monospace bar chart per notebook figure — trip counts, profits,
+    earnings per business-month, and January daily waiting time — with
+    labels joined the way the notebooks build them and bars scaled to the
+    values."""
+    assert main(["report", "--trips", f"{csv_inputs}/trips.csv", "--zones", f"{csv_inputs}/zones.csv"]) == 0
+    out = capsys.readouterr().out
+    for title in (
+        "Trip counts per business-month",
+        "Platform profits per business-month",
+        "Driver earnings per business-month",
+        "Average waiting time by January day",
+    ):
+        assert title in out, title
+    # fixture facts: Uber has 2 January trips, Lyft 1 — ascending order
+    # puts Lyft-1 before Uber-1, and Uber's bar is the 40-char maximum
+    lines = out.splitlines()
+    trip_lines = [l for l in lines if l.startswith(("Uber-1", "Lyft-1"))]
+    assert trip_lines and trip_lines[0].startswith("Lyft-1")
+    uber_trip = next(l for l in trip_lines if l.startswith("Uber-1") and l.rstrip().endswith(" 2"))
+    assert "#" * 40 in uber_trip
+    # negative profit (Lyft -2.0) renders an empty bar but the exact number
+    profit_lines = [l for l in lines if l.rstrip().endswith("-2")]
+    assert profit_lines and "#" not in profit_lines[0]
+
+
+def test_text_bar_chart_is_deterministic_and_scaled():
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.pipelines.report import (
+        text_bar_chart,
+    )
+
+    chart = text_bar_chart([("a", 1.0), ("b", 2.0)], "T", "v", width=10)
+    assert chart == text_bar_chart([("a", 1.0), ("b", 2.0)], "T", "v", width=10)
+    lines = chart.splitlines()
+    assert lines[0] == "T"
+    a_line = next(l for l in lines if l.startswith("a"))
+    b_line = next(l for l in lines if l.startswith("b"))
+    assert a_line.count("#") == 5 and b_line.count("#") == 10
+    assert "(no rows)" in text_bar_chart([], "T", "v")
+
+
+def test_render_png_gated_without_matplotlib():
+    import importlib.util
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.pipelines.report import (
+        render_png,
+    )
+
+    if importlib.util.find_spec("matplotlib") is not None:
+        import pytest
+
+        pytest.skip("matplotlib present — gate not exercised")
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        render_png([("a", 1.0)], "T", "v", "/tmp/never.png")
