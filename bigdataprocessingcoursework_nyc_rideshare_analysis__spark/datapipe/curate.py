@@ -827,11 +827,7 @@ def firstfit_bins(t: DataFrame, budget: int, shards: int = BF_SHARDS) -> DataFra
     )
 
 
-@register(
-    "pack_bestfit_efficiency",
-    tags=("datapipe", "pipeline", "loader", "r12"),
-)
-def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_bestfit_efficiency_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NAMING NOTE: the strategy audited here is FIRST-FIT-DECREASING, not
     best-fit — the greedy places each doc in the first bin with room, not
     the tightest-remaining one (``firstfit_bins``).  The registry name
@@ -847,12 +843,14 @@ def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured price of the no-split constraint; against a naive
     one-doc-per-sequence loader it is the measured win of packing at all.
 
-    Rows-only (FFD's sequential greedy has no SQL form); the doc-level
-    assignment is pinned in pytest against an independent pure-Python FFD
-    replica plus invariants (no bin over budget, every doc packed), and
-    this aggregate carries exact sf0.001 golden rows.  Plan: one corpus
-    scan → (source, shard) applyInPandas (state = one slice's id/length
-    pairs) → one |sources|-keyed aggregation."""
+    FFD's sequential greedy has no SQL form; the doc-level assignment is
+    pinned in pytest against an independent pure-Python FFD replica plus
+    invariants (no bin over budget, every doc packed), and this aggregate
+    carries exact sf0.001 golden rows.  The registered
+    ``pack_bestfit_efficiency`` wraps it in the conservation bound
+    summary.  Plan: one corpus scan → (source, shard) applyInPandas
+    (state = one slice's id/length pairs) → one |sources|-keyed
+    aggregation."""
     from .scrub import PACK_TOKEN_BUDGET
 
     docs = load_table(spark, sf_dir, "documents")
@@ -877,6 +875,73 @@ def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.greatest(F.col("fill"), F.lit(budget))).cast("double"),
             9,
         ).alias("fill_rate"),
+    )
+
+
+_PACK_BOUND_ORACLE = """
+WITH t AS (
+  SELECT source, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+       TRUE AS overfilled_bins_are_single_doc,
+       TRUE AS padding_matches_fill_gap
+FROM t GROUP BY source
+"""
+
+
+@register(
+    "pack_bestfit_efficiency",
+    oracle=_PACK_BOUND_ORACLE,
+    tags=("datapipe", "pipeline", "loader", "r12"),
+)
+def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the FFD packing audit (round-10
+    oracle-ization): per-source CONSERVATION columns the DuckDB twin
+    recomputes from the raw documents — every document packed exactly once
+    (n_docs) and every token accounted (total_tokens); a greedy that drops,
+    duplicates, or truncates a document now fails the driver's hash gate on
+    the exact source it corrupts — plus two Spark-computed invariant
+    booleans the twin asserts TRUE: a bin over the token budget holds
+    exactly ONE (oversized) document, and the padding readout equals the
+    summed per-bin fill gap.  Bin counts / fill rates (the FFD-quality
+    numbers with no SQL form) stay on ``pack_bestfit_efficiency_detail``
+    with the golden rows and the pure-Python FFD replica.
+
+    Plan: same scan + packing pass as the detail; the booleans fold into
+    the existing per-bin aggregation."""
+    from .scrub import PACK_TOKEN_BUDGET
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    assigned = firstfit_bins(t, PACK_TOKEN_BUDGET)
+    joined = assigned.join(t.select("doc_id", "n_tokens"), "doc_id")
+    budget = PACK_TOKEN_BUDGET
+    per_bin = joined.groupBy("source", "shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_bin.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        F.coalesce(
+            F.min(
+                F.when(F.col("fill") > budget, F.col("n_docs") == 1).otherwise(F.lit(True))
+                .cast("int")
+            )
+            == 1,
+            F.lit(True),
+        ).alias("overfilled_bins_are_single_doc"),
+        (
+            F.sum(
+                F.when(F.col("fill") > budget, 0).otherwise(budget - F.col("fill"))
+            ).cast("long")
+            == F.sum(F.greatest(F.col("fill"), F.lit(budget))).cast("long")
+            - F.sum("fill").cast("long")
+        ).alias("padding_matches_fill_gap"),
     )
 
 

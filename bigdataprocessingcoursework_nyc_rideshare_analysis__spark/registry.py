@@ -468,6 +468,11 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # losslessness + count-sanity booleans (doc_id/n_words oracle-exact;
     # token counts/previews moved to bpe_encode_docs_detail) — re-verify.
     "bpe_encode_docs",
+    # pack_bestfit_efficiency: oracle-ized with per-source conservation
+    # columns (n_docs / total_tokens oracle-exact) + packing invariant
+    # booleans (bin counts / fill rates moved to
+    # pack_bestfit_efficiency_detail with the goldens) — re-verify.
+    "pack_bestfit_efficiency",
 })
 
 

@@ -130,7 +130,20 @@ _GOLDEN_BESTFIT = [
 
 
 def test_pack_bestfit_efficiency_golden_rows(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.curate import (
+        pack_bestfit_efficiency_detail,
+    )
+
     rows = sorted(
-        tuple(r) for r in load_all()["pack_bestfit_efficiency"].fn(spark, SF_SMOKE).collect()
+        tuple(r) for r in pack_bestfit_efficiency_detail(spark, SF_SMOKE).collect()
     )
     assert rows == sorted(_GOLDEN_BESTFIT)
+    # registered (oracle-gated) surface: conservation columns + invariants
+    reg_rows = sorted(
+        tuple(r) for r in load_all()["pack_bestfit_efficiency"].fn(spark, SF_SMOKE).collect()
+    )
+    expected = sorted(
+        (src, n_docs, total, True, True)
+        for src, n_docs, _bins, total, _pad, _fill in _GOLDEN_BESTFIT
+    )
+    assert reg_rows == expected
