@@ -473,6 +473,10 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # booleans (bin counts / fill rates moved to
     # pack_bestfit_efficiency_detail with the goldens) — re-verify.
     "pack_bestfit_efficiency",
+    # bpe_vocab_size_curve: oracle-ized with checkpoint/word/char
+    # conservation columns + bounds/monotonicity booleans (fertility
+    # numbers moved to bpe_vocab_size_curve_detail) — re-verify.
+    "bpe_vocab_size_curve",
 })
 
 

@@ -167,10 +167,24 @@ _GOLDEN_VOCAB_CURVE = [
 
 
 def test_bpe_vocab_size_curve_golden_rows(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
+        bpe_vocab_size_curve_detail,
+    )
+
     rows = sorted(
-        tuple(r) for r in load_all()["bpe_vocab_size_curve"].fn(spark, SF_SMOKE).collect()
+        tuple(r) for r in bpe_vocab_size_curve_detail(spark, SF_SMOKE).collect()
     )
     assert rows == sorted(_GOLDEN_VOCAB_CURVE)
+    # registered (oracle-gated) surface: exact checkpoint/word/char columns
+    # + both booleans TRUE (total_chars = sum over the golden rows' identity
+    # chars_per_token * total_tokens, but pinned independently here)
+    reg_rows = sorted(
+        tuple(r) for r in load_all()["bpe_vocab_size_curve"].fn(spark, SF_SMOKE).collect()
+    )
+    total_chars = 125717  # sf0.001 corpus characters across whitespace words
+    assert reg_rows == sorted(
+        (k, w, total_chars, True, True) for k, w, _t, _f, _c in _GOLDEN_VOCAB_CURVE
+    )
 
 
 def test_bpe_vocab_curve_full_size_matches_encode_docs(spark):
@@ -181,9 +195,13 @@ def test_bpe_vocab_curve_full_size_matches_encode_docs(spark):
     from pyspark.sql import functions as F
 
     reg = load_all()
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
+        bpe_vocab_size_curve_detail,
+    )
+
     curve = {
         r["n_merges"]: r["total_tokens"]
-        for r in reg["bpe_vocab_size_curve"].fn(spark, SF_SMOKE).collect()
+        for r in bpe_vocab_size_curve_detail(spark, SF_SMOKE).collect()
     }
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
         bpe_encode_docs_detail,
