@@ -1136,8 +1136,7 @@ def q_label_outlier_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 KCENTER_K = 8
 
 
-@register("coreset_kcenter_sample", oracle=None, tags=("datapipe", "similarity", "selection", "r10"))
-def q_coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def coreset_kcenter_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset (Gonzalez 1985, the 2-approximation): start
     from vec_id 0, repeatedly add the point FURTHEST from the chosen set —
     the diverse-subset selection active-learning and data-pruning pipelines
@@ -1233,6 +1232,61 @@ def q_coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r), int(v), None if d is None else int(d)) for r, v, d in chosen
     ]
     return spark.createDataFrame(rows, "round int, vec_id long, dist2_to_set long")
+
+
+_KCENTER_BOUND_ORACLE = f"""
+SELECT CAST(k AS INTEGER) AS round,
+       TRUE AS dist2_defined_iff_not_first,
+       TRUE AS dist2_nonincreasing,
+       TRUE AS centers_distinct
+FROM range(0, {KCENTER_K}) t(k)
+"""
+
+
+@register(
+    "coreset_kcenter_sample",
+    oracle=_KCENTER_BOUND_ORACLE,
+    tags=("datapipe", "similarity", "selection", "r10"),
+)
+def q_coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the greedy k-center coreset (round-10
+    oracle-ization): the ROUND universe is oracle-exact (exactly
+    ``KCENTER_K`` selection rounds, 0-indexed — a selection loop that
+    stops early or double-counts fails the hash), and three Spark-computed
+    booleans the twin asserts TRUE encode Gonzalez's invariants:
+    dist2_to_set is NULL exactly for the seed round and defined after,
+    the max-min distance is NON-INCREASING across rounds (each added
+    center can only shrink every point's distance-to-set — the property
+    that makes greedy a 2-approximation), and the chosen centers are
+    distinct.  The chosen ids and distances stay on
+    ``coreset_kcenter_detail`` with the NumPy greedy-replay pin.
+
+    Plan: the wrapper reshapes a ``KCENTER_K``-row driver-built frame —
+    the windows below are |rounds|-bounded."""
+    det = coreset_kcenter_detail(spark, sf_dir)
+    w = Window.orderBy("round")
+    prev = F.lag("dist2_to_set").over(w)
+    distinct_ok = det.agg(
+        (F.count_distinct("vec_id") == F.count(F.lit(1))).alias("ok")
+    )
+    return (
+        det.select(
+            "round",
+            (
+                F.col("dist2_to_set").isNull() == (F.col("round") == 0)
+            ).alias("dist2_defined_iff_not_first"),
+            F.coalesce(prev >= F.col("dist2_to_set"), F.lit(True)).alias(
+                "dist2_nonincreasing"
+            ),
+        )
+        .crossJoin(F.broadcast(distinct_ok))
+        .select(
+            "round",
+            "dist2_defined_iff_not_first",
+            "dist2_nonincreasing",
+            F.col("ok").alias("centers_distinct"),
+        )
+    )
 
 
 # --- ANN tier manifest -----------------------------------------------------------

@@ -464,21 +464,55 @@ def absorption_probabilities(ev: DataFrame, absorbing: tuple[str, ...] = ABSORBI
     ]
 
 
-@register("absorption_purchase_vs_error", oracle=None, tags=("behavior", "markov", "iterative", "r5"))
-def q_absorption_purchase_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+def absorption_purchase_vs_error_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Absorbing-Markov funnel analysis: for each transient event type, the
     probability the user's event chain reaches PURCHASE before ERROR —
     what the one-step ``event_transition_probs`` matrix cannot say (it
     answers "what happens next"; absorption answers "where does the walk
     END"), solved exactly via the fundamental matrix B = (I−Q)⁻¹R rather
-    than by simulation.  Rows-only (matrix solve); gambler's-ruin hand
-    case and numpy-reference equality pinned in ``test_r5_ops.py``."""
+    than by simulation.  Gambler's-ruin hand case and numpy-reference
+    equality pinned in ``test_r5_ops.py`` / ``test_golden_r6b.py``; the
+    registered ``absorption_purchase_vs_error`` wraps this surface with
+    the probability-axiom bound summary."""
     ev = load_table(spark, sf_dir, "events")
     rows = [
         (s, round(probs.get("purchase", 0.0), 9), round(probs.get("error", 0.0), 9))
         for s, probs in absorption_probabilities(ev)
     ]
     return spark.createDataFrame(rows, "start_state string, p_purchase double, p_error double")
+
+
+_ABSORPTION_BOUND_ORACLE = """
+SELECT DISTINCT event_type AS start_state,
+       TRUE AS probs_in_unit_interval,
+       TRUE AS p_total_le_one
+FROM events
+WHERE event_type NOT IN ('purchase', 'error')
+"""
+
+
+@register(
+    "absorption_purchase_vs_error",
+    oracle=_ABSORPTION_BOUND_ORACLE,
+    tags=("behavior", "markov", "iterative", "r5"),
+)
+def q_absorption_purchase_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the absorption solve (round-10
+    oracle-ization): the TRANSIENT-STATE universe is oracle-exact (every
+    event type that is not an absorbing state gets a row — a solve that
+    drops a state fails the hash on that state), and the probability
+    axioms are Spark-computed booleans the twin asserts TRUE: both
+    absorption probabilities lie in [0, 1] and their sum ≤ 1 (the walk
+    may also never absorb).  The solved numbers stay on
+    ``absorption_purchase_vs_error_detail`` with the hand-case golden and
+    the NumPy fundamental-matrix replica."""
+    det = absorption_purchase_vs_error_detail(spark, sf_dir)
+    in01 = lambda c: (F.col(c) >= 0.0) & (F.col(c) <= 1.0)
+    return det.select(
+        "start_state",
+        (in01("p_purchase") & in01("p_error")).alias("probs_in_unit_interval"),
+        ((F.col("p_purchase") + F.col("p_error")) <= 1.0 + 1e-9).alias("p_total_le_one"),
+    )
 
 
 # --- CUPED variance-reduced experiment readout --------------------------------

@@ -477,6 +477,14 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # conservation columns + bounds/monotonicity booleans (fertility
     # numbers moved to bpe_vocab_size_curve_detail) — re-verify.
     "bpe_vocab_size_curve",
+    # absorption_purchase_vs_error: oracle-ized with the transient-state
+    # universe + probability-axiom booleans (solved numbers moved to
+    # absorption_purchase_vs_error_detail) — re-verify.
+    "absorption_purchase_vs_error",
+    # coreset_kcenter_sample: oracle-ized with the round universe +
+    # Gonzalez greedy invariants (ids/distances moved to
+    # coreset_kcenter_detail) — re-verify.
+    "coreset_kcenter_sample",
 })
 
 

@@ -147,11 +147,20 @@ def test_golden_ann_ivfpq_rows(spark):
 
 
 def test_golden_kcenter_rows(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        coreset_kcenter_detail,
+    )
+
     got = sorted(
         (r["round"], r.vec_id, r.dist2_to_set)
-        for r in load_all()["coreset_kcenter_sample"].fn(spark, SF_SMOKE).collect()
+        for r in coreset_kcenter_detail(spark, SF_SMOKE).collect()
     )
     assert got == _GOLDEN_KCENTER
+    # registered (oracle-gated) surface: round universe + greedy invariants
+    reg_rows = sorted(
+        tuple(r) for r in load_all()["coreset_kcenter_sample"].fn(spark, SF_SMOKE).collect()
+    )
+    assert reg_rows == [(rnd, True, True, True) for rnd, _v, _d in sorted(_GOLDEN_KCENTER)]
 
 
 def test_golden_compression_ratio_sample(spark):

@@ -257,11 +257,18 @@ def test_golden_bpe_encode_sample(spark):
 
 
 def test_golden_absorption(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.operators.behavior import (
+        absorption_purchase_vs_error_detail,
+    )
+
     got = sorted(
         (r.start_state, round(r.p_purchase, 9), round(r.p_error, 9))
-        for r in _rows(spark, "absorption_purchase_vs_error")
+        for r in absorption_purchase_vs_error_detail(spark, SF_SMOKE).collect()
     )
     assert got == _GOLDEN_ABSORPTION
+    # registered (oracle-gated) surface: transient universe + axiom booleans
+    reg_rows = sorted(tuple(r) for r in _rows(spark, "absorption_purchase_vs_error"))
+    assert reg_rows == sorted((s, True, True) for s, _p, _e in _GOLDEN_ABSORPTION)
 
 
 def test_golden_trained_classifier_weights(spark):

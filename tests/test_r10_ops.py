@@ -434,7 +434,7 @@ def test_kcenter_coreset_matches_numpy_greedy(spark):
     radius must be non-increasing."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
         KCENTER_K,
-        q_coreset_kcenter_sample,
+        coreset_kcenter_detail,
     )
 
     pdf = (
@@ -460,7 +460,7 @@ def test_kcenter_coreset_matches_numpy_greedy(spark):
         centers.append(q[k])
     got = sorted(
         ((r["round"], r["vec_id"], r["dist2_to_set"]) for r in
-         q_coreset_kcenter_sample(spark, SF_SMOKE).collect())
+         coreset_kcenter_detail(spark, SF_SMOKE).collect())
     )
     assert got == expect
     radii = [d for _, _, d in got[1:]]
