@@ -485,6 +485,11 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # Gonzalez greedy invariants (ids/distances moved to
     # coreset_kcenter_detail) — re-verify.
     "coreset_kcenter_sample",
+    # doc_compression_ratio: oracle-ized with per-doc byte conservation +
+    # codec invariants (the r7 no-oracle decision superseded by the
+    # detail-surface pattern; ratios moved to
+    # doc_compression_ratio_detail) — re-verify.
+    "doc_compression_ratio",
 })
 
 

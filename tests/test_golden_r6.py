@@ -166,12 +166,23 @@ def test_golden_kcenter_rows(spark):
 def test_golden_compression_ratio_sample(spark):
     # every 25th doc_id (20 of 500): enough to pin the zlib level, the
     # byte-count convention, and the ratio arithmetic without a 500-row blob
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
+        doc_compression_ratio_detail,
+    )
+
     got = sorted(
         (r.doc_id, r.n_bytes, r.n_compressed, round(r.ratio, 9))
-        for r in load_all()["doc_compression_ratio"].fn(spark, SF_SMOKE).collect()
+        for r in doc_compression_ratio_detail(spark, SF_SMOKE).collect()
         if r.doc_id % 25 == 0
     )
     assert got == _GOLDEN_COMPRESSION_SAMPLE
+    # registered (oracle-gated) surface: byte conservation + codec bounds
+    reg = {
+        r.doc_id: tuple(r)
+        for r in load_all()["doc_compression_ratio"].fn(spark, SF_SMOKE).collect()
+        if r.doc_id % 25 == 0
+    }
+    assert reg == {d: (d, nb, True, True) for d, nb, _nc, _r in got}
 
 
 def test_golden_sketch_rollup_rows(spark):

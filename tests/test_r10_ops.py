@@ -356,7 +356,7 @@ def test_compression_ratio_orders_repetition_prose_noise(spark):
     import tempfile
 
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.textstats import (
-        q_doc_compression_ratio,
+        doc_compression_ratio_detail,
     )
 
     rng = np.random.RandomState(0)
@@ -373,7 +373,7 @@ def test_compression_ratio_orders_repetition_prose_noise(spark):
         spark.createDataFrame(
             rows, "doc_id long, text string, lang string, source string, n_chars long"
         ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
-        got = {r["doc_id"]: r for r in q_doc_compression_ratio(spark, d).collect()}
+        got = {r["doc_id"]: r for r in doc_compression_ratio_detail(spark, d).collect()}
         assert got[0]["ratio"] < got[1]["ratio"] < got[2]["ratio"]
         assert got[0]["ratio"] < 0.1  # pure repetition collapses
         assert got[2]["ratio"] > 0.6  # noise barely compresses
