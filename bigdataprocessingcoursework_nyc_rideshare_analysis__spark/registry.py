@@ -490,6 +490,10 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # detail-surface pattern; ratios moved to
     # doc_compression_ratio_detail) — re-verify.
     "doc_compression_ratio",
+    # embedding_top_component: oracle-ized with the dimension universe +
+    # eigen bounds (unit norm, Rayleigh ≥ max per-dim variance, ratio in
+    # (0,1]; loadings moved to embedding_top_component_detail) — re-verify.
+    "embedding_top_component",
 })
 
 

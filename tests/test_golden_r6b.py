@@ -217,11 +217,18 @@ def test_golden_kmeans_sample(spark):
 
 
 def test_golden_top_component_head(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.pca import (
+        embedding_top_component_detail,
+    )
+
     got = sorted(
         (r.dim, round(r.loading, 9), round(r.eigenvalue, 9), round(r.explained_ratio, 9))
-        for r in _rows(spark, "embedding_top_component")
+        for r in embedding_top_component_detail(spark, SF_SMOKE).collect()
     )[:8]
     assert got == _GOLDEN_TOP_COMPONENT
+    # registered (oracle-gated) surface: dim universe + eigen bounds
+    reg_rows = sorted(tuple(r) for r in _rows(spark, "embedding_top_component"))
+    assert reg_rows == [(i, True, True, True) for i in range(64)]
 
 
 def test_golden_textrank(spark):
