@@ -122,13 +122,13 @@ def learn_bpe_merges(words: DataFrame, n_merges: int) -> list[dict]:
     return merges
 
 
-@register("bpe_learn_merges", oracle=None, tags=("datapipe", "text", "iterative"))
-def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_learn_merges_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first ``BPE_MERGES`` merges from the corpus.  Output: one
     row per merge in learned order — the artifact a tokenizer build
-    consumes.  Rows-only driver check; merge-sequence equality vs a
-    pure-Python reference AND vs the distributed per-round loop is pinned
-    in ``tests/test_bpe.py``.
+    consumes.  Merge-sequence equality vs a pure-Python reference AND vs
+    the distributed per-round loop is pinned in ``tests/test_bpe.py``;
+    the registered ``bpe_learn_merges`` wraps this in the well-formedness
+    bound summary.
 
     Physical split mirrors production trainers: the corpus-sized pass
     (explode + groupBy) is distributed; the merge loop then runs over the
@@ -186,6 +186,68 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_LEARN_BOUND_ORACLE = f"""
+SELECT CAST(k AS INTEGER) AS rank,
+       TRUE AS merged_is_concat,
+       TRUE AS sides_are_known_symbols,
+       TRUE AS pair_freq_positive
+FROM range(1, {BPE_MERGES + 1}) t(k)
+"""
+
+
+@register(
+    "bpe_learn_merges", oracle=_BPE_LEARN_BOUND_ORACLE, tags=("datapipe", "text", "iterative")
+)
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the BPE learner (round-10 oracle-ization):
+    the MERGE-RANK universe is oracle-exact (exactly ``BPE_MERGES``
+    ordered merges — a learner that stalls or double-emits fails the
+    hash), and three BPE well-formedness invariants are Spark-computed
+    booleans the twin asserts TRUE: the merged symbol is the concatenation
+    of its sides, each side is a KNOWN symbol (a single character or the
+    merged output of an EARLIER rank — the property that makes the merge
+    list a valid tokenizer), and every merge fired on a positive pair
+    frequency.  The learned (left, right, freq) sequence stays on
+    ``bpe_learn_merges_detail`` with the pure-Python and distributed-loop
+    equality pins.
+
+    Plan: same learn pass; the well-formedness join runs on the
+    ``BPE_MERGES``-row output."""
+    det = bpe_learn_merges_detail(spark, sf_dir)
+    # earliest rank per merged symbol: two ranks can in principle fuse to
+    # the same string (("a","bc") and ("ab","c")), and a bare join would
+    # then duplicate rows — exists-with-earliest keeps the frame 1:1
+    earlier = det.groupBy(F.col("merged").alias("sym")).agg(
+        F.min("rank").alias("sym_rank")
+    )
+
+    def side_known(col: str) -> "Column":
+        return (F.length(col) == 1) | F.col(f"{col}_known")
+
+    out = det
+    for side in ("left", "right"):
+        out = (
+            out.join(
+                earlier.select(
+                    F.col("sym").alias(side), F.col("sym_rank").alias(f"{side}_rank")
+                ),
+                side,
+                "left",
+            )
+            .withColumn(
+                f"{side}_known",
+                F.coalesce(F.col(f"{side}_rank") < F.col("rank"), F.lit(False)),
+            )
+            .drop(f"{side}_rank")
+        )
+    return out.select(
+        "rank",
+        (F.col("merged") == F.concat("left", "right")).alias("merged_is_concat"),
+        (side_known("left") & side_known("right")).alias("sides_are_known_symbols"),
+        (F.col("pair_freq") > 0).alias("pair_freq_positive"),
+    )
+
+
 def bpe_encode_docs_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merge table to the corpus — the tokenizer
     *application* half that pairs with ``bpe_learn_merges``.  Output: one
@@ -206,7 +268,7 @@ def bpe_encode_docs_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-gated summary shape."""
     docs = staged_features(spark, sf_dir)
     merge_rows = sorted(
-        q_bpe_learn_merges(spark, sf_dir).collect(), key=lambda r: r["rank"]
+        bpe_learn_merges_detail(spark, sf_dir).collect(), key=lambda r: r["rank"]
     )
     merges = [(r["left"], r["right"]) for r in merge_rows]
 
@@ -329,7 +391,7 @@ def _vocab_curve_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     it to keep the pinned golden shape."""
     docs = staged_features(spark, sf_dir)
     merge_rows = sorted(
-        q_bpe_learn_merges(spark, sf_dir).collect(), key=lambda r: r["rank"]
+        bpe_learn_merges_detail(spark, sf_dir).collect(), key=lambda r: r["rank"]
     )
     merges = [(r["left"], r["right"]) for r in merge_rows]
     sizes = tuple(k for k in VOCAB_CURVE_SIZES if k <= len(merges)) or (len(merges),)

@@ -494,6 +494,10 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # eigen bounds (unit norm, Rayleigh ≥ max per-dim variance, ratio in
     # (0,1]; loadings moved to embedding_top_component_detail) — re-verify.
     "embedding_top_component",
+    # bpe_learn_merges: oracle-ized with the merge-rank universe + BPE
+    # well-formedness invariants (sequence moved to
+    # bpe_learn_merges_detail) — re-verify.
+    "bpe_learn_merges",
 })
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
     learn_bpe_merges,
-    q_bpe_learn_merges,
+    bpe_learn_merges_detail,
     word_frequencies,
 )
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.sources import load_table
@@ -61,7 +61,7 @@ def test_bpe_matches_reference_on_corpus(spark):
     wf = {r["word"]: r["freq"] for r in word_frequencies(
         load_table(spark, SF_SMOKE, "documents")
     ).collect()}
-    got = sorted(q_bpe_learn_merges(spark, SF_SMOKE).collect(), key=lambda r: r["rank"])
+    got = sorted(bpe_learn_merges_detail(spark, SF_SMOKE).collect(), key=lambda r: r["rank"])
     want = ref_bpe(wf, len(got))
     assert [(r["left"], r["right"], r["pair_freq"]) for r in got] == want
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
@@ -79,7 +79,7 @@ def test_bpe_distributed_loop_matches_task_local_plan(spark):
 
     words = word_frequencies(load_table(spark, SF_SMOKE, "documents"))
     dist = learn_bpe_merges(words, 8)
-    local = sorted(q_bpe_learn_merges(spark, SF_SMOKE).collect(), key=lambda r: r["rank"])[:8]
+    local = sorted(bpe_learn_merges_detail(spark, SF_SMOKE).collect(), key=lambda r: r["rank"])[:8]
     assert [(m["left"], m["right"], m["pair_freq"]) for m in dist] == [
         (r["left"], r["right"], r["pair_freq"]) for r in local
     ]
@@ -125,10 +125,10 @@ def test_bpe_encode_agrees_with_learned_fusions(spark):
     re-apply the first merge's (left, right) and check the preview tokens of
     a doc containing only that pair."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
-        q_bpe_learn_merges,
+        bpe_learn_merges_detail,
     )
 
-    merges = sorted(q_bpe_learn_merges(spark, SF_SMOKE).collect(), key=lambda r: r["rank"])
+    merges = sorted(bpe_learn_merges_detail(spark, SF_SMOKE).collect(), key=lambda r: r["rank"])
     assert merges, "corpus must learn at least one merge"
     # apply merges in rank order to the top merge's fused string by hand
     word = merges[0]["merged"]
