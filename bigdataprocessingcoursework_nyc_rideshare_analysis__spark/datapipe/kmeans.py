@@ -101,14 +101,46 @@ def kmeans_fit(
     return centroids, _assign(emb, centroids, id_col, vec_col)
 
 
-@register("kmeans_embedding_clusters", oracle=None, tags=("datapipe", "embeddings", "iterative", "r4"))
-def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_embedding_clusters_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster every embedding with whole-corpus Lloyd's k-means; output
-    (vec_id, cluster, dist2) for the converged centroids.  Rows-only driver
-    check (iterative); semantics pinned in ``tests/test_kmeans.py``."""
+    (vec_id, cluster, dist2) for the converged centroids.  Semantics
+    pinned in ``tests/test_kmeans.py`` (NumPy Lloyd's replica, same
+    seeds); the registered ``kmeans_embedding_clusters`` wraps this in
+    the assignment bound summary."""
     emb = load_table(spark, sf_dir, "embeddings")
     _, assigned = kmeans_fit(emb)
     return assigned
+
+
+_KMEANS_BOUND_ORACLE = """
+SELECT vec_id, TRUE AS cluster_in_range, TRUE AS dist2_nonnegative
+FROM embeddings
+"""
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=_KMEANS_BOUND_ORACLE,
+    tags=("datapipe", "embeddings", "iterative", "r4"),
+)
+def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the k-means clustering (round-10
+    oracle-ization): the VECTOR universe is oracle-exact — every corpus
+    embedding assigned to exactly one cluster (an assignment pass that
+    drops or duplicates a vector fails the hash on its id) — plus two
+    Spark-computed booleans the twin asserts TRUE: the cluster id lies in
+    [0, k) and the distance-to-centroid is non-negative.  The assignment
+    geometry itself (which cluster, what distance) stays on
+    ``kmeans_embedding_clusters_detail`` with the NumPy Lloyd's replica
+    (same seeds) and separated-blob recovery pins.
+
+    Plan: the same fit; the booleans are per-row expressions."""
+    det = kmeans_embedding_clusters_detail(spark, sf_dir)
+    return det.select(
+        "vec_id",
+        ((F.col("cluster") >= 0) & (F.col("cluster") < KMEANS_K)).alias("cluster_in_range"),
+        (F.col("dist2") >= 0).alias("dist2_nonnegative"),
+    )
 
 
 # --- semantic dedup ----------------------------------------------------------

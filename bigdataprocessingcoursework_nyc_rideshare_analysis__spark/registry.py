@@ -498,6 +498,10 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # well-formedness invariants (sequence moved to
     # bpe_learn_merges_detail) — re-verify.
     "bpe_learn_merges",
+    # kmeans_embedding_clusters: oracle-ized with the vector universe +
+    # range booleans (assignments moved to
+    # kmeans_embedding_clusters_detail) — re-verify.
+    "kmeans_embedding_clusters",
 })
 
 

@@ -208,12 +208,19 @@ def test_golden_semantic_dedup_dup_set(spark):
 
 
 def test_golden_kmeans_sample(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.kmeans import (
+        kmeans_embedding_clusters_detail,
+    )
+
     got = sorted(
         (r.vec_id, r.cluster, round(r.dist2, 9))
-        for r in _rows(spark, "kmeans_embedding_clusters")
+        for r in kmeans_embedding_clusters_detail(spark, SF_SMOKE).collect()
         if r.vec_id % 25 == 0
     )
     assert got == _GOLDEN_KMEANS_SAMPLE
+    # registered (oracle-gated) surface: vector universe + range booleans
+    reg = {r.vec_id: tuple(r) for r in _rows(spark, "kmeans_embedding_clusters")}
+    assert reg and all(v == (k, True, True) for k, v in reg.items())
 
 
 def test_golden_top_component_head(spark):
@@ -244,10 +251,18 @@ def test_golden_textrank(spark):
 
 
 def test_golden_bpe_merge_table(spark):
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.bpe import (
+        bpe_learn_merges_detail,
+    )
+
     got = sorted(
-        (r["rank"], r.left, r.right, r.merged, r.pair_freq) for r in _rows(spark, "bpe_learn_merges")
+        (r["rank"], r.left, r.right, r.merged, r.pair_freq)
+        for r in bpe_learn_merges_detail(spark, SF_SMOKE).collect()
     )
     assert got == _GOLDEN_BPE_MERGES
+    # registered (oracle-gated) surface: rank universe + invariants
+    reg_rows = sorted(tuple(r) for r in _rows(spark, "bpe_learn_merges"))
+    assert reg_rows == [(rnk, True, True, True) for rnk, *_ in sorted(_GOLDEN_BPE_MERGES)]
 
 
 def test_golden_bpe_encode_sample(spark):
