@@ -306,6 +306,36 @@ DRIVER_VERIFIED.update(dict.fromkeys((
     # Rows-only with driver rows (2):
     "neardup_embedding_lsh", "ann_ivf_topk",
 ), 9))
+DRIVER_VERIFIED.update(dict.fromkeys((
+    # CORRECTNESS_r10.json: 50 hash-green, 0 rows-only, 0 failures — the
+    # first all-green window.  All 22 CHANGED_SINCE_VERIFIED entries
+    # (ANN quartet + recall report, LSH/simhash bound summaries, media
+    # triad, and the 8 post-repin oracle-izations) re-verified green
+    # under their new bound-column schemas and move here (the set
+    # clears); the rest are tpch/events/datapipe refreshes.
+    "absorption_purchase_vs_error", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_lsh_topk", "ann_pq_topk", "ann_recall_report",
+    "approx_heavy_hitter_terms", "bpe_encode_docs", "bpe_learn_merges",
+    "bpe_vocab_size_curve", "cheapest_supplier_per_brand",
+    "coreset_kcenter_sample", "customer_merge_upsert",
+    "customer_order_distribution", "dedup_exact", "dedup_simhash",
+    "discount_revenue_impact", "doc_compression_ratio",
+    "doc_repetition_score", "dormant_rich_customers",
+    "embedding_dim_stats", "embedding_standardized",
+    "embedding_top_component", "event_gaps_per_user",
+    "event_grouping_sets", "incremental_dedup_new_docs", "inverted_index",
+    "kmeans_embedding_clusters", "large_volume_customers",
+    "late_shipment_priority_counts", "media_audio_neardup_fp",
+    "media_image_neardup_phash", "media_video_neardup_phash",
+    "nation_market_share_by_year", "neardup_embedding_lsh",
+    "neardup_minhash_lsh", "orders_above_avg_price",
+    "orders_column_profile", "pack_bestfit_efficiency", "pii_scrub_docs",
+    "pricing_summary_by_flag_status", "promo_revenue_share",
+    "returned_item_losses_top20", "revenue_by_nation",
+    "synthetic_source_scan", "textrank_keywords", "token_diversity",
+    "top_building_orders_by_revenue", "top_revenue_supplier",
+    "user_value_position_stats",
+), 10))
 
 #: Round-2 verdict rule: a query whose IMPLEMENTATION changed after its
 #: last green driver row is no longer verified — it rejoins the front of
@@ -442,66 +472,10 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   ``*_detail`` surfaces with their goldens.  New output schemas —
 #:   re-verify.
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_recall_report",
-    "neardup_minhash_lsh",
-    "neardup_embedding_lsh",
-    "media_image_neardup_phash",
-    "media_audio_neardup_fp",
-    "media_video_neardup_phash",
-    # dedup_simhash: oracle-ized with the exact-duplicate bound summary
-    # (identical shingle sets ⇒ hamming 0, pair surface moved to
-    # dedup_simhash_detail with its goldens) — re-verify.
-    "dedup_simhash",
-    # approx_heavy_hitter_terms: oracle-ized with the freqItems superset
-    # guarantee (n_true_heavy exact + true_heavy_all_found; candidate list
-    # moved to approx_heavy_hitters_detail with its golden) — re-verify.
-    "approx_heavy_hitter_terms",
-    # textrank_keywords: oracle-ized with the graph-structure bound
-    # summary (node universe SQL-recomputed; keyword list moved to
-    # textrank_keywords_detail with its golden) — re-verify.
-    "textrank_keywords",
-    # bpe_encode_docs: oracle-ized with per-document round-trip
-    # losslessness + count-sanity booleans (doc_id/n_words oracle-exact;
-    # token counts/previews moved to bpe_encode_docs_detail) — re-verify.
-    "bpe_encode_docs",
-    # pack_bestfit_efficiency: oracle-ized with per-source conservation
-    # columns (n_docs / total_tokens oracle-exact) + packing invariant
-    # booleans (bin counts / fill rates moved to
-    # pack_bestfit_efficiency_detail with the goldens) — re-verify.
-    "pack_bestfit_efficiency",
-    # bpe_vocab_size_curve: oracle-ized with checkpoint/word/char
-    # conservation columns + bounds/monotonicity booleans (fertility
-    # numbers moved to bpe_vocab_size_curve_detail) — re-verify.
-    "bpe_vocab_size_curve",
-    # absorption_purchase_vs_error: oracle-ized with the transient-state
-    # universe + probability-axiom booleans (solved numbers moved to
-    # absorption_purchase_vs_error_detail) — re-verify.
-    "absorption_purchase_vs_error",
-    # coreset_kcenter_sample: oracle-ized with the round universe +
-    # Gonzalez greedy invariants (ids/distances moved to
-    # coreset_kcenter_detail) — re-verify.
-    "coreset_kcenter_sample",
-    # doc_compression_ratio: oracle-ized with per-doc byte conservation +
-    # codec invariants (the r7 no-oracle decision superseded by the
-    # detail-surface pattern; ratios moved to
-    # doc_compression_ratio_detail) — re-verify.
-    "doc_compression_ratio",
-    # embedding_top_component: oracle-ized with the dimension universe +
-    # eigen bounds (unit norm, Rayleigh ≥ max per-dim variance, ratio in
-    # (0,1]; loadings moved to embedding_top_component_detail) — re-verify.
-    "embedding_top_component",
-    # bpe_learn_merges: oracle-ized with the merge-rank universe + BPE
-    # well-formedness invariants (sequence moved to
-    # bpe_learn_merges_detail) — re-verify.
-    "bpe_learn_merges",
-    # kmeans_embedding_clusters: oracle-ized with the vector universe +
-    # range booleans (assignments moved to
-    # kmeans_embedding_clusters_detail) — re-verify.
-    "kmeans_embedding_clusters",
+    # Round-11: all 22 round-10 entries (ANN quartet + recall report,
+    # LSH/simhash/media bound summaries, and the 8 post-repin
+    # oracle-izations) re-verified hash-green in CORRECTNESS_r10 and
+    # moved to ``DRIVER_VERIFIED`` (round 10).
 })
 
 
