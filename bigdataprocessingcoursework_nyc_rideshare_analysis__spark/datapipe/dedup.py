@@ -324,17 +324,34 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate after that."""
     from .stage import staged_jaccard_pairs
 
-    found = minhash_lsh_detail(spark, sf_dir).select("doc_a", "doc_b")
+    # Pair-set-sized rows, but the PLAN is the corpus-sized screen — and it
+    # feeds TWO legs (recall join + false-positive anti-join).  Exchange
+    # reuse is not guaranteed across those shapes, so without pinning, the
+    # screen executes once per leg (the r10 driver bench measured exactly
+    # that on the textrank sibling).  localCheckpoint = one execution.
+    found = (
+        minhash_lsh_detail(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     truth = staged_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
     hit = F.col("found").isNotNull()
     strong = F.col("jaccard") >= STRONG_JACCARD
+    # coalesce each SUM: over an empty truth frame they are NULL, and
+    # NULL == NULL would poison the booleans (the oracle emits 0 / TRUE)
     stats = (
         truth.join(found.withColumn("found", F.lit(True)), ["doc_a", "doc_b"], "left")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
-            F.sum(F.when(strong, 1).otherwise(0)).cast("long").alias("n_strong_true_pairs"),
-            F.sum(F.when(strong & hit, 1).otherwise(0)).cast("long").alias("n_strong_found"),
-            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_found_true"),
+            F.coalesce(F.sum(F.when(strong, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_strong_true_pairs"),
+            F.coalesce(F.sum(F.when(strong & hit, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_strong_found"),
+            F.coalesce(F.sum(F.when(hit, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_found_true"),
         )
     )
     fp = found.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti").agg(
@@ -587,9 +604,14 @@ def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``staged_jaccard_pairs``); everything after is pair-set-sized."""
     from .stage import staged_embedding_pairs
 
-    found = embedding_lsh_detail(spark, sf_dir)
+    # localCheckpoint: `found` feeds both the recall join and the
+    # false-positive anti-join — pin ONE execution of the LSH screen
+    # (see q_neardup_minhash).  Pair-set-sized, so the pin is free.
+    found = embedding_lsh_detail(spark, sf_dir).localCheckpoint(eager=True)
     truth = staged_embedding_pairs(spark, sf_dir)
     hit = F.col("found_sim").isNotNull()
+    # coalesce each SUM: NULL over an empty truth frame would poison the
+    # booleans (the oracle emits 0 / TRUE on an empty pair set)
     stats = (
         truth.join(
             found.select("vec_a", "vec_b", F.col("cos_sim").alias("found_sim")),
@@ -598,8 +620,13 @@ def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
-            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_found_true"),
-            F.sum(F.when(hit & (F.col("found_sim") != F.col("cos_sim")), 1).otherwise(0))
+            F.coalesce(F.sum(F.when(hit, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("n_found_true"),
+            F.coalesce(
+                F.sum(F.when(hit & (F.col("found_sim") != F.col("cos_sim")), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_sim_mismatch"),
         )
@@ -756,7 +783,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered to jaccard = 1.0 — pair-set-sized joins after that."""
     from .stage import staged_jaccard_pairs
 
-    found = dedup_simhash_detail(spark, sf_dir)
+    # localCheckpoint: `found` feeds both the hamming-0 join and the
+    # over-threshold leg — pin ONE execution of the banded screen
+    # (see q_neardup_minhash).  Pair-set-sized, so the pin is free.
+    found = dedup_simhash_detail(spark, sf_dir).localCheckpoint(eager=True)
     identical = staged_jaccard_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= 1.0
     ).select("doc_a", "doc_b")
@@ -773,7 +803,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     over = found.agg(
-        F.sum(F.when(F.col("hamming") > SIMHASH_MAX_HAMMING, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("hamming") > SIMHASH_MAX_HAMMING, 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_over_threshold")
     )

@@ -1396,7 +1396,15 @@ def ann_bound_summary(spark: SparkSession, sf_dir: str, method: str) -> DataFram
     order-free — so the boolean cannot flap on partial-aggregation order."""
     from .stage import staged_ann_exact_topk
 
-    probe = dict(ANN_METHODS)[method](spark, sf_dir).select("query_id", "neighbor_id")
+    # localCheckpoint: the probe panel feeds TWO legs (n_results + hits
+    # join) and its plan is the full index scan — without the pin the
+    # index probe executes once per leg (exchange reuse is not guaranteed
+    # across the shapes).  Panel-sized ({N_QUERIES}×k rows), so free.
+    probe = (
+        dict(ANN_METHODS)[method](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     truth = staged_ann_exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
     n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     n_res = probe.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_results"))

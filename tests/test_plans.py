@@ -520,3 +520,56 @@ def test_no_data_sized_single_partition_windows(spark):
                         f"{name}: fact-sized window keyed on bare "
                         f"{head.split('#')[0]} with data order: {spec}\n{plan}"
                     )
+
+
+def test_bound_summaries_pin_one_detail_execution(spark):
+    """The r10 bound-summary wrappers consume their detail frame in two
+    legs of one output (recall join + anti-join, stats + over-threshold,
+    pagerank + node universe, n_results + hits).  Exchange reuse is not
+    guaranteed across those shapes, so each wrapper must localCheckpoint
+    the detail — the corpus-sized screen executes exactly ONCE and the
+    summary's plan reads the pinned RDD, never the corpus again (r10
+    driver bench: textrank_keywords 12.7 s vs its 5.5 s single-pass
+    detail, the double corpus pass made visible)."""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        q_dedup_simhash,
+        q_neardup_embedding_lsh,
+        q_neardup_minhash,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.graphrank import q_textrank_keywords
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import q_ann_ivf_topk, q_ann_lsh_topk
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.dedup import (
+        dedup_simhash_detail,
+        embedding_lsh_detail,
+        minhash_lsh_detail,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import ivf_topk_detail, lsh_topk_detail
+
+    # marker = a plan fragment only the corpus-sized detail subtree
+    # contains.  Self-validating: the marker must appear in the DETAIL's
+    # own plan (else the pin is vacuous) and must be absent from the
+    # summary's plan (the checkpoint replaced the subtree).
+    cases = [
+        (q_neardup_minhash, minhash_lsh_detail, "shingles"),
+        (q_dedup_simhash, dedup_simhash_detail, "shingles"),
+        (q_neardup_embedding_lsh, embedding_lsh_detail, "embeddings.parquet"),
+        (q_ann_lsh_topk, lsh_topk_detail, "embeddings.parquet"),
+        (q_ann_ivf_topk, ivf_topk_detail, "embeddings.parquet"),
+        # textrank's detail checkpoints its own edge frame (pagerank UNIONs
+        # the subtree), so only the summary-side assertions apply
+        (q_textrank_keywords, None, "FlatMapGroupsInPandas"),
+    ]
+    for fn, detail_fn, marker in cases:
+        if detail_fn is not None:
+            detail_plan = plan_string(detail_fn(spark, SF_SMOKE))
+            assert marker in detail_plan, (
+                f"{detail_fn.__name__}: marker {marker!r} not in the detail "
+                f"plan — pick a new marker\n{detail_plan}"
+            )
+        plan = plan_string(fn(spark, SF_SMOKE))
+        assert "ExistingRDD" in plan, f"{fn.__name__}: detail leg not checkpointed\n{plan}"
+        assert marker not in plan, (
+            f"{fn.__name__}: corpus subtree ({marker!r}) still in the summary "
+            f"plan — the detail would re-execute per leg\n{plan}"
+        )
