@@ -197,12 +197,103 @@ def semantic_dedup(
     )
 
 
-@register("semantic_dedup_docs", oracle=None, tags=("datapipe", "embeddings", "dedup", "iterative", "r5"))
-def q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_docs_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup over the embedding corpus: (vec_id, cluster, is_dup)
-    per vector.  Downstream keeps ``NOT is_dup`` rows.  Iterative k-means
-    fit → rows-only driver check; exact agreement with a pure-numpy
-    reference (same init, same iterations, same pairwise rule) and the
-    keep/drop invariants are pinned in ``tests/test_kmeans.py``."""
+    per vector.  Downstream keeps ``NOT is_dup`` rows.  Exact agreement
+    with a pure-numpy reference (same init, same iterations, same pairwise
+    rule) and the keep/drop invariants are pinned in ``tests/test_r5_ops.py``
+    and the r6b goldens; the registered ``semantic_dedup_docs`` wraps this
+    in the recheck bound summary."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb)
+
+
+#: Float guard-band for the SQL-side cosine recheck: the detail computes
+#: cosines with NumPy float64 GEMMs, the recheck with Spark's sequential
+#: ``aggregate`` fold — identical reals, different summation order.  A pair
+#: whose cosine lands within ±1e-9 of tau satisfies the boolean either way
+#: (loose bound for dups, strict bound for keeps), so last-ulp noise can
+#: never flap the gate; 1e-9 is ~1e6 ulps at cosine scale while the corpus
+#: has no pair that close to the threshold.
+_SEMDEDUP_EPS = 1e-9
+
+_SEMDEDUP_BOUND_ORACLE = """
+SELECT vec_id,
+       TRUE AS cluster_in_range,
+       TRUE AS first_in_cluster_kept,
+       TRUE AS dup_flag_matches_recheck
+FROM embeddings
+"""
+
+
+@register(
+    "semantic_dedup_docs",
+    oracle=_SEMDEDUP_BOUND_ORACLE,
+    tags=("datapipe", "embeddings", "dedup", "iterative", "r5"),
+)
+def q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of SemDeDup (round-11 oracle-ization — the last
+    rows-only query alongside the trainer): the VECTOR universe is
+    oracle-exact — every corpus embedding judged exactly once — plus three
+    Spark-computed booleans the DuckDB twin asserts TRUE:
+
+    - ``cluster_in_range``: the assignment lies in [0, k);
+    - ``first_in_cluster_kept``: the smallest vec_id of each cluster is
+      never marked duplicate (the keep-earliest rule's anchor case);
+    - ``dup_flag_matches_recheck``: is_dup agrees with an INDEPENDENT
+      re-derivation of "some earlier same-cluster vector has cosine ≥ tau"
+      — in-cluster pairs joined JVM-side and the cosine folded with
+      ``aggregate``/``zip_with`` (a different arithmetic path from the
+      detail's NumPy GEMM), with a ±``_SEMDEDUP_EPS`` guard-band so summation-order
+      noise cannot flap the boolean.
+
+    A clustering or pairwise-rule regression now fails the driver's hash
+    gate; the actual (cluster, is_dup) surface stays on
+    ``semantic_dedup_docs_detail`` with the NumPy replica and goldens.
+
+    Plan: the recheck leg is the same Σ|cluster|² shape as the detail's
+    per-cluster GEMM (grow k with n to hold |cluster| constant — the
+    SemDeDup scaling rule), expressed as an equi-join on cluster with
+    JVM-side array folds; the detail output is localCheckpointed (corpus
+    vector-sized) so the iterative fit runs once, not once per leg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    det = semantic_dedup(emb).localCheckpoint(eager=True)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x))
+    withvec = det.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        "cluster",
+        "is_dup",
+        dbl.alias("v"),
+        # zero vectors: same guard as the detail (norm 0 → 1.0, cosine 0)
+        F.when(norm == 0.0, F.lit(1.0)).otherwise(norm).alias("nrm"),
+    )
+    a = withvec.alias("a")
+    b = withvec.select("cluster", F.col("vec_id").alias("bid"), F.col("v").alias("bv"), F.col("nrm").alias("bnrm")).alias("b")
+    dot = F.aggregate(F.zip_with("a.v", "b.bv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a.nrm") * F.col("b.bnrm"))
+    partners = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("b.bid") < F.col("a.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(
+            F.max((cos >= SEMDEDUP_TAU - _SEMDEDUP_EPS).cast("int")).alias("loose"),
+            F.max((cos >= SEMDEDUP_TAU + _SEMDEDUP_EPS).cast("int")).alias("strict"),
+        )
+    )
+    first = det.groupBy("cluster").agg(F.min("vec_id").alias("first_id"))
+    return (
+        det.join(partners, "vec_id", "left")
+        .join(F.broadcast(first), "cluster")
+        .select(
+            "vec_id",
+            ((F.col("cluster") >= 0) & (F.col("cluster") < F.lit(KMEANS_K))).alias(
+                "cluster_in_range"
+            ),
+            (~(F.col("is_dup") & (F.col("vec_id") == F.col("first_id")))).alias(
+                "first_in_cluster_kept"
+            ),
+            F.when(F.col("is_dup"), F.coalesce(F.col("loose"), F.lit(0)) == 1)
+            .otherwise(F.coalesce(F.col("strict"), F.lit(0)) == 0)
+            .alias("dup_flag_matches_recheck"),
+        )
+    )

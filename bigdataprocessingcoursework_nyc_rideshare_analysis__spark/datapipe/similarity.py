@@ -279,11 +279,16 @@ def ivf_assign(
 
 
 def ivf_topk_detail(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted into their nearest
-    centroid's list; each query probes its ``IVF_NPROBE`` nearest lists and
-    exact-ranks only those candidates.
+    centroid's list; each query probes its ``nprobe`` nearest lists and
+    exact-ranks only those candidates.  ``nprobe=None`` (the registered
+    path) resolves via ``scaled_ann_knobs`` on the corpus count — equal to
+    ``IVF_NPROBE`` at calibration scale (≤ {ANN_KNOB_BASE_N} vectors, so
+    every golden and driver hash is unchanged) and growing with the corpus
+    so the driver-checked code path is the one that survives 100× (the
+    sf100 decay receipt's fix, now the default rather than opt-in).
 
     The 100 TB shape: training touches a sample, the inverted lists are a
     corpus-linear shuffle keyed by list_id, and each query's cost is
@@ -291,6 +296,9 @@ def ivf_topk_detail(
     cos_sim, rank) panel; the registered ``ann_ivf_topk`` wraps it in the
     recall-bound summary."""
     emb = load_table(spark, sf_dir, "embeddings")
+    if nprobe is None:
+        # parquet metadata count: a statistics read, not a corpus scan
+        nprobe = scaled_ann_knobs(emb.count())["nprobe"]
     centroids = train_ivf_centroids(emb)
     corpus_lists = ivf_assign(emb, centroids, nprobe=1)
     query_lists = ivf_assign(emb.filter(F.col("vec_id") < N_QUERIES), centroids, nprobe=nprobe).select(
@@ -385,7 +393,7 @@ def pq_encode(
 
 
 def pq_topk_detail(
-    spark: SparkSession, sf_dir: str, shortlist_mult: int = PQ_SHORTLIST
+    spark: SparkSession, sf_dir: str, shortlist_mult: int | None = None
 ) -> DataFrame:
     """PQ/ADC approximate top-k: the corpus lives as m-byte PQ codes; each
     query precomputes an (m × ksub) table of squared distances to every
@@ -405,8 +413,15 @@ def pq_topk_detail(
     partitions × queries × {PQ_SHORTLIST}·k rows.  Full panel output; the
     registered ``ann_pq_topk`` wraps it in the recall-bound summary, and
     pytest additionally floors recall against the brute-force truth and
-    pins the encoder to a NumPy reference."""
+    pins the encoder to a NumPy reference.
+
+    ``shortlist_mult=None`` (the registered path) resolves via
+    ``scaled_ann_knobs`` on the corpus count — ``PQ_SHORTLIST`` at
+    calibration scale, widening logarithmically past it (see
+    ``ivf_topk_detail``)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    if shortlist_mult is None:
+        shortlist_mult = scaled_ann_knobs(emb.count())["shortlist_mult"]
     books = train_pq_codebooks(emb)
     m, ksub, dsub = books.shape
     qpdf = (
@@ -934,8 +949,8 @@ def q_embedding_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivfpq_topk_detail(
     spark: SparkSession,
     sf_dir: str,
-    nprobe: int = IVF_NPROBE,
-    shortlist_mult: int = PQ_SHORTLIST,
+    nprobe: int | None = None,
+    shortlist_mult: int | None = None,
 ) -> DataFrame:
     """Composite IVF-PQ approximate top-k — the production index shape
     (FAISS ``IVFx,PQy``; Jégou et al. 2011 §V): the corpus is inverted into
@@ -954,8 +969,16 @@ def ivfpq_topk_detail(
     index build adds no join and no extra corpus scan over plain PQ.
     Full panel output; the registered ``ann_ivfpq_topk`` wraps it in the
     recall-bound summary, and pytest additionally floors recall against
-    the brute-force truth and pins determinism."""
+    the brute-force truth and pins determinism.
+
+    ``nprobe=None`` / ``shortlist_mult=None`` (the registered path)
+    resolve via ``scaled_ann_knobs`` on the corpus count — pinned values
+    at calibration scale, growing past it (see ``ivf_topk_detail``)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    if nprobe is None or shortlist_mult is None:
+        knobs = scaled_ann_knobs(emb.count())
+        nprobe = knobs["nprobe"] if nprobe is None else nprobe
+        shortlist_mult = knobs["shortlist_mult"] if shortlist_mult is None else shortlist_mult
     centroids = train_ivf_centroids(emb)
     books = train_pq_codebooks(emb)
     m, ksub, dsub = books.shape

@@ -476,6 +476,25 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # LSH/simhash/media bound summaries, and the 8 post-repin
     # oracle-izations) re-verified hash-green in CORRECTNESS_r10 and
     # moved to ``DRIVER_VERIFIED`` (round 10).
+    # - ``semantic_dedup_docs`` / ``train_quality_classifier``: the last
+    #   two rows-only queries oracle-ized round 11 (vector/model universe
+    #   + recheck booleans; former outputs moved to ``*_detail`` with
+    #   their goldens).  New output schemas, so their rows-only driver
+    #   rows no longer describe them — re-verify under the hash gate.
+    "semantic_dedup_docs",
+    "train_quality_classifier",
+    # - bound-summary wrappers gained a localCheckpoint of their detail
+    #   leg (one-execution pin; values identical by construction — a
+    #   checkpoint never changes results — but the implementation-change
+    #   rule is mechanical): re-verify.
+    "neardup_minhash_lsh",
+    "neardup_embedding_lsh",
+    "dedup_simhash",
+    "textrank_keywords",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
 })
 
 

@@ -369,3 +369,37 @@ def test_scaled_ann_knobs_formula():
         prev = k
     two_m = scaled_ann_knobs(2_000_000)
     assert two_m["nprobe"] >= 8 and two_m["shortlist_mult"] >= 4 * PQ_SHORTLIST
+
+
+def test_registered_ann_path_defaults_to_scaled_knobs(spark):
+    """Round-11: ``scaled_ann_knobs`` is the REGISTERED default, not an
+    opt-in sweep path — the knob parameters of every tunable detail fn
+    default to None and resolve from the corpus count (a revert to
+    hardcoded pinned constants flips the default back to the path the
+    sf100 receipt showed decaying).  Behavioral receipt: at calibration
+    scale the default-path panel is row-identical to an explicit
+    pinned-knob probe (which is why every golden and driver hash was
+    unchanged by the switch)."""
+    import inspect
+
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        IVF_NPROBE,
+        ivf_topk_detail,
+        ivfpq_topk_detail,
+        pq_topk_detail,
+        scaled_ann_knobs,
+    )
+
+    for fn, params in (
+        (ivf_topk_detail, ("nprobe",)),
+        (pq_topk_detail, ("shortlist_mult",)),
+        (ivfpq_topk_detail, ("nprobe", "shortlist_mult")),
+    ):
+        sig = inspect.signature(fn)
+        for p in params:
+            assert sig.parameters[p].default is None, (fn.__name__, p)
+    # 500-vector corpus → scaled == pinned → identical panels
+    assert scaled_ann_knobs(500)["nprobe"] == IVF_NPROBE
+    default_rows = sorted(map(tuple, ivf_topk_detail(spark, SF_SMOKE).collect()))
+    pinned_rows = sorted(map(tuple, ivf_topk_detail(spark, SF_SMOKE, nprobe=IVF_NPROBE).collect()))
+    assert default_rows == pinned_rows and default_rows

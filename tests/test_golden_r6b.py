@@ -202,9 +202,18 @@ def test_golden_approx_percentiles(spark):
 
 
 def test_golden_semantic_dedup_dup_set(spark):
-    got = sorted((r.vec_id, r.cluster) for r in _rows(spark, "semantic_dedup_docs") if r.is_dup)
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.kmeans import (
+        semantic_dedup_docs_detail,
+    )
+
+    det = semantic_dedup_docs_detail(spark, SF_SMOKE).collect()
+    got = sorted((r.vec_id, r.cluster) for r in det if r.is_dup)
     assert got == _GOLDEN_SEMDEDUP_DUPS
-    assert len(_rows(spark, "semantic_dedup_docs")) == 500  # full corpus emitted
+    assert len(det) == 500  # full corpus emitted
+    # registered (oracle-gated) surface: vector universe + recheck booleans
+    reg = {r.vec_id: tuple(r) for r in _rows(spark, "semantic_dedup_docs")}
+    assert len(reg) == 500
+    assert all(v == (k, True, True, True) for k, v in reg.items())
 
 
 def test_golden_kmeans_sample(spark):
@@ -294,5 +303,16 @@ def test_golden_absorption(spark):
 
 
 def test_golden_trained_classifier_weights(spark):
-    got = {r.feature: round(r.weight, 6) for r in _rows(spark, "train_quality_classifier")}
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.trainer import (
+        train_quality_classifier_detail,
+    )
+
+    got = {
+        r.feature: round(r.weight, 6)
+        for r in train_quality_classifier_detail(spark, SF_SMOKE).collect()
+    }
     assert got == _GOLDEN_TRAINER_W6
+    # registered (oracle-gated) surface: model universe + distillation booleans
+    reg = {r.feature: tuple(r) for r in _rows(spark, "train_quality_classifier")}
+    assert set(reg) == set(got)
+    assert all(v == (k, 500, True, True) for k, v in reg.items())

@@ -401,12 +401,18 @@ def run_ann_chain(sf_dir: str, cpus: int) -> dict[str, float]:
         times[f"recall_mean_{m}"] = round(float(d.get("mean_recall")), 4)
         times[f"recall_min_{m}"] = round(float(d.get("min_recall")), 4)
 
-    # SCALED-knob recalls (round-9 verdict item 4): the corpus-scaled
-    # nprobe/shortlist path, measured alongside the pinned rows so the
-    # decay-vs-restored contrast travels with every sweep point.  At and
-    # below the calibration scale the knobs equal the pinned constants —
-    # recorded anyway as the equality receipt.
+    # Two-path knob contrast.  Round 11 made ``scaled_ann_knobs`` the
+    # REGISTERED default (the detail fns resolve knobs from the corpus
+    # count), so the staged-panel rows above ("recall_mean_*") ARE the
+    # scaled path at every sweep point.  The explicit probes below pin
+    # the knobs to the calibration-scale CONSTANTS — the decay row, kept
+    # for contrast.  At and below calibration scale the two paths are
+    # equal — recorded anyway as the equality receipt.  (Before r11 the
+    # roles were reversed: default = pinned, "recall_scaled_*" = opt-in
+    # scaled; historical sweep JSONs use those keys.)
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.datapipe.similarity import (
+        IVF_NPROBE,
+        PQ_SHORTLIST,
         ivf_topk_detail,
         ivfpq_topk_detail,
         pq_topk_detail,
@@ -419,22 +425,22 @@ def run_ann_chain(sf_dir: str, cpus: int) -> dict[str, float]:
     truth: dict[int, set[int]] = {}
     for r in stage.staged_ann_exact_topk(spark, sf_dir).collect():
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
-    scaled_probes = {
-        "ivf": lambda: ivf_topk_detail(spark, sf_dir, nprobe=knobs["nprobe"]),
-        "pq": lambda: pq_topk_detail(spark, sf_dir, shortlist_mult=knobs["shortlist_mult"]),
+    pinned_probes = {
+        "ivf": lambda: ivf_topk_detail(spark, sf_dir, nprobe=IVF_NPROBE),
+        "pq": lambda: pq_topk_detail(spark, sf_dir, shortlist_mult=PQ_SHORTLIST),
         "ivfpq": lambda: ivfpq_topk_detail(
-            spark, sf_dir, nprobe=knobs["nprobe"], shortlist_mult=knobs["shortlist_mult"]
+            spark, sf_dir, nprobe=IVF_NPROBE, shortlist_mult=PQ_SHORTLIST
         ),
     }
-    for m, probe in scaled_probes.items():
+    for m, probe in pinned_probes.items():
         t0 = time.monotonic()
         got: dict[int, set[int]] = {}
         for r in probe().collect():
             got.setdefault(r.query_id, set()).add(r.neighbor_id)
-        times[f"scaled_probe_{m}"] = round(time.monotonic() - t0, 2)
+        times[f"pinned_probe_{m}"] = round(time.monotonic() - t0, 2)
         recs = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
-        times[f"recall_scaled_mean_{m}"] = round(sum(recs) / len(recs), 4)
-        times[f"recall_scaled_min_{m}"] = round(min(recs), 4)
+        times[f"recall_pinned_mean_{m}"] = round(sum(recs) / len(recs), 4)
+        times[f"recall_pinned_min_{m}"] = round(min(recs), 4)
     spark.stop()
     return times
 
