@@ -186,6 +186,19 @@ def bpe_learn_merges_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CORPUS PRECONDITION (round-10 advice — documented so a gate failure at
+#: a new scale is diagnosable rather than mysterious): this universe
+#: assumes the corpus is rich enough to support all ``BPE_MERGES`` merges.
+#: The learner truncates when the pair supply is exhausted (every word
+#: reduced to a single symbol), so on a degenerate corpus (e.g. a handful
+#: of one-character words) the Spark side would emit FEWER than
+#: ``BPE_MERGES`` rows and the hash gate would fail on row count — that
+#: failure means "corpus too small for the configured merge budget", not
+#: a learner bug.  The learned count itself is not SQL-derivable (the
+#: merge loop is iterative), so the precondition is documented instead of
+#: computed; every test/driver corpus (≥ sf0.001, ~31k running words)
+#: supports 24 merges with orders of magnitude to spare.  Same contract
+#: for ``_VOCAB_CURVE_BOUND_ORACLE`` below.
 _BPE_LEARN_BOUND_ORACLE = f"""
 SELECT CAST(k AS INTEGER) AS rank,
        TRUE AS merged_is_concat,
@@ -473,6 +486,8 @@ def bpe_vocab_size_curve_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CORPUS PRECONDITION: assumes every ``VOCAB_CURVE_SIZES`` checkpoint is
+#: learnable from the corpus — see the ``_BPE_LEARN_BOUND_ORACLE`` note.
 _VOCAB_CURVE_BOUND_ORACLE = f"""
 WITH t AS (
   SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks

@@ -905,15 +905,32 @@ def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates, or truncates a document now fails the driver's hash gate on
     the exact source it corrupts — plus two Spark-computed invariant
     booleans the twin asserts TRUE: a bin over the token budget holds
-    exactly ONE (oversized) document, and the padding readout equals the
-    summed per-bin fill gap.  Bin counts / fill rates (the FFD-quality
-    numbers with no SQL form) stay on ``pack_bestfit_efficiency_detail``
-    with the golden rows and the pure-Python FFD replica.
+    exactly ONE (oversized) document, and the DETAIL SURFACE'S
+    ``padding_tokens`` readout (``pack_bestfit_efficiency_detail`` —
+    its own packer run and aggregation code path, the one the goldens
+    pin) equals this function's independently coded fill gap
+    (within-budget bin count × budget minus their summed fill).  The
+    r10 version compared two spellings of the same algebraic expression
+    over one frame — a tautology the round-10 advice flagged; any two
+    derivations from the SAME per-bin frame are equal by algebra, so the
+    non-vacuous form must put the detail's separately-maintained
+    implementation on one side.  A padding-expression edit in either
+    surface now trips the driver's hash gate.  Bin counts / fill rates
+    (the FFD-quality numbers with no SQL form) stay on the detail with
+    the golden rows and the pure-Python FFD replica.
 
-    Plan: same scan + packing pass as the detail; the booleans fold into
-    the existing per-bin aggregation."""
+    Plan: the detail's scan + packing pass runs once for its readout
+    (|sources|-row output, localCheckpointed) and this function's pass
+    runs once for the per-bin booleans — two corpus passes by design,
+    the price of keeping the two code paths independent enough to check
+    each other."""
     from .scrub import PACK_TOKEN_BUDGET
 
+    detail = (
+        pack_bestfit_efficiency_detail(spark, sf_dir)
+        .select("source", F.col("padding_tokens").alias("detail_padding"))
+        .localCheckpoint(eager=True)  # |sources| rows
+    )
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "source", F.size(tokens_col("text")).cast("long").alias("n_tokens")
@@ -924,7 +941,7 @@ def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bin = joined.groupBy("source", "shard", "bin_id").agg(
         F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs")
     )
-    return per_bin.groupBy("source").agg(
+    audited = per_bin.groupBy("source").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("fill").cast("long").alias("total_tokens"),
         F.coalesce(
@@ -935,13 +952,22 @@ def q_pack_bestfit_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 1,
             F.lit(True),
         ).alias("overfilled_bins_are_single_doc"),
+        # independently coded fill gap: within-budget bin count × budget
+        # minus their summed fill (the detail spells it as a per-bin
+        # conditional difference)
         (
-            F.sum(
-                F.when(F.col("fill") > budget, 0).otherwise(budget - F.col("fill"))
-            ).cast("long")
-            == F.sum(F.greatest(F.col("fill"), F.lit(budget))).cast("long")
-            - F.sum("fill").cast("long")
-        ).alias("padding_matches_fill_gap"),
+            F.lit(budget) * F.sum((F.col("fill") <= budget).cast("long"))
+            - F.sum(F.when(F.col("fill") <= budget, F.col("fill")).otherwise(0)).cast("long")
+        ).alias("independent_gap"),
+    )
+    return audited.join(F.broadcast(detail), "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "overfilled_bins_are_single_doc",
+        (F.col("detail_padding") == F.col("independent_gap")).alias(
+            "padding_matches_fill_gap"
+        ),
     )
 
 

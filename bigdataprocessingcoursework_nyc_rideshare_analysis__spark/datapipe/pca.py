@@ -51,8 +51,12 @@ def covariance_parts(emb: DataFrame, dim: int) -> DataFrame:
     )
 
 
-def top_component(emb: DataFrame, dim: int, iterations: int = POWER_ITERATIONS):
-    """(eigenvalue, eigenvector) of the sample covariance's top component.
+def top_component_with_diag(emb: DataFrame, dim: int, iterations: int = POWER_ITERATIONS):
+    """(eigenvalue, eigenvector, trace, max diagonal entry) of the sample
+    covariance's top component — THE solve; ``top_component`` delegates
+    here (one body, so the hash-gated registered surface and the
+    golden-pinned detail surface can never validate different solves —
+    the r10 copy-paste split the round-10 advice flagged).
 
     One partial row per Arrow batch comes back to the driver and is
     numpy-summed there — executors×batches rows of d²+d floats, the classic
@@ -76,30 +80,14 @@ def top_component(emb: DataFrame, dim: int, iterations: int = POWER_ITERATIONS):
     if nz.size and v[nz[0]] < 0:
         v = -v
     eigenvalue = float(v @ cov @ v)
-    return eigenvalue, v, float(np.trace(cov))
-
-
-def top_component_with_diag(emb: DataFrame, dim: int):
-    """``top_component`` plus the covariance's max diagonal entry — the
-    per-dimension variance the Rayleigh bound below compares against.
-    Separate entry point so the long-standing 3-tuple API (and its pytest
-    callers) stays stable."""
-    import numpy as np
-
-    rows = covariance_parts(emb, dim).collect()
-    n = sum(r["n"] for r in rows)
-    mean = np.sum([r["s"] for r in rows], axis=0) / n
-    gram = np.sum([np.asarray(r["g"], dtype=np.float64) for r in rows], axis=0).reshape(dim, dim)
-    cov = gram / n - np.outer(mean, mean)
-    v = np.ones(dim) / np.sqrt(dim)
-    for _ in range(POWER_ITERATIONS):
-        w = cov @ v
-        v = w / np.linalg.norm(w)
-    nz = np.nonzero(np.round(v, 12))[0]
-    if nz.size and v[nz[0]] < 0:
-        v = -v
-    eigenvalue = float(v @ cov @ v)
     return eigenvalue, v, float(np.trace(cov)), float(cov.diagonal().max())
+
+
+def top_component(emb: DataFrame, dim: int, iterations: int = POWER_ITERATIONS):
+    """The long-standing 3-tuple API (eigenvalue, eigenvector, trace) —
+    a view over ``top_component_with_diag`` kept for its pytest callers."""
+    eigenvalue, v, trace, _ = top_component_with_diag(emb, dim, iterations)
+    return eigenvalue, v, trace
 
 
 def embedding_top_component_detail(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -482,12 +482,29 @@ def absorption_purchase_vs_error_detail(spark: SparkSession, sf_dir: str) -> Dat
     return spark.createDataFrame(rows, "start_state string, p_purchase double, p_error double")
 
 
+#: The state universe is derived EXACTLY the way the solver derives it —
+#: from lead() transition pairs (src ∪ dst over non-null successors), not
+#: from DISTINCT event_type: an event type occurring only as single-event
+#: user chains enters no transition and is absent from the solver's
+#: output, so a bare-DISTINCT universe would false-fail the hash gate on
+#: such a degenerate corpus (round-10 advice).  On the synthetic corpora
+#: the two universes coincide (every type appears inside some multi-event
+#: chain); the pair-derived form keeps the gate diagnosable at any scale.
 _ABSORPTION_BOUND_ORACLE = """
-SELECT DISTINCT event_type AS start_state,
+WITH p AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), s AS (
+  SELECT src AS state FROM p WHERE dst IS NOT NULL
+  UNION
+  SELECT dst FROM p WHERE dst IS NOT NULL
+)
+SELECT state AS start_state,
        TRUE AS probs_in_unit_interval,
        TRUE AS p_total_le_one
-FROM events
-WHERE event_type NOT IN ('purchase', 'error')
+FROM s
+WHERE state NOT IN ('purchase', 'error')
 """
 
 

@@ -14,8 +14,10 @@ those four charts, designed for where an engine actually runs:
   import-gated and raises a clear error otherwise, per the container's
   stub-don't-require rule).
 
-Chart semantics mirror the notebooks exactly: rows sorted ASCENDING by
-value, labels ``business-month`` (task 2) / day (task 5), bar length
+Chart semantics mirror the notebooks exactly: the three task-2 charts
+sort rows ASCENDING by value (their ``sort_values``), the task-5 chart
+runs in day order (``task5_vis.ipynb`` plots ``data['day']`` unsorted);
+labels are ``business-month`` (task 2) / day (task 5), bar length
 proportional to the value.  Every chart collects only the AGGREGATE frame
 (|businesses| × 12 rows, or ≤ 31 days) — model-sized driver state, same
 rule as every other collect in the engine.
@@ -55,13 +57,20 @@ def text_bar_chart(
 
 
 def chart_from_rollup(
-    df: DataFrame, label_cols: list[str], value_col: str, title: str
+    df: DataFrame,
+    label_cols: list[str],
+    value_col: str,
+    title: str,
+    order_cols: list[str] | None = None,
 ) -> str:
-    """Render one notebook chart from its aggregate frame: sort ascending
-    by value (the notebooks' ``sort_values``), join the label columns with
-    ``-`` (their ``business + '-' + month``), collect the aggregate-sized
-    result, and draw."""
-    rows = df.orderBy(value_col, *label_cols).collect()
+    """Render one notebook chart from its aggregate frame: sort by
+    ``order_cols`` (default: ascending by value then labels — the three
+    task-2 notebooks' ``sort_values`` by the metric; ``task5_vis.ipynb``
+    plots bars in DAY order instead, so its caller passes the label
+    column), join the label columns with ``-`` (their
+    ``business + '-' + month``), collect the aggregate-sized result, and
+    draw."""
+    rows = df.orderBy(*(order_cols or [value_col, *label_cols])).collect()
     pairs = [
         ("-".join(str(r[c]) for c in label_cols), float(r[value_col])) for r in rows
     ]
@@ -74,6 +83,7 @@ def rideshare_report(enriched: DataFrame) -> str:
     chart — as one monospace report.  Reads the same rollup frames the CSV
     sinks export, so chart data ≡ sink data by construction."""
     rollups = tasks.task2_monthly_rollups(enriched)
+    task5 = tasks.task5_daily_anomaly(enriched)
     sections = [
         chart_from_rollup(
             rollups["trip_count"],
@@ -94,11 +104,20 @@ def rideshare_report(enriched: DataFrame) -> str:
             "Driver earnings per business-month",
         ),
         chart_from_rollup(
-            tasks.task5_daily_anomaly(enriched)["daily"],
+            task5["daily"],
             ["day"],
             "average_waiting_time",
             "Average waiting time by January day",
+            # task5_vis.ipynb bars run in day order (no sort_values there —
+            # only the three task-2 charts sort by the metric)
+            order_cols=["day"],
         ),
+        # subtask 5b's narrative line (``task5.py:91-92``): the reference
+        # collects the daily frame to pandas and prints the >300 s days;
+        # here the threshold is applied in Spark and only the ≤31-row
+        # anomaly list is collected
+        "Days with average waiting time exceeding 300 seconds: "
+        + str([r["day"] for r in task5["anomalous_days"].orderBy("day").collect()]),
     ]
     return "\n\n".join(sections)
 

@@ -495,6 +495,18 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # - ``pack_bestfit_efficiency``: padding_matches_fill_gap de-tautologized
+    #   (detail-surface readout vs independently coded gap — r10 advice);
+    #   same schema/values on a correct build, new plan — re-verify.
+    "pack_bestfit_efficiency",
+    # - ``absorption_purchase_vs_error``: oracle universe now derived from
+    #   lead() transition pairs exactly like the solver (r10 advice);
+    #   values identical on the synthetic corpora — re-verify.
+    "absorption_purchase_vs_error",
+    # - ``embedding_top_component``: top_component now delegates to
+    #   top_component_with_diag (one solve body — r10 advice); values
+    #   bit-identical, mechanical rule — re-verify.
+    "embedding_top_component",
 })
 
 

@@ -110,6 +110,32 @@ def test_report_task_renders_all_four_notebook_charts(capsys, csv_inputs):
     assert profit_lines and "#" not in profit_lines[0]
 
 
+def test_report_task5_chart_golden_with_anomalous_day(capsys, csv_inputs):
+    """End-to-end semantic golden for the task-5 report section on a
+    fixture shaped like the reference's published output (one January day
+    above the 300 s threshold, per ``CSV/avgwaitingtime_task5.csv``): the
+    chart must run in DAY order (``task5_vis.ipynb`` plots ``data['day']``
+    unsorted — only the task-2 notebooks sort by the metric), and the
+    subtask-5b narrative line (``task5.py:91-92``) must name exactly the
+    >300 s days.  Pinned as full rendered text so a sort/threshold/format
+    regression fails on the exact line."""
+    assert main(["report", "--trips", f"{csv_inputs}/trips.csv", "--zones", f"{csv_inputs}/zones.csv"]) == 0
+    out = capsys.readouterr().out
+    # fixture: day 1 avg (400+450)/2 = 425 (anomalous), day 2 avg 100
+    golden = "\n".join(
+        [
+            "Average waiting time by January day",
+            "===================================",
+            f"1 | {'#' * 40} 425",
+            f"2 | {'#' * 9:<40} 100",
+            "(average_waiting_time; bar = 40 chars at max)",
+            "",
+            "Days with average waiting time exceeding 300 seconds: [1]",
+        ]
+    )
+    assert golden in out, out
+
+
 def test_text_bar_chart_is_deterministic_and_scaled():
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.pipelines.report import (
         text_bar_chart,
