@@ -111,12 +111,33 @@ def keyed_running_sum(
     exchanges carry only the scalar (keys, order, value) projection (callers
     compute lengths/weights BEFORE this helper; text never shuffles), and
     the hash key has ≈|partitions| + |keys| distinct values, so parallelism
-    stays data-proportional.  AQE's exchange reuse feeds the totals branch
-    from the SAME range exchange (ReusedExchange — the upstream pipeline
-    runs once, pinned implicitly by the bench pins)."""
+    stays data-proportional.
+
+    The range-partitioned frame is ``persist()``-pinned — REQUIRED for
+    correctness, not a speed cache: the totals/offsets branch and the
+    local-window branch otherwise each plan their OWN
+    ``ShuffleExchange(RangePartitioning)`` instance, and
+    ``RangePartitioner`` samples its bounds with an ``rdd.id``-derived
+    seed, so the two instances can draw DIFFERENT boundaries (exchange
+    reuse is not guaranteed across the broadcast/window shapes — measured
+    at sf0.1: 0 ReusedExchange, offsets computed against boundaries the
+    data leg doesn't have, row numbers off by ±|boundary drift| and not
+    even a permutation).  The persist makes the cache manager serve both
+    branches from ONE ``InMemoryRelation`` — one exchange instance, one
+    boundary draw — and the result is then exact for ANY draw.  (At
+    oracle-check scale the sampler degenerates to exact bounds — sample
+    size ≥ rows — which is why sf0.01 hash gates never caught it.)
+    ``persist`` over ``localCheckpoint`` because it is fully lazy: a
+    checkpoint instantiates the physical plan at CONSTRUCTION time, which
+    eagerly launches any broadcast-subtree jobs in the caller's input
+    (pinned lazy in ``test_plans.py``).  The cached blocks hold only the
+    narrow (keys, order, value) projection and are evicted LRU /
+    released by the harness's ``clearCache`` between queries."""
     par = partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(par, *keys, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(par, *keys, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     totals = parted.groupBy("_pid", *keys).agg(F.sum(value_col).alias("_tot"))
     w_off = (

@@ -654,10 +654,20 @@ def range_partitioned_running_sum(
 
     Requires ``order_cols`` to be duplicate-free across rows (a total
     order): range partitioning co-locates equal keys, but a running sum
-    has no defined per-row value on ties."""
+    has no defined per-row value on ties.
+
+    The range-partitioned frame is ``persist()``-pinned for the same
+    reason as ``functions.skew.keyed_running_sum`` (REQUIRED for
+    correctness): the offsets branch and the data branch otherwise plan
+    independent range exchanges whose sampled boundaries can differ,
+    making the offset arithmetic wrong for rows near a drifted boundary;
+    the cache manager serves both branches from one ``InMemoryRelation``
+    (one exchange, one boundary draw), and stays lazy at plan-build."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(par, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(par, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     totals = parted.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -1102,10 +1112,15 @@ def q_events_global_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only global coordination is the tiny offsets table.  Output is
     independent of where the range boundaries land (ranks depend only on
     the total order; (ts, event_id) is a total order because event_id is
-    unique).  This is how exports get stable line numbers at 100 TB."""
+    unique).  This is how exports get stable line numbers at 100 TB.
+
+    The range-partitioned frame is ``persist()``-pinned (same correctness
+    requirement as ``functions.skew.keyed_running_sum``: the counts branch
+    and the numbering branch must see ONE boundary draw, and exchange
+    reuse across the broadcast shape is not guaranteed)."""
     ev = load_table(spark, sf_dir, "events").select("ts", "event_id")
     parted = ev.repartitionByRange(ev.sparkSession.sparkContext.defaultParallelism, "ts", "event_id")
-    with_pid = parted.withColumn("pid", F.spark_partition_id())
+    with_pid = parted.withColumn("pid", F.spark_partition_id()).persist()
     counts = with_pid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

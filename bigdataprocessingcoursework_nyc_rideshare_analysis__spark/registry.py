@@ -507,6 +507,36 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     #   top_component_with_diag (one solve body — r10 advice); values
     #   bit-identical, mechanical rule — re-verify.
     "embedding_top_component",
+    # Round-11 optimization round: every query flowing through the
+    # two-phase range-partition helpers (``functions.skew.keyed_running_sum``
+    # family and ``operators.events.range_partitioned_running_sum`` /
+    # ``q_events_global_sequence``).  The helpers' range-partitioned frame
+    # is now ``persist()``-pinned — a CORRECTNESS fix: the offsets branch
+    # and the data branch each planned their own RangePartitioning
+    # exchange whose sampled bounds could differ (rdd.id-seeded sampler),
+    # so at sf0.1 the emitted row numbers were nondeterministic and not
+    # even a permutation (measured: 165 order inversions / 14538 of 14999
+    # rows drifting run-to-run in customer_rfm_segments' recency ranks).
+    # At the sf0.01 oracle scale the sampler degenerates to exact bounds,
+    # which is why every hash gate stayed green.  After the pin, all 30
+    # re-pass the DuckDB oracle at sf0.1 (this round's
+    # /tmp/oracle_affected_sf01.log: 30/30) — but the implementation-change
+    # rule is mechanical, so all re-queue:
+    "median_value_by_event_type", "approx_percentiles_by_event_type",
+    "corr_value_hour_by_event_type", "quartiles_by_event_type",
+    "iqr_outlier_events", "winsorized_values_by_event_type",
+    "customer_abc_classes", "join_key_skew_profile",
+    "equi_depth_histogram_by_event_type", "mad_outlier_events",
+    "customer_rfm_segments", "customer_revenue_gini",
+    "session_window_rollup", "peak_concurrent_sessions",
+    "conversion_latency_quantiles", "events_global_sequence",
+    "user_value_quartiles", "quality_deciles_by_lang",
+    "hybrid_search_rrf", "ndcg_tfidf_vs_overlap", "curate_pack_corpus",
+    "curate_pack_quality_gated", "packing_efficiency_by_source",
+    "length_bucketed_batches", "preference_pairs_by_source",
+    "budget_select_by_quality", "source_quota_sample",
+    "pack_training_sequences", "quantile_normalized_scores",
+    "psi_click_vs_purchase",
 })
 
 

@@ -430,16 +430,20 @@ def test_packing_tier_windows_are_not_source_bounded(spark):
         ), f"{name}: full-corpus window still keyed on bare {key}\n{plan}"
 
 
-def test_running_sum_offsets_reuse_the_range_exchange(spark):
+def test_running_sum_offsets_share_one_range_partitioning(spark):
     """The two-level keyed_running_sum evaluates the range-partitioned frame
     in two plan branches (per-partition totals and the offset join-back);
-    correct _pid agreement relies on exchange reuse, because RangePartitioner
-    samples boundaries per physical instantiation — if reuse were disabled
-    (spark.sql.exchange.reuse) or the subtrees stopped canonicalizing
-    identically, offsets could silently mismatch partition labels and corrupt
-    the cumsum.  Pin it loudly: after execution (AQE resolves reuse at
-    runtime, so the static plan can't show it) the final plan must contain a
-    ReusedExchange feeding off the range exchange."""
+    correct _pid agreement requires BOTH branches to see ONE boundary draw,
+    because RangePartitioner samples bounds per physical instantiation with
+    an rdd.id-derived seed.  Exchange reuse was the old mechanism and it is
+    RACY — AQE's stage cache can miss when the broadcast-side and data-side
+    stages are submitted concurrently, and at sf0.1 the round-11 audit
+    measured the miss live (row numbers not even a permutation; 165 order
+    inversions in customer_rfm_segments' recency ranks).  The helper now
+    ``persist()``s the range-partitioned frame, so the cache manager serves
+    both branches from one InMemoryRelation: pin that the executed plan
+    (1) scans the in-memory relation in at least two branches and (2) plans
+    the range exchange exactly once — inside the cached child."""
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
 
     reg = load_all()
@@ -449,12 +453,12 @@ def test_running_sum_offsets_reuse_the_range_exchange(spark):
         # execution finalizes its own plan, leaving df's unexecuted
         assert len(df.collect()) > 0, name
         executed = df._jdf.queryExecution().executedPlan().toString()
-        assert "ReusedExchange" in executed, (
-            f"{name}: no ReusedExchange in the executed plan — the totals "
-            f"branch re-instantiated the range exchange, so _pid labels may "
-            f"disagree between branches\n{executed}"
+        assert executed.count("InMemoryTableScan") >= 2, (
+            f"{name}: fewer than two InMemoryTableScans in the executed plan "
+            f"— a branch bypassed the persisted range-partitioned frame, so "
+            f"_pid labels may disagree between branches\n{executed}"
         )
-        assert "rangepartitioning" in executed, name
+        spark.catalog.clearCache()
 
 
 def test_no_data_sized_single_partition_windows(spark):
