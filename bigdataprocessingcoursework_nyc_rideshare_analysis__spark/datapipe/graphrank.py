@@ -7,16 +7,16 @@ answer "which docs form duplicate clusters"; this ranks *terms* by graph
 centrality — the TextRank formulation (Mihalcea & Tarau 2004) of PageRank
 (Page et al. 1999) over an undirected co-occurrence graph.
 
-Iterative, so no SQL oracle (rows-only driver check); the fixed-point math
-is pinned against a pure-Python reference in ``tests/test_graphrank.py``.
+The fixed-point math is pinned against a pure-Python reference in
+``tests/test_graphrank.py``.
 
 100 TB story: the corpus-sized work is ONE doc×term containment pass
 (explode + semi-join against a broadcast vocabulary) and ONE per-doc pair
-expansion bounded by |vocab| — both hash-keyed shuffles.  The iteration then
-runs on the |vocab|²-bounded edge table, which is tiny by construction
-(vocabulary is capped), exactly how production PageRank separates the
-edge-build pass from the solve.  Lineage is cut with ``localCheckpoint``
-every few rounds (same pattern as ``cluster.connected_components``).
+expansion bounded by |vocab| — both hash-keyed shuffles.  The fixed point
+then runs driver-side on the |vocab|²-bounded edge table, which is tiny by
+construction (vocabulary is a capped constant), exactly how production
+PageRank separates the edge-build pass from the solve — the same
+model-sized driver-math shape as ``pca.top_component``.
 """
 
 from __future__ import annotations
@@ -31,7 +31,6 @@ from .stage import staged_features
 VOCAB_SIZE = 50
 DAMPING = 0.85
 ITERATIONS = 10
-_CHECKPOINT_EVERY = 5
 
 
 def doc_term_pairs(docs: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
@@ -68,37 +67,43 @@ def pagerank(edges: DataFrame, damping: float = DAMPING, iterations: int = ITERA
     """Weighted PageRank on an undirected edge list (src, dst, weight).
 
     rank_{t+1}(v) = (1-d)/N + d * Σ_{u~v} rank_t(u) · w_uv / W_u, with W_u
-    the total incident weight at u.  Every step is expressed on DataFrames
-    (directed expansion → join ranks → groupBy dst), so the solve itself
-    distributes if the graph ever outgrows one node."""
-    directed = edges.select("src", "dst", "weight").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    the total incident weight at u.
+
+    The fixed point is solved DRIVER-SIDE over the collected edge list —
+    the CC-fingerprint rule (collects may scale with the model, never the
+    corpus) applies exactly: the edge table is ≤ |vocab|²/2 rows with
+    |vocab| a compile-time constant ({VOCAB_SIZE}), so the collect is
+    bounded at 1,225 rows at ANY corpus size — the corpus-sized work
+    (containment pass, edge aggregation) stays distributed in the caller.
+    The round-11 rewrite of a 10-iteration DataFrame join/groupBy loop
+    whose every step was scheduling overhead on a ≤ 1,225-row frame
+    (measured: ~3.5 s of the 4.3 s query; same dim×dim driver-math shape
+    as ``pca.top_component``).  Same update rule and float64 arithmetic
+    as the distributed form; summation order differs only within the
+    1e-9 solver tolerance pinned in ``tests/test_graphrank.py`` (the
+    goldens round ranks to 9 dp)."""
+    import numpy as np
+
+    rows = edges.select("src", "dst", "weight").collect()  # |vocab|²-bounded
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "term string, rank double")
+    terms = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    idx = {t: i for i, t in enumerate(terms)}
+    n = len(terms)
+    w = np.zeros((n, n), dtype=np.float64)
+    for r in rows:
+        i, j = idx[r["src"]], idx[r["dst"]]
+        w[i, j] += float(r["weight"])
+        w[j, i] += float(r["weight"])
+    out_w = w.sum(axis=1)  # every term in the edge list has ≥ 1 edge
+    share = w / out_w[:, None]  # share[u, v] = w_uv / W_u
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        rank = (1.0 - damping) / n + damping * (share.T @ rank)
+    return spark.createDataFrame(
+        [(t, float(rank[idx[t]])) for t in terms], "term string, rank double"
     )
-    out_w = directed.groupBy("src").agg(F.sum("weight").alias("w_total"))
-    links = (
-        directed.join(out_w, "src")
-        .select("src", "dst", (F.col("weight") / F.col("w_total")).alias("share"))
-        .localCheckpoint(eager=True)
-    )
-    nodes = links.select(F.col("src").alias("term")).distinct().localCheckpoint(eager=True)
-    n = nodes.count()  # |vocab|-bounded: control-flow scalar, not corpus-sized
-    ranks = nodes.select("term", F.lit(1.0 / n).alias("rank"))
-    for it in range(1, iterations + 1):
-        contrib = (
-            links.join(ranks, links["src"] == ranks["term"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
-        )
-        ranks = nodes.join(contrib, nodes["term"] == contrib["dst"], "left").select(
-            "term",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        if it % _CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
 
 
 TEXTRANK_TOP_K = 20
@@ -110,12 +115,14 @@ def textrank_keywords_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned against a pure-Python PageRank and analytic star-graph ranks in
     ``tests/test_graphrank.py``.  The containment pass reads the staged
     token frame (tokenize-once).  The registered ``textrank_keywords``
-    wraps this in the graph-structure bound summary."""
+    wraps this in the graph-structure bound summary.
+
+    The containment pass runs exactly once: ``pagerank`` collects the
+    |vocab|²-bounded edge table for its driver-side solve, the only
+    consumer here (the old DataFrame solver UNIONed the edge subtree
+    with its swap, which needed an explicit checkpoint)."""
     docs = staged_features(spark, sf_dir)
-    # localCheckpoint: pagerank's directed expansion UNIONs the edge
-    # subtree with its swap, so an unpinned `edges` runs the corpus
-    # containment pass twice inside one job.  ≤ |vocab|²/2 rows — free.
-    edges = cooccurrence_edges(doc_term_pairs(docs)).localCheckpoint(eager=True)
+    edges = cooccurrence_edges(doc_term_pairs(docs))
     return (
         pagerank(edges)
         .orderBy(F.desc("rank"), F.asc("term"))
@@ -169,21 +176,22 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the solver numerics stay pinned by the detail goldens and the
     pure-Python replica.
 
-    Plan: one containment pass + the |vocab|²-bounded iteration (same as
-    the detail — the summary legs are |vocab|-sized)."""
+    Plan: one containment pass + the |vocab|²-bounded driver solve (same
+    as the detail — the summary legs are |vocab|-sized)."""
     docs = staged_features(spark, sf_dir)
     dt = doc_term_pairs(docs)
-    # localCheckpoint: `edges` (≤ |vocab|²/2 rows) feeds pagerank AND the
-    # node-universe leg, and `top` is consumed twice (stats + non-node
-    # anti-join).  Without the pins the corpus containment pass — the
-    # only corpus-sized work here — re-executes once per leg (measured:
-    # 12.7 s vs the 5.5 s single-pass detail in the r10 driver bench).
+    # localCheckpoint: `edges` (≤ |vocab|²/2 rows) feeds pagerank's
+    # driver-side collect AND the node-universe leg.  Without the pin the
+    # corpus containment pass — the only corpus-sized work here —
+    # re-executes once per leg (measured: 12.7 s vs the 5.5 s single-pass
+    # detail in the r10 driver bench).  `top` needs no pin since round
+    # 11: pagerank returns a LocalRelation, so both its consumers re-run
+    # only a 50-row local sort.
     edges = cooccurrence_edges(dt).localCheckpoint(eager=True)
     top = (
         pagerank(edges)
         .orderBy(F.desc("rank"), F.asc("term"))
         .limit(TEXTRANK_TOP_K)
-        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("term"))

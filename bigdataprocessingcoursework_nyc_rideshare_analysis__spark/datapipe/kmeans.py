@@ -13,11 +13,13 @@ distributed form:
 - **assignment** (corpus-sized): one Arrow-batched GEMM per batch against
   the broadcast k×dim centroid matrix — embarrassingly parallel, zero
   shuffles;
-- **update** (k×dim-sized): per-dimension means via ``posexplode`` +
-  ``groupBy(cluster, pos)`` — ONE hash shuffle of (corpus×dim) scalar
-  rows, partial aggregation JVM-side, and a k×dim-row collect that is
+- **update** (k×dim-sized): fused into the SAME Arrow pass — each batch
+  emits its per-cluster partial sums (k×dim rows, model-sized), one tiny
+  ``groupBy(cluster, pos)`` merges them, and the k×dim-row collect is
   control-flow-sized (the CC-fingerprint rule: collects may scale with
-  the model, never the corpus).
+  the model, never the corpus).  Round 11: this replaced an
+  assign → join-on-id → ``posexplode`` shape that shuffled corpus×dim
+  scalar rows per iteration.
 
 Initialization is deterministic and engine-independent: the k vectors with
 the smallest ``md5(vec_id)`` (a content-hash sample, same device as
@@ -79,13 +81,42 @@ def kmeans_fit(
     )
     centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows])
     dim = centroids.shape[1]
+    narrow = emb.select(id_col, vec_col)
     for _ in range(iters):
-        assigned = _assign(emb, centroids, id_col, vec_col)
+        # Fused assign+partial-update: ONE Arrow pass per iteration emits
+        # per-batch (cluster, pos, s, n) partial sums — k×dim rows per
+        # batch, model-sized.  The round-11 rewrite of the original
+        # assign → join-back-on-id → posexplode(corpus×dim scalar rows) →
+        # groupBy shape, which paid a corpus-sized id join plus a
+        # corpus×dim shuffle EVERY iteration just to rebuild vectors the
+        # assignment pass already held in its batch.  Summation order
+        # changes (NumPy per-batch column sums, then Spark sums the
+        # partials, vs one flat scalar sum) — both are arbitrary-order
+        # float reductions, bounded by the same test tolerances
+        # (``test_kmeans_matches_numpy_reference`` atol 1e-8).
+        cents = centroids.copy()
+
+        def partial_update(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                scores = x @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+                best = np.argmax(scores, axis=1)
+                out_c, out_p, out_s, out_n = [], [], [], []
+                for c in np.unique(best):
+                    m = x[best == c]
+                    s = m.sum(axis=0)
+                    out_c.extend([int(c)] * dim)
+                    out_p.extend(range(dim))
+                    out_s.extend(float(v) for v in s)
+                    out_n.extend([len(m)] * dim)
+                yield pd.DataFrame({"cluster": out_c, "pos": out_p, "s": out_s, "n": out_n})
+
         sums = (
-            assigned.join(emb.select(id_col, vec_col), id_col)
-            .select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            narrow.mapInPandas(partial_update, schema="cluster long, pos long, s double, n long")
             .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()  # k×dim rows: model-sized, not corpus-sized
         )
         new = centroids.copy()
@@ -268,12 +299,35 @@ def q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zero vectors: same guard as the detail (norm 0 → 1.0, cosine 0)
         F.when(norm == 0.0, F.lit(1.0)).otherwise(norm).alias("nrm"),
     )
-    a = withvec.alias("a")
-    b = withvec.select("cluster", F.col("vec_id").alias("bid"), F.col("v").alias("bv"), F.col("nrm").alias("bnrm")).alias("b")
+    # Pair-generation join SALTED on a deterministic hash of the b-side id:
+    # the bare cluster key has only KMEANS_K (= 8) distinct values, so the
+    # in-cluster pair join ran on ≤ k tasks no matter the core count (the
+    # Σ|cluster|² fold work — the expensive leg — serialized on 8 of 32
+    # local cores; the same |keys|-bounded trap the skew helpers exist
+    # for).  b carries salt = pmod(hash(bid), S); a explodes all S salt
+    # values, so the join key (cluster, salt) has k·S distinct values and
+    # the SAME pair set comes out (every (a, b) pair meets exactly at
+    # b's salt).  Deterministic — no rand() — so retried tasks reproduce.
+    n_salt = 8
+    a = withvec.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("a")
+    b = withvec.select(
+        "cluster",
+        F.col("vec_id").alias("bid"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_salt)).cast("int").alias("_salt"),
+    ).alias("b")
     dot = F.aggregate(F.zip_with("a.v", "b.bv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("a.nrm") * F.col("b.bnrm"))
     partners = (
-        a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("b.bid") < F.col("a.vec_id")))
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col("b.bid") < F.col("a.vec_id")),
+        )
         .groupBy(F.col("a.vec_id").alias("vec_id"))
         .agg(
             F.max((cos >= SEMDEDUP_TAU - _SEMDEDUP_EPS).cast("int")).alias("loose"),

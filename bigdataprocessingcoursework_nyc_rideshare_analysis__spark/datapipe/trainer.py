@@ -79,10 +79,11 @@ def train_logreg(features: DataFrame, n_iter: int = N_ITER, l2: float = L2) -> l
     """L2-regularized logistic regression by distributed Newton / IRLS;
     returns [w_0..w_{d-1}, bias].
 
-    Each round is ONE Arrow-batched aggregation that reduces the exact
-    sufficient statistics of the Newton step — the (d+1) gradient vector
-    and the (d+1)² upper-triangle of the Hessian X̃ᵀRX̃ (R = p(1−p)) — and
-    the driver solves the (d+1)×(d+1) system.  Newton converges
+    Each round is ONE Arrow-batched pass that emits the exact sufficient
+    statistics of the Newton step per partition — the (d+1) gradient
+    vector and the (d+1)² upper-triangle of the Hessian X̃ᵀRX̃
+    (R = p(1−p)) — collected as ≤ ROUND_PARTITIONS model-sized rows and
+    merged on the driver, which then solves the (d+1)×(d+1) system.  Newton converges
     quadratically, so ~8 rounds reach machine precision where plain
     gradient descent needs 30+; at cluster scale each round is a full
     barrier (broadcast params → reduce stats), so FEWER ROUNDS is the
@@ -139,15 +140,18 @@ def train_logreg(features: DataFrame, n_iter: int = N_ITER, l2: float = L2) -> l
                 out["n"] = [len(y)]
                 yield _pd.DataFrame(out)
 
-        sums = (
-            frame.mapInPandas(partial_stats, schema=stat_schema)
-            .agg(
-                *[F.sum(f"g{i}").alias(f"g{i}") for i in range(dim)],
-                *[F.sum(f"h{i}_{j}").alias(f"h{i}_{j}") for i, j in tri],
-                F.sum("n").alias("n"),
-            )
-            .collect()[0]
-        )
+        # collect the per-partition partial rows (≤ ROUND_PARTITIONS of
+        # them — model-sized, never corpus-sized) and merge driver-side:
+        # a Spark .agg() here added an exchange + an AQE stage per round,
+        # pure scheduling overhead on a (d+1)²-value reduction.  Merge
+        # order is collect order — as arbitrary as the old partial-agg
+        # combine order, bounded by the same test tolerance (rtol 1e-6).
+        partials = frame.mapInPandas(partial_stats, schema=stat_schema).collect()
+        sums = {
+            key: float(np.sum([row[key] for row in partials]))
+            for key in ([f"g{i}" for i in range(dim)] + [f"h{i}_{j}" for i, j in tri])
+        }
+        sums["n"] = int(np.sum([row["n"] for row in partials]))
         n = sums["n"]
         # L2 applies to the d feature weights only: penalizing the bias
         # (index dim-1) would shrink the intercept toward 0 and bias the

@@ -537,6 +537,20 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "budget_select_by_quality", "source_quota_sample",
     "pack_training_sequences", "quantile_normalized_scores",
     "psi_click_vs_purchase",
+    # Round-11 optimization round, per-operator rewrites (values bounded
+    # by the same test tolerances; mechanical re-queue):
+    # - ``kmeans_embedding_clusters`` (+ ``semantic_dedup_docs``, already
+    #   queued above): kmeans_fit's update step fused into the assignment
+    #   Arrow pass (per-batch partial sums; the per-iteration corpus join
+    #   + posexplode shuffle is gone), and semantic_dedup's recheck pair
+    #   join salted to k·8 keys (same pair set, deterministic salt).
+    # - ``textrank_keywords`` (already queued above): pagerank's fixed
+    #   point moved driver-side over the collected |vocab|²-bounded edge
+    #   list (the CC-fingerprint rule; solver tolerance 1e-9 pinned).
+    # - ``train_quality_classifier`` (already queued above): per-round
+    #   Newton statistics merged driver-side from the ≤ROUND_PARTITIONS
+    #   partial rows instead of a Spark agg per round.
+    "kmeans_embedding_clusters",
 })
 
 
