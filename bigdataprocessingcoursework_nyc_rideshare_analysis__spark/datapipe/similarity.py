@@ -1171,9 +1171,10 @@ def coreset_kcenter_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Iterative like the engine's k-means/IRLS tiers: {KCENTER_K} rounds,
     each ONE distributed pass (Arrow-batched int64 GEMM-free kernel:
-    per-batch min-distance to the ≤k broadcast centers + per-batch argmax,
-    then a 1-row global max_by) with a 1-row collect — driver state is k
-    center vectors, never corpus-sized.  Distances are EXACT integer
+    per-batch min-distance to the ≤k broadcast centers + per-batch argmax)
+    whose ≤|partitions| winner rows are collected and the global argmax
+    picked driver-side — driver state is k center vectors, never
+    corpus-sized.  Distances are EXACT integer
     squared-L2 over the quantized components (diffs ≤ 2·10⁶ square to
     4·10¹², ×64 dims < 2⁶³), tie-broken on vec_id, so the greedy choice —
     and therefore every later round — is bit-deterministic; pytest pins a
@@ -1236,12 +1237,15 @@ def coreset_kcenter_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
                         {"vec_id": [best_i], "dmin": [best_d], "q": [list(best_q)]}
                     )
 
-            cand = (
-                qdf.mapInPandas(furthest, schema="vec_id long, dmin long, q array<long>")
-                .orderBy(F.desc("dmin"), F.asc("vec_id"))
-                .limit(1)
-                .collect()
-            )[0]
+            # one per-partition winner row each (≤ |partitions| rows —
+            # control-flow-sized); the global argmax is picked driver-side
+            # with the same exact-integer (dmin desc, vec_id asc) tie-break
+            # the old orderBy().limit(1) applied — bit-identical choice,
+            # one stage per round instead of a sort+limit job (round 11)
+            winners = qdf.mapInPandas(
+                furthest, schema="vec_id long, dmin long, q array<long>"
+            ).collect()
+            cand = min(winners, key=lambda r: (-r["dmin"], r["vec_id"]))
             chosen.append((rnd, cand["vec_id"], cand["dmin"]))
             centers.append(np.array(cand["q"], dtype=np.int64))
     finally:

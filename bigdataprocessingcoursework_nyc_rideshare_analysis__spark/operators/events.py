@@ -1038,10 +1038,17 @@ def q_session_overlap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour ≈ the 30-min-gap session scale.  The histogram tail is bounded by
     peak concurrency, so the final aggregate is tiny."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # persist(): the spans aggregate (|sessions|-sized) feeds THREE legs —
+    # both sides of the binned self-join and the final left join back — and
+    # without the pin the sessionize windows over the events fact re-execute
+    # once per leg (measured: the scan+sessionize subtree planned 3× at
+    # sf0.1).  Lazy, so plan construction stays job-free; blocks are
+    # LRU-evicted / cleared by the harness between queries.
     spans = (
         sessionize(ev, "user_id", "ts", SESSION_GAP_MIN)
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .persist()
     )
     return interval_overlap_histogram(spans)
 

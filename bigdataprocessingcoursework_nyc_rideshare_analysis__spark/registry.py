@@ -551,6 +551,17 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     #   Newton statistics merged driver-side from the ≤ROUND_PARTITIONS
     #   partial rows instead of a Spark agg per round.
     "kmeans_embedding_clusters",
+    # - ``coreset_kcenter_sample``: per-round global argmax picked driver-
+    #   side from the ≤|partitions| winner rows (same exact tie-break as
+    #   the old orderBy().limit(1) — bit-identical choice).
+    "coreset_kcenter_sample",
+    # - ``session_overlap_histogram`` / ``basket_part_pair_lift``: the
+    #   multiply-consumed aggregate (session spans / baskets) is now
+    #   persist()-pinned so its fact-sized subtree executes once, not
+    #   once per consumer leg.  Values identical (a cache never changes
+    #   results) — mechanical rule, re-verify.
+    "session_overlap_histogram",
+    "basket_part_pair_lift",
 })
 
 
