@@ -192,6 +192,15 @@ def main() -> None:
             ).save()
             bucketed[name] = round(time.perf_counter() - start, 4)
             spark.catalog.clearCache()
+            # same measurement hygiene as the main loop (r11 fix): the
+            # bucketed tier runs at sweep END on a garbage-heavy heap, and
+            # without the GC its queries absorb collection tails the raw
+            # tier (measured mid-sweep, GC'd between queries) never paid —
+            # r11 sweeps read bucketed_sec ~20 s vs ~7 s measured solo.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         warehouse = {
             "build_sec": build_sec,
             "raw": {name: timings[name] for name in wh_tier},
@@ -223,6 +232,10 @@ def main() -> None:
             ).save()
             warehouse["events_bucketed"][name] = round(time.perf_counter() - start, 4)
             spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()  # same hygiene as above
+            except Exception:
+                pass
         warehouse["events_raw"] = {name: timings[name] for name in ev_tier}
 
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
