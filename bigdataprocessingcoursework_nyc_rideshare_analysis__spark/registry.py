@@ -519,9 +519,10 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     # rows drifting run-to-run in customer_rfm_segments' recency ranks).
     # At the sf0.01 oracle scale the sampler degenerates to exact bounds,
     # which is why every hash gate stayed green.  After the pin, all 30
-    # re-pass the DuckDB oracle at sf0.1 (this round's
-    # /tmp/oracle_affected_sf01.log: 30/30) — but the implementation-change
-    # rule is mechanical, so all re-queue:
+    # re-pass the DuckDB oracle at sf0.1 — `python tools/check_oracle.py
+    # /root/testdata/sf0.1 <the 30 names>` → 30/30, evidence recorded in
+    # OPTIMIZATION_r11.md finding 1 — but the implementation-change rule
+    # is mechanical, so all re-queue:
     "median_value_by_event_type", "approx_percentiles_by_event_type",
     "corr_value_hour_by_event_type", "quartiles_by_event_type",
     "iqr_outlier_events", "winsorized_values_by_event_type",
