@@ -136,6 +136,22 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
+        # A long-lived driver running hundreds of queries accumulates
+        # status-store state (job/stage/task rows and SQL execution
+        # graphs live in the driver's InMemoryStore even with the UI
+        # off), growing the GC live set as the session ages.  Bounded
+        # retention is standard hygiene for such a driver, NOT a
+        # measured speedup: one r11 A/B pair read −19% sweep total with
+        # these caps (311.4 vs 383.5 s), but a later paired control in a
+        # degraded host window read no difference (454–462 s both ways),
+        # so the honest claim is only that the caps bound live-set
+        # growth at zero cost.  Raise per deployment when status APIs
+        # need deeper history.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
+        .config("spark.sql.ui.retainedExecutions", "10")
+        .config("spark.appStateStore.asyncTracking.enable", "true")
         # local mode runs every executor thread inside the driver JVM, so
         # the 1g spark.driver.memory default caps the WHOLE engine — 32
         # concurrent tasks' shuffle/agg buffers OOM long before the host's
