@@ -787,9 +787,11 @@ def q_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     at larger scale the same banding runs on a quantile-bucketed
     pre-aggregation."""
     orders = load_table(spark, sf_dir, "orders")
+    # persist(): rev feeds the running-sum chain AND the grand-total
+    # aggregate (r11; |customers|-sized cache, one orders aggregation)
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
-    )
+    ).persist()
     from ..functions.skew import global_running_sum
 
     # round-8 sweep: the cumulative-revenue window over |customers| rows is
@@ -944,7 +946,14 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintain; the output is O(1)."""
     from ..functions.skew import global_row_number
 
-    kc = load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # persist(): the key histogram feeds the ranking chain AND the key
+    # count (r11; |keys|-sized cache, one events aggregation)
+    kc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
     # round-8 sweep: rank numbering over the |keys|-sized profile via the
     # range-partitioned two-phase pattern (the old unpartitioned window +
     # global-count window funneled every key through one task); the key
@@ -1241,13 +1250,16 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
+    # persist(): base feeds the three-stage ranking chain AND the n_df
+    # count — without the pin the orders aggregation re-executes per
+    # consumer (r11; the cache is |customers|-sized)
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
             F.lit(RFM_REFERENCE_DATE).cast("date"), F.max("o_orderdate").cast("date")
         ).cast("bigint").alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
-    )
+    ).persist()
     # round-8 sweep: the three global NTILE windows over the
     # |customers|-sized aggregate are now three two-phase global row
     # numberings (descending recency encoded as ascending -recency_days)
@@ -1382,9 +1394,11 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
+    # persist(): rev feeds the ranking chain AND the (n, tot) aggregate
+    # (r11; |customers|-sized cache, one orders aggregation)
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("r")
-    )
+    ).persist()
     # round-8 sweep: global rank numbering via the two-phase pattern (no
     # |customers|-sized single-partition sort); n and the revenue total
     # broadcast from a 1-row aggregate instead of unbounded global windows

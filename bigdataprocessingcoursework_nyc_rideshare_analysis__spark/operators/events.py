@@ -832,10 +832,12 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase"))
     )
+    # persist(): lat feeds the ranking chain AND the converted-count
+    # aggregate (r11; |converted users|-sized cache, one funnel chain)
     lat = clicks.join(purchases, "user_id").select(
         "user_id",
         (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias("latency_us"),
-    )
+    ).persist()
     ranked = global_row_number(lat, ["latency_us", "user_id"], "rn").crossJoin(
         F.broadcast(lat.agg(F.count(F.lit(1)).alias("n")))
     )

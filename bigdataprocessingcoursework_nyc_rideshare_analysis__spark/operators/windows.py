@@ -239,10 +239,13 @@ def q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import global_row_number, ntile_from_rn
 
     ev = load_table(spark, sf_dir, "events")
+    # persist(): totals feeds the ranking chain AND the n_df count (r11;
+    # |users|-sized cache, one events aggregation)
     totals = (
         ev.groupBy("user_id")
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"))
         .withColumn("_neg", -F.col("total_dec"))
+        .persist()
     )
     rn = global_row_number(totals, ["_neg", "user_id"], "_rn")
     # frame size = |totals| by construction (one row per user) — counting
