@@ -50,6 +50,8 @@ def _assign(emb: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str) ->
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # Spark normally emits none, but latent ValueError otherwise
+                continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             # argmin ||x-c||² = argmax (x·c − ½||c||²)
             scores = x @ cents.T - 0.5 * (cents * cents).sum(axis=1)
@@ -100,6 +102,8 @@ def kmeans_fit(
             import pandas as pd
 
             for pdf in batches:
+                if len(pdf) == 0:  # same guard as _assign: np.stack raises on empty
+                    continue
                 x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 scores = x @ cents.T - 0.5 * (cents * cents).sum(axis=1)
                 best = np.argmax(scores, axis=1)

@@ -197,10 +197,13 @@ def q_quantile_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         (F.col("n_chars").cast("double") / F.size(toks)).alias("score"),
-    )
-    per_src = scored.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ns"))
-    ranked = keyed_row_number(scored, ["source"], ["score", "doc_id"], "i").join(
-        F.broadcast(per_src), "source"
+    ).persist()  # feeds the rank chain AND the per-score histogram (+ its
+    # 1-row total): without the pin the tokenize pass re-runs per consumer
+    # (r12; |docs|-sized narrow cache, same contract as the helper's own pin)
+    # per-source frame size rides out of the helper (count_alias) — the old
+    # broadcast per_src join was a third tokenize pass (r12)
+    ranked = keyed_row_number(
+        scored, ["source"], ["score", "doc_id"], "i", count_alias="ns"
     ).withColumn("i", F.col("i").cast("long"))
     g = scored.groupBy("score").agg(F.count(F.lit(1)).cast("long").alias("c"))
     lat = global_running_sum(g, ["score"], "c", "_cum").select(

@@ -577,10 +577,10 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import keyed_row_number, ntile_from_rn
 
     scored = _quality_score_frame(spark, sf_dir).withColumn("_negs", -F.col("score"))
-    counts = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
-    ranked = keyed_row_number(scored, ["lang"], ["_negs", "doc_id"], "_rn").join(
-        F.broadcast(counts), "lang"
-    )
+    # per-lang frame size rides out of the helper (count_alias): the old
+    # broadcast counts join re-ran the WHOLE quality featurization
+    # (tokenize + stopword filter over every document) a second time (r12)
+    ranked = keyed_row_number(scored, ["lang"], ["_negs", "doc_id"], "_rn", count_alias="_n")
     decile = ntile_from_rn(F.col("_rn"), F.col("_n"), 10)
     return ranked.select(
         "doc_id",

@@ -125,27 +125,38 @@ def train_logreg(features: DataFrame, n_iter: int = N_ITER, l2: float = L2) -> l
 
             wv = _np.array(w_now[:-1])
             b = w_now[-1]
+            # accumulate across ALL the partition's Arrow batches and emit
+            # ONE row per partition (mapInPandas splits partitions at
+            # arrow.maxRecordsPerBatch, so yielding per batch would make
+            # the collect grow with corpus size, not partition count)
+            g_acc = _np.zeros(dim)
+            h_acc = _np.zeros((dim, dim))
+            n_acc = 0
             for pdf in batches:
+                if len(pdf) == 0:
+                    continue
                 x = pdf[feat_cols].to_numpy(dtype=float)
                 y = pdf["label"].to_numpy(dtype=float)
                 xt = _np.hstack([x, _np.ones((len(y), 1))])  # bias column
                 p = 1.0 / (1.0 + _np.exp(-(xt @ _np.append(wv, b))))
                 err = p - y
                 r = p * (1.0 - p)
-                g = xt.T @ err
-                h = xt.T @ (xt * r[:, None])
-                out = {f"g{i}": [float(g[i])] for i in range(xt.shape[1])}
-                for i, j in [(a, c) for a in range(xt.shape[1]) for c in range(a, xt.shape[1])]:
-                    out[f"h{i}_{j}"] = [float(h[i, j])]
-                out["n"] = [len(y)]
-                yield _pd.DataFrame(out)
+                g_acc += xt.T @ err
+                h_acc += xt.T @ (xt * r[:, None])
+                n_acc += len(y)
+            out = {f"g{i}": [float(g_acc[i])] for i in range(dim)}
+            for i, j in [(a, c) for a in range(dim) for c in range(a, dim)]:
+                out[f"h{i}_{j}"] = [float(h_acc[i, j])]
+            out["n"] = [n_acc]
+            yield _pd.DataFrame(out)
 
-        # collect the per-partition partial rows (≤ ROUND_PARTITIONS of
-        # them — model-sized, never corpus-sized) and merge driver-side:
-        # a Spark .agg() here added an exchange + an AQE stage per round,
-        # pure scheduling overhead on a (d+1)²-value reduction.  Merge
-        # order is collect order — as arbitrary as the old partial-agg
-        # combine order, bounded by the same test tolerance (rtol 1e-6).
+        # collect the per-partition partial rows (one per partition, so
+        # ≤ ROUND_PARTITIONS of them — model-sized, never corpus-sized)
+        # and merge driver-side: a Spark .agg() here added an exchange +
+        # an AQE stage per round, pure scheduling overhead on a
+        # (d+1)²-value reduction.  Merge order is collect order — as
+        # arbitrary as the old partial-agg combine order, bounded by the
+        # same test tolerance (rtol 1e-6).
         partials = frame.mapInPandas(partial_stats, schema=stat_schema).collect()
         sums = {
             key: float(np.sum([row[key] for row in partials]))

@@ -78,6 +78,8 @@ def keyed_running_sum(
     value_col: str,
     alias: str,
     partitions: int | None = None,
+    count_alias: str | None = None,
+    total_alias: str | None = None,
 ) -> DataFrame:
     """Per-key running SUM(``value_col``) over ``order_cols`` WITHOUT
     ``Window.partitionBy(*keys)`` — the low-cardinality-key scale trap: with
@@ -132,20 +134,46 @@ def keyed_running_sum(
     eagerly launches any broadcast-subtree jobs in the caller's input
     (pinned lazy in ``test_plans.py``).  The cached blocks hold only the
     narrow (keys, order, value) projection and are evicted LRU /
-    released by the harness's ``clearCache`` between queries."""
+    released by the harness's ``clearCache`` between queries.
+
+    ``count_alias`` / ``total_alias``: when set, the output additionally
+    carries the per-key ROW COUNT / per-key TOTAL of ``value_col`` as a
+    column of that name — computed from the same ≤(|partitions|+|keys|)-row
+    totals frame the offsets come from (a second full-range window over
+    the identical partition+order spec, so it shares the one Window node
+    and the one broadcast).  Callers previously re-aggregated the INPUT
+    for these (``.join(broadcast(df.groupBy(keys).count()))``), which
+    re-executed the whole upstream subtree once more per leg — the r11
+    entity-aggregate persists papered over that for some callers; this
+    removes the second consumer outright.  Exact: counts are int64 sums;
+    totals are the same order-free int/decimal algebra as the offsets."""
     par = partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
         df.repartitionByRange(par, *keys, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    totals = parted.groupBy("_pid", *keys).agg(F.sum(value_col).alias("_tot"))
+    aggs = [F.sum(value_col).alias("_tot")]
+    if count_alias is not None:
+        aggs.append(F.count(F.lit(1)).alias("_cnt"))
+    totals = parted.groupBy("_pid", *keys).agg(*aggs)
     w_off = (
         Window.partitionBy(*keys).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.select(
-        "_pid", *keys, F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
-    )
+    off_cols = ["_pid", *keys, F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")]
+    if count_alias is not None or total_alias is not None:
+        # full-range frame over the SAME partition+order spec as w_off: the
+        # per-key grand count/total, evaluated in the same Window node
+        w_all = (
+            Window.partitionBy(*keys)
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        if count_alias is not None:
+            off_cols.append(F.sum("_cnt").over(w_all).alias(count_alias))
+        if total_alias is not None:
+            off_cols.append(F.sum("_tot").over(w_all).alias(total_alias))
+    offsets = totals.select(*off_cols)
     w_local = (
         Window.partitionBy("_pid", *keys)
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -164,6 +192,7 @@ def keyed_row_number(
     order_cols: list[str],
     alias: str,
     partitions: int | None = None,
+    count_alias: str | None = None,
 ) -> DataFrame:
     """Per-key 1-based ROW_NUMBER over ``order_cols`` without the
     |keys|-bounded window: a running count is a running sum of 1s, and over
@@ -172,9 +201,19 @@ def keyed_row_number(
     rank windows (every rank consumed downstream); a rank window followed by
     ``rn <= k`` does NOT need this — Spark's WindowGroupLimit already pushes
     a partial top-k before the exchange (pinned in ``test_plans.py`` for
-    ``source_quota_sample``)."""
+    ``source_quota_sample``).
+
+    ``count_alias``: attach the per-key frame size as a column (see
+    ``keyed_running_sum``) — ntile/value-at-rank callers need it and should
+    take it from here instead of re-aggregating their input."""
     out = keyed_running_sum(
-        df.withColumn("_one", F.lit(1)), keys, order_cols, "_one", alias, partitions
+        df.withColumn("_one", F.lit(1)),
+        keys,
+        order_cols,
+        "_one",
+        alias,
+        partitions,
+        count_alias=count_alias,
     )
     return out.drop("_one")
 
@@ -185,13 +224,26 @@ def global_running_sum(
     value_col: str,
     alias: str,
     partitions: int | None = None,
+    count_alias: str | None = None,
+    total_alias: str | None = None,
 ) -> DataFrame:
     """Running SUM over the GLOBAL order without the single-partition
     window — ``keyed_running_sum`` with no keys (the same algebra as
     ``operators.events.range_partitioned_running_sum``; kept here so the
     global and keyed forms share one implementation).  Exact for
-    int/decimal values; ``order_cols`` must be duplicate-free."""
-    return keyed_running_sum(df, [], order_cols, value_col, alias, partitions)
+    int/decimal values; ``order_cols`` must be duplicate-free.
+    ``count_alias`` / ``total_alias`` attach the frame size / grand total
+    (see ``keyed_running_sum``)."""
+    return keyed_running_sum(
+        df,
+        [],
+        order_cols,
+        value_col,
+        alias,
+        partitions,
+        count_alias=count_alias,
+        total_alias=total_alias,
+    )
 
 
 def global_row_number(
@@ -199,6 +251,7 @@ def global_row_number(
     order_cols: list[str],
     alias: str,
     partitions: int | None = None,
+    count_alias: str | None = None,
 ) -> DataFrame:
     """1-based ROW_NUMBER over the GLOBAL order given by ``order_cols``
     without ``Window.orderBy(...)``'s single-partition funnel — the trap
@@ -218,8 +271,9 @@ def global_row_number(
     result is still a valid 1..N permutation in which equal keys receive
     consecutive numbers in arbitrary order (range partitioning co-locates
     equal keys), so rank→VALUE selections (exact quantiles, data-defined
-    bin edges) are unaffected — callers relying on that must say so."""
-    return keyed_row_number(df, [], order_cols, alias, partitions)
+    bin edges) are unaffected — callers relying on that must say so.
+    ``count_alias`` attaches the frame size (see ``keyed_running_sum``)."""
+    return keyed_row_number(df, [], order_cols, alias, partitions, count_alias=count_alias)
 
 
 def _idiv(a: Column, b: Column) -> Column:

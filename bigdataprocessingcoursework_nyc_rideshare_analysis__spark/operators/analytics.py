@@ -264,10 +264,10 @@ def q_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import keyed_row_number
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # per-type frame size rides out of the helper (count_alias) instead of
+    # a second scan+agg of events for a broadcast counts join (r12)
     return (
-        keyed_row_number(ev, ["event_type"], ["value"], "rn")
-        .join(F.broadcast(counts), "event_type")
+        keyed_row_number(ev, ["event_type"], ["value"], "rn", count_alias="n")
         .filter(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("event_type", F.col("value").alias("median_value"))
     )
@@ -331,13 +331,12 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import keyed_row_number
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     ests = ev.groupBy("event_type").agg(
         F.percentile_approx("value", list(_APPROX_PCT_PS), APPROX_PCT_ACCURACY).alias("pcts")
     )
-    ranked = keyed_row_number(ev, ["event_type"], ["value"], "rn").join(
-        F.broadcast(counts), "event_type"
-    )
+    # per-type frame size from the helper (count_alias) — one events scan
+    # fewer than the old broadcast counts join (r12)
+    ranked = keyed_row_number(ev, ["event_type"], ["value"], "rn", count_alias="n")
     w = F.greatest(F.lit(1).cast("long"), F.ceil(APPROX_PCT_WINDOW * F.col("n")).cast("long"))
     sel_cols = []
     for p in _APPROX_PCT_PS:
@@ -498,10 +497,9 @@ def _exact_quartiles(ev: DataFrame) -> DataFrame:
     from ..functions.skew import keyed_row_number
 
     vals = ev.select("event_type", "value")
-    counts = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    ranked = keyed_row_number(vals, ["event_type"], ["value"], "rn").join(
-        F.broadcast(counts), "event_type"
-    )
+    # per-type frame size from the helper (count_alias) — drops the second
+    # events scan the broadcast counts join paid (r12)
+    ranked = keyed_row_number(vals, ["event_type"], ["value"], "rn", count_alias="n")
     qs = [
         F.max(
             F.when(F.col("rn") == F.expr(f"greatest(((n + 1) * {k}) div 4, 1)"), F.col("value"))
@@ -599,10 +597,8 @@ def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     vals = ev.select("event_type", "value")
-    counts = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    ranked = keyed_row_number(vals, ["event_type"], ["value"], "rn").join(
-        F.broadcast(counts), "event_type"
-    )
+    # per-type frame size from the helper (count_alias) — one scan fewer (r12)
+    ranked = keyed_row_number(vals, ["event_type"], ["value"], "rn", count_alias="n")
     pos05 = F.greatest(F.floor(((F.col("n") + 1) * 5) / 100).cast("long"), F.lit(1))
     pos95 = F.least(
         F.greatest(F.floor(((F.col("n") + 1) * 95) / 100).cast("long"), F.lit(1)), F.col("n")
@@ -787,11 +783,9 @@ def q_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     at larger scale the same banding runs on a quantile-bucketed
     pre-aggregation."""
     orders = load_table(spark, sf_dir, "orders")
-    # persist(): rev feeds the running-sum chain AND the grand-total
-    # aggregate (r11; |customers|-sized cache, one orders aggregation)
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
-    ).persist()
+    )
     from ..functions.skew import global_running_sum
 
     # round-8 sweep: the cumulative-revenue window over |customers| rows is
@@ -799,11 +793,16 @@ def q_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encoded as ascending -rev_dec; exact decimal algebra, so the cum
     # shares are bit-identical); the grand total broadcasts from a 1-row
     # aggregate instead of an unbounded global window
-    cum = global_running_sum(
-        rev.withColumn("_neg", -F.col("rev_dec")), ["_neg", "o_custkey"], "rev_dec", "cum_dec"
-    )
-    tot = rev.agg(F.sum("rev_dec").alias("tot_dec"))
-    ranked = cum.crossJoin(F.broadcast(tot)).select(
+    # the grand total rides out of the helper (total_alias; same exact
+    # decimal algebra as the offsets) — the r11 persist + 1-row crossJoin
+    # leg is gone, rev now has exactly one consumer (r12)
+    ranked = global_running_sum(
+        rev.withColumn("_neg", -F.col("rev_dec")),
+        ["_neg", "o_custkey"],
+        "rev_dec",
+        "cum_dec",
+        total_alias="tot_dec",
+    ).select(
         "o_custkey",
         F.col("rev_dec").cast("double").alias("revenue"),
         (F.col("cum_dec").cast("double") / F.col("tot_dec").cast("double")).alias("cum_share"),
@@ -946,21 +945,17 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintain; the output is O(1)."""
     from ..functions.skew import global_row_number
 
-    # persist(): the key histogram feeds the ranking chain AND the key
-    # count (r11; |keys|-sized cache, one events aggregation)
     kc = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
     )
     # round-8 sweep: rank numbering over the |keys|-sized profile via the
     # range-partitioned two-phase pattern (the old unpartitioned window +
     # global-count window funneled every key through one task); the key
-    # count comes from a broadcast 1-row aggregate
-    ranked = global_row_number(kc, ["n", "user_id"], "rn").crossJoin(
-        F.broadcast(kc.agg(F.count(F.lit(1)).alias("k")))
-    )
+    # count rides out of the helper (count_alias) — the r11 persist +
+    # 1-row crossJoin leg is gone, kc now has exactly one consumer (r12)
+    ranked = global_row_number(kc, ["n", "user_id"], "rn", count_alias="k")
     return ranked.agg(
         F.max("k").alias("n_keys"),
         F.sum("n").cast("long").alias("total_rows"),
@@ -1009,10 +1004,9 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import keyed_row_number, ntile_from_rn
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    # per-type frame size from the helper (count_alias) — one scan fewer (r12)
     return (
-        keyed_row_number(ev, ["event_type"], ["value", "event_id"], "_rn")
-        .join(F.broadcast(counts), "event_type")
+        keyed_row_number(ev, ["event_type"], ["value", "event_id"], "_rn", count_alias="_n")
         .select(
             "event_type",
             "value",
@@ -1180,10 +1174,13 @@ def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import keyed_row_number
 
     def keyed_median(frame: DataFrame, col: str, alias: str) -> DataFrame:
-        counts = frame.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        # per-type frame size from the helper (count_alias): the old
+        # broadcast counts join re-executed `frame` once more per call —
+        # for the deviations pass that was a whole events scan + join (r12)
         return (
-            keyed_row_number(frame.select("event_type", col), ["event_type"], [col], "rn")
-            .join(F.broadcast(counts), "event_type")
+            keyed_row_number(
+                frame.select("event_type", col), ["event_type"], [col], "rn", count_alias="n"
+            )
             .filter(F.col("rn") == F.expr("(n + 1) div 2"))
             .select("event_type", F.col(col).alias(alias))
         )
@@ -1250,16 +1247,13 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
-    # persist(): base feeds the three-stage ranking chain AND the n_df
-    # count — without the pin the orders aggregation re-executes per
-    # consumer (r11; the cache is |customers|-sized)
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
             F.lit(RFM_REFERENCE_DATE).cast("date"), F.max("o_orderdate").cast("date")
         ).cast("bigint").alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
-    ).persist()
+    )
     # round-8 sweep: the three global NTILE windows over the
     # |customers|-sized aggregate are now three two-phase global row
     # numberings (descending recency encoded as ascending -recency_days)
@@ -1267,13 +1261,18 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banding (ANSI ntile rule), no single-partition sort
     from ..functions.skew import global_row_number, ntile_from_rn
 
+    # the frame size rides out of the first numbering (count_alias) and
+    # flows through the chained calls — the r11 persist + 1-row crossJoin
+    # leg is gone, base now has exactly one consumer (r12)
     g = global_row_number(
-        base.withColumn("_negr", -F.col("recency_days")), ["_negr", "custkey"], "_rn_r"
+        base.withColumn("_negr", -F.col("recency_days")),
+        ["_negr", "custkey"],
+        "_rn_r",
+        count_alias="_n",
     ).drop("_negr")
     g = global_row_number(g, ["frequency", "custkey"], "_rn_f")
     g = global_row_number(g, ["monetary", "custkey"], "_rn_m")
-    n_df = base.agg(F.count(F.lit(1)).alias("_n"))
-    scored = g.crossJoin(F.broadcast(n_df)).select(
+    scored = g.select(
         "custkey",
         "recency_days",
         "frequency",
@@ -1394,24 +1393,22 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
-    # persist(): rev feeds the ranking chain AND the (n, tot) aggregate
-    # (r11; |customers|-sized cache, one orders aggregation)
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("r")
-    ).persist()
+    )
     # round-8 sweep: global rank numbering via the two-phase pattern (no
     # |customers|-sized single-partition sort); n and the revenue total
     # broadcast from a 1-row aggregate instead of unbounded global windows
     from ..functions.skew import global_row_number
 
-    ranked = global_row_number(rev, ["r", "o_custkey"], "i").crossJoin(
-        F.broadcast(
-            rev.agg(F.count(F.lit(1)).alias("n"), F.sum("r").alias("tot"))
-        )
-    )
+    # n and tot fold into the single final aggregate over the ranked rows
+    # (same row multiset, so the count is exact and the double total is the
+    # same arbitrary-order reduction class as before) — the r11 persist +
+    # 1-row crossJoin leg is gone, rev now has exactly one consumer (r12)
+    ranked = global_row_number(rev, ["r", "o_custkey"], "i")
     s = ranked.agg(
-        F.max("n").alias("n"),
-        F.max("tot").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("tot"),
         F.sum(F.col("i") * F.col("r")).alias("weighted"),
     )
     return s.select(

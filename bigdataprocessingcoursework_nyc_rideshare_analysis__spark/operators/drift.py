@@ -365,9 +365,9 @@ def q_psi_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ref = ev.filter(F.col("event_type") == "click").select("value")
     cmp = ev.filter(F.col("event_type") == "purchase").select("value")
-    ranked = global_row_number(ref, ["value"], "rn").crossJoin(
-        F.broadcast(ref.agg(F.count(F.lit(1)).alias("n")))
-    )
+    # the reference-slice size rides out of the helper (count_alias) — no
+    # second filtered events scan for the 1-row count crossJoin (r12)
+    ranked = global_row_number(ref, ["value"], "rn", count_alias="n")
     edges = (
         ranked.crossJoin(F.broadcast(spark.range(1, PSI_BINS).select(F.col("id").alias("i"))))
         .groupBy("i")

@@ -832,15 +832,14 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase"))
     )
-    # persist(): lat feeds the ranking chain AND the converted-count
-    # aggregate (r11; |converted users|-sized cache, one funnel chain)
     lat = clicks.join(purchases, "user_id").select(
         "user_id",
         (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias("latency_us"),
-    ).persist()
-    ranked = global_row_number(lat, ["latency_us", "user_id"], "rn").crossJoin(
-        F.broadcast(lat.agg(F.count(F.lit(1)).alias("n")))
     )
+    # the converted-user count rides out of the helper (count_alias) — the
+    # r11 persist + 1-row crossJoin leg is gone, lat now has exactly one
+    # consumer (r12)
+    ranked = global_row_number(lat, ["latency_us", "user_id"], "rn", count_alias="n")
     qs = ranked.agg(
         *[
             F.max(

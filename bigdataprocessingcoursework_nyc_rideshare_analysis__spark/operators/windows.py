@@ -239,21 +239,15 @@ def q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import global_row_number, ntile_from_rn
 
     ev = load_table(spark, sf_dir, "events")
-    # persist(): totals feeds the ranking chain AND the n_df count (r11;
-    # |users|-sized cache, one events aggregation)
     totals = (
         ev.groupBy("user_id")
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"))
         .withColumn("_neg", -F.col("total_dec"))
-        .persist()
     )
-    rn = global_row_number(totals, ["_neg", "user_id"], "_rn")
-    # frame size = |totals| by construction (one row per user) — counting
-    # the agg output avoids a second full scan+shuffle of events for a
-    # redundant distinct(user_id)
-    n_df = totals.agg(F.count(F.lit(1)).alias("_n"))
+    # frame size rides out of the helper (count_alias) — the r11 persist +
+    # 1-row crossJoin leg is gone, totals now has exactly one consumer (r12)
     return (
-        rn.crossJoin(F.broadcast(n_df))
+        global_row_number(totals, ["_neg", "user_id"], "_rn", count_alias="_n")
         .select(
             "user_id",
             F.col("total_dec").cast("double").alias("total_value"),

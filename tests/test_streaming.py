@@ -29,6 +29,35 @@ def event_stream_dir(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def _drain_or_stop(q, expected_input_rows, timeout_s=120.0):
+    """Wait for an availableNow query to finish, but do not pay its full
+    termination timeout: queries whose stateful operator armed
+    processing-time timers (the ttl_s forms) keep scheduling batches to
+    service future timeouts after all files are consumed, so
+    ``awaitTermination(timeout)`` blocks for the WHOLE timeout (measured:
+    the two ttl tests were 181 s + 120 s of pure wait).  Progress rows are
+    posted after each batch COMMITS, so once the summed numInputRows
+    reaches the expected total, every input batch is committed (and the
+    memory sink final for our asserts) — stop the query then."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if not q.isActive:
+            return
+        done = sum(p["numInputRows"] for p in q.recentProgress)
+        if done >= expected_input_rows:
+            break
+        time.sleep(0.25)
+    else:
+        raise AssertionError(
+            f"stream did not consume {expected_input_rows} rows in {timeout_s}s: "
+            f"{[p['numInputRows'] for p in q.recentProgress]}"
+        )
+    q.stop()
+    q.awaitTermination(30)
+
+
 def _drain(spark, stream_df, name):
     q = (
         stream_df.writeStream.format("memory")
@@ -1050,7 +1079,7 @@ def test_streaming_exact_dedup_rejects_across_microbatches(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain_or_stop(q, expected_input_rows=200)
         got = spark.table("exact_dedup_mb").collect()
         assert len(got) == n_distinct
         assert all(r["doc_id"] < 10_000_000 for r in got)
@@ -1189,7 +1218,7 @@ def test_streaming_minhash_ttl_arms_timeout_and_state_survives_batches(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _drain_or_stop(q, expected_input_rows=200)
         got = spark.table("minhash_ttl").collect()
         assert len(got) > 0
         # every batch-2 doc duplicates a batch-1 signature: nothing admitted

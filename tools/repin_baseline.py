@@ -50,6 +50,12 @@ def main() -> None:
         if med > 0 and mx / med > NOISE_RATIO:
             pins_per_query[q] = mx
             flagged[q] = {"median": med, "max": mx, "rule": "max-envelope (noise-suspect)"}
+        elif med == 0 and mx > 0:
+            # degenerate median (half the runs recorded 0.0): a 0.0 pin
+            # would make the 2x regression gate fire on ANY future nonzero
+            # measurement — fall back to the max envelope instead
+            pins_per_query[q] = mx
+            flagged[q] = {"median": med, "max": mx, "rule": "max-envelope (zero-median)"}
         else:
             pins_per_query[q] = med
 
