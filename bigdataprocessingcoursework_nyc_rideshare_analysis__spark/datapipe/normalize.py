@@ -193,11 +193,13 @@ def q_quantile_normalized_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
     )
-    scored = docs.select(
+    from ..functions.cachectl import query_scoped_persist
+
+    scored = query_scoped_persist(docs.select(
         "doc_id",
         "source",
         (F.col("n_chars").cast("double") / F.size(toks)).alias("score"),
-    ).persist()  # feeds the rank chain AND the per-score histogram (+ its
+    ))  # feeds the rank chain AND the per-score histogram (+ its
     # 1-row total): without the pin the tokenize pass re-runs per consumer
     # (r12; |docs|-sized narrow cache, same contract as the helper's own pin)
     # per-source frame size rides out of the helper (count_alias) — the old

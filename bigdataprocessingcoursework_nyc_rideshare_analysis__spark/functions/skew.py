@@ -147,11 +147,12 @@ def keyed_running_sum(
     entity-aggregate persists papered over that for some callers; this
     removes the second consumer outright.  Exact: counts are int64 sums;
     totals are the same order-free int/decimal algebra as the offsets."""
+    from .cachectl import query_scoped_persist
+
     par = partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = (
+    parted = query_scoped_persist(
         df.repartitionByRange(par, *keys, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     aggs = [F.sum(value_col).alias("_tot")]
     if count_alias is not None:

@@ -1076,10 +1076,11 @@ def q_basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured: the scan+groupBy subtree planned 3× at sf0.1; exchange
     # reuse across the differing parent aggregates is not guaranteed).
     # Lazy, LRU-evicted, cleared by the harness between queries.
-    baskets = (
+    from ..functions.cachectl import query_scoped_persist
+
+    baskets = query_scoped_persist(
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .persist()
     )
     n_baskets = baskets.agg(F.count(F.lit(1)).alias("baskets"))
     item_counts = (

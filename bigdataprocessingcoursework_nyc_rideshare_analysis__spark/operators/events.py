@@ -663,11 +663,12 @@ def range_partitioned_running_sum(
     making the offset arithmetic wrong for rows near a drifted boundary;
     the cache manager serves both branches from one ``InMemoryRelation``
     (one exchange, one boundary draw), and stays lazy at plan-build."""
+    from ..functions.cachectl import query_scoped_persist
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    parted = (
+    parted = query_scoped_persist(
         df.repartitionByRange(par, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     totals = parted.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -1045,11 +1046,12 @@ def q_session_overlap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per leg (measured: the scan+sessionize subtree planned 3× at
     # sf0.1).  Lazy, so plan construction stays job-free; blocks are
     # LRU-evicted / cleared by the harness between queries.
-    spans = (
+    from ..functions.cachectl import query_scoped_persist
+
+    spans = query_scoped_persist(
         sessionize(ev, "user_id", "ts", SESSION_GAP_MIN)
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
-        .persist()
     )
     return interval_overlap_histogram(spans)
 
@@ -1128,7 +1130,9 @@ def q_events_global_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse across the broadcast shape is not guaranteed)."""
     ev = load_table(spark, sf_dir, "events").select("ts", "event_id")
     parted = ev.repartitionByRange(ev.sparkSession.sparkContext.defaultParallelism, "ts", "event_id")
-    with_pid = parted.withColumn("pid", F.spark_partition_id()).persist()
+    from ..functions.cachectl import query_scoped_persist
+
+    with_pid = query_scoped_persist(parted.withColumn("pid", F.spark_partition_id()))
     counts = with_pid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -471,58 +471,56 @@ DRIVER_VERIFIED.update(dict.fromkeys((
 #:   (``multimodal._MEDIA_TWIN_ORACLE``); exact hamming values stay on the
 #:   ``*_detail`` surfaces with their goldens.  New output schemas —
 #:   re-verify.
+DRIVER_VERIFIED.update(dict.fromkeys((
+    # CORRECTNESS_r11.json: 50 hash-green, 0 failures.  All 47
+    # CHANGED_SINCE_VERIFIED entries (the range-partition persist
+    # family, the r11 per-operator rewrites, and the two r11
+    # oracle-izations) re-verified green and move here; the set
+    # clears for the round-12 queue below.
+    "absorption_purchase_vs_error", "ann_ivf_topk",
+    "ann_ivfpq_topk", "ann_lsh_topk",
+    "ann_pq_topk", "approx_percentiles_by_event_type",
+    "basket_part_pair_lift", "budget_select_by_quality",
+    "cdc_chunk_docs", "cms_heavy_hitter_estimates",
+    "conversion_latency_quantiles", "coreset_kcenter_sample",
+    "corr_value_hour_by_event_type", "curate_pack_corpus",
+    "curate_pack_quality_gated", "customer_abc_classes",
+    "customer_revenue_gini", "customer_rfm_segments",
+    "dedup_simhash", "embedding_top_component",
+    "equi_depth_histogram_by_event_type", "events_global_sequence",
+    "hybrid_search_rrf", "iqr_outlier_events",
+    "join_key_skew_profile", "kmeans_embedding_clusters",
+    "length_bucketed_batches", "mad_outlier_events",
+    "median_value_by_event_type", "ndcg_tfidf_vs_overlap",
+    "neardup_embedding_lsh", "neardup_minhash_lsh",
+    "pack_bestfit_efficiency", "pack_training_sequences",
+    "packing_efficiency_by_source", "peak_concurrent_sessions",
+    "preference_pairs_by_source", "psi_click_vs_purchase",
+    "quality_deciles_by_lang", "quality_model_score",
+    "quantile_normalized_scores", "quartiles_by_event_type",
+    "semantic_dedup_docs", "session_overlap_histogram",
+    "session_window_rollup", "source_quota_sample",
+    "textrank_keywords", "train_quality_classifier",
+    "user_value_quartiles", "winsorized_values_by_event_type",
+), 11))
+
 CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
-    # Round-11: all 22 round-10 entries (ANN quartet + recall report,
-    # LSH/simhash/media bound summaries, and the 8 post-repin
-    # oracle-izations) re-verified hash-green in CORRECTNESS_r10 and
-    # moved to ``DRIVER_VERIFIED`` (round 10).
-    # - ``semantic_dedup_docs`` / ``train_quality_classifier``: the last
-    #   two rows-only queries oracle-ized round 11 (vector/model universe
-    #   + recheck booleans; former outputs moved to ``*_detail`` with
-    #   their goldens).  New output schemas, so their rows-only driver
-    #   rows no longer describe them — re-verify under the hash gate.
-    "semantic_dedup_docs",
-    "train_quality_classifier",
-    # - bound-summary wrappers gained a localCheckpoint of their detail
-    #   leg (one-execution pin; values identical by construction — a
-    #   checkpoint never changes results — but the implementation-change
-    #   rule is mechanical): re-verify.
-    "neardup_minhash_lsh",
-    "neardup_embedding_lsh",
-    "dedup_simhash",
-    "textrank_keywords",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # - ``pack_bestfit_efficiency``: padding_matches_fill_gap de-tautologized
-    #   (detail-surface readout vs independently coded gap — r10 advice);
-    #   same schema/values on a correct build, new plan — re-verify.
-    "pack_bestfit_efficiency",
-    # - ``absorption_purchase_vs_error``: oracle universe now derived from
-    #   lead() transition pairs exactly like the solver (r10 advice);
-    #   values identical on the synthetic corpora — re-verify.
-    "absorption_purchase_vs_error",
-    # - ``embedding_top_component``: top_component now delegates to
-    #   top_component_with_diag (one solve body — r10 advice); values
-    #   bit-identical, mechanical rule — re-verify.
-    "embedding_top_component",
-    # Round-11 optimization round: every query flowing through the
-    # two-phase range-partition helpers (``functions.skew.keyed_running_sum``
-    # family and ``operators.events.range_partitioned_running_sum`` /
-    # ``q_events_global_sequence``).  The helpers' range-partitioned frame
-    # is now ``persist()``-pinned — a CORRECTNESS fix: the offsets branch
-    # and the data branch each planned their own RangePartitioning
-    # exchange whose sampled bounds could differ (rdd.id-seeded sampler),
-    # so at sf0.1 the emitted row numbers were nondeterministic and not
-    # even a permutation (measured: 165 order inversions / 14538 of 14999
-    # rows drifting run-to-run in customer_rfm_segments' recency ranks).
-    # At the sf0.01 oracle scale the sampler degenerates to exact bounds,
-    # which is why every hash gate stayed green.  After the pin, all 30
-    # re-pass the DuckDB oracle at sf0.1 — `python tools/check_oracle.py
-    # /root/testdata/sf0.1 <the 30 names>` → 30/30, evidence recorded in
-    # OPTIMIZATION_r11.md finding 1 — but the implementation-change rule
-    # is mechanical, so all re-queue:
+    # Round-12 optimization round.
+    # - Two-phase range-partition helper family (functions.skew +
+    #   operators.events copies): the helpers now EMIT the per-key frame
+    #   size / grand total (count_alias / total_alias) from the same tiny
+    #   totals frame the offsets use, and their pin runs through
+    #   functions.cachectl.query_scoped_persist (release-hook registry;
+    #   same persist semantics).  Callers dropped their broadcast
+    #   count/total legs — which re-executed the whole upstream subtree
+    #   once more per query — and six r11 entity-aggregate persists became
+    #   unnecessary (single consumer left).  Values identical by
+    #   construction (int64 counts; the same order-free int/decimal total
+    #   algebra as the offsets; customer_revenue_gini's n/tot fold into
+    #   the final agg is the one double-sum reorder, same arbitrary-order
+    #   reduction class as before).  17/17 re-passed the DuckDB oracle at
+    #   sf0.01 AND sf0.1 this session; the implementation-change rule is
+    #   mechanical, so the whole family re-queues:
     "median_value_by_event_type", "approx_percentiles_by_event_type",
     "corr_value_hour_by_event_type", "quartiles_by_event_type",
     "iqr_outlier_events", "winsorized_values_by_event_type",
@@ -538,31 +536,23 @@ CHANGED_SINCE_VERIFIED: frozenset[str] = frozenset({
     "budget_select_by_quality", "source_quota_sample",
     "pack_training_sequences", "quantile_normalized_scores",
     "psi_click_vs_purchase",
-    # Round-11 optimization round, per-operator rewrites (values bounded
-    # by the same test tolerances; mechanical re-queue):
-    # - ``kmeans_embedding_clusters`` (+ ``semantic_dedup_docs``, already
-    #   queued above): kmeans_fit's update step fused into the assignment
-    #   Arrow pass (per-batch partial sums; the per-iteration corpus join
-    #   + posexplode shuffle is gone), and semantic_dedup's recheck pair
-    #   join salted to k·8 keys (same pair set, deterministic salt).
-    # - ``textrank_keywords`` (already queued above): pagerank's fixed
-    #   point moved driver-side over the collected |vocab|²-bounded edge
-    #   list (the CC-fingerprint rule; solver tolerance 1e-9 pinned).
-    # - ``train_quality_classifier`` (already queued above): per-round
-    #   Newton statistics merged driver-side from the ≤ROUND_PARTITIONS
-    #   partial rows instead of a Spark agg per round.
-    "kmeans_embedding_clusters",
-    # - ``coreset_kcenter_sample``: per-round global argmax picked driver-
-    #   side from the ≤|partitions| winner rows (same exact tie-break as
-    #   the old orderBy().limit(1) — bit-identical choice).
-    "coreset_kcenter_sample",
-    # - ``session_overlap_histogram`` / ``basket_part_pair_lift``: the
-    #   multiply-consumed aggregate (session spans / baskets) is now
-    #   persist()-pinned so its fact-sized subtree executes once, not
-    #   once per consumer leg.  Values identical (a cache never changes
-    #   results) — mechanical rule, re-verify.
-    "session_overlap_histogram",
-    "basket_part_pair_lift",
+    # - trainer: per-partition partials now accumulate across Arrow
+    #   batches (one row per partition, the documented invariant); same
+    #   arbitrary-order float reduction, rtol 1e-6 test bound, oracle
+    #   green at sf0.01 + sf0.1:
+    "train_quality_classifier",
+    # - kmeans Arrow kernels: empty-batch guards only (no value change);
+    #   mechanical re-queue:
+    "kmeans_embedding_clusters", "semantic_dedup_docs",
+    # - connected-components star rounds: large_star no longer dedups its
+    #   output (small_star's min is multiset-invariant and its final
+    #   distinct dedups the round) — one fewer shuffle per round, same
+    #   fixpoint; CC replica tests + recursive-SQL oracles green:
+    "neardup_connected_components", "dedup_keep_best_in_cluster",
+    "customer_identity_clusters", "dedup_savings_by_source",
+    # - query-scoped persist wrapper (cachectl) replaced bare persist()
+    #   in these two (no plan change beyond the registry hook):
+    "session_overlap_histogram", "basket_part_pair_lift",
 })
 
 

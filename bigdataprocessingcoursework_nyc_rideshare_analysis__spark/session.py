@@ -12,6 +12,14 @@ design point:
 - ``nanosAsLong`` so parquet files written with nanosecond timestamps (the
   driver's ``events`` table) are readable; ``sources.tables`` converts them
   to proper timestamps.
+
+Cache ownership contract: some query bodies pin multiply-consumed subtrees
+with a query-scoped ``persist()`` (correctness-critical for the two-phase
+range-partition helpers — see ``functions.skew``).  The bench harness and
+the verification driver clear these between queries (``clearCache``); a
+consumer composing several queries in ONE session should call
+``functions.cachectl.release_query_caches(spark)`` after materializing each
+query's results, or the pinned blocks accumulate until LRU eviction.
 """
 
 from __future__ import annotations

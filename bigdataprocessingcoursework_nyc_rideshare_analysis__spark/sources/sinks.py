@@ -16,6 +16,8 @@ discipline:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -53,6 +55,7 @@ def write_bucketed_table(
     n_buckets: int = 32,
     mode: str = "overwrite",
     sort_by: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: pre-shuffles rows into ``n_buckets`` files by
     hash of ``bucket_by`` at WRITE time, so every later equi-join or
@@ -76,13 +79,18 @@ def write_bucketed_table(
     bucket ≈ 128 MB–1 GB."""
     from pyspark.sql import functions as F
 
-    (
+    writer = (
         df.repartition(n_buckets, F.col(bucket_by))
         .write.mode(mode)
         .bucketBy(n_buckets, bucket_by)
         .sortBy(*(sort_by or [bucket_by]))
-        .saveAsTable(table)
     )
+    if path is not None:
+        # EXTERNAL table: the bucket files outlive the (in-memory) catalog,
+        # so a later session can re-attach them without re-shuffling — the
+        # content-addressed warehouse reuse in ``sources.warehouse`` (r12)
+        writer = writer.option("path", os.path.abspath(path))
+    writer.saveAsTable(table)
 
 
 def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:

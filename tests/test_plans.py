@@ -447,6 +447,29 @@ def test_running_sum_offsets_share_one_range_partitioning(spark):
     from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
 
     reg = load_all()
+    def outer_shuffle_partitionings(jplan):
+        """Shuffle-exchange output partitionings of the EXECUTED plan tree,
+        walking through AQE wrappers and query stages but NOT into cached
+        relations (InMemoryTableScan is a leaf; its cached plan hangs off
+        the relation, not ``children()``) — exactly the scope where a
+        cache-bypassing branch would plan its own range exchange."""
+        out, stack = [], [jplan]
+        while stack:
+            n = stack.pop()
+            cname = n.getClass().getSimpleName()
+            if cname == "AdaptiveSparkPlanExec":
+                stack.append(n.executedPlan())
+                continue
+            if cname.endswith("QueryStageExec"):
+                stack.append(n.plan())
+                continue
+            if cname == "ShuffleExchangeExec":
+                out.append(n.outputPartitioning().toString())
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return out
+
     for name in ("pack_training_sequences", "user_value_quartiles"):
         df = reg[name].fn(spark, SF_SMOKE)
         # collect() (not count()) — count() builds a DIFFERENT query whose
@@ -457,6 +480,15 @@ def test_running_sum_offsets_share_one_range_partitioning(spark):
             f"{name}: fewer than two InMemoryTableScans in the executed plan "
             f"— a branch bypassed the persisted range-partitioned frame, so "
             f"_pid labels may disagree between branches\n{executed}"
+        )
+        # claim (2): every RangePartitioning exchange lives INSIDE the
+        # cached child — an outer range exchange means a branch replanned
+        # its own boundary draw alongside the cached scans (the exact
+        # failure mode the persist exists to prevent)
+        outer = outer_shuffle_partitionings(df._jdf.queryExecution().executedPlan())
+        assert not any("rangepartitioning" in p.lower() for p in outer), (
+            f"{name}: a RangePartitioning exchange was planned OUTSIDE the "
+            f"persisted frame — that branch draws its own boundaries\n{outer}"
         )
         spark.catalog.clearCache()
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.session import aqe_off_clone
 
+from .conftest import SF_SMOKE
+
 
 def test_clone_is_cached_and_isolated(spark):
     c1 = aqe_off_clone(spark)
@@ -32,3 +34,27 @@ def test_clone_resyncs_parent_confs_on_each_call(spark):
         assert clone.conf.get("spark.sql.adaptive.enabled") == "false"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_release_query_caches_frees_all_blocks_in_a_two_query_session(spark):
+    """Ownership contract for helper-internal persist() pins (r12): a
+    library consumer composing several queries in one session releases the
+    query-scoped caches with one call — afterwards the cache manager holds
+    ZERO entries, so nothing accumulates toward LRU pressure.  (The bench
+    harness and the verification driver get the same effect from their
+    clearCache-between-queries; this pins the embedded-consumer path.)"""
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.functions.cachectl import (
+        release_query_caches,
+    )
+    from bigdataprocessingcoursework_nyc_rideshare_analysis__spark.registry import load_all
+
+    spark.catalog.clearCache()
+    reg = load_all()
+    # both queries pin query-scoped caches internally (the range-partition
+    # helper; the session-span aggregate)
+    assert len(reg["user_value_quartiles"].fn(spark, SF_SMOKE).collect()) > 0
+    assert len(reg["session_overlap_histogram"].fn(spark, SF_SMOKE).collect()) > 0
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    released = release_query_caches(spark)
+    assert released >= 2, released
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
