@@ -1595,53 +1595,107 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     — then a |types|-sized rank selection; the fan-out never survives an
     exchange."""
     ev = load_table(spark, sf_dir, "events")
-    # the md5 seed is projected once per row BEFORE the fan-out (explode
-    # evaluates its projection per OUTPUT row, so a hash written after the
-    # explode would run B times per event)
+    # the md5 seed is projected once per row (cross-engine contract) and
+    # the value is carried as EXACT integer micro-units — decimal(18,6)
+    # scaled by 10^6 is integral by construction, so every downstream sum
+    # is exact int64 algebra
     seed = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
-    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
-    x0 = (F.col("seed") + F.col("b") * F.lit(_MIX_KNUTH)) % F.lit(_MOD32)
-    x1 = (x0.bitwiseXOR(F.shiftright(x0, 16)) * F.lit(_MIX_MUL)) % F.lit(_MOD32)
-    x2 = (x1.bitwiseXOR(F.shiftright(x1, 16)) * F.lit(_MIX_MUL)) % F.lit(_MOD32)
-    u = x2.bitwiseXOR(F.shiftright(x2, 16)).cast("double") / F.lit(_U32)
-    w = F.lit(len(_POIS_CDF))
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < _POIS_CDF[k], k).otherwise(w)
-    draws = (
-        ev.select(
-            "event_type",
-            seed.alias("seed"),
-            F.col("value").cast("decimal(18,6)").alias("v"),
+    narrow = ev.select(
+        "event_type",
+        seed.alias("seed"),
+        (F.col("value").cast("decimal(18,6)") * 1000000).cast("long").alias("v_micros"),
+    )
+
+    # r12 (guide §4.2): the B-way fan-out — 32 draws × (integer mix + a
+    # 7-branch CASE + a decimal multiply) per event as codegen'd JVM
+    # expressions over |events|·B exploded rows — moves into ONE Arrow
+    # pass: NumPy evaluates the identical integer mix on an (n × B) int64
+    # matrix (no signed-64 overflow: x < 2^32, multiplier < 2^27) and
+    # searchsorted(CDF, u, 'right') IS the CASE chain (smallest k with
+    # u < cdf[k], else len).  Each batch emits per-(type, b) partial sums
+    # (types·B rows, model-sized) plus a b = -1 row carrying the base
+    # count/total, so nothing corpus-sized survives the pass and the old
+    # second events scan for the base stats is gone too.
+    n_b, cdf = BOOT_B, _POIS_CDF
+    knuth, mul, mod32, u32 = _MIX_KNUTH, _MIX_MUL, _MOD32, _U32
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        bs = (np.arange(n_b, dtype=np.int64) * knuth)[None, :]  # (1, B)
+        thresholds = np.asarray(cdf, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = (pdf["seed"].to_numpy(dtype=np.int64)[:, None] + bs) % mod32
+            x = ((x ^ (x >> 16)) * mul) % mod32
+            x = ((x ^ (x >> 16)) * mul) % mod32
+            u = (x ^ (x >> 16)).astype(np.float64) / u32  # exact: ints < 2^32
+            w = np.searchsorted(thresholds, u, side="right")
+            v = pdf["v_micros"].to_numpy(dtype=np.int64)
+            types = pdf["event_type"].to_numpy()
+            out_t, out_b, out_sw, out_swv = [], [], [], []
+            for t in pd.unique(types):
+                m = types == t
+                wt = w[m]
+                out_t.extend([t] * (n_b + 1))
+                out_b.extend(range(n_b))
+                out_sw.extend(wt.sum(axis=0).tolist())
+                out_swv.extend((wt * v[m][:, None]).sum(axis=0).tolist())
+                out_b.append(-1)  # base-stat row: (count, Σ v_micros)
+                out_sw.append(int(m.sum()))
+                out_swv.append(int(v[m].sum()))
+            yield pd.DataFrame(
+                {"event_type": out_t, "b": out_b, "sw": out_sw, "swv_micros": out_swv}
+            )
+
+    agg = (
+        narrow.mapInPandas(
+            partials, schema="event_type string, b int, sw long, swv_micros long"
         )
-        .select("event_type", "seed", "v", b)
-        .withColumn("w", w)
-        .drop("seed")
+        .groupBy("event_type", "b")
+        .agg(F.sum("sw").alias("sw"), F.sum("swv_micros").alias("swv_micros"))
+        .collect()  # ≤ |types|·(B+1) rows — model-sized, never corpus-sized
     )
-    rs = (
-        draws.groupBy("event_type", "b")
-        .agg(
-            F.sum(F.col("w") * F.col("v")).alias("swv"),
-            F.sum("w").alias("sw"),
+    # Driver-side rank selection over ≤ |types|·B resample means (the
+    # CC-fingerprint rule).  float(Fraction(micros, 10^6)) is the
+    # correctly-rounded nearest double of the exact decimal value — the
+    # same result as the old CAST(DECIMAL(28,6) AS DOUBLE) — and the one
+    # IEEE division by the int count matches the old double/long divide;
+    # rank ties carry equal VALUES, so sorted() reproduces the window's
+    # value-at-rank picks exactly.
+    from fractions import Fraction
+
+    per_type: dict[str, dict] = {}
+    for r in agg:
+        d = per_type.setdefault(r["event_type"], {"ms": [], "n": 0, "tot": 0})
+        if r["b"] == -1:
+            d["n"], d["tot"] = r["sw"], r["swv_micros"]
+        elif r["sw"] > 0:
+            d["ms"].append(float(Fraction(r["swv_micros"], 10**6)) / r["sw"])
+    rows = []
+    for t in sorted(per_type):
+        d = per_type[t]
+        ms = sorted(d["ms"])
+        rows.append(
+            (
+                t,
+                d["n"],
+                float(Fraction(d["tot"], 10**6)) / d["n"] if d["n"] else None,
+                ms[BOOT_LO_RANK - 1] if len(ms) >= BOOT_LO_RANK else None,
+                ms[BOOT_HI_RANK - 1] if len(ms) >= BOOT_HI_RANK else None,
+                len(ms),
+            )
         )
-        .filter(F.col("sw") > 0)
-        .select("event_type", (F.col("swv").cast("double") / F.col("sw")).alias("m"))
+    out = spark.createDataFrame(
+        rows,
+        "event_type string, n_events long, mean_value double, "
+        "lo double, hi double, n_resamples long",
     )
-    w_rank = Window.partitionBy("event_type").orderBy("m")
-    ranked = rs.withColumn("rn", F.row_number().over(w_rank))
-    ci = ranked.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") == BOOT_LO_RANK, F.col("m"))).alias("lo"),
-        F.min(F.when(F.col("rn") == BOOT_HI_RANK, F.col("m"))).alias("hi"),
-        F.count(F.lit(1)).cast("long").alias("n_resamples"),
-    )
-    base = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
-            "mean_value"
-        ),
-    )
-    return base.join(F.broadcast(ci), "event_type").select(
+    return out.select(
         "event_type",
         "n_events",
         F.round("mean_value", 9).alias("mean_value"),

@@ -818,10 +818,14 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitions on (latency, user_id), so no task ever holds more
     than its share of converted users; the frame size comes from a
     broadcast 1-row count."""
+    from ..functions.cachectl import query_scoped_persist
     from ..functions.skew import global_row_number
 
     ev = load_table(spark, sf_dir, "events")
-    clicks = (
+    # |clickers|-sized aggregate consumed THREE times (purchase funnel
+    # join, latency join, n_clickers denominator) — without the pin the
+    # click scan+agg re-executes per consumer (r12)
+    clicks = query_scoped_persist(
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
