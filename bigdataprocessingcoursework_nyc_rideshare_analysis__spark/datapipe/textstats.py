@@ -1455,9 +1455,21 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = staged_features(spark, sf_dir)
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # broadcast, lazy
     qterms = F.array(*[F.lit(t) for t in RRF_QUERY_TERMS])
+    # r12: filter the token ARRAY before exploding — the old
+    # explode-then-filter generated a row per corpus token just to drop
+    # all but the query terms (same per-token array_contains comparisons,
+    # corpus-token-row generation gone; measured A/B 0.74 → 0.60 s on the
+    # two-consumer shape).  `hits` feeds two consumers but is deliberately
+    # NOT persisted: the paired A/B read the cache materialization at
+    # +0.25–0.4 s — MORE than the cheap filtered-explode recompute it
+    # saves (the persist rule is not free; see OPTIMIZATION_r12.md).
     hits = (
-        docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
-        .filter(F.array_contains(qterms, F.col("term")))
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(tokens_of(docs), lambda x: F.array_contains(qterms, x))
+            ).alias("term"),
+        )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1667,9 +1679,21 @@ def q_ndcg_tfidf_vs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = staged_features(spark, sf_dir)
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # broadcast, lazy
     qterms = F.array(*[F.lit(t) for t in RRF_QUERY_TERMS])
+    # r12: filter the token ARRAY before exploding — the old
+    # explode-then-filter generated a row per corpus token just to drop
+    # all but the query terms (same per-token array_contains comparisons,
+    # corpus-token-row generation gone; measured A/B 0.74 → 0.60 s on the
+    # two-consumer shape).  `hits` feeds two consumers but is deliberately
+    # NOT persisted: the paired A/B read the cache materialization at
+    # +0.25–0.4 s — MORE than the cheap filtered-explode recompute it
+    # saves (the persist rule is not free; see OPTIMIZATION_r12.md).
     hits = (
-        docs.select("doc_id", F.explode(tokens_of(docs)).alias("term"))
-        .filter(F.array_contains(qterms, F.col("term")))
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(tokens_of(docs), lambda x: F.array_contains(qterms, x))
+            ).alias("term"),
+        )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
